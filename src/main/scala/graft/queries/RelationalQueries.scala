@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Generic relational operator surface (SURVEY.md §2.2-2.8) exercised on
+  * the driver corpus: projection/filter (P1-P5), joins (J1-J7 analogs),
+  * aggregation (A1-A7), windows, sort/top-k (O1-O3), set ops (T1-T2),
+  * scalar functions (F1-F13).
+  *
+  * Scale notes (100 TB mindset): every query here is a declarative plan —
+  * filters reach the parquet scan, small dimensions are broadcast
+  * explicitly, aggregations get map-side partial aggregation from
+  * Catalyst, and top-k plans as TakeOrderedAndProject (no global sort).
+  */
+object RelationalQueries extends QueryPack {
+
+  private def ts(d: String): Column = lit(d).cast("timestamp")
+
+  /** q01 — TPC-H Q1-shaped pricing summary: scan-filter-agg-sort.
+    * Reference analog: the stats/aggregation surface (SURVEY §2.4 A1/A6).
+    */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("2000-12-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q02 — projection + predicate pushdown (P1/P2/P5): both the filter and
+    * the 4-column ReadSchema reach the parquet scan. */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 48 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q03 — TPC-H Q3-shaped 3-way join + agg + top-k (J2/A6/O3).
+    * customer is the small side → broadcast; top-10 plans as
+    * TakeOrderedAndProject, not a global sort. */
+  def q03TopkRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1996-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_odate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "o_odate", "o_orderpriority")
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q04 — dimension chain with explicit broadcast (J1 classification-join
+    * analog: small build side never shuffles the fact table). */
+  def q04JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name").isin("EUROPE", "ASIA"))
+    val n = Tables.nation(s, dir)
+    Tables.customer(s, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("num_customers"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("n_name")
+  }
+
+  /** q05 — anti-join (J3/J6: orphan detection, "no disposal route"). */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** q06 — semi-join (EXISTS; J1 membership classification analog). */
+  def q06SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+    Tables.customer(s, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q07 — row_number window → latest-per-key (the OVERRIDES rule-
+    * precedence pattern, SURVEY §2.5/J8). */
+  def q07WindowLatest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("o_odate"))
+      .orderBy("o_custkey")
+  }
+
+  /** q08 — running-sum window over a unique total order (A3's
+    * deterministic first-seen ordering made explicit). */
+  def q08WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 10)
+      .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** q09 — batch upsert: full-outer join + per-column coalesce. This is
+    * the engine's MERGE contract (J4, S4/S5): new snapshot wins where
+    * present, old value preserved otherwise. */
+  def q09UpsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def snap(cond: Column): DataFrame =
+      o.filter(cond).groupBy(col("o_custkey").as("custkey"))
+        .agg(max("o_totalprice").as("best_price"), count(lit(1)).as("n_orders"))
+    val old  = snap(col("o_orderdate") < ts("1998-01-01"))
+    val fresh = snap(col("o_orderdate") >= ts("1998-01-01"))
+    old.as("old").join(fresh.as("new"), col("old.custkey") === col("new.custkey"), "full_outer")
+      .select(
+        coalesce(col("new.custkey"), col("old.custkey")).as("custkey"),
+        coalesce(col("new.best_price"), col("old.best_price")).as("best_price"),
+        coalesce(col("new.n_orders"), col("old.n_orders")).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  /** q10 — set difference (T1: unmatched-targets diagnostic). */
+  def q10SetExcept(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    p.filter(col("p_size") >= 25).select("p_type").distinct()
+      .except(p.filter(col("p_size") < 25).select("p_type").distinct())
+      .orderBy("p_type")
+  }
+
+  /** q11 — union-distinct across heterogeneous sources (T2). */
+  def q11UnionDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** q12 — distinct (A4). */
+  def q12Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q13 — deterministic UID (F1): substring(sha2(name,256),1,16), the
+    * reference's `sha256(name)[:16]` (facilities.py:36-38) byte-for-byte. */
+  def q13UidSha2(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), graft.core.Uid.uid(col("c_name")).as("uid"))
+      .orderBy("c_custkey")
+
+  /** q14 — string predicate stack (F2/F3/F7/F8 + P4's validity shape):
+    * trim/lower/length/contains composed as one Column expression. */
+  def q14StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        lower(trim(col("p_name"))).as("name_norm"),
+        (length(trim(col("p_name"))) >= 3 &&
+          !lower(col("p_name")).contains("small") &&
+          !lower(col("p_name")).startsWith("eco")).as("is_valid"))
+      .orderBy("p_partkey")
+
+  /** q15 — split + explode (F4: multiline-cell splitting) + token counts. */
+  def q15SplitExplode(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(explode(split(col("p_type"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("token")
+
+  /** q16 — dictionary normalization with identity fallback (F5:
+    * FACILITY_NAME_MAP). Implemented the scalable way: broadcast-join a
+    * tiny mapping table, coalesce to the original. */
+  def q16NormalizeMap(s: SparkSession, dir: String): DataFrame = {
+    val mapping = s.createDataFrame(Seq(
+      ("click", "interaction"),
+      ("view", "impression"))).toDF("raw", "canonical")
+    Tables.events(s, dir)
+      .join(broadcast(mapping), col("event_type") === col("raw"), "left")
+      .select(coalesce(col("canonical"), col("event_type")).as("event_norm"))
+      .groupBy("event_norm")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_norm")
+  }
+
+  /** q17 — temporal bucketing (F10 family): month truncation + agg. */
+  def q17GroupMonth(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("month")
+
+  /** q18 — tumbling 5-minute event-time window as batch (the Structured
+    * Streaming windowed-agg shape, SURVEY §2.10, runnable by an oracle). */
+  def q18EventsWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+      .orderBy("win_start", "event_type")
+
+  /** q19 — self-join (J7 hierarchy-analog: same-key pairing). */
+  def q19SelfJoinPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_size") === col("b.p_size") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .groupBy(col("a.p_brand").as("brand"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy("brand")
+  }
+
+  /** q20 — get_stats parity (A1/A2, neo4j_db.py:122-148): per-"label"
+    * counts in ONE job, not the reference's N+1 query loop. */
+  def q20StatsLabels(s: SparkSession, dir: String): DataFrame = {
+    val counts = Seq("customer", "orders", "lineitem", "part", "supplier", "nation", "region")
+      .map(t => Tables(s, dir, t).groupBy(lit(t).as("label")).agg(count(lit(1)).as("cnt")))
+    counts.reduce(_ union _).orderBy("label")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project"  -> (q02FilterProject _),
+    "q03_topk_revenue"    -> (q03TopkRevenue _),
+    "q04_join_broadcast"  -> (q04JoinBroadcast _),
+    "q05_anti_join"       -> (q05AntiJoin _),
+    "q06_semi_join"       -> (q06SemiJoin _),
+    "q07_window_latest"   -> (q07WindowLatest _),
+    "q08_window_running"  -> (q08WindowRunning _),
+    "q09_upsert_merge"    -> (q09UpsertMerge _),
+    "q10_set_except"      -> (q10SetExcept _),
+    "q11_union_distinct"  -> (q11UnionDistinct _),
+    "q12_distinct"        -> (q12Distinct _),
+    "q13_uid_sha2"        -> (q13UidSha2 _),
+    "q14_string_funcs"    -> (q14StringFuncs _),
+    "q15_split_explode"   -> (q15SplitExplode _),
+    "q16_normalize_map"   -> (q16NormalizeMap _),
+    "q17_group_month"     -> (q17GroupMonth _),
+    "q18_events_window"   -> (q18EventsWindow _),
+    "q19_selfjoin_pairs"  -> (q19SelfJoinPairs _),
+    "q20_stats_labels"    -> (q20StatsLabels _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 48 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_topk_revenue" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | CAST(o_orderdate AS DATE) AS o_odate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        | AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_join_broadcast" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS num_customers,
+        | round(sum(c_acctbal),2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('EUROPE','ASIA')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_window_latest" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_odate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q08_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q09_upsert_merge" ->
+      """WITH old AS (
+        |  SELECT o_custkey AS custkey, max(o_totalprice) AS best_price,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey),
+        |fresh AS (
+        |  SELECT o_custkey AS custkey, max(o_totalprice) AS best_price,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY o_custkey)
+        |SELECT coalesce(fresh.custkey, old.custkey) AS custkey,
+        |       coalesce(fresh.best_price, old.best_price) AS best_price,
+        |       coalesce(fresh.n_orders, old.n_orders) AS n_orders
+        |FROM old FULL OUTER JOIN fresh ON old.custkey = fresh.custkey
+        |ORDER BY custkey""".stripMargin,
+    "q10_set_except" ->
+      """SELECT p_type FROM (
+        |  SELECT DISTINCT p_type FROM part WHERE p_size >= 25
+        |  EXCEPT
+        |  SELECT DISTINCT p_type FROM part WHERE p_size < 25) t
+        |ORDER BY p_type""".stripMargin,
+    "q11_union_distinct" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION
+        |  SELECT s_nationkey AS nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+    "q12_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q13_uid_sha2" ->
+      """SELECT c_custkey, substr(sha256(c_name),1,16) AS uid
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q14_string_funcs" ->
+      """SELECT p_partkey, lower(trim(p_name)) AS name_norm,
+        | (length(trim(p_name)) >= 3
+        |  AND lower(p_name) NOT LIKE '%small%'
+        |  AND lower(p_name) NOT LIKE 'eco%') AS is_valid
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q15_split_explode" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(p_type, ' ')) AS token FROM part) t
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "q16_normalize_map" ->
+      """SELECT CASE event_type WHEN 'click' THEN 'interaction'
+        |                       WHEN 'view' THEN 'impression'
+        |                       ELSE event_type END AS event_norm,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY event_norm""".stripMargin,
+    "q17_group_month" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        | CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q18_events_window" ->
+      """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS win_start, event_type,
+        | CAST(count(*) AS BIGINT) AS cnt, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1,2 ORDER BY win_start, event_type""".stripMargin,
+    "q19_selfjoin_pairs" ->
+      """SELECT a.p_brand AS brand, CAST(count(*) AS BIGINT) AS pair_cnt
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |GROUP BY a.p_brand ORDER BY brand""".stripMargin,
+    "q20_stats_labels" ->
+      """SELECT label, cnt FROM (
+        |  SELECT 'customer' AS label, CAST(count(*) AS BIGINT) AS cnt FROM customer
+        |  UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part
+        |  UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier
+        |  UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT) FROM nation
+        |  UNION ALL SELECT 'region', CAST(count(*) AS BIGINT) FROM region) t
+        |ORDER BY label""".stripMargin)
+}
