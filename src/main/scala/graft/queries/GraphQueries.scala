@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.graph.GraphStore
+
+/** Graph-operator surface (SURVEY.md §1.4, §2.1 S4-S7, §2.3 J5/J6)
+  * driven through the DuckDB gate: the driver corpus is recast as a
+  * labeled property graph — Customer/Supplier/Nation/Region nodes,
+  * IN_NATION/IN_REGION/PLACED edges — and each GraphStore op runs as a
+  * checkable query.
+  *
+  * Scale notes: node/edge construction is pure projection (no shuffle);
+  * expand joins shuffle on uid exactly once each; stats is one partial+
+  * final hash agg; at 100 TB the node/edge tables would be bucketed by
+  * uid so repeated traversal joins co-locate (SURVEY §4).
+  */
+object GraphQueries extends QueryPack {
+
+  /** uid scheme for corpus entities: "<label>:<key>" — deterministic,
+    * collision-free across labels, and SQL-reproducible (unlike hashes,
+    * readable in failures). */
+  private def uidOf(label: String, key: Column): Column =
+    concat(lit(label), lit(":"), key.cast("string"))
+
+  def nodes(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(
+      lit("Customer").as("label"), uidOf("Customer", col("c_custkey")).as("uid"),
+      col("c_name").as("name"))
+    val su = Tables.supplier(s, dir).select(
+      lit("Supplier").as("label"), uidOf("Supplier", col("s_suppkey")).as("uid"),
+      col("s_name").as("name"))
+    val n = Tables.nation(s, dir).select(
+      lit("Nation").as("label"), uidOf("Nation", col("n_nationkey")).as("uid"),
+      col("n_name").as("name"))
+    val r = Tables.region(s, dir).select(
+      lit("Region").as("label"), uidOf("Region", col("r_regionkey")).as("uid"),
+      col("r_name").as("name"))
+    c.unionByName(su).unionByName(n).unionByName(r)
+  }
+
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(s, dir).select(
+      uidOf("Customer", col("c_custkey")).as("src_uid"),
+      uidOf("Nation", col("c_nationkey")).as("dst_uid"),
+      lit("IN_NATION").as("rel_type"),
+      lit("Customer").as("src_label"), lit("Nation").as("dst_label"))
+    val sn = Tables.supplier(s, dir).select(
+      uidOf("Supplier", col("s_suppkey")).as("src_uid"),
+      uidOf("Nation", col("s_nationkey")).as("dst_uid"),
+      lit("IN_NATION").as("rel_type"),
+      lit("Supplier").as("src_label"), lit("Nation").as("dst_label"))
+    val nr = Tables.nation(s, dir).select(
+      uidOf("Nation", col("n_nationkey")).as("src_uid"),
+      uidOf("Region", col("n_regionkey")).as("dst_uid"),
+      lit("IN_REGION").as("rel_type"),
+      lit("Nation").as("src_label"), lit("Region").as("dst_label"))
+    cn.unionByName(sn).unionByName(nr)
+  }
+
+  /** g01 — GraphStore.stats: per-label counts + totals in one job
+    * (A1/A2 parity, `neo4j_db.py:122-148`). */
+  def g01Stats(s: SparkSession, dir: String): DataFrame =
+    GraphStore.stats(nodes(s, dir), edges(s, dir))
+      .select(col("label"), col("cnt")).orderBy("label")
+
+  /** g02 — GraphStore.expand: 1-hop pattern join (J5), restricted to
+    * IN_REGION so the result is small and fully checkable. */
+  def g02Expand(s: SparkSession, dir: String): DataFrame =
+    GraphStore.expand(nodes(s, dir),
+        edges(s, dir).filter(col("rel_type") === "IN_REGION"))
+      .orderBy("src_name", "dst_name")
+
+  /** g03 — GraphStore.orphans (J6): customers with no PLACED edge =
+    * the reference's no-disposal-route anti-join. */
+  def g03Orphans(s: SparkSession, dir: String): DataFrame = {
+    val placed = Tables.orders(s, dir).select(
+      uidOf("Customer", col("o_custkey")).as("src_uid"),
+      uidOf("Order", col("o_orderkey")).as("dst_uid"),
+      lit("PLACED").as("rel_type"),
+      lit("Customer").as("src_label"), lit("Order").as("dst_label"))
+    val customers = nodes(s, dir).filter(col("label") === "Customer")
+    GraphStore.orphans(customers, placed, Seq("PLACED"))
+      .select("uid", "name").orderBy("uid")
+  }
+
+  /** g04 — GraphStore.upsertNodes (J4/S4): the MERGE contract under the
+    * oracle. Incoming = high-balance customers with uppercased name; a
+    * non-empty incoming value wins, others survive. */
+  def g04Upsert(s: SparkSession, dir: String): DataFrame = {
+    val clock = lit("2026-01-01 00:00:00").cast("timestamp")
+    val base = Tables.customer(s, dir).select(
+      lit("Customer").as("label"), uidOf("Customer", col("c_custkey")).as("uid"),
+      col("c_name").as("name"), col("c_mktsegment").as("segment"),
+      clock.as("created_at"), clock.as("updated_at"))
+    val incoming = Tables.customer(s, dir).filter(col("c_acctbal") > 5000).select(
+      lit("Customer").as("label"), uidOf("Customer", col("c_custkey")).as("uid"),
+      upper(col("c_name")).as("name"), lit("").as("segment"),
+      clock.as("created_at"), clock.as("updated_at"))
+    GraphStore.upsertNodes(base, incoming, clock, Seq("segment"))
+      .select("uid", "name", "segment").orderBy("uid")
+  }
+
+  /** g05 — constraint validation (S3/§1.3): uid uniqueness per label. */
+  def g05Validate(s: SparkSession, dir: String): DataFrame =
+    GraphStore.validateUnique(nodes(s, dir))
+
+  /** g06 — bounded 2-hop traversal (J7/J8 bounded case): customer →
+    * nation → region, aggregated per region. Two chained joins; the
+    * small hops are broadcast. */
+  def g06TwoHop(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val hop1 = e.filter(col("rel_type") === "IN_NATION")
+      .filter(col("src_label") === "Customer")
+      .select(col("src_uid"), col("dst_uid").as("mid_uid"))
+    val hop2 = broadcast(e.filter(col("rel_type") === "IN_REGION")
+      .select(col("src_uid").as("mid_uid"), col("dst_uid").as("end_uid")))
+    val regions = broadcast(nodes(s, dir).filter(col("label") === "Region")
+      .select(col("uid").as("end_uid"), col("name").as("region_name")))
+    hop1.join(hop2, "mid_uid").join(regions, "end_uid")
+      .groupBy("region_name").agg(count(lit(1)).as("n_customers"))
+      .orderBy("region_name")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "g01_graph_stats"   -> (g01Stats _),
+    "g02_graph_expand"  -> (g02Expand _),
+    "g03_graph_orphans" -> (g03Orphans _),
+    "g04_graph_upsert"  -> (g04Upsert _),
+    "g05_graph_validate" -> (g05Validate _),
+    "g06_graph_twohop"  -> (g06TwoHop _))
+
+  val oracles: Map[String, String] = Map(
+    "g01_graph_stats" ->
+      """SELECT label, cnt FROM (
+        |  SELECT 'Customer' AS label, CAST(count(*) AS BIGINT) AS cnt FROM customer
+        |  UNION ALL SELECT 'Supplier', count(*) FROM supplier
+        |  UNION ALL SELECT 'Nation', count(*) FROM nation
+        |  UNION ALL SELECT 'Region', count(*) FROM region
+        |  UNION ALL SELECT '_total_nodes',
+        |    (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+        |    + (SELECT count(*) FROM nation) + (SELECT count(*) FROM region)
+        |  UNION ALL SELECT '_total_relationships',
+        |    (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+        |    + (SELECT count(*) FROM nation)) t
+        |ORDER BY label""".stripMargin,
+    "g02_graph_expand" ->
+      """SELECT n_name AS src_name, 'IN_REGION' AS rel_type,
+        | 'Region' AS dst_label, r_name AS dst_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY src_name, dst_name""".stripMargin,
+    "g03_graph_orphans" ->
+      """SELECT 'Customer:' || c_custkey AS uid, c_name AS name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY uid""".stripMargin,
+    "g04_graph_upsert" ->
+      """SELECT 'Customer:' || c_custkey AS uid,
+        | CASE WHEN c_acctbal > 5000 THEN upper(c_name) ELSE c_name END AS name,
+        | c_mktsegment AS segment
+        |FROM customer ORDER BY uid""".stripMargin,
+    "g05_graph_validate" ->
+      """SELECT label, total, distinct_keys, total = distinct_keys AS ok FROM (
+        |  SELECT 'Customer' AS label, CAST(count(*) AS BIGINT) AS total,
+        |         CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_keys FROM customer
+        |  UNION ALL SELECT 'Supplier', count(*), count(DISTINCT s_suppkey) FROM supplier
+        |  UNION ALL SELECT 'Nation', count(*), count(DISTINCT n_nationkey) FROM nation
+        |  UNION ALL SELECT 'Region', count(*), count(DISTINCT r_regionkey) FROM region) t
+        |ORDER BY label""".stripMargin,
+    "g06_graph_twohop" ->
+      """SELECT r_name AS region_name, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region_name""".stripMargin)
+}
