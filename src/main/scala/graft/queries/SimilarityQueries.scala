@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * Array[Float] 64-dim, label) — ANN building blocks for a training-data
+  * pipeline: brute-force cosine top-k (exactness baseline), IVF-style
+  * centroid assignment, and sign-LSH bucketed search (the scale path).
+  *
+  * All vector math is per-row higher-order functions over arrays cast to
+  * double — codegen'd, sequential fold order, so DuckDB replicates it
+  * bit-for-bit (rounded to 6 decimals for cross-engine safety).
+  *
+  * Scale notes: brute force is O(Q·N·d) — fine for small Q (re-ranking),
+  * never for all-pairs; the LSH/IVF variants cut the candidate set via
+  * an equi-join on bucket/centroid id, which is the only join shape that
+  * survives 100 TB (no cross join, no driver collect of vectors).
+  */
+object SimilarityQueries extends QueryPack {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Sequential-fold dot product: aggregate(zip_with(a,b,*), 0.0, +). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** e01 — brute-force cosine top-k: 3 query vectors against the rest,
+    * top-5 each by (rounded cosine desc, vec_id). The queries side is a
+    * broadcast; the candidate scan stays distributed.
+    */
+  def e01KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 3)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "cand_id", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** e02 — IVF building block: per-label centroids (elementwise mean via
+    * posexplode + one hash agg), then nearest-centroid assignment for a
+    * query subset. At scale the centroid table is tiny → broadcast.
+    */
+  def e02CentroidAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg("x").as("m"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("label").as("c_label"), transform(col("dm"), s => s.getField("m")).as("cv"))
+    val q = e.filter(col("vec_id") < 50)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos_sim"), asc("c_label"))
+    q.join(broadcast(centroids))
+      .select(col("vec_id"), col("label").as("true_label"), col("c_label"),
+        round(cosine(col("v"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("true_label"), col("c_label").as("nearest_label"), col("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** e03 — sign-LSH bucketed ANN: bucket = sign bits of 3 fixed
+    * hyperplanes (axis planes on dims 1, 8, 22 — deterministic and
+    * oracle-reproducible), search only within the query's bucket.
+    * The bucket equi-join replaces the cross join — the scale path.
+    */
+  def e03LshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    def bucket(v: Column): Column =
+      (when(element_at(v, 1) > 0, 4).otherwise(0) +
+        when(element_at(v, 8) > 0, 2).otherwise(0) +
+        when(element_at(v, 22) > 0, 1).otherwise(0)).cast("int")
+    val withB = e.withColumn("bucket", bucket(col("v")))
+    val q = withB.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val c = withB.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("bucket"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("cand_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("bucket"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "bucket", "rank", "cand_id", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "e01_knn_brute"       -> (e01KnnBrute _),
+    "e02_centroid_assign" -> (e02CentroidAssign _),
+    "e03_lsh_buckets"     -> (e03LshBuckets _))
+
+  /** DuckDB-side cosine identical to the Spark fold: list_transform
+    * products (double), list_sum sequential. */
+  private def sqlCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       | / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+       |  * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "e01_knn_brute" ->
+      s"""WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(${sqlCos("q.embedding", "c.embedding")}, 6) AS cos_sim
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 3 AND c.vec_id >= 3),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, cand_id) AS INT) AS rank FROM scored)
+        |SELECT query_id, rank, cand_id, cos_sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e02_centroid_assign" ->
+      s"""WITH cent AS (
+        |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS m
+        |    FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.label AS true_label, c.c_label,
+        |    round(${sqlCos("e.embedding", "c.cv")}, 6) AS cos_sim
+        |  FROM embeddings e JOIN cent c ON e.vec_id < 50),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos_sim DESC, c_label) AS rn FROM scored)
+        |SELECT vec_id, true_label, c_label AS nearest_label, cos_sim
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "e03_lsh_buckets" ->
+      s"""WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+        |       + CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END
+        |       + CASE WHEN embedding[22] > 0 THEN 1 ELSE 0 END AS INT) AS bucket
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS cand_id,
+        |    round(${sqlCos("q.embedding", "c.embedding")}, 6) AS cos_sim
+        |  FROM b q JOIN b c ON q.bucket = c.bucket
+        |   AND q.vec_id < 10 AND c.vec_id >= 10),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, cand_id) AS INT) AS rank FROM scored)
+        |SELECT query_id, bucket, rank, cand_id, cos_sim FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+}

@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-data text pipeline: dedup (exact, n-gram Jaccard,
+  * MinHash+LSH), language-ID, quality scoring, token counting, document
+  * fingerprinting — the operations a 100 TB pretraining corpus needs,
+  * expressed as declarative Spark plans over the `documents` table.
+  *
+  * Every hash here is md5/sha2 (identical lowercase hex in Spark and
+  * DuckDB) so each operator — including the full MinHash-LSH pipeline —
+  * has an exact SQL oracle: no "approximately right" checks.
+  *
+  * Scale notes: all shingle/token work is per-row higher-order
+  * functions (codegen'd, no UDF, no shuffle); dedup group-bys shuffle
+  * once on the hash/shingle key; the LSH band join replaces the O(n²)
+  * pairwise compare with a bucket equi-join — the standard web-scale
+  * near-dup design (cf. Broder's shingling + banding).
+  */
+object TextQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** Whitespace word tokens, lowercased. */
+  private val words: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** Distinct word 3-gram shingles (requires ≥3 words). */
+  private val shingles: Column = array_distinct(
+    transform(sequence(lit(1), size(col("w")) - 2),
+      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
+        element_at(col("w"), i + 2))))
+
+  /** (doc_id, shingles) for docs with ≥3 words. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), shingles.as("shingles"))
+
+  /** Exploded (doc_id, shingle, n_shingles). */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir).select(col("doc_id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("s"))
+
+  /** d01 — exact dedup by content hash. The corpus has no exact dups, so
+    * a replay batch (every 20th doc re-ingested under a shifted id)
+    * simulates the re-crawl case; keeper = min doc_id per hash.
+    */
+  def d01ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val replay = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    base.unionByName(replay)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy("keeper_id")
+  }
+
+  /** d02 — token counting: whitespace tokens + regex word tokens
+    * (the BPE-ish pre-tokenization count). */
+  def d02TokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("n_word_tokens"),
+      length(col("text")).as("n_chars_actual"))
+      .orderBy("doc_id")
+
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  /** d03 — language-ID: stopword-hit scoring per language, argmax with
+    * fixed priority order, 'und' (undetermined) when nothing hits.
+    */
+  def d03LangId(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"), words.as("w"))
+      .select(Seq(col("doc_id"), col("labeled_lang")) ++
+        langStopwords.map { case (lang, sw) =>
+          size(filter(col("w"), w => w.isin(sw: _*))).as(s"score_$lang")
+        }: _*)
+    val best = langStopwords.map { case (l, _) => col(s"score_$l") }.reduce(greatest(_, _))
+    scored.select(
+      col("doc_id"), col("labeled_lang"),
+      when(best === 0, "und")
+        .otherwise(langStopwords.foldRight(lit("und")) { case ((l, _), acc) =>
+          when(col(s"score_$l") === best, l).otherwise(acc)
+        }).as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** d04 — quality scoring: length, alpha ratio, stopword ratio, mean
+    * word length → composite score; the standard cheap pre-filter before
+    * expensive dedup/model scoring.
+    */
+  def d04Quality(s: SparkSession, dir: String): DataFrame = {
+    val enSw = langStopwords.head._2
+    docs(s, dir).select(col("doc_id"), col("text"), words.as("w"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        round(length(regexp_replace(lower(col("text")), "[^a-z]", "")) /
+          greatest(length(col("text")), lit(1)).cast("double"), 4).as("alpha_ratio"),
+        round(size(filter(col("w"), w => w.isin(enSw: _*))) /
+          greatest(size(col("w")), lit(1)).cast("double"), 4).as("stopword_ratio"),
+        round(length(regexp_replace(lower(col("text")), "[^a-z]", "")) /
+          greatest(size(col("w")), lit(1)).cast("double"), 4).as("mean_word_len"))
+      .withColumn("quality_ok",
+        col("n_chars_actual") >= 50 && col("alpha_ratio") >= 0.5 &&
+          col("stopword_ratio") >= 0.01 && col("mean_word_len").between(2.0, 12.0))
+      .orderBy("doc_id")
+  }
+
+  /** d05 — document fingerprinting: md5 of whitespace-normalized text
+    * (exact identity) + min rolling char-8-gram hash (shift-robust
+    * near-identity, the winnowing building block).
+    */
+  def d05Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("exact_fp"),
+        array_min(transform(sequence(lit(1), length(col("norm")) - 7),
+          i => md5(col("norm").substr(i, lit(8))))).as("rolling_fp"))
+      .orderBy("doc_id")
+
+  /** d06 — n-gram Jaccard near-dup: pairs sharing ≥1 shingle (the only
+    * pairs with jaccard > 0), exact |A∩B|/|A∪B| ≥ 0.8. Quadratic in the
+    * worst case — d07 is the scale path; this is the exactness baseline.
+    */
+  def d06JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingleRows(s, dir)
+    val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s"))
+    a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard",
+        round(col("common") / (col("na") + col("nb") - col("common")).cast("double"), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val NumHashes = 16
+  private val BandSize = 4
+
+  /** d07 — MinHash + LSH near-dup, the 100 TB path: 16 md5 minhashes →
+    * 4 bands → band-hash equi-join for candidates → exact-jaccard
+    * verification ≥ 0.8. Identical md5 math on the oracle side makes
+    * this fully hash-checkable (no approximate compare).
+    */
+  def d07MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingleRows(s, dir)
+    // 16 minhash agg columns in ONE shuffle: min(md5("<j>:" + shingle))
+    val mhCols = (0 until NumHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j"))
+    val sigs = ex.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // band hash = md5(mh[4b] | mh[4b+1] | mh[4b+2] | mh[4b+3])
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bh")).as(s"band$b")
+    }
+    val bands = sigs.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact-jaccard verification of candidates only
+    val ev = shingleRows(s, dir)
+    val common = ev.select(col("doc_id").as("doc_a"), col("s"))
+      .join(ev.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    val sizes = shingled(s, dir).select(col("doc_id"), size(col("shingles")).as("n"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("common") / (col("na") + col("nb") - col("common")).cast("double"), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "d01_exact_dedup"   -> (d01ExactDedup _),
+    "d02_token_count"   -> (d02TokenCount _),
+    "d03_langid"        -> (d03LangId _),
+    "d04_quality"       -> (d04Quality _),
+    "d05_fingerprint"   -> (d05Fingerprint _),
+    "d06_jaccard_pairs" -> (d06JaccardPairs _),
+    "d07_minhash_lsh"   -> (d07MinhashLsh _))
+
+  private val shingleCte =
+    """words AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                for i in range(1, len(w)-1)]) AS shingles
+      |  FROM words WHERE len(w) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 20 = 0)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM all_docs GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY keeper_id""".stripMargin,
+    "d02_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_word_tokens,
+        | CAST(length(text) AS INT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d03_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\s+')
+        |         if x IN ('the','a','of','and','to','in','is')]) AS s_en,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\s+')
+        |         if x IN ('der','die','das','und','ist','ein')]) AS s_de,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\s+')
+        |         if x IN ('le','la','et','les','des','un')]) AS s_fr,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\s+')
+        |         if x IN ('el','los','las','y','es','una')]) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+        |       ELSE 'es' END AS predicted_lang
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "d04_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INT) AS n_chars_actual,
+        | round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |   / greatest(length(text), 1)::DOUBLE, 4) AS alpha_ratio,
+        | round(len([x for x in string_split_regex(lower(trim(text)), '\s+')
+        |            if x IN ('the','a','of','and','to','in','is')])
+        |   / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE, 4)
+        |   AS stopword_ratio,
+        | round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |   / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE, 4)
+        |   AS mean_word_len,
+        | (length(text) >= 50
+        |  AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |      / greatest(length(text), 1)::DOUBLE >= 0.5
+        |  AND len([x for x in string_split_regex(lower(trim(text)), '\s+')
+        |           if x IN ('the','a','of','and','to','in','is')])
+        |      / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE >= 0.01
+        |  AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |      / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE
+        |      BETWEEN 2.0 AND 12.0) AS quality_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d05_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS exact_fp,
+        |  list_min(list_transform(range(1, length(norm) - 6),
+        |    i -> md5(substr(norm, i, 8)))) AS rolling_fp
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "d06_jaccard_pairs" ->
+      s"""WITH $shingleCte, pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+        |         any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, round(common/(na+nb-common)::DOUBLE, 4) AS jaccard
+        |FROM pairs WHERE common/(na+nb-common)::DOUBLE >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d07_minhash_lsh" ->
+      s"""WITH $shingleCte, mh AS (
+        |  SELECT doc_id, j, min(md5(j || ':' || s)) AS mh
+        |  FROM ex, range(16) t(j) GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, '|' ORDER BY j)) AS bh
+        |  FROM mh GROUP BY doc_id, j // 4
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+        |         any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, round(common/(na+nb-common)::DOUBLE, 4) AS jaccard
+        |FROM pairs WHERE common/(na+nb-common)::DOUBLE >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin)
+}
