@@ -1,0 +1,71 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph, VertexId}
+import org.apache.spark.storage.StorageLevel
+
+/** Unbounded graph traversal (SURVEY.md J8, §4 custom-work item 3): the
+  * reference's decision-tree chains (`Condition -NEXT_CHECK-> …`) and
+  * AVV hierarchy (`schema.cql:119-122`) need reachability to a fixpoint.
+  *
+  * Two engines, per SURVEY's decision table:
+  *  - [[reachFixpoint]]: iterative DataFrame joins on the driver —
+  *    bounded only by graph depth, each iteration one shuffle join;
+  *    frontier is cached and localCheckpointed to cut lineage (without
+  *    it, iteration N replays all N-1 prior joins — quadratic).
+  *  - [[connectedComponents]]: GraphX Pregel-based CC for global
+  *    analytics the join loop can't express efficiently.
+  *
+  * Scale notes: the join loop shuffles the frontier on dst each round;
+  * at 100 TB the edge table would be bucketed by src_uid so each
+  * iteration is a co-located join. Cycle safety: the visited-set
+  * anti-join guarantees termination on cyclic graphs (SURVEY §7
+  * hard-part 5).
+  */
+object Traversal {
+
+  /** All (start, reached, depth) pairs following `edges`
+    * (src_uid→dst_uid) from every node to fixpoint, cycle-safe.
+    * depth ≥ 1; a node reached by several paths keeps the min depth.
+    */
+  def reachFixpoint(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col("src_uid"), col("dst_uid")).cache()
+    var acc = e.select(col("src_uid").as("start"), col("dst_uid").as("reached"),
+      lit(1).as("depth"))
+    var frontier = acc
+    var i = 1
+    var done = false
+    while (i < maxIter && !done) {
+      val next = frontier.join(e, frontier("reached") === e("src_uid"))
+        .select(col("start"), col("dst_uid").as("reached"), (col("depth") + 1).as("depth"))
+        .join(acc.select(col("start").as("s2"), col("reached").as("r2")),
+          col("start") === col("s2") && col("reached") === col("r2"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        acc = acc.unionByName(next).localCheckpoint(true)
+        frontier = next
+        i += 1
+      }
+    }
+    acc
+  }
+
+  /** GraphX connected components over a node/edge DataFrame pair with
+    * caller-supplied stable Long vertex ids. Returns (vid, component)
+    * where component = min vertex id in the component (GraphX contract).
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val vrdd = vertices.select(col("vid").cast("long")).as[Long].rdd.map(v => (v, ()))
+    val erdd = edges.select(col("src_vid").cast("long"), col("dst_vid").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => GxEdge(s, d, ()) }
+    val graph = GxGraph(vrdd, erdd, (),
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    graph.connectedComponents().vertices
+      .toDF("vid", "component")
+  }
+}

@@ -124,7 +124,45 @@ object GraphQueries extends QueryPack {
       .orderBy("region_name")
   }
 
+  /** g07 — unbounded traversal to fixpoint (J8): a decimal-decade
+    * hierarchy over partkeys (partkey → partkey div 10, the AVV
+    * "08 01 11* → 08 01 → 08" shape) walked by the iterative-join
+    * engine; oracle = recursive CTE. Depth is unknown to the engine —
+    * it iterates until the frontier empties.
+    */
+  def g07Fixpoint(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.part(s, dir).filter(col("p_partkey") >= 10)
+      .select(col("p_partkey").as("src_uid"),
+        expr("p_partkey div 10").as("dst_uid"))
+    graft.graph.Traversal.reachFixpoint(edges)
+      .filter(col("start") < 500)
+      .select(col("start"), col("reached"), col("depth"))
+      .orderBy("start", "reached", "depth")
+  }
+
+  /** g08 — GraphX Pregel connected components over the
+    * customer–nation–region forest. Stable long vids chosen so the
+    * component representative (min vid, the GraphX contract) is the
+    * region key — making the result exactly SQL-checkable.
+    */
+  def g08Components(s: SparkSession, dir: String): DataFrame = {
+    val regions = Tables.region(s, dir).select(col("r_regionkey").cast("long").as("vid"))
+    val nations = Tables.nation(s, dir).select((col("n_nationkey") + 100).cast("long").as("vid"))
+    val customers = Tables.customer(s, dir).select((col("c_custkey") + 1000).cast("long").as("vid"))
+    val vertices = regions.unionByName(nations).unionByName(customers)
+    val e1 = Tables.customer(s, dir).select(
+      (col("c_custkey") + 1000).cast("long").as("src_vid"),
+      (col("c_nationkey") + 100).cast("long").as("dst_vid"))
+    val e2 = Tables.nation(s, dir).select(
+      (col("n_nationkey") + 100).cast("long").as("src_vid"),
+      col("n_regionkey").cast("long").as("dst_vid"))
+    graft.graph.Traversal.connectedComponents(vertices, e1.unionByName(e2), s)
+      .orderBy("vid")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g07_graph_fixpoint"   -> (g07Fixpoint _),
+    "g08_graph_components" -> (g08Components _),
     "g01_graph_stats"   -> (g01Stats _),
     "g02_graph_expand"  -> (g02Expand _),
     "g03_graph_orphans" -> (g03Orphans _),
@@ -133,6 +171,24 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g07_graph_fixpoint" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT p_partkey AS start, p_partkey // 10 AS reached, 1 AS depth
+        |  FROM part WHERE p_partkey >= 10
+        |  UNION ALL
+        |  SELECT r.start, p.p_partkey // 10, r.depth + 1
+        |  FROM r JOIN part p ON r.reached = p.p_partkey AND p.p_partkey >= 10)
+        |SELECT start, reached, depth FROM r WHERE start < 500
+        |ORDER BY start, reached, depth""".stripMargin,
+    "g08_graph_components" ->
+      """SELECT vid, component FROM (
+        |  SELECT r_regionkey AS vid, r_regionkey AS component FROM region
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT c_custkey + 1000, n_regionkey
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+        |ORDER BY vid""".stripMargin,
     "g01_graph_stats" ->
       """SELECT label, cnt FROM (
         |  SELECT 'Customer' AS label, CAST(count(*) AS BIGINT) AS cnt FROM customer
