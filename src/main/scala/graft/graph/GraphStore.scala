@@ -44,8 +44,11 @@ object GraphStore {
     val i = incoming.as("i")
     val merged = e.join(i, col("e.uid") === col("i.uid"), "full_outer")
     val isNew = col("e.uid").isNull
+    // ON CREATE: incoming verbatim (even empty, facilities.py:113-118);
+    // ON MATCH: non-empty incoming wins, else keep (F11, :120-124).
     def pick(c: String): Column =
-      when(col(s"i.$c").isNotNull && trim(col(s"i.$c").cast("string")) =!= "", col(s"i.$c"))
+      when(isNew, col(s"i.$c"))
+        .when(col(s"i.$c").isNotNull && trim(col(s"i.$c").cast("string")) =!= "", col(s"i.$c"))
         .otherwise(col(s"e.$c")).as(c)
     merged.select(
       Seq(

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphStore
+
+/** Structured Streaming ingest over the same batch upsert core
+  * (SURVEY.md §2.10 — the north-star streaming extension; the reference
+  * itself is batch-only).
+  *
+  * Design: `readStream → withWatermark + dropDuplicates(uid) →
+  * foreachBatch(idempotent node upsert)`. The watermarked dedup bounds
+  * state (late duplicates beyond the delay are handled by the upsert's
+  * idempotency anyway — two layers, both required at scale: dedup for
+  * state size, upsert for exactly-once-effect on re-delivery after
+  * watermark eviction or batch replay).
+  */
+object StreamingIngest {
+
+  /** Event-time dedup on (uid, ts): a redelivered event carries the same
+    * timestamp and is dropped; a later *update* to the same uid has a new
+    * timestamp and passes through (keying on uid alone would silently
+    * swallow updates — dropDuplicates keeps only the first arrival).
+    */
+  def dedup(stream: DataFrame, uidCol: String, tsCol: String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay).dropDuplicates(uidCol, tsCol)
+
+  /** The per-microbatch sink body: idempotent upsert of node-shaped rows
+    * into a parquet-backed node store. Reads the current store (empty
+    * scaffold on first batch), merges, rewrites. `localCheckpoint`
+    * materializes the merge BEFORE overwrite — reading and overwriting
+    * the same path lazily would corrupt it.
+    */
+  def upsertBatch(storePath: String, propCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val existing =
+      try spark.read.parquet(storePath)
+      catch { case _: Exception => batch.limit(0) }
+    // upsertNodes requires uid-unique incoming: reduce the microbatch to
+    // latest-per-uid first (several updates can land in one batch).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("uid").orderBy(col("updated_at").desc)
+    val latest = batch.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val merged = GraphStore.upsertNodes(existing, latest,
+      current_timestamp(), propCols).localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(storePath)
+  }
+}
