@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries,
     GraphQueries,
     TextQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

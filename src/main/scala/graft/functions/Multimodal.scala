@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (BASELINE north star): image/audio/video
+  * as opaque `binary` columns with typed metadata, decoded/featurized
+  * per partition.
+  *
+  * The decode step is a STUB — this container has no image/audio codecs,
+  * so [[StubDecoder]] computes deterministic byte statistics where a real
+  * deployment would call the codec. Everything around it is the real
+  * Spark shape: binary schema, typed Dataset encoders, partition-batched
+  * `mapPartitions` (one decoder instance per partition, the same
+  * batching contract a Pandas-UDF/Arrow path gives Python), and
+  * stride-based frame sampling.
+  *
+  * Scale notes: decode is embarrassingly parallel and pipelined per
+  * partition — no shuffle; the binary payload never moves through a
+  * shuffle either (features are projected before any wide op). Partition
+  * sizing: media rows are large, so at 100 TB the input would set
+  * `spark.sql.files.maxPartitionBytes` low enough that a partition of
+  * blobs fits executor memory.
+  */
+object Multimodal {
+
+  case class MediaRecord(id: Long, format: String, media: Array[Byte])
+  case class MediaFeatures(id: Long, format: String, n_bytes: Int,
+                           first_byte: Int, checksum16: Long,
+                           frames: Seq[Int])
+
+  /** The stub codec: real impl would decode pixels/samples; this derives
+    * deterministic features from raw bytes so the full pipeline is
+    * testable and oracle-checkable. One instance per partition —
+    * mirrors per-batch model/codec initialization cost amortization.
+    */
+  class StubDecoder {
+    def features(r: MediaRecord, nFrames: Int): MediaFeatures = {
+      val b = r.media
+      val n = b.length
+      val checksum = b.take(16).foldLeft(0L)((acc, x) => acc + (x & 0xff))
+      // "frame sampling": nFrames evenly-strided byte positions
+      val frames = (0 until nFrames).map { k =>
+        if (n == 0) 0 else b(math.min(n - 1, k * n / nFrames)) & 0xff
+      }
+      MediaFeatures(r.id, r.format, n, if (n == 0) 0 else b(0) & 0xff, checksum, frames)
+    }
+  }
+
+  /** Decode + featurize: partition-batched, decoder constructed once per
+    * partition (NOT per row — that is the whole point of mapPartitions
+    * here). */
+  def decodeFeatures(media: Dataset[MediaRecord], nFrames: Int = 4): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder // per-partition init (codec handle)
+      it.map(decoder.features(_, nFrames))
+    }
+  }
+
+  /** Documents recast as a media table: utf-8 bytes as the opaque blob
+    * (the corpus has no real image column; the plumbing is identical). */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), lit("txt").as("format"),
+        col("text").cast("binary").as("media"))
+      .as[MediaRecord]
+  }
+}
