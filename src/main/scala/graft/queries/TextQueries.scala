@@ -33,15 +33,25 @@ object TextQueries extends QueryPack {
       i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
         element_at(col("w"), i + 2))))
 
-  /** (doc_id, shingles) for docs with ≥3 words. */
+  /** (doc_id, shingles) for docs with ≥3 words.
+    *
+    * Eagerly localCheckpointed: self-joins over this would otherwise
+    * recompute the whole split/transform chain once per plan arm — the
+    * d06 explain showed the shingle expression evaluated 4× per row
+    * (filter + project on both join sides). One materialization, reused
+    * by every arm. At cluster scale this is a persist()+unpersist or a
+    * staged table, same idea.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), shingles.as("shingles"))
+      .localCheckpoint(true)
 
-  /** Exploded (doc_id, shingle, n_shingles). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir).select(col("doc_id"), size(col("shingles")).as("n"),
+  /** Exploded (doc_id, shingle, n_shingles) over the materialized
+    * shingle table. */
+  private def shingleRowsOf(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), size(col("shingles")).as("n"),
       explode(col("shingles")).as("s"))
 
   /** d01 — exact dedup by content hash. The corpus has no exact dups, so
@@ -136,7 +146,7 @@ object TextQueries extends QueryPack {
     * worst case — d07 is the scale path; this is the exactness baseline.
     */
   def d06JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingleRows(s, dir)
+    val ex = shingleRowsOf(shingled(s, dir))
     val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
     val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s"))
     a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
@@ -158,7 +168,8 @@ object TextQueries extends QueryPack {
     * this fully hash-checkable (no approximate compare).
     */
   def d07MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingleRows(s, dir)
+    val sh = shingled(s, dir)
+    val ex = shingleRowsOf(sh)
     // 16 minhash agg columns in ONE shuffle: min(md5("<j>:" + shingle))
     val mhCols = (0 until NumHashes).map(j =>
       min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j"))
@@ -177,12 +188,11 @@ object TextQueries extends QueryPack {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // exact-jaccard verification of candidates only
-    val ev = shingleRows(s, dir)
-    val common = ev.select(col("doc_id").as("doc_a"), col("s"))
-      .join(ev.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+    val common = ex.select(col("doc_id").as("doc_a"), col("s"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    val sizes = shingled(s, dir).select(col("doc_id"), size(col("shingles")).as("n"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
