@@ -72,10 +72,13 @@ object RelationalQueries extends QueryPack {
       .orderBy("n_name")
   }
 
-  /** q05 — anti-join (J3/J6: orphan detection, "no disposal route"). */
+  /** q05 — anti-join (J3/J6: orphan detection, "no disposal route"):
+    * customers with no recent order (non-empty at every SF, unlike the
+    * all-customers-have-orders shape). */
   def q05AntiJoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") >= ts("1998-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
@@ -132,12 +135,13 @@ object RelationalQueries extends QueryPack {
       .orderBy("custkey")
   }
 
-  /** q10 — set difference (T1: unmatched-targets diagnostic). */
+  /** q10 — set difference (T1: unmatched-targets diagnostic): customers
+    * active in 2001 who were not active before 1996. */
   def q10SetExcept(s: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(s, dir)
-    p.filter(col("p_size") >= 25).select("p_type").distinct()
-      .except(p.filter(col("p_size") < 25).select("p_type").distinct())
-      .orderBy("p_type")
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderdate") >= ts("2001-01-01")).select("o_custkey").distinct()
+      .except(o.filter(col("o_orderdate") < ts("1996-01-01")).select("o_custkey").distinct())
+      .orderBy("o_custkey")
   }
 
   /** q11 — union-distinct across heterogeneous sources (T2). */
@@ -290,7 +294,8 @@ object RelationalQueries extends QueryPack {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q05_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
         |ORDER BY c_custkey""".stripMargin,
     "q06_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
@@ -325,11 +330,13 @@ object RelationalQueries extends QueryPack {
         |FROM old FULL OUTER JOIN fresh ON old.custkey = fresh.custkey
         |ORDER BY custkey""".stripMargin,
     "q10_set_except" ->
-      """SELECT p_type FROM (
-        |  SELECT DISTINCT p_type FROM part WHERE p_size >= 25
+      """SELECT o_custkey FROM (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01'
         |  EXCEPT
-        |  SELECT DISTINCT p_type FROM part WHERE p_size < 25) t
-        |ORDER BY p_type""".stripMargin,
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01') t
+        |ORDER BY o_custkey""".stripMargin,
     "q11_union_distinct" ->
       """SELECT nationkey FROM (
         |  SELECT c_nationkey AS nationkey FROM customer
