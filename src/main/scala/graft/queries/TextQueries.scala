@@ -203,7 +203,52 @@ object TextQueries extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-doc 60-bit SimHash over word tokens: token hash = first 15 hex
+    * chars of md5 (exact in both engines), bit b of the signature set
+    * when the +1/−1 token vote for that bit is positive. Pure
+    * higher-order functions — no shuffle, no UDF.
+    */
+  private def simhashed(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), words.as("w"))
+      .selectExpr("doc_id",
+        "transform(w, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)) AS hs")
+      .selectExpr("doc_id",
+        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) -> acc +
+          |  IF(aggregate(hs, 0, (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+          |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))) AS simhash""".stripMargin)
+
+  /** d08 — SimHash signatures (the dedup fingerprint for
+    * token-overlap similarity; Charikar's scheme, 60-bit). */
+  def d08Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashed(s, dir).orderBy("doc_id")
+
+  /** d09 — SimHash near-dup via banded hamming join: 4×15-bit bands
+    * (pigeonhole: hamming ≤ 3 ⇒ at least one identical band), candidates
+    * from the band equi-join, verified with bit_count(xor) ≤ 3. Same
+    * no-cross-join scale shape as d07.
+    */
+  def d09SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sim = simhashed(s, dir).localCheckpoint(true)
+    val bands = sim.selectExpr("doc_id",
+      "explode(transform(sequence(0, 3), k -> " +
+        "struct(k AS band, shiftright(simhash, 15 * k) & 32767 AS bv))) AS bb")
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .selectExpr("doc_a", "doc_b", "CAST(bit_count(sa ^ sb) AS INT) AS hamming")
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d08_simhash"       -> (d08Simhash _),
+    "d09_simhash_pairs" -> (d09SimhashPairs _),
     "d01_exact_dedup"   -> (d01ExactDedup _),
     "d02_token_count"   -> (d02TokenCount _),
     "d03_langid"        -> (d03LangId _),
@@ -223,7 +268,39 @@ object TextQueries extends QueryPack {
       |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
       |)""".stripMargin
 
+  private val simhashCte =
+    """words AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+      |), hashes AS (
+      |  SELECT doc_id, list_transform(w, x -> CAST(list_sum(list_transform(range(1, 16),
+      |      i -> (strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1)::HUGEINT
+      |           * (1::HUGEINT << (4 * (15 - i))))) AS BIGINT)) AS hs
+      |  FROM words
+      |), sim AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+      |      b -> CASE WHEN list_sum(list_transform(hs,
+      |             h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |           THEN (1::HUGEINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+      |  FROM hashes)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d08_simhash" ->
+      s"""WITH $simhashCte
+        |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "d09_simhash_pairs" ->
+      s"""WITH $simhashCte, bands AS (
+        |  SELECT doc_id, k AS band, (simhash >> (15 * k)) & 32767 AS bv
+        |  FROM sim, range(4) t(k)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM cand JOIN sim a ON cand.doc_a = a.doc_id
+        |          JOIN sim b ON cand.doc_b = b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d01_exact_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
