@@ -160,7 +160,35 @@ object GraphQueries extends QueryPack {
       .orderBy("vid")
   }
 
+  /** g09 — the fluent DSL (M3, Cypher-subset-as-library): MATCH
+    * (c:Customer)-[:IN_NATION]->()-[:IN_REGION]->(r) RETURN r.name,
+    * count(*) — compiled straight to DataFrame joins. */
+  def g09DslTwohop(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphDSL.on(nodes(s, dir), edges(s, dir))
+      .matchLabel("Customer")
+      .out("IN_NATION")
+      .out("IN_REGION")
+      .groupCount("name")
+      .select(col("name").as("region_name"), col("cnt"))
+
+  /** g10 — DSL anti-pattern: MATCH (c:Customer) WHERE NOT
+    * (c)-[:PLACED]->() — reuses g03's edge set through the DSL. */
+  def g10DslOrphans(s: SparkSession, dir: String): DataFrame = {
+    val placed = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")).select(
+      uidOf("Customer", col("o_custkey")).as("src_uid"),
+      uidOf("Order", col("o_orderkey")).as("dst_uid"),
+      lit("PLACED").as("rel_type"),
+      lit("Customer").as("src_label"), lit("Order").as("dst_label"))
+    graft.graph.GraphDSL.on(nodes(s, dir), placed)
+      .matchLabel("Customer")
+      .whereNotOut("PLACED")
+      .df.select("uid", "name").orderBy("uid")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g09_dsl_twohop"    -> (g09DslTwohop _),
+    "g10_dsl_orphans"   -> (g10DslOrphans _),
     "g07_graph_fixpoint"   -> (g07Fixpoint _),
     "g08_graph_components" -> (g08Components _),
     "g01_graph_stats"   -> (g01Stats _),
@@ -171,6 +199,17 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g09_dsl_twohop" ->
+      """SELECT r_name AS region_name, CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY cnt DESC, region_name""".stripMargin,
+    "g10_dsl_orphans" ->
+      """SELECT 'Customer:' || c_custkey AS uid, c_name AS name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |ORDER BY uid""".stripMargin,
     "g07_graph_fixpoint" ->
       """WITH RECURSIVE r AS (
         |  SELECT p_partkey AS start, p_partkey // 10 AS reached, 1 AS depth

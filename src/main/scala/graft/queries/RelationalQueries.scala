@@ -236,7 +236,44 @@ object RelationalQueries extends QueryPack {
     counts.reduce(_ union _).orderBy("label")
   }
 
+  /** q21 — gap-based sessionization (30-min inactivity): lag + running
+    * session counter per user, then per-session aggregates. Microsecond
+    * integer math so both engines agree exactly. The standard
+    * user-journey op for an events pipeline.
+    */
+  def q21Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_no", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(
+        min("us").as("sess_start_us"),
+        count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000L).cast("long").as("duration_sec"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** q22 — JSON property navigation (F12 on the corpus): extract a
+    * typed field from the JSON props column, aggregate per event type. */
+  def q22JsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
   val queries: Map[String, QueryFn] = Map(
+    "q21_sessionize"      -> (q21Sessionize _),
+    "q22_json_props"      -> (q22JsonProps _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
     "q03_topk_revenue"    -> (q03TopkRevenue _),
@@ -259,6 +296,29 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q21_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked)
+        |SELECT user_id, session_no, min(us) AS sess_start_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
+        |  round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+    "q22_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
