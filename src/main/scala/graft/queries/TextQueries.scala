@@ -229,20 +229,20 @@ object TextQueries extends QueryPack {
     */
   def d09SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sim = simhashed(s, dir).localCheckpoint(true)
-    val bands = sim.selectExpr("doc_id",
+    // signature rides along the band rows (8 bytes) so the hamming
+    // verification filters INSIDE the band join — no wide candidate
+    // materialization, no re-join against the signature table.
+    val bands = sim.selectExpr("doc_id", "simhash",
       "explode(transform(sequence(0, 3), k -> " +
         "struct(k AS band, shiftright(simhash, 15 * k) & 32767 AS bv))) AS bb")
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val cand = bands.as("x").join(bands.as("y"),
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
-      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
-      .selectExpr("doc_a", "doc_b", "CAST(bit_count(sa ^ sb) AS INT) AS hamming")
+      .selectExpr("x.doc_id AS doc_a", "y.doc_id AS doc_b",
+        "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming")
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
