@@ -59,6 +59,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.register(spark) // engine SQL functions always on
     spark
   }
 }

@@ -110,4 +110,19 @@ object GraphStore {
     nodes.join(
       edges.filter(col("rel_type").isin(relTypes: _*)).select(col("src_uid").as("uid")).distinct(),
       Seq("uid"), "left_anti")
+
+  /** Physical layout (SURVEY §4): nodes partition by label, edges by
+    * rel_type, so `MATCH (:Label)` / `[:REL]` predicates prune files
+    * before any IO — the columnar replacement for Neo4j's label/type
+    * indexes. At cluster scale add `.bucketBy(n, "uid")` (table format
+    * permitting) to co-locate repeated traversal joins.
+    */
+  def writeNodes(nodes: DataFrame, path: String): Unit =
+    nodes.write.mode("overwrite").partitionBy("label").parquet(path)
+
+  def writeEdges(edges: DataFrame, path: String): Unit =
+    edges.write.mode("overwrite").partitionBy("rel_type").parquet(path)
+
+  def readNodes(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  def readEdges(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 }

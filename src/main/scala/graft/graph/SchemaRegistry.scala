@@ -46,6 +46,15 @@ object SchemaRegistry {
   /** Apply is idempotent by construction: the registry is a set. */
   def apply(ddl: String): Seq[Rule] = parse(ddl)._1.distinct
 
+  /** The engine's built-in ontology schema (v4.0 shape —
+    * `src/main/resources/graft-schema.cql`; 13 uniqueness constraints +
+    * 5 indexes, the BASELINE.md inventory). */
+  lazy val builtin: Seq[Rule] = {
+    val in = getClass.getResourceAsStream("/graft-schema.cql")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    apply(text)
+  }
+
   /** Run every uniqueness constraint against a node table → one row per
     * constraint: (constraint, label, property, total, distinct_vals, ok).
     * Nodes missing the property (null) are ignored, matching Neo4j

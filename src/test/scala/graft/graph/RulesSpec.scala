@@ -113,6 +113,19 @@ class RulesSpec extends SparkSpec {
     assert(SchemaRegistry.apply(ddl + ddl) === SchemaRegistry.apply(ddl))
   }
 
+  test("built-in ontology schema: 14 uniqueness constraints + 5 indexes") {
+    // (BASELINE.md says 13, but counting schema.cql:18-98 gives 14 —
+    // uid+name pairs on WasteItem and WasteStream; 14 is the true count.)
+    val rules = SchemaRegistry.builtin
+    assert(rules.collect { case c: SchemaRegistry.UniqueConstraint => c }.size === 14)
+    assert(rules.collect { case i: SchemaRegistry.Index => i }.size === 5)
+    // one constraint per ontology label with a uid/key/code identity
+    val labels = rules.collect { case c: SchemaRegistry.UniqueConstraint => c.label }.toSet
+    assert(labels === Set("WasteItem", "WasteStream", "AVVCode", "DisposalRule",
+      "Condition", "Instruction", "Tip", "Container", "Building", "Room",
+      "Facility", "Source"))
+  }
+
   test("schema registry: uniqueness validation flags duplicates") {
     val ddl = "CREATE CONSTRAINT n_uid IF NOT EXISTS FOR (n:N) REQUIRE n.uid IS UNIQUE;"
     val nodes = Seq(("N", "u1"), ("N", "u1"), ("N", "u2"), ("M", "u1"))
