@@ -1,0 +1,96 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.{GraphStore, SchemaRegistry}
+
+/** End-to-end ETL orchestration — the reference's three entry points
+  * (`facilities.py` phase 1, `waste_items.py` phase 2,
+  * `init_db.py --reset/--schema/--stats`, SURVEY.md §3) as one
+  * set-oriented pipeline over a parquet-backed GraphStore directory.
+  *
+  * Idempotent by construction: node upserts key on deterministic uids,
+  * edge upserts dedup on (src, dst, rel_type), and re-running any phase
+  * changes nothing (the reference's MERGE contract).
+  */
+object Pipeline {
+
+  case class Stats(labels: Map[String, Long], totalNodes: Long, totalEdges: Long)
+
+  private def nodesPath(store: String) = s"$store/nodes"
+  private def edgesPath(store: String) = s"$store/edges"
+
+  private def readOr(spark: SparkSession, path: String, scaffold: DataFrame): DataFrame =
+    try spark.read.parquet(path) catch { case _: Exception => scaffold }
+
+  /** `init_db --schema`: parse + validate the built-in DDL registry.
+    * Returns the registry (idempotent; reference `init_db.py:23-66`). */
+  def applySchema(): Seq[SchemaRegistry.Rule] = SchemaRegistry.builtin
+
+  /** `init_db --reset`: truncate the store (S6, `neo4j_db.py:151-158`). */
+  def reset(spark: SparkSession, store: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(store), true)
+  }
+
+  /** Phase 1 (`facilities.py`): JSON → dedup-merge → Facility node
+    * upsert. Returns facilities imported. */
+  def importFacilities(spark: SparkSession, jsonPath: String, store: String,
+                       clock: Column): Long = {
+    val incoming = Facilities.facilityNodes(spark, jsonPath)
+      .withColumn("created_at", clock).withColumn("updated_at", clock)
+    val existing = readOr(spark, nodesPath(store), incoming.limit(0))
+    val existingTyped =
+      if (existing.columns.sameElements(incoming.columns)) existing else incoming.limit(0)
+    val merged = GraphStore.upsertNodes(existingTyped, incoming, clock, Facilities.fieldNames)
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(nodesPath(store))
+    merged.filter(col("label") === "Facility").count()
+  }
+
+  /** Phase 2 (`waste_items.py`): CSV → parse/classify → WasteItem +
+    * WasteStream nodes, DISPOSED_IN/DISPOSED_AT edges. Returns
+    * (items, streams, edges) counts. */
+  def importWasteItems(spark: SparkSession, csvPath: String, store: String,
+                       clock: Column): (Long, Long, Long) = {
+    val targets = WasteItems.loadTargets(spark, csvPath).localCheckpoint(true)
+    val cls = WasteItems.classified(targets).localCheckpoint(true)
+
+    val existingNodes = spark.read.parquet(nodesPath(store))
+    val facilities = existingNodes.filter(col("label") === "Facility")
+      .select("uid", "name")
+
+    // node upsert: items + streams (name-only nodes; facility prop
+    // columns null for them)
+    val newNodes = WasteItems.itemNodes(targets).unionByName(WasteItems.streamNodes(cls))
+    val scaffolded = Facilities.fieldNames.foldLeft(newNodes)((d, c) =>
+      d.withColumn(c, lit(null).cast("string")))
+      .withColumn("created_at", clock).withColumn("updated_at", clock)
+    // materialize BOTH merge results before any overwrite — every plan
+    // below reads the paths being rewritten (read-then-overwrite hazard)
+    val mergedNodes = GraphStore.upsertNodes(existingNodes, scaffolded, clock, Facilities.fieldNames)
+      .localCheckpoint(true)
+    val incomingEdges = WasteItems.edges(cls, facilities, clock)
+    val existingEdges = readOr(spark, edgesPath(store), incomingEdges.limit(0))
+    val mergedEdges = GraphStore.upsertEdges(existingEdges, incomingEdges).localCheckpoint(true)
+
+    mergedNodes.write.mode("overwrite").parquet(nodesPath(store))
+    mergedEdges.write.mode("overwrite").parquet(edgesPath(store))
+
+    (mergedNodes.filter(col("label") === "WasteItem").count(),
+      mergedNodes.filter(col("label") === "WasteStream").count(),
+      mergedEdges.count())
+  }
+
+  /** `init_db --stats` (`neo4j_db.py:122-148`): one-job label counts. */
+  def stats(spark: SparkSession, store: String): Stats = {
+    val nodes = spark.read.parquet(nodesPath(store))
+    val edges = readOr(spark, edgesPath(store),
+      spark.emptyDataFrame.withColumn("rel_type", lit("")))
+    val labels = nodes.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Stats(labels, labels.values.sum, edges.count())
+  }
+}

@@ -271,7 +271,19 @@ object RelationalQueries extends QueryPack {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** q23 — rollup with subtotal rows (multi-level OLAP aggregation;
+    * grouping() disambiguates real NULL keys from subtotal rows). */
+  def q23Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
+
   val queries: Map[String, QueryFn] = Map(
+    "q23_rollup"          -> (q23Rollup _),
     "q21_sessionize"      -> (q21Sessionize _),
     "q22_json_props"      -> (q22JsonProps _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -296,6 +308,14 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q23_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice),2) AS total,
+        | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio,
+        | o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,
     "q21_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
