@@ -104,7 +104,31 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** e04 — embedding-cosine near-dup dedup: bucket by sign-LSH, compare
+    * only within buckets, keep pairs with cosine ≥ 0.4 (the corpus'
+    * non-self pairs top out ≈0.51). Dedup decision = keep min vec_id of
+    * each matched pair. Same no-cross-join shape as d07/d09.
+    */
+  def e04CosineNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    def bucket(v: Column): Column =
+      (when(element_at(v, 1) > 0, 4).otherwise(0) +
+        when(element_at(v, 8) > 0, 2).otherwise(0) +
+        when(element_at(v, 22) > 0, 1).otherwise(0)).cast("int")
+    val withB = e.withColumn("bucket", bucket(col("v"))).localCheckpoint(true)
+    val a = withB.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = withB.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .withColumn("keep_id", least(col("vec_a"), col("vec_b")))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e04_cosine_neardup"  -> (e04CosineNeardup _),
     "e01_knn_brute"       -> (e01KnnBrute _),
     "e02_centroid_assign" -> (e02CentroidAssign _),
     "e03_lsh_buckets"     -> (e03LshBuckets _))
@@ -117,6 +141,19 @@ object SimilarityQueries extends QueryPack {
        |  * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e04_cosine_neardup" ->
+      s"""WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+        |       + CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END
+        |       + CASE WHEN embedding[22] > 0 THEN 1 ELSE 0 END AS INT) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+        |  round(${sqlCos("a.embedding", "c.embedding")}, 6) AS cos_sim,
+        |  least(a.vec_id, c.vec_id) AS keep_id
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE round(${sqlCos("a.embedding", "c.embedding")}, 6) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "e01_knn_brute" ->
       s"""WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -246,7 +246,24 @@ object TextQueries extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d10 — the composed corpus-cleaning pipeline a pretraining run
+    * actually executes: quality gate → near-dup removal (keep the
+    * smaller doc_id of each ≥0.8-jaccard pair) → language tag. One
+    * declarative plan built from the d03/d04/d06 operators.
+    */
+  def d10CleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val quality = d04Quality(s, dir).filter(col("quality_ok"))
+      .select("doc_id")
+    val losers = d06JaccardPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    val langs = d03LangId(s, dir).select("doc_id", "predicted_lang")
+    quality
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(langs, "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d10_clean_corpus"  -> (d10CleanCorpus _),
     "d08_simhash"       -> (d08Simhash _),
     "d09_simhash_pairs" -> (d09SimhashPairs _),
     "d01_exact_dedup"   -> (d01ExactDedup _),
@@ -284,6 +301,48 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d10_clean_corpus" ->
+      s"""WITH $shingleCte, pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+        |         any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |losers AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+        |  WHERE common/(na+nb-common)::DOUBLE >= 0.8),
+        |quality AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE length(text) >= 50
+        |    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |        / greatest(length(text), 1)::DOUBLE >= 0.5
+        |    AND len([x for x in string_split_regex(lower(trim(text)), '\\s+')
+        |             if x IN ('the','a','of','and','to','in','is')])
+        |        / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)::DOUBLE >= 0.01
+        |    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |        / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)::DOUBLE
+        |        BETWEEN 2.0 AND 12.0),
+        |langs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+        |         WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+        |         WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+        |         ELSE 'es' END AS predicted_lang
+        |  FROM (SELECT doc_id,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\\s+')
+        |         if x IN ('the','a','of','and','to','in','is')]) AS s_en,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\\s+')
+        |         if x IN ('der','die','das','und','ist','ein')]) AS s_de,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\\s+')
+        |         if x IN ('le','la','et','les','des','un')]) AS s_fr,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\\s+')
+        |         if x IN ('el','los','las','y','es','una')]) AS s_es
+        |  FROM documents))
+        |SELECT q.doc_id, l.predicted_lang
+        |FROM quality q
+        |JOIN langs l ON q.doc_id = l.doc_id
+        |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE losers.doc_id = q.doc_id)
+        |ORDER BY q.doc_id""".stripMargin,
     "d08_simhash" ->
       s"""WITH $simhashCte
         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
