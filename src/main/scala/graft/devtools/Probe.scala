@@ -11,10 +11,14 @@ object Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.SparkEntry.queries(name)(spark, dir)
-    if (sys.env.contains("PROBE_EXPLAIN")) df.explain("formatted")
+    // time construction + execution together: eager localCheckpoints
+    // inside query builders run jobs at construction time
     val t0 = System.nanoTime()
-    println("rows=" + df.count() + " in " + (System.nanoTime() - t0) / 1e9 + "s")
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val n = df.count()
+    println("rows=" + n + " build=" + tBuild + "s total=" + (System.nanoTime() - t0) / 1e9 + "s")
+    if (sys.env.contains("PROBE_EXPLAIN")) df.explain("formatted")
     spark.stop()
   }
 }

@@ -26,13 +26,27 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  /** Sequential-fold dot product: aggregate(zip_with(a,b,*), 0.0, +). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Cosine kernel as a compiled scalar loop (same sequential double
+    * fold as the SQL-side `list_sum(list_transform(...))`, bit-identical
+    * results). Catalyst higher-order functions evaluate interpreted
+    * per element — on millions of candidate pairs × 64 dims that tree
+    * walk dominates; a JIT-compiled loop is ~10×. The declarative
+    * bucketing/joins around it stay in Catalyst (SURVEY §2.9: drop to
+    * scalar kernels only where codegen can't reach).
+    */
+  private val cosineKernel = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  private def cosine(a: Column, b: Column): Column = cosineKernel(a, b)
 
   /** e01 — brute-force cosine top-k: 3 query vectors against the rest,
     * top-5 each by (rounded cosine desc, vec_id). The queries side is a

@@ -42,8 +42,15 @@ object TextQueries extends QueryPack {
     * by every arm. At cluster scale this is a persist()+unpersist or a
     * staged table, same idea.
     */
+  private def parallelism(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), words.as("w"))
+    docs(s, dir).select(col("doc_id"), col("text"))
+      // single-file input = single partition; spread the rows BEFORE the
+      // per-row heavy transform or it runs on one core (17s -> ~1s)
+      .repartition(parallelism(s))
+      .select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), shingles.as("shingles"))
       .localCheckpoint(true)
@@ -209,7 +216,9 @@ object TextQueries extends QueryPack {
     * higher-order functions — no shuffle, no UDF.
     */
   private def simhashed(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), words.as("w"))
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .repartition(parallelism(s)) // same single-file hazard as shingled()
+      .select(col("doc_id"), words.as("w"))
       .selectExpr("doc_id",
         "transform(w, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)) AS hs")
       .selectExpr("doc_id",
