@@ -282,7 +282,34 @@ object RelationalQueries extends QueryPack {
       .orderBy(col("g_status"), col("g_prio"),
         col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
 
+  /** q24 — as-of join (the union-sort form, functions.AsOfJoin): each
+    * click joined to the user's most recent error at-or-before it. */
+  def q24AsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("value").as("err_value"),
+        expr("unix_micros(ts)").as("err_us"))
+    graft.functions.AsOfJoin.join(clicks, errors, "user_id", "ts", "ts",
+        Seq("err_value", "err_us"))
+      .select(col("event_id"), col("user_id"), col("err_value"), col("err_us"))
+      .orderBy("event_id")
+  }
+
+  /** q25 — pivot / crosstab: order counts per status × priority. */
+  def q25Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .toDF("o_orderstatus", "p1_urgent", "p2_high", "p3_medium", "p4_notspec", "p5_low")
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, QueryFn] = Map(
+    "q24_asof"            -> (q24AsOf _),
+    "q25_pivot"           -> (q25Pivot _),
     "q23_rollup"          -> (q23Rollup _),
     "q21_sessionize"      -> (q21Sessionize _),
     "q22_json_props"      -> (q22JsonProps _),
@@ -308,6 +335,21 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q24_asof" ->
+      """SELECT c.event_id, c.user_id, e.value AS err_value,
+        | epoch_us(e.ts) AS err_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND e.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q25_pivot" ->
+      """SELECT o_orderstatus,
+        | CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+        | CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+        | CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+        | CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_notspec,
+        | CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q23_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         | CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice),2) AS total,

@@ -83,6 +83,9 @@ object TextQueries extends QueryPack {
       col("doc_id"),
       size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("n_word_tokens"),
+      // BPE-ish pre-tokenization: word runs | digit runs | single punct
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
       length(col("text")).as("n_chars_actual"))
       .orderBy("doc_id")
 
@@ -382,6 +385,8 @@ object TextQueries extends QueryPack {
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_word_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT)
+        |   AS n_bpe_tokens,
         | CAST(length(text) AS INT) AS n_chars_actual
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d03_langid" ->
