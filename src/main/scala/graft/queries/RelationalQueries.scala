@@ -307,7 +307,25 @@ object RelationalQueries extends QueryPack {
       .toDF("o_orderstatus", "p1_urgent", "p2_high", "p3_medium", "p4_notspec", "p5_low")
       .orderBy("o_orderstatus")
 
+  /** q26 — bounded range join (functions.RangeJoin, bucketed — no
+    * nested loop): clicks within 10 minutes after each error, per user.
+    */
+  def q26RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", expr("unix_micros(ts)"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("us").as("err_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("click_us"))
+    graft.functions.RangeJoin.rightWithin(errors, clicks, "user_id",
+        "err_us", "click_us", 600000000L)
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        min(col("click_us") - col("err_us")).as("min_delay_us"))
+      .orderBy("err_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q26_range_join"      -> (q26RangeJoin _),
     "q24_asof"            -> (q24AsOf _),
     "q25_pivot"           -> (q25Pivot _),
     "q23_rollup"          -> (q23Rollup _),
@@ -335,6 +353,15 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q26_range_join" ->
+      """SELECT e.event_id AS err_id, CAST(count(*) AS BIGINT) AS n_clicks,
+        | CAST(min(epoch_us(c.ts) - epoch_us(e.ts)) AS BIGINT) AS min_delay_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id
+        | AND epoch_us(c.ts) >= epoch_us(e.ts)
+        | AND epoch_us(c.ts) - epoch_us(e.ts) <= 600000000
+        |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
     "q24_asof" ->
       """SELECT c.event_id, c.user_id, e.value AS err_value,
         | epoch_us(e.ts) AS err_us
