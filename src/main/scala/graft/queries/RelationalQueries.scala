@@ -324,7 +324,24 @@ object RelationalQueries extends QueryPack {
       .orderBy("err_id")
   }
 
+  /** q27 — analytic window battery: rank, dense_rank, ntile, lag/lead
+    * over one window definition (one sort, several functions). */
+  def q27WindowRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lag("c_custkey", 1).over(w).as("prev_cust"),
+        lead("c_custkey", 1).over(w).as("next_cust"))
+      .filter(col("rnk") <= 20)
+      .orderBy("c_mktsegment", "rnk")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q27_window_rank"     -> (q27WindowRank _),
     "q26_range_join"      -> (q26RangeJoin _),
     "q24_asof"            -> (q24AsOf _),
     "q25_pivot"           -> (q25Pivot _),
@@ -353,6 +370,17 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q27_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        | CAST(rank() OVER w AS INT) AS rnk,
+        | CAST(dense_rank() OVER w AS INT) AS drnk,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | lag(c_custkey, 1) OVER w AS prev_cust,
+        | lead(c_custkey, 1) OVER w AS next_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |QUALIFY rnk <= 20
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
     "q26_range_join" ->
       """SELECT e.event_id AS err_id, CAST(count(*) AS BIGINT) AS n_clicks,
         | CAST(min(epoch_us(c.ts) - epoch_us(e.ts)) AS BIGINT) AS min_delay_us

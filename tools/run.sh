@@ -13,5 +13,5 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 exec java $OPENS -Xmx${GRAFT_MEM:-12g} \
-  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dfile.encoding=UTF-8 \
   -cp "$CP" "$@"
