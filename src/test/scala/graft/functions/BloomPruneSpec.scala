@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Bloom pruning never loses a matching row and actually prunes. */
+class BloomPruneSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("pruned join equals plain join; non-matching rows are dropped") {
+    val fact = Tables.lineitem(spark, dir)
+    val dim = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+      .select("o_orderkey")
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+    val prunedFact = BloomPrune.prune(fact, dim, "l_orderkey", "o_orderkey",
+      expectedItems = 100000L)
+    val pruned = prunedFact.join(dim, col("l_orderkey") === col("o_orderkey"))
+    assert(pruned.count() === plain.count())
+    // the filter did real work: far fewer fact rows survive than total
+    val total = fact.count()
+    val kept = prunedFact.count()
+    assert(kept < total / 2, s"kept=$kept of $total — bloom pruned nothing")
+  }
+}
