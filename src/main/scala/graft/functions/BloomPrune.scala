@@ -25,7 +25,7 @@ object BloomPrune {
             expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bloom: BloomFilter = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => k != null && bc.value.mightContainLong(k))
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
     fact.filter(col(factKey).isNotNull && mightContain(col(factKey)))
   }
 }
