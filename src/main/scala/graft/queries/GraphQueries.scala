@@ -186,7 +186,34 @@ object GraphQueries extends QueryPack {
       .df.select("uid", "name").orderBy("uid")
   }
 
+  /** g11 — GraphX ShortestPaths from the region landmarks: hop distance
+    * per vertex (regions 0, nations 1, customers 2 in the forest) —
+    * checkably deterministic unlike float-scored graph analytics. */
+  def g11ShortestPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+    import org.apache.spark.graphx.lib.ShortestPaths
+    import s.implicits._
+    val landmarks = Tables.region(s, dir).select(col("r_regionkey").cast("long"))
+      .as[Long].collect().toSeq
+    val vtx = Tables.region(s, dir).select(col("r_regionkey").cast("long").as("vid"))
+      .unionByName(Tables.nation(s, dir).select((col("n_nationkey") + 100).cast("long").as("vid")))
+      .unionByName(Tables.customer(s, dir).select((col("c_custkey") + 1000).cast("long").as("vid")))
+      .as[Long].rdd.map(v => (v, ()))
+    // ShortestPaths measures hops FOLLOWING edge direction to a
+    // landmark — edges point customer→nation→region (containment)
+    val e = Tables.nation(s, dir).select((col("n_nationkey") + 100).cast("long"),
+        col("n_regionkey").cast("long")).as[(Long, Long)].rdd
+      .union(Tables.customer(s, dir).select((col("c_custkey") + 1000).cast("long"),
+        (col("c_nationkey") + 100).cast("long")).as[(Long, Long)].rdd)
+      .map { case (src, dst) => GxEdge(src, dst, ()) }
+    ShortestPaths.run(GxGraph(vtx, e, ()), landmarks).vertices
+      .map { case (vid, spmap) => (vid, if (spmap.isEmpty) -1 else spmap.values.min) }
+      .toDF("vid", "dist")
+      .orderBy("vid")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g11_shortest_paths" -> (g11ShortestPaths _),
     "g09_dsl_twohop"    -> (g09DslTwohop _),
     "g10_dsl_orphans"   -> (g10DslOrphans _),
     "g07_graph_fixpoint"   -> (g07Fixpoint _),
@@ -199,6 +226,12 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g11_shortest_paths" ->
+      """SELECT vid, dist FROM (
+        |  SELECT r_regionkey AS vid, 0 AS dist FROM region
+        |  UNION ALL SELECT n_nationkey + 100, 1 FROM nation
+        |  UNION ALL SELECT c_custkey + 1000, 2 FROM customer) t
+        |ORDER BY vid""".stripMargin,
     "g09_dsl_twohop" ->
       """SELECT r_name AS region_name, CAST(count(*) AS BIGINT) AS cnt
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -340,7 +340,21 @@ object RelationalQueries extends QueryPack {
       .orderBy("c_mktsegment", "rnk")
   }
 
+  /** q28 — exact percentiles per group (linear interpolation, matching
+    * quantile_cont): the distribution profile an events/pricing pipeline
+    * reports. */
+  def q28Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, QueryFn] = Map(
+    "q28_percentiles"     -> (q28Percentiles _),
     "q27_window_rank"     -> (q27WindowRank _),
     "q26_range_join"      -> (q26RangeJoin _),
     "q24_asof"            -> (q24AsOf _),
@@ -370,6 +384,13 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q28_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        | round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q27_window_rank" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         | CAST(rank() OVER w AS INT) AS rnk,
