@@ -274,7 +274,22 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** d11 — corpus vocabulary statistics: term + document frequency with
+    * stopwords removed, top-50 by (tf desc, term) — the TF/DF table
+    * behind tokenizer training and IDF weighting. */
+  def d11VocabStats(s: SparkSession, dir: String): DataFrame = {
+    val stop = langStopwords.flatMap(_._2)
+    docs(s, dir)
+      .select(col("doc_id"), explode(words).as("term"))
+      .filter(!col("term").isin(stop: _*) && col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(desc("tf"), asc("term"))
+      .limit(50)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d11_vocab_stats"   -> (d11VocabStats _),
     "d10_clean_corpus"  -> (d10CleanCorpus _),
     "d08_simhash"       -> (d08Simhash _),
     "d09_simhash_pairs" -> (d09SimhashPairs _),
@@ -313,6 +328,18 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d11_vocab_stats" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS tf,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id,
+        |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |      FROM documents) t
+        |WHERE term NOT IN ('the','a','of','and','to','in','is',
+        |                   'der','die','das','und','ist','ein',
+        |                   'le','la','et','les','des','un',
+        |                   'el','los','las','y','es','una')
+        |  AND term <> ''
+        |GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin,
     "d10_clean_corpus" ->
       s"""WITH $shingleCte, pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
