@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * `.explain("formatted")` — look for PushedFilters / ReadSchema).
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.GraftExtensions.register(spark) // engine SQL functions always on
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")

@@ -26,27 +26,15 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  /** Cosine kernel as a compiled scalar loop (same sequential double
-    * fold as the SQL-side `list_sum(list_transform(...))`, bit-identical
-    * results). Catalyst higher-order functions evaluate interpreted
-    * per element — on millions of candidate pairs × 64 dims that tree
-    * walk dominates; a JIT-compiled loop is ~10×. The declarative
+  /** Cosine kernel: the native codegen expression
+    * [[graft.functions.CosineSim]] (same sequential double fold as the
+    * SQL-side `list_sum(list_transform(...))`, bit-identical results).
+    * Versus a Scala UDF: no CatalystTypeConverter Seq[Double] copy per
+    * row, and it participates in whole-stage codegen. The declarative
     * bucketing/joins around it stay in Catalyst (SURVEY §2.9: drop to
     * scalar kernels only where codegen can't reach).
     */
-  private val cosineKernel = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) {
-      val x = a(i); val y = b(i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  private def cosine(a: Column, b: Column): Column = cosineKernel(a, b)
+  private def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** e01 — brute-force cosine top-k: 3 query vectors against the rest,
     * top-5 each by (rounded cosine desc, vec_id). The queries side is a

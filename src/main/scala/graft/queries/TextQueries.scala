@@ -197,15 +197,18 @@ object TextQueries extends QueryPack {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact-jaccard verification of candidates only
-    val common = ex.select(col("doc_id").as("doc_a"), col("s"))
-      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    // exact-jaccard verification of candidates only: fetch both shingle
+    // sets per candidate pair and intersect in place. The candidate set
+    // is tiny (near-dups + band collisions), so this is two broadcast
+    // joins + a per-row array_intersect — NOT the full shingle×shingle
+    // pair join the naive formulation pays (that join enumerates every
+    // co-occurring pair before the semi-filter can drop them).
+    broadcast(cand)
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("common"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
       .withColumn("jaccard",
         round(col("common") / (col("na") + col("nb") - col("common")).cast("double"), 4))
       .filter(col("jaccard") >= 0.8)
@@ -215,19 +218,17 @@ object TextQueries extends QueryPack {
 
   /** Per-doc 60-bit SimHash over word tokens: token hash = first 15 hex
     * chars of md5 (exact in both engines), bit b of the signature set
-    * when the +1/−1 token vote for that bit is positive. Pure
-    * higher-order functions — no shuffle, no UDF.
+    * when the +1/−1 token vote for that bit is positive. Computed by the
+    * native [[graft.functions.SimHash60]] kernel — the equivalent
+    * higher-order `aggregate(sequence(0,59), …)` fold evaluates its
+    * lambdas interpreted, 60 passes per token array (~3s/5k docs vs
+    * ~0.1s compiled; SimHashSpec pins the two formulations equal).
     */
   private def simhashed(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("text"))
       .repartition(parallelism(s)) // same single-file hazard as shingled()
       .select(col("doc_id"), words.as("w"))
-      .selectExpr("doc_id",
-        "transform(w, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)) AS hs")
-      .selectExpr("doc_id",
-        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) -> acc +
-          |  IF(aggregate(hs, 0, (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-          |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))) AS simhash""".stripMargin)
+      .selectExpr("doc_id", "simhash60(w) AS simhash")
 
   /** d08 — SimHash signatures (the dedup fingerprint for
     * token-overlap similarity; Charikar's scheme, 60-bit). */

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** The native kernels must agree bit-for-bit with the declarative SQL
+  * formulations they replaced (which are what the DuckDB oracles mirror).
+  */
+class TextKernelsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.GraftExtensions.register(spark)
+  }
+
+  test("simhash60 equals the higher-order aggregate formulation") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumped over the lazy dog",
+      "einzelner",
+      "ÄÖÜ umlauts ß unicode ﬀ ligature",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      "repeated repeated repeated repeated")
+    val df = docs.toDF("text").selectExpr("split(lower(trim(text)), '\\\\s+') AS w")
+    val native = df.selectExpr("simhash60(w) AS h").as[Long].collect()
+    val sql = df.selectExpr(
+      "transform(w, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)) AS hs")
+      .selectExpr(
+        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) -> acc +
+          |  IF(aggregate(hs, 0, (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+          |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))) AS h""".stripMargin)
+      .as[Long].collect()
+    assert(native.toSeq == sql.toSeq)
+  }
+
+  test("simhash60 property: equals SQL fold on arbitrary token arrays") {
+    import spark.implicits._
+    val tokens = Gen.listOfN(12, Gen.alphaNumStr.suchThat(_.nonEmpty))
+    val prop = Prop.forAll(Gen.listOf(tokens).map(_.take(8))) { docs0 =>
+      val docs = docs0.filter(_.nonEmpty)
+      docs.isEmpty || {
+        val df = docs.map(_.toArray).toDF("w")
+        val native = df.selectExpr("simhash60(w) AS h").as[Long].collect().toSeq
+        val sql = df.selectExpr(
+          "transform(w, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)) AS hs")
+          .selectExpr(
+            """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) -> acc +
+              |  IF(aggregate(hs, 0, (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+              |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))) AS h""".stripMargin)
+          .as[Long].collect().toSeq
+        native == sql
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("simhash60 of empty token list is 0; null array is null") {
+    import spark.implicits._
+    val df = Seq((1, Some(Seq.empty[String])), (2, None))
+      .toDF("id", "w")
+    val rows = df.selectExpr("id", "simhash60(w) AS h").orderBy("id").collect()
+    assert(rows(0).getLong(1) == 0L)
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("cosine_sim equals the sequential fold, including norm order") {
+    import spark.implicits._
+    val gen = Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0).suchThat(v => !v.isNaN))
+    val prop = Prop.forAll(gen, gen) { (a, b) =>
+      Prop(a.exists(_ != 0.0) && b.exists(_ != 0.0)) ==> Prop {
+        val got = Seq((a.toArray, b.toArray)).toDF("a", "b")
+          .selectExpr("cosine_sim(a, b) AS c").as[Double].head()
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+        val want = dot / (math.sqrt(na) * math.sqrt(nb))
+        got == want // bit-exact, not approx: same fold order
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("cosine_sim of identical vectors is 1.0 within fp noise") {
+    import spark.implicits._
+    val v = Array(0.3, -1.2, 4.5, 0.0, 2.2)
+    val got = Seq((v, v)).toDF("a", "b").selectExpr("cosine_sim(a, b) AS c")
+      .as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+}
