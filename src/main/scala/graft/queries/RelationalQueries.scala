@@ -353,7 +353,33 @@ object RelationalQueries extends QueryPack {
         round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
       .orderBy("o_orderpriority")
 
+  /** q29 — unpivot (wide → long): the per-flag aggregate columns
+    * restacked as (metric, val) rows via the `stack` generator — the
+    * inverse of q25's pivot, and the shape metric/feature stores want. */
+  def q29Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .selectExpr("l_returnflag",
+        "stack(2, 'sum_price', sum_price, 'sum_qty', sum_qty) AS (metric, val)")
+      .orderBy("l_returnflag", "metric")
+
+  /** q30 — cube: all 4 grouping sets of (returnflag, linestatus) in one
+    * pass (q23's rollup generalized); grouping ids disambiguate subtotal
+    * rows from real NULL keys. */
+  def q30Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(avg("l_discount"), 4).as("avg_disc"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
   val queries: Map[String, QueryFn] = Map(
+    "q29_unpivot"         -> (q29Unpivot _),
+    "q30_cube"            -> (q30Cube _),
     "q28_percentiles"     -> (q28Percentiles _),
     "q27_window_rank"     -> (q27WindowRank _),
     "q26_range_join"      -> (q26RangeJoin _),
@@ -384,6 +410,23 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q29_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_qty', sum_qty FROM agg
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q30_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(count(*) AS BIGINT) AS cnt, round(avg(l_discount), 4) AS avg_disc,
+        | CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        | CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls,
+        | l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
     "q28_percentiles" ->
       """SELECT o_orderpriority,
         | round(quantile_cont(o_totalprice, 0.25), 2) AS p25,

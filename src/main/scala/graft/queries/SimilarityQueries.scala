@@ -63,14 +63,10 @@ object SimilarityQueries extends QueryPack {
     */
   def e02CentroidAssign(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("label", "dim").agg(avg("x").as("m"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("label").as("c_label"), transform(col("dm"), s => s.getField("m")).as("cv"))
     val q = e.filter(col("vec_id") < 50)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("vec_id").orderBy(desc("cos_sim"), asc("c_label"))
-    q.join(broadcast(centroids))
+    q.join(broadcast(centroids(e)))
       .select(col("vec_id"), col("label").as("true_label"), col("c_label"),
         round(cosine(col("v"), col("cv")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
@@ -129,7 +125,48 @@ object SimilarityQueries extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-label centroid table (the IVF coarse quantizer): elementwise
+    * mean via posexplode + one hash agg. Tiny at any scale → broadcast. */
+  private def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg("x").as("m"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("label").as("c_label"), transform(col("dm"), s => s.getField("m")).as("cv"))
+
+  /** e05 — end-to-end IVF top-k, the full ANN scale path e02/e03 only
+    * exercise pieces of: build the coarse quantizer (centroids), assign
+    * EVERY vector to its nearest cell (one broadcast join — the IVF
+    * index build), then answer each query by searching only its own cell
+    * (nprobe=1). The search join is an equi-join on cell id: candidate
+    * work per query drops from N to N/cells, and nothing here is a cross
+    * join or a driver collect — the shape that survives 100 TB.
+    */
+  def e05IvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("c_label"))
+    val assigned = e.join(broadcast(centroids(e)))
+      .select(col("vec_id"), col("v"),
+        col("c_label"), round(cosine(col("v"), col("cv")), 6).as("cs"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("c_label").as("cell"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cell"))
+    val wRank = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("cand_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("cell"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("query_id", "cell", "rank", "cand_id", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e05_ivf_topk"        -> (e05IvfTopk _),
     "e04_cosine_neardup"  -> (e04CosineNeardup _),
     "e01_knn_brute"       -> (e01KnnBrute _),
     "e02_centroid_assign" -> (e02CentroidAssign _),
@@ -143,6 +180,28 @@ object SimilarityQueries extends QueryPack {
        |  * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e05_ivf_topk" ->
+      s"""WITH cent AS (
+        |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS m
+        |    FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label),
+        |assigned AS (
+        |  SELECT vec_id, embedding, c_label AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.c_label,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${sqlCos("e.embedding", "c.cv")}, 6) DESC, c.c_label) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.cell, c.vec_id AS cand_id,
+        |    round(${sqlCos("q.embedding", "c.embedding")}, 6) AS cos_sim
+        |  FROM assigned q JOIN assigned c ON q.cell = c.cell
+        |   AND q.vec_id < 10 AND c.vec_id >= 10),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, cand_id) AS INT) AS rank FROM scored)
+        |SELECT query_id, cell, rank, cand_id, cos_sim FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "e04_cosine_neardup" ->
       s"""WITH b AS (
         |  SELECT vec_id, embedding,

@@ -289,7 +289,23 @@ object TextQueries extends QueryPack {
       .limit(50)
   }
 
+  /** d12 — deterministic hash-based sampling: keep docs whose content
+    * md5 starts with 0-3 (an exact 4/16 rate). Unlike `rand()` sampling
+    * this is reproducible across runs, cluster sizes, and partitionings —
+    * the only way to carve stable train/held-out splits from a 100 TB
+    * corpus — and it needs no shuffle: the predicate evaluates at the
+    * scan. Keying on content (not doc_id) keeps exact duplicates in the
+    * same split.
+    */
+  def d12HashSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      .filter(substring(col("h"), 1, 1).isin("0", "1", "2", "3"))
+      .select(col("doc_id"), col("lang"), substring(col("h"), 1, 8).as("sample_key"))
+      .orderBy("doc_id")
+
   val queries: Map[String, QueryFn] = Map(
+    "d12_hash_sample"   -> (d12HashSample _),
     "d11_vocab_stats"   -> (d11VocabStats _),
     "d10_clean_corpus"  -> (d10CleanCorpus _),
     "d08_simhash"       -> (d08Simhash _),
@@ -329,6 +345,11 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d12_hash_sample" ->
+      """SELECT doc_id, lang, substr(md5(text), 1, 8) AS sample_key
+        |FROM documents
+        |WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')
+        |ORDER BY doc_id""".stripMargin,
     "d11_vocab_stats" ->
       """SELECT term, CAST(count(*) AS BIGINT) AS tf,
         | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
