@@ -28,6 +28,8 @@ object Multimodal {
   case class MediaFeatures(id: Long, format: String, n_bytes: Int,
                            first_byte: Int, checksum16: Long,
                            frames: Seq[Int])
+  case class MediaResized(id: Long, format: String, n_bytes: Int,
+                          resized: Seq[Int])
 
   /** The stub codec: real impl would decode pixels/samples; this derives
     * deterministic features from raw bytes so the full pipeline is
@@ -45,6 +47,23 @@ object Multimodal {
       }
       MediaFeatures(r.id, r.format, n, if (n == 0) 0 else b(0) & 0xff, checksum, frames)
     }
+
+    /** "Resize": nearest-neighbor downsample to `outLen` cells, each the
+      * mean of a 2-byte window at its strided position — the byte-level
+      * stand-in for image resize / audio resample. */
+    def resize(r: MediaRecord, outLen: Int): MediaResized = {
+      val b = r.media
+      val n = b.length
+      val out = (0 until outLen).map { j =>
+        if (n == 0) 0
+        else {
+          val p = math.min(n - 1, j * n / outLen)
+          val q = math.min(n - 1, p + 1)
+          ((b(p) & 0xff) + (b(q) & 0xff)) / 2
+        }
+      }
+      MediaResized(r.id, r.format, n, out)
+    }
   }
 
   /** Decode + featurize: partition-batched, decoder constructed once per
@@ -58,12 +77,37 @@ object Multimodal {
     }
   }
 
+  /** Resize every media row: same partition-batched contract as
+    * [[decodeFeatures]]. */
+  def resize(media: Dataset[MediaRecord], outLen: Int = 8): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder
+      it.map(decoder.resize(_, outLen))
+    }
+  }
+
   /** Documents recast as a media table: utf-8 bytes as the opaque blob
     * (the corpus has no real image column; the plumbing is identical). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.core.Tables.documents(spark, dir)
       .select(col("doc_id").as("id"), lit("txt").as("format"),
+        col("text").cast("binary").as("media"))
+      .as[MediaRecord]
+  }
+
+  /** The mixed-modality variant: pseudo-formats assigned by id so the
+    * per-format branch/agg paths run against a heterogeneous table (the
+    * real shape: one blob column, a format tag, format-specific decode).
+    */
+  def mediaMixed(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") % 3 === 0, "txt")
+          .when(col("doc_id") % 3 === 1, "img")
+          .otherwise("aud").as("format"),
         col("text").cast("binary").as("media"))
       .as[MediaRecord]
   }

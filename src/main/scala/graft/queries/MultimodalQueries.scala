@@ -19,8 +19,35 @@ object MultimodalQueries extends QueryPack {
       .select("id", "format", "n_bytes", "first_byte", "checksum16", "frames")
       .orderBy("id")
 
+  /** m02 — "resize" (byte-level image-resize/audio-resample stand-in):
+    * stride-downsample every blob to 8 cells through the mapPartitions
+    * decoder, over the mixed-format media table. */
+  def m02Resize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resize(Multimodal.mediaMixed(s, dir), 8)
+      .toDF()
+      .select("id", "format", "n_bytes", "resized")
+      .orderBy("id")
+
+  /** m03 — per-format media statistics: the decoded-feature table
+    * composed with a plain relational agg (metadata + features flow
+    * into Catalyst once decode is done; the blob itself never shuffles).
+    */
+  def m03MediaStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(Multimodal.mediaMixed(s, dir))
+      .toDF()
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_media"),
+        round(avg("n_bytes"), 2).as("avg_bytes"),
+        sum("checksum16").as("sum_checksum"))
+      .orderBy("format")
+
   val queries: Map[String, QueryFn] = Map(
+    "m02_resize"          -> (m02Resize _),
+    "m03_media_stats"     -> (m03MediaStats _),
     "m01_decode_features" -> (m01DecodeFeatures _))
+
+  private val mixedFormat =
+    "CASE WHEN doc_id % 3 = 0 THEN 'txt' WHEN doc_id % 3 = 1 THEN 'img' ELSE 'aud' END"
 
   val oracles: Map[String, String] = Map(
     "m01_decode_features" ->
@@ -31,5 +58,21 @@ object MultimodalQueries extends QueryPack {
         |   i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum16,
         | [CAST(ascii(substr(text, least(length(text) - 1, k * length(text) // 4) + 1, 1)) AS INT)
         |  for k in range(0, 4)] AS frames
-        |FROM documents ORDER BY id""".stripMargin)
+        |FROM documents ORDER BY id""".stripMargin,
+    "m02_resize" ->
+      s"""SELECT doc_id AS id, $mixedFormat AS format,
+        | CAST(length(text) AS INT) AS n_bytes,
+        | [CAST((ascii(substr(text, least(length(text) - 1, k * length(text) // 8) + 1, 1))
+        |      + ascii(substr(text,
+        |          least(length(text) - 1,
+        |                least(length(text) - 1, k * length(text) // 8) + 1) + 1, 1))) // 2 AS INT)
+        |  for k in range(0, 8)] AS resized
+        |FROM documents ORDER BY id""".stripMargin,
+    "m03_media_stats" ->
+      s"""SELECT $mixedFormat AS format,
+        | CAST(count(*) AS BIGINT) AS n_media,
+        | round(avg(length(text)), 2) AS avg_bytes,
+        | CAST(sum(list_sum(list_transform(range(1, least(16, length(text)) + 1),
+        |   i -> ascii(substr(text, i, 1))))) AS BIGINT) AS sum_checksum
+        |FROM documents GROUP BY 1 ORDER BY format""".stripMargin)
 }
