@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+
+import graft.SparkSpec
+
+/** Physical-plan quality gates (the 100 TB contract, SURVEY.md §4):
+  * filters and projections must reach the parquet scan, small dimensions
+  * must broadcast (no shuffle of the fact side), top-k must plan as
+  * TakeOrderedAndProject (no global sort), and aggregations must get
+  * map-side partial aggregation. A query that silently regresses to a
+  * full scan + shuffle still passes the value oracle — these specs are
+  * what catches it.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Executed plan with AQE unwrapped (plans stringify lazily before
+    * execution; collect() first so the final adaptive plan is real). */
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    def unwrap(p: SparkPlan): String = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+    unwrap(df.queryExecution.executedPlan)
+  }
+
+  test("q02: filter and projection are pushed into the parquet scan") {
+    val plan = planOf(RelationalQueries.q02FilterProject(spark, dir))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("l_quantity") && plan.contains("l_returnflag"),
+      s"expected quantity/returnflag predicates pushed in:\n$plan")
+    // pruned ReadSchema: the 6 needed columns only (4 output + 2 filter),
+    // not the 16-column lineitem schema
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("q03: dimension broadcasts and top-k avoids a global sort") {
+    val plan = planOf(RelationalQueries.q03TopkRevenue(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"customer side not broadcast in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k planned as global sort in:\n$plan")
+  }
+
+  test("q04: both dimension joins broadcast — the fact table never shuffles") {
+    val plan = planOf(RelationalQueries.q04JoinBroadcast(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected 2 broadcast joins in:\n$plan")
+  }
+
+  test("q01: aggregation is partial+final (map-side combine before the shuffle)") {
+    val plan = planOf(RelationalQueries.q01PricingSummary(spark, dir))
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+    // "*(n)" prefixes mark whole-stage-codegen spans in the plan string
+    assert(plan.contains("*("), s"agg outside codegen in:\n$plan")
+  }
+
+  test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
+    val df = RelationalQueries.q01PricingSummary(spark, dir)
+    df.collect()
+    def exchanges(p: SparkPlan): Int = {
+      val self = p match { case _: Exchange => 1; case _ => 0 }
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case _ => 0
+      }
+      self + inner + p.children.map(exchanges).sum
+    }
+    val n = exchanges(df.queryExecution.executedPlan)
+    // one exchange for the groupBy, one for the final orderBy — no more
+    assert(n <= 2, s"q01 shuffles $n times")
+  }
+}
