@@ -51,6 +51,29 @@ final case class GraphDSL private (nodes: DataFrame, edges: DataFrame, frontier:
     copy(frontier = next)
   }
 
+  /** -[:relType*min..max]->(m): bounded variable-length path (the
+    * Cypher `*1..3` form; J8's bounded case). Unrolls into `max` chained
+    * hop joins — one plan, no driver iteration — and unions the
+    * frontiers of depths `min..max` with a `hops` column. Path
+    * multiplicity is preserved (Cypher semantics); follow with
+    * [[distinctNodes]] for reachability. Unbounded `*` belongs to
+    * [[Traversal.reachFixpoint]], not here. */
+  def outVar(relType: String, minHops: Int, maxHops: Int): GraphDSL = {
+    require(minHops >= 1 && maxHops >= minHops, s"bad hop range $minHops..$maxHops")
+    val e = edges.filter(col("rel_type") === relType)
+      .select(col("src_uid").as("_from"), col("dst_uid").as("_to"))
+    var cur = frontier.select(col("uid").as("_from"))
+    var acc: Option[DataFrame] = None
+    for (depth <- 1 to maxHops) {
+      cur = cur.join(e, "_from").select(col("_to").as("_from"))
+      if (depth >= minHops) {
+        val reached = cur.select(col("_from").as("uid"), lit(depth).as("hops"))
+        acc = Some(acc.fold(reached)(_.unionByName(reached)))
+      }
+    }
+    copy(frontier = acc.get.join(nodes, "uid"))
+  }
+
   /** WHERE NOT (n)-[:relType]->() — anti-join on outgoing pattern
     * (J6, the orphan check). */
   def whereNotOut(relTypes: String*): GraphDSL =

@@ -212,7 +212,20 @@ object GraphQueries extends QueryPack {
       .orderBy("vid")
   }
 
+  /** g12 — variable-length path `(c:Customer)-[:IN*1..2]->(x)`: the
+    * containment edges relabeled to one type so depth 1 lands on
+    * nations, depth 2 on regions; grouped by (hops, name). Unrolled
+    * joins in a single plan — no driver-side iteration. */
+  def g12DslVarLength(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphDSL.on(nodes(s, dir),
+        edges(s, dir).withColumn("rel_type", lit("IN")))
+      .matchLabel("Customer")
+      .outVar("IN", 1, 2)
+      .df.groupBy("hops", "name").agg(count(lit(1)).as("cnt"))
+      .orderBy("hops", "name")
+
   val queries: Map[String, QueryFn] = Map(
+    "g12_dsl_varlength"  -> (g12DslVarLength _),
     "g11_shortest_paths" -> (g11ShortestPaths _),
     "g09_dsl_twohop"    -> (g09DslTwohop _),
     "g10_dsl_orphans"   -> (g10DslOrphans _),
@@ -226,6 +239,15 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g12_dsl_varlength" ->
+      """SELECT hops, name, cnt FROM (
+        |  SELECT 1 AS hops, n_name AS name, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
+        |  UNION ALL
+        |  SELECT 2, r_name, count(*)
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |   JOIN region ON n_regionkey = r_regionkey GROUP BY r_name) t
+        |ORDER BY hops, name""".stripMargin,
     "g11_shortest_paths" ->
       """SELECT vid, dist FROM (
         |  SELECT r_regionkey AS vid, 0 AS dist FROM region

@@ -304,7 +304,34 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), col("lang"), substring(col("h"), 1, 8).as("sample_key"))
       .orderBy("doc_id")
 
+  /** d13 — TF-IDF top terms per document: term frequency × log inverse
+    * document frequency, top-3 terms per doc. The idf table is the d11
+    * DF stats reused as a weight; the tf→join→window chain is the
+    * standard distributed shape (shuffle on term for df, on doc_id for
+    * the rank — no driver-side vocab). idf is rounded to 4 decimals
+    * before weighting so cross-engine `ln` ulp differences can't flip
+    * rank order.
+    */
+  def d13Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val stop = langStopwords.flatMap(_._2)
+    val toks = docs(s, dir).select(col("doc_id"), explode(words).as("term"))
+      .filter(!col("term").isin(stop: _*) && col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val nDocs = docs(s, dir).count()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * round(log(lit(nDocs.toDouble) / col("df")), 4), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d13_tfidf"         -> (d13Tfidf _),
     "d12_hash_sample"   -> (d12HashSample _),
     "d11_vocab_stats"   -> (d11VocabStats _),
     "d10_clean_corpus"  -> (d10CleanCorpus _),
@@ -345,6 +372,31 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d13_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |filt AS (
+        |  SELECT * FROM toks WHERE term <> ''
+        |    AND term NOT IN ('the','a','of','and','to','in','is',
+        |                     'der','die','das','und','ist','ein',
+        |                     'le','la','et','les','des','un',
+        |                     'el','los','las','y','es','una')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM filt GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |          FROM filt GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * round(ln(n.n::DOUBLE / dfreq.df), 4), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS INT) AS rank FROM scored)
+        |SELECT doc_id, rank, term, tf, df, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "d12_hash_sample" ->
       """SELECT doc_id, lang, substr(md5(text), 1, 8) AS sample_key
         |FROM documents
