@@ -125,4 +125,24 @@ object GraphStore {
 
   def readNodes(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
   def readEdges(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** The 100 TB layout (SURVEY §4 "bucketing node/edge tables by uid"):
+    * nodes bucketed+sorted by `uid`, edges by `src_uid`, same bucket
+    * count. A hop join (edges.src_uid = nodes.uid) then plans as a
+    * sort-merge join with NO Exchange on either side — the shuffle was
+    * paid once at write time, and every subsequent MATCH / expand /
+    * fixpoint iteration over the stored graph is exchange-free
+    * (BucketedStoreSpec pins this on the physical plan). On a
+    * 1000-executor cluster this is the difference between one shuffle
+    * per traversal step and none.
+    */
+  def writeNodesBucketed(nodes: DataFrame, table: String, buckets: Int = 32): Unit =
+    nodes.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "uid").sortBy("uid").saveAsTable(table)
+
+  def writeEdgesBucketed(edges: DataFrame, table: String, buckets: Int = 32): Unit =
+    edges.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "src_uid").sortBy("src_uid").saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.Exchange
 
 import graft.SparkSpec
@@ -64,10 +64,13 @@ class PlanQualitySpec extends SparkSpec {
   test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
     val df = RelationalQueries.q01PricingSummary(spark, dir)
     df.collect()
+    // AQE wraps materialized stages in leaf QueryStageExec nodes —
+    // descend into them or wrapped exchanges go uncounted
     def exchanges(p: SparkPlan): Int = {
       val self = p match { case _: Exchange => 1; case _ => 0 }
       val inner = p match {
         case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case q: QueryStageExec => exchanges(q.plan)
         case _ => 0
       }
       self + inner + p.children.map(exchanges).sum
