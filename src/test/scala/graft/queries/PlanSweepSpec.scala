@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Whole-surface sweep: every registered query must run at the smoke
+  * scale factor, and none may plan an unbroadcast cartesian product —
+  * the one join shape that cannot survive any scale-up. (Broadcast
+  * nested-loop against a deliberately tiny side, as in the kNN scoring
+  * queries, is fine — the blocked shape is CartesianProduct, where both
+  * sides are unbounded.)
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("all queries execute and none plans a cartesian product") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val res =
+        try {
+          val df = fn(spark, dir)
+          df.collect()
+          val plan = df.queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct in plan")
+          else None
+        } catch {
+          case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
+        }
+      // free checkpoint/cache blocks so the sweep doesn't accumulate
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      res
+    }
+    assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
+  }
+}
