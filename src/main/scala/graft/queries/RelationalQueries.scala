@@ -377,7 +377,24 @@ object RelationalQueries extends QueryPack {
       .orderBy(col("g_rf"), col("g_ls"),
         col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
 
+  /** q31 — the `spark.sql` surface (S7's arbitrary-query API) with a
+    * correlated scalar subquery: orders above their priority group's
+    * mean price. Catalyst decorrelates the subquery into a join against
+    * the grouped aggregate — no per-row re-execution (the reference's
+    * N+1 pattern, `neo4j_db.py:122-148`, is exactly what decorrelation
+    * deletes). */
+  def q31SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n_above
+      FROM orders_v o
+      WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders_v i
+                            WHERE i.o_orderpriority = o.o_orderpriority)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q31_sql_surface"     -> (q31SqlSurface _),
     "q29_unpivot"         -> (q29Unpivot _),
     "q30_cube"            -> (q30Cube _),
     "q28_percentiles"     -> (q28Percentiles _),
@@ -410,6 +427,12 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q31_sql_surface" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
+        |                      WHERE i.o_orderpriority = o.o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q29_unpivot" ->
       """WITH agg AS (
         |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

@@ -330,7 +330,28 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id", "rank")
   }
 
+  /** d14 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * scheme): char-8-gram hashes, min per sliding window of 4, distinct
+    * — guarantees any ≥11-char match between two docs shares a
+    * fingerprint, at ~1/4 the hashes of d05's full rolling set. Pure
+    * per-row array ops: no shuffle until the final ordering. */
+  def d14Winnow(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .repartition(parallelism(s)) // same single-file hazard as shingled()
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+      .filter(length(col("norm")) >= 8)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("norm")) - 7),
+          i => md5(col("norm").substr(i, lit(8)))).as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("hs")) - 3),
+            j => array_min(slice(col("hs"), j, lit(4)))))).as("fp"))
+      .orderBy("doc_id", "fp")
+
   val queries: Map[String, QueryFn] = Map(
+    "d14_winnow"        -> (d14Winnow _),
     "d13_tfidf"         -> (d13Tfidf _),
     "d12_hash_sample"   -> (d12HashSample _),
     "d11_vocab_stats"   -> (d11VocabStats _),
@@ -372,6 +393,17 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d14_winnow" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(range(1, length(norm) - 6),
+        |    i -> md5(substr(norm, i, 8))) AS hs
+        |  FROM n WHERE length(norm) >= 8)
+        |SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs) - 2),
+        |  j -> list_min(hs[j:j+3])))) AS fp
+        |FROM h ORDER BY doc_id, fp""".stripMargin,
     "d13_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,
