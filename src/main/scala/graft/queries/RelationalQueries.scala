@@ -393,7 +393,31 @@ object RelationalQueries extends QueryPack {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  /** q32 — ordered funnel (view → click → purchase): per stage, users
+    * whose first qualifying event follows their previous stage's. Three
+    * conditional min-aggs chained by user_id joins — each stage's
+    * dimension shrinks, so the joins get cheaper as the funnel narrows;
+    * integer-microsecond comparisons keep it exactly oracle-checkable. */
+  def q32Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") >= col("v_us"))
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") >= col("c_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    v.select(lit("stage1_view").as("stage"), col("user_id"))
+      .unionByName(c.select(lit("stage2_click").as("stage"), col("user_id")))
+      .unionByName(p.select(lit("stage3_purchase").as("stage"), col("user_id")))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q32_funnel"          -> (q32Funnel _),
     "q31_sql_surface"     -> (q31SqlSurface _),
     "q29_unpivot"         -> (q29Unpivot _),
     "q30_cube"            -> (q30Cube _),
@@ -427,6 +451,25 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q32_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+        |  GROUP BY e.user_id)
+        |SELECT stage, CAST(n_users AS BIGINT) AS n_users FROM (
+        |  SELECT 'stage1_view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT 'stage2_click', count(*) FROM c
+        |  UNION ALL SELECT 'stage3_purchase', count(*) FROM p) t
+        |ORDER BY stage""".stripMargin,
     "q31_sql_surface" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above
         |FROM orders o
