@@ -416,7 +416,29 @@ object RelationalQueries extends QueryPack {
       .orderBy("stage")
   }
 
+  /** q33 — cohort retention matrix: users grouped by signup day,
+    * counted once per later active day (offsets 0-7). Integer day
+    * arithmetic on truncated dates is exact across engines; the
+    * (cohort, offset) matrix is one distinct + one agg after a single
+    * user_id join. The corpus spans 30 days, so day-grain cohorts give
+    * a real matrix (month-grain would collapse to one row). */
+  def q33CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("d").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .filter(col("d") >= col("cohort_day"))
+      .select("user_id", "cohort_day", "d").distinct()
+      .withColumn("days_since", datediff(col("d"), col("cohort_day")))
+      .filter(col("days_since").between(0, 7))
+      .groupBy("cohort_day", "days_since")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "days_since")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q33_cohort_retention" -> (q33CohortRetention _),
     "q32_funnel"          -> (q32Funnel _),
     "q31_sql_surface"     -> (q31SqlSurface _),
     "q29_unpivot"         -> (q29Unpivot _),
@@ -451,6 +473,23 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q33_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(d) AS cohort_day FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT e.user_id, c.cohort_day, e.d
+        |  FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE e.d >= c.cohort_day)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, d) AS INT) AS days_since,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM act
+        |WHERE date_diff('day', cohort_day, d) BETWEEN 0 AND 7
+        |GROUP BY cohort_day, days_since
+        |ORDER BY cohort_day, days_since""".stripMargin,
     "q32_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
