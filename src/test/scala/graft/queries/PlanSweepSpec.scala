@@ -31,4 +31,8 @@ class PlanSweepSpec extends SparkSpec {
     }
     assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
   }
+
+  test("the flagship entry query returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
