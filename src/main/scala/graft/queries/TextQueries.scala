@@ -335,12 +335,17 @@ object TextQueries extends QueryPack {
     * — guarantees any ≥11-char match between two docs shares a
     * fingerprint, at ~1/4 the hashes of d05's full rolling set. Pure
     * per-row array ops: no shuffle until the final ordering. */
-  def d14Winnow(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .repartition(parallelism(s)) // same single-file hazard as shingled()
-      .select(col("doc_id"),
+  /** Winnowing fingerprint set for a (doc_id, text) frame — k=8 char
+    * grams, window w=4, so any shared substring of ≥ k+w-1 = 11 chars
+    * guarantees a shared fingerprint (WinnowSpec property-tests the
+    * guarantee). */
+  def winnowFingerprints(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
-      .filter(length(col("norm")) >= 8)
+      // ≥ 11 = k+w-1: below that there is no full window, and Spark's
+      // sequence(1, n<1) DESCENDS where DuckDB's range is empty — keep
+      // the domains identical by excluding short docs in both engines
+      .filter(length(col("norm")) >= 11)
       .select(col("doc_id"),
         transform(sequence(lit(1), length(col("norm")) - 7),
           i => md5(col("norm").substr(i, lit(8)))).as("hs"))
@@ -348,6 +353,12 @@ object TextQueries extends QueryPack {
         explode(array_distinct(
           transform(sequence(lit(1), size(col("hs")) - 3),
             j => array_min(slice(col("hs"), j, lit(4)))))).as("fp"))
+
+  def d14Winnow(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(
+      docs(s, dir)
+        .repartition(parallelism(s)) // same single-file hazard as shingled()
+        .select(col("doc_id"), col("text")))
       .orderBy("doc_id", "fp")
 
   val queries: Map[String, QueryFn] = Map(
@@ -400,7 +411,7 @@ object TextQueries extends QueryPack {
         |h AS (
         |  SELECT doc_id, list_transform(range(1, length(norm) - 6),
         |    i -> md5(substr(norm, i, 8))) AS hs
-        |  FROM n WHERE length(norm) >= 8)
+        |  FROM n WHERE length(norm) >= 11)
         |SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs) - 2),
         |  j -> list_min(hs[j:j+3])))) AS fp
         |FROM h ORDER BY doc_id, fp""".stripMargin,
