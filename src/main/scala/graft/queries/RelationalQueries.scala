@@ -437,7 +437,33 @@ object RelationalQueries extends QueryPack {
       .orderBy("cohort_day", "days_since")
   }
 
+  /** q34 — sliding event-time windows (10 min length, 5 min slide):
+    * each event lands in exactly 2 overlapping windows — Spark's
+    * `window()` generator, the batch form of the streaming windowed agg.
+    * Windows align to the epoch, so the oracle reproduces them with
+    * integer floor arithmetic. */
+  def q34SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** q35 — set intersection (completes the T-family with q10's except
+    * and q11's union): customers active in both 1996 and 1997. Catalyst
+    * plans INTERSECT as an aggregate-dedup'd left-semi join. */
+  def q35Intersect(s: SparkSession, dir: String): DataFrame = {
+    def active(year: Int) = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts(s"$year-01-01") &&
+        col("o_orderdate") < ts(s"${year + 1}-01-01"))
+      .select("o_custkey")
+    active(1996).intersect(active(1997)).orderBy("o_custkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q35_intersect"       -> (q35Intersect _),
+    "q34_sliding_window"  -> (q34SlidingWindow _),
     "q33_cohort_retention" -> (q33CohortRetention _),
     "q32_funnel"          -> (q32Funnel _),
     "q31_sql_surface"     -> (q31SqlSurface _),
@@ -473,6 +499,29 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q35_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "q34_sliding_window" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    make_timestamp(CAST(floor(epoch_us(ts) / 300000000)
+        |                        * 300000000 AS BIGINT)) AS w0
+        |  FROM events),
+        |ex AS (
+        |  SELECT w0 AS w_start, event_type, value FROM ev
+        |  UNION ALL
+        |  SELECT w0 - INTERVAL 5 MINUTE, event_type, value FROM ev)
+        |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM ex GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     "q33_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
