@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ConsumeOnceExtract, CosineSim, SimHash60}
+import graft.functions.{ConsumeOnceExtract, CosineSim, MinHash16, SimHash60}
 
 /** Engine extension point (SURVEY.md §7): registers graft's native
   * Catalyst expressions so they are callable from SQL. Install with
@@ -30,7 +30,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => SimHash60(children.head)),
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))),
+    (new FunctionIdentifier("minhash16"),
+      new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
+      (children: Seq[Expression]) => MinHash16(children.head)))
 
   /** Register on a live session (extensions only apply at build time).
     * Idempotent — already-registered names are left alone, so the hot

@@ -88,6 +88,107 @@ object SimHash60 {
   }
 }
 
+/** 16 MinHash signatures in one compiled pass: element j is
+  * `min(md5('<j>:' || token))` over the token array, as lowercase hex —
+  * exactly the value the explode + `groupBy(doc).agg(min(md5(...)))`
+  * formulation produces (lexical order on lowercase hex == unsigned
+  * byte order on the digest), but computed per row. At corpus scale
+  * that deletes the signature stage's shuffle entirely: the exploded
+  * formulation moves every shingle of every document through an
+  * exchange before the min-agg; this kernel moves nothing. Null tokens
+  * are skipped (SQL `min` ignores nulls); an all-null/empty array
+  * yields null.
+  */
+case class MinHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash16 needs ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash16.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      $javaType r = graft.functions.MinHash16.compute($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }""")
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash16 =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash16"
+}
+
+object MinHash16 {
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  private val prefixes: Array[Array[Byte]] =
+    (0 until 16).map(j => s"$j:".getBytes("UTF-8")).toArray
+
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Static entry shared by interpreted eval and generated code.
+    * Returns null for an empty/all-null token array (SQL min of an
+    * empty set). */
+  def compute(tokens: ArrayData): ArrayData = {
+    val md = digests.get()
+    val mins = new Array[Array[Byte]](16)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        val tb = t.getBytes
+        var j = 0
+        while (j < 16) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(tb)
+          val d = md.digest()
+          if (mins(j) == null || less(d, mins(j))) mins(j) = d
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (mins(0) == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(d => org.apache.spark.unsafe.types.UTF8String.fromString(hex(d))))
+  }
+}
+
 /** Cosine similarity between two ARRAY<DOUBLE> vectors — the same
   * sequential dot/norm fold as `list_sum(list_transform(...))` on the
   * oracle side and the Scala UDF it replaces, without the per-row

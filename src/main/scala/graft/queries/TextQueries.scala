@@ -179,14 +179,17 @@ object TextQueries extends QueryPack {
     */
   def d07MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
-    val ex = shingleRowsOf(sh)
-    // 16 minhash agg columns in ONE shuffle: min(md5("<j>:" + shingle))
-    val mhCols = (0 until NumHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j"))
-    val sigs = ex.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // 16 minhash signatures per row via the native minhash16 kernel —
+    // ZERO shuffle for the signature stage. The equivalent
+    // explode + groupBy(doc).agg(min(md5('<j>:'||s))) moves every
+    // shingle of the corpus through an exchange first; at 100 TB that
+    // exchange is the pipeline's largest (TextKernelsSpec pins the two
+    // formulations equal).
+    val sigs = sh.select(col("doc_id"),
+      call_function("minhash16", col("shingles")).as("mh"))
     // band hash = md5(mh[4b] | mh[4b+1] | mh[4b+2] | mh[4b+3])
     val bandCols = (0 until NumHashes / BandSize).map { b =>
-      val parts = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))
+      val parts = (0 until BandSize).map(r => element_at(col("mh"), b * BandSize + r + 1))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bh")).as(s"band$b")
     }
     val bands = sigs.select(col("doc_id"),

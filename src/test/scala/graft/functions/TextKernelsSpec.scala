@@ -66,6 +66,55 @@ class TextKernelsSpec extends SparkSpec {
     assert(rows(1).isNullAt(1))
   }
 
+  test("minhash16 equals the explode + groupBy min(md5) formulation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")),
+      (2L, Seq("single shingle")),
+      (3L, Seq("ÄÖÜ umlauts ß", "unicode ﬀ tokens", "ÄÖÜ umlauts ß")))
+    val df = docs.toDF("doc_id", "shingles")
+    val native = df.selectExpr("doc_id", "minhash16(shingles) AS mh")
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    val mhCols = (0 until 16).map(j =>
+      org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(s"$j:"),
+          org.apache.spark.sql.functions.col("s")))).as(s"mh$j"))
+    val agg = df.selectExpr("doc_id", "explode(shingles) AS s")
+      .groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), (1 to 16).map(i => r.getString(i)))).toSeq
+    assert(native.map { case (id, mh) => (id, mh.toSeq) } === agg)
+  }
+
+  test("minhash16 property: equals agg formulation on arbitrary shingle sets") {
+    import spark.implicits._
+    val shingle = Gen.alphaNumStr.suchThat(_.nonEmpty)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(shingle).map(_.take(10))) { sh =>
+      val df = Seq((1L, sh)).toDF("doc_id", "shingles")
+      val native = df.selectExpr("minhash16(shingles) AS mh")
+        .as[Seq[String]].head().toSeq
+      val agg = df.selectExpr("doc_id", "explode(shingles) AS s")
+        .groupBy("doc_id")
+        .agg((0 until 16).map(j => org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.expr(s"md5(concat('$j:', s))")).as(s"m$j")).head,
+          (1 until 16).map(j => org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.expr(s"md5(concat('$j:', s))")).as(s"m$j")): _*)
+        .collect().head
+      native === (1 to 16).map(agg.getString)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("minhash16 of empty array is null") {
+    import spark.implicits._
+    val rows = Seq((1, Seq.empty[String]))
+      .toDF("id", "shingles")
+      .selectExpr("minhash16(shingles) AS mh").collect()
+    assert(rows(0).isNullAt(0))
+  }
+
   test("cosine_sim equals the sequential fold, including norm order") {
     import spark.implicits._
     val gen = Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0).suchThat(v => !v.isNaN))
