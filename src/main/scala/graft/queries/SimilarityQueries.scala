@@ -126,12 +126,14 @@ object SimilarityQueries extends QueryPack {
   }
 
   /** Per-label centroid table (the IVF coarse quantizer): elementwise
-    * mean via posexplode + one hash agg. Tiny at any scale → broadcast. */
+    * mean via the [[graft.functions.VecOps.vecMean]] Aggregator — one
+    * shuffle of fixed-size sum buffers, versus the posexplode
+    * formulation's 64× row multiplication and two shuffles
+    * (VecOpsSpec pins the two equal). Tiny at any scale → broadcast. */
   private def centroids(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("label", "dim").agg(avg("x").as("m"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("label").as("c_label"), transform(col("dm"), s => s.getField("m")).as("cv"))
+    e.groupBy("label")
+      .agg(graft.functions.VecOps.vecMean(col("v")).as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
 
   /** e05 — end-to-end IVF top-k, the full ANN scale path e02/e03 only
     * exercise pieces of: build the coarse quantizer (centroids), assign
