@@ -35,4 +35,19 @@ class PlanSweepSpec extends SparkSpec {
   test("the flagship entry query returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every query is run-to-run deterministic (the oracle hash contract)") {
+    val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      def run(): Seq[String] = {
+        val rows = fn(spark, dir).collect().map(_.toString).toSeq.sorted
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        rows
+      }
+      val (a, b) = (run(), run())
+      if (a == b) None
+      else Some(s"$name: ${a.size} vs ${b.size} rows, first diff: " +
+        a.zip(b).find { case (x, y) => x != y }.orElse(Some(("size", "mismatch"))).get)
+    }
+    assert(diffs.isEmpty, s"\n${diffs.mkString("\n")}")
+  }
 }
