@@ -461,7 +461,20 @@ object RelationalQueries extends QueryPack {
     active(1996).intersect(active(1997)).orderBy("o_custkey")
   }
 
+  /** q36 — NULL semantics gate: nulls form their own group, count(col)
+    * skips them while count(*) doesn't, and sorts place them last on
+    * request — the ANSI behaviors an engine must match exactly (the
+    * corpus has no natural NULLs, so nullif manufactures them). */
+  def q36NullSemantics(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(nullif(col("o_orderstatus"), lit("O")).as("grp"))
+      .agg(count(lit(1)).as("cnt"),
+        count(nullif(col("o_orderstatus"), lit("O"))).as("cnt_nonnull"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+      .orderBy(col("grp").asc_nulls_last)
+
   val queries: Map[String, QueryFn] = Map(
+    "q36_null_semantics"  -> (q36NullSemantics _),
     "q35_intersect"       -> (q35Intersect _),
     "q34_sliding_window"  -> (q34SlidingWindow _),
     "q33_cohort_retention" -> (q33CohortRetention _),
@@ -499,6 +512,13 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q36_null_semantics" ->
+      """SELECT nullif(o_orderstatus, 'O') AS grp,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(count(nullif(o_orderstatus, 'O')) AS BIGINT) AS cnt_nonnull,
+        | CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+        |FROM orders GROUP BY grp
+        |ORDER BY grp NULLS LAST""".stripMargin,
     "q35_intersect" ->
       """SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
