@@ -473,7 +473,30 @@ object RelationalQueries extends QueryPack {
         countDistinct(col("o_orderpriority")).as("n_prio"))
       .orderBy(col("grp").asc_nulls_last)
 
+  /** q37 — date/time scalar battery over distinct order dates: extract
+    * fields, ISO week, month end, day arithmetic, formatting. Numbering
+    * conventions differ across engines (Spark dayofweek is 1=Sunday,
+    * DuckDB dow is 0=Sunday) — the oracle encodes the mapping, which is
+    * exactly the cross-engine contract this query pins. */
+  def q37DateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(to_date(col("o_orderdate")).as("od")).distinct()
+      .orderBy("od").limit(100)
+      .select(
+        col("od"),
+        year(col("od")).as("y"),
+        quarter(col("od")).as("q"),
+        month(col("od")).as("m"),
+        dayofmonth(col("od")).as("dom"),
+        dayofweek(col("od")).as("dow_sun1"),
+        dayofyear(col("od")).as("doy"),
+        weekofyear(col("od")).as("iso_week"),
+        last_day(col("od")).as("month_end"),
+        date_add(col("od"), 30).as("plus30"),
+        date_format(col("od"), "yyyy-MM").as("ym"))
+
   val queries: Map[String, QueryFn] = Map(
+    "q37_date_funcs"      -> (q37DateFuncs _),
     "q36_null_semantics"  -> (q36NullSemantics _),
     "q35_intersect"       -> (q35Intersect _),
     "q34_sliding_window"  -> (q34SlidingWindow _),
@@ -512,6 +535,20 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q37_date_funcs" ->
+      """SELECT od,
+        | CAST(year(od) AS INT) AS y,
+        | CAST(quarter(od) AS INT) AS q,
+        | CAST(month(od) AS INT) AS m,
+        | CAST(day(od) AS INT) AS dom,
+        | CAST(dayofweek(od) + 1 AS INT) AS dow_sun1,
+        | CAST(dayofyear(od) AS INT) AS doy,
+        | CAST(week(od) AS INT) AS iso_week,
+        | last_day(od) AS month_end,
+        | od + 30 AS plus30,
+        | strftime(od, '%Y-%m') AS ym
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS od
+        |      FROM orders ORDER BY od LIMIT 100)""".stripMargin,
     "q36_null_semantics" ->
       """SELECT nullif(o_orderstatus, 'O') AS grp,
         | CAST(count(*) AS BIGINT) AS cnt,
