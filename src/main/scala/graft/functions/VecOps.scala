@@ -20,33 +20,40 @@ import org.apache.spark.sql.functions.udaf
   */
 object VecOps {
 
-  case class VecBuf(var sum: Array[Double], var n: Long)
+  /** Per-dimension sums AND counts: null vectors contribute nothing and
+    * ragged lengths average each dimension over the vectors that have
+    * it — the exact semantics of the posexplode + per-dim avg
+    * formulation this replaces (which produced no rows for a null
+    * vector and per-dim row counts for ragged ones). */
+  case class VecBuf(var sum: Array[Double], var cnt: Array[Long])
 
   private val mean: Aggregator[Seq[Double], VecBuf, Seq[Double]] =
     new Aggregator[Seq[Double], VecBuf, Seq[Double]] {
-      def zero: VecBuf = VecBuf(Array.empty, 0L)
+      def zero: VecBuf = VecBuf(Array.empty, Array.empty)
+
+      private def grow(b: VecBuf, n: Int): Unit =
+        if (b.sum.length < n) {
+          b.sum = java.util.Arrays.copyOf(b.sum, n)
+          b.cnt = java.util.Arrays.copyOf(b.cnt, n)
+        }
 
       def reduce(b: VecBuf, v: Seq[Double]): VecBuf = {
-        if (b.sum.length == 0) b.sum = new Array[Double](v.length)
+        if (v == null) return b
+        grow(b, v.length)
         var i = 0
-        while (i < v.length) { b.sum(i) += v(i); i += 1 }
-        b.n += 1
+        while (i < v.length) { b.sum(i) += v(i); b.cnt(i) += 1; i += 1 }
         b
       }
 
       def merge(x: VecBuf, y: VecBuf): VecBuf = {
-        if (x.sum.length == 0) y
-        else if (y.sum.length == 0) x
-        else {
-          var i = 0
-          while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
-          x.n += y.n
-          x
-        }
+        grow(x, y.sum.length)
+        var i = 0
+        while (i < y.sum.length) { x.sum(i) += y.sum(i); x.cnt(i) += y.cnt(i); i += 1 }
+        x
       }
 
       def finish(b: VecBuf): Seq[Double] =
-        if (b.n == 0) Seq.empty else b.sum.map(_ / b.n).toSeq
+        b.sum.indices.map(i => b.sum(i) / b.cnt(i))
 
       def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
       def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()

@@ -409,10 +409,15 @@ object RelationalQueries extends QueryPack {
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("us") >= col("c_us"))
       .groupBy("user_id").agg(min("us").as("p_us"))
-    v.select(lit("stage1_view").as("stage"), col("user_id"))
-      .unionByName(c.select(lit("stage2_click").as("stage"), col("user_id")))
-      .unionByName(p.select(lit("stage3_purchase").as("stage"), col("user_id")))
-      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+    // one scalar count per stage, unioned — an empty stage emits a
+    // 0-count row exactly like the oracle's UNION ALL of counts (a
+    // groupBy over unioned user rows would silently DROP empty stages
+    // and hash-mismatch on any corpus slice where the funnel runs dry)
+    def stageCount(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"), col("n_users"))
+    stageCount(v, "stage1_view")
+      .unionByName(stageCount(c, "stage2_click"))
+      .unionByName(stageCount(p, "stage3_purchase"))
       .orderBy("stage")
   }
 

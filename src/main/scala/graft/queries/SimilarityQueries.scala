@@ -57,9 +57,10 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  /** e02 — IVF building block: per-label centroids (elementwise mean via
-    * posexplode + one hash agg), then nearest-centroid assignment for a
-    * query subset. At scale the centroid table is tiny → broadcast.
+  /** e02 — IVF building block: per-label centroids (the [[centroids]]
+    * vec_mean Aggregator — one shuffle of fixed-size buffers), then
+    * nearest-centroid assignment for a query subset. At scale the
+    * centroid table is tiny → broadcast.
     */
   def e02CentroidAssign(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)

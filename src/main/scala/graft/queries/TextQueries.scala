@@ -136,19 +136,28 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Whitespace-collapsed lowercase text — the shared normalization for
+    * both fingerprint schemes (d05, d14). */
+  private val normText: Column =
+    regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+
+  /** Rolling char-8-gram md5 hashes of a normalized-text column — the
+    * shared gram stage of d05 (global min) and d14 (windowed mins). */
+  private def charGramHashes(norm: Column): Column =
+    transform(sequence(lit(1), length(norm) - 7),
+      i => md5(norm.substr(i, lit(8))))
+
   /** d05 — document fingerprinting: md5 of whitespace-normalized text
     * (exact identity) + min rolling char-8-gram hash (shift-robust
     * near-identity, the winnowing building block).
     */
   def d05Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"),
-        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+      .select(col("doc_id"), normText.as("norm"))
       .select(
         col("doc_id"),
         md5(col("norm")).as("exact_fp"),
-        array_min(transform(sequence(lit(1), length(col("norm")) - 7),
-          i => md5(col("norm").substr(i, lit(8))))).as("rolling_fp"))
+        array_min(charGramHashes(col("norm"))).as("rolling_fp"))
       .orderBy("doc_id")
 
   /** d06 — n-gram Jaccard near-dup: pairs sharing ≥1 shingle (the only
@@ -333,30 +342,25 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id", "rank")
   }
 
-  /** d14 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
-    * scheme): char-8-gram hashes, min per sliding window of 4, distinct
-    * — guarantees any ≥11-char match between two docs shares a
-    * fingerprint, at ~1/4 the hashes of d05's full rolling set. Pure
-    * per-row array ops: no shuffle until the final ordering. */
   /** Winnowing fingerprint set for a (doc_id, text) frame — k=8 char
-    * grams, window w=4, so any shared substring of ≥ k+w-1 = 11 chars
-    * guarantees a shared fingerprint (WinnowSpec property-tests the
-    * guarantee). */
+    * grams (the d05 gram stage), min per sliding window of w=4,
+    * distinct, so any shared substring of ≥ k+w-1 = 11 chars guarantees
+    * a shared fingerprint (WinnowSpec property-tests the guarantee). */
   def winnowFingerprints(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+    df.select(col("doc_id"), normText.as("norm"))
       // ≥ 11 = k+w-1: below that there is no full window, and Spark's
       // sequence(1, n<1) DESCENDS where DuckDB's range is empty — keep
       // the domains identical by excluding short docs in both engines
       .filter(length(col("norm")) >= 11)
-      .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("norm")) - 7),
-          i => md5(col("norm").substr(i, lit(8)))).as("hs"))
+      .select(col("doc_id"), charGramHashes(col("norm")).as("hs"))
       .select(col("doc_id"),
         explode(array_distinct(
           transform(sequence(lit(1), size(col("hs")) - 3),
             j => array_min(slice(col("hs"), j, lit(4)))))).as("fp"))
 
+  /** d14 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * scheme) per document: ~1/4 the hashes of d05's full rolling set.
+    * Pure per-row array ops: no shuffle until the final ordering. */
   def d14Winnow(s: SparkSession, dir: String): DataFrame =
     winnowFingerprints(
       docs(s, dir)

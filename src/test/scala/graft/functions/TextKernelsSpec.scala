@@ -94,12 +94,11 @@ class TextKernelsSpec extends SparkSpec {
       val df = Seq((1L, sh)).toDF("doc_id", "shingles")
       val native = df.selectExpr("minhash16(shingles) AS mh")
         .as[Seq[String]].head().toSeq
+      val cols = (0 until 16).map(j => org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.expr(s"md5(concat('$j:', s))")).as(s"m$j"))
       val agg = df.selectExpr("doc_id", "explode(shingles) AS s")
         .groupBy("doc_id")
-        .agg((0 until 16).map(j => org.apache.spark.sql.functions.min(
-            org.apache.spark.sql.functions.expr(s"md5(concat('$j:', s))")).as(s"m$j")).head,
-          (1 until 16).map(j => org.apache.spark.sql.functions.min(
-            org.apache.spark.sql.functions.expr(s"md5(concat('$j:', s))")).as(s"m$j")): _*)
+        .agg(cols.head, cols.tail: _*)
         .collect().head
       native === (1 to 16).map(agg.getString)
     }

@@ -31,6 +31,19 @@ class VecOpsSpec extends SparkSpec {
     }
   }
 
+  test("vec_mean skips null vectors and averages ragged dims per-count") {
+    val df = Seq(
+      ("a", Some(Seq(2.0, 4.0))),
+      ("a", None),
+      ("a", Some(Seq(4.0, 8.0, 12.0))))
+      .toDF("label", "v").repartition(3)
+    val out = df.groupBy("label").agg(VecOps.vecMean(col("v")).as("cv"))
+      .as[(String, Seq[Double])].collect().head
+    // dim 0/1 averaged over the 2 non-null vectors; dim 2 over the 1
+    // that has it — the posexplode + per-dim avg semantics
+    assert(out === (("a", Seq(3.0, 6.0, 12.0))))
+  }
+
   test("vec_mean of a single vector is the vector; empty group absent") {
     val df = Seq(("solo", Seq(4.0, -2.0))).toDF("label", "v")
     val out = df.groupBy("label").agg(VecOps.vecMean(col("v")).as("cv"))
