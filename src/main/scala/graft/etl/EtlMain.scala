@@ -26,7 +26,11 @@ object EtlMain {
     val store = a.getOrElse("--store", sys.error("--store required"))
     val spark = GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, appName = "graft-etl")
-    val clock = current_timestamp()
+    // one driver-side literal per run: current_timestamp() re-resolves
+    // per action, so nodes and edges written by separate jobs in the
+    // same run would get different created_at stamps (the store's
+    // injected-clock contract exists to prevent exactly that)
+    val clock = lit(new java.sql.Timestamp(System.currentTimeMillis()))
     val dry = flags("--dry-run")
 
     if (flags("--reset")) { Pipeline.reset(spark, store); println(s"reset: $store cleared") }

@@ -41,7 +41,7 @@ object Facilities {
       .select(posexplode(map_values(col("m"))).as(Seq("map_pos", "arr")))
       .select(col("map_pos"), posexplode(col("arr")).as(Seq("arr_pos", "f")))
       .select(
-        ((col("map_pos") * 10000 + col("arr_pos")).as("source_order") +:
+        ((col("map_pos").cast("long") * (1L << 32) + col("arr_pos")).as("source_order") +:
           trim(col("f.name")).as("name") +:
           fieldNames.map(c => col(s"f.$c").as(c))): _*)
       .filter(col("name") =!= "")

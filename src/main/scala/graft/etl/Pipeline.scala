@@ -24,6 +24,18 @@ object Pipeline {
   private def readOr(spark: SparkSession, path: String, scaffold: DataFrame): DataFrame =
     try spark.read.parquet(path) catch { case _: Exception => scaffold }
 
+  /** Align a stored frame to the expected column ORDER by name (the
+    * partitioned store moves `label` to the end on read). Same column
+    * set in a different order → reorder; anything else → fail loudly.
+    * (Silently substituting an empty scaffold here would make the
+    * subsequent overwrite erase the store.) */
+  private def aligned(existing: DataFrame, expected: DataFrame): DataFrame =
+    if (existing.columns.sameElements(expected.columns)) existing
+    else if (existing.columns.sorted.sameElements(expected.columns.sorted))
+      existing.select(expected.columns.map(col): _*)
+    else sys.error(s"store schema [${existing.columns.mkString(",")}] does not match " +
+      s"expected [${expected.columns.mkString(",")}] — refusing to overwrite")
+
   /** `init_db --schema`: parse + validate the built-in DDL registry.
     * Returns the registry (idempotent; reference `init_db.py:23-66`). */
   def applySchema(): Seq[SchemaRegistry.Rule] = SchemaRegistry.builtin
@@ -41,12 +53,10 @@ object Pipeline {
                        clock: Column): Long = {
     val incoming = Facilities.facilityNodes(spark, jsonPath)
       .withColumn("created_at", clock).withColumn("updated_at", clock)
-    val existing = readOr(spark, nodesPath(store), incoming.limit(0))
-    val existingTyped =
-      if (existing.columns.sameElements(incoming.columns)) existing else incoming.limit(0)
-    val merged = GraphStore.upsertNodes(existingTyped, incoming, clock, Facilities.fieldNames)
+    val existing = aligned(readOr(spark, nodesPath(store), incoming.limit(0)), incoming)
+    val merged = GraphStore.upsertNodes(existing, incoming, clock, Facilities.fieldNames)
       .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(nodesPath(store))
+    GraphStore.writeNodes(merged, nodesPath(store)) // label-partitioned
     merged.filter(col("label") === "Facility").count()
   }
 
@@ -58,16 +68,19 @@ object Pipeline {
     val targets = WasteItems.loadTargets(spark, csvPath).localCheckpoint(true)
     val cls = WasteItems.classified(targets).localCheckpoint(true)
 
-    val existingNodes = spark.read.parquet(nodesPath(store))
-    val facilities = existingNodes.filter(col("label") === "Facility")
-      .select("uid", "name")
-
     // node upsert: items + streams (name-only nodes; facility prop
     // columns null for them)
     val newNodes = WasteItems.itemNodes(targets).unionByName(WasteItems.streamNodes(cls))
     val scaffolded = Facilities.fieldNames.foldLeft(newNodes)((d, c) =>
       d.withColumn(c, lit(null).cast("string")))
       .withColumn("created_at", clock).withColumn("updated_at", clock)
+
+    // a store with no prior facilities import is fine (the reference
+    // warns, not fails: DISPOSED_IN edges need no facilities at all)
+    val existingNodes =
+      aligned(readOr(spark, nodesPath(store), scaffolded.limit(0)), scaffolded)
+    val facilities = existingNodes.filter(col("label") === "Facility")
+      .select("uid", "name")
     // materialize BOTH merge results before any overwrite — every plan
     // below reads the paths being rewritten (read-then-overwrite hazard)
     val mergedNodes = GraphStore.upsertNodes(existingNodes, scaffolded, clock, Facilities.fieldNames)
@@ -76,8 +89,8 @@ object Pipeline {
     val existingEdges = readOr(spark, edgesPath(store), incomingEdges.limit(0))
     val mergedEdges = GraphStore.upsertEdges(existingEdges, incomingEdges).localCheckpoint(true)
 
-    mergedNodes.write.mode("overwrite").parquet(nodesPath(store))
-    mergedEdges.write.mode("overwrite").parquet(edgesPath(store))
+    GraphStore.writeNodes(mergedNodes, nodesPath(store)) // label-partitioned
+    GraphStore.writeEdges(mergedEdges, edgesPath(store)) // rel_type-partitioned
 
     (mergedNodes.filter(col("label") === "WasteItem").count(),
       mergedNodes.filter(col("label") === "WasteStream").count(),
@@ -86,7 +99,8 @@ object Pipeline {
 
   /** `init_db --stats` (`neo4j_db.py:122-148`): one-job label counts. */
   def stats(spark: SparkSession, store: String): Stats = {
-    val nodes = spark.read.parquet(nodesPath(store))
+    val nodes = readOr(spark, nodesPath(store),
+      spark.emptyDataFrame.withColumn("label", lit("")))
     val edges = readOr(spark, edgesPath(store),
       spark.emptyDataFrame.withColumn("rel_type", lit("")))
     val labels = nodes.groupBy("label").count().collect()

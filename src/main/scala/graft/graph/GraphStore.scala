@@ -42,7 +42,12 @@ object GraphStore {
                   propCols: Seq[String]): DataFrame = {
     val e = existing.as("e")
     val i = incoming.as("i")
-    val merged = e.join(i, col("e.uid") === col("i.uid"), "full_outer")
+    // key = (label, uid): uid is sha256(name) with no label component
+    // (the reference's F1 contract, byte-identical), and Neo4j's MERGE
+    // is per-label — keying on uid alone would collide a WasteItem and
+    // a Facility sharing a name into one corrupted row
+    val merged = e.join(i,
+      col("e.uid") === col("i.uid") && col("e.label") === col("i.label"), "full_outer")
     val isNew = col("e.uid").isNull
     // ON CREATE: incoming verbatim (even empty, facilities.py:113-118);
     // ON MATCH: non-empty incoming wins, else keep (F11, :120-124).

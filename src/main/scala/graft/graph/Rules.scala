@@ -25,7 +25,7 @@ object Rules {
     rules.withColumn("scope_priority", prio)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn")
+      .drop("rn", "scope_priority")
   }
 
   /** Decision-tree evaluation to terminal streams (PDF §4.8):

@@ -67,6 +67,13 @@ object SchemaRegistry {
         .select(lit(name).as("constraint"), lit(label).as("label"), lit(prop).as("property"),
           col("total"), col("distinct_vals"), (col("total") === col("distinct_vals")).as("ok"))
     }
-    checks.reduce(_ unionByName _)
+    checks.reduceOption(_ unionByName _).getOrElse {
+      // no uniqueness constraints in the rule set → empty result with
+      // the same schema (reduce on empty would throw)
+      nodes.sparkSession.emptyDataFrame
+        .withColumn("constraint", lit("")).withColumn("label", lit(""))
+        .withColumn("property", lit("")).withColumn("total", lit(0L))
+        .withColumn("distinct_vals", lit(0L)).withColumn("ok", lit(true))
+    }
   }
 }

@@ -41,6 +41,11 @@ object Traversal {
         .select(col("start"), col("dst_uid").as("reached"), (col("depth") + 1).as("depth"))
         .join(acc.select(col("start").as("s2"), col("reached").as("r2")),
           col("start") === col("s2") && col("reached") === col("r2"), "left_anti")
+        // collapse parallel paths within the level: on a diamond
+        // (a→b1→c, a→b2→c) the hop join yields (a,c) once per path, and
+        // without this the frontier grows multiplicatively (k paths per
+        // layer ⇒ k^depth rows) while acc double-counts reachability
+        .dropDuplicates(Seq("start", "reached"))
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
@@ -49,6 +54,7 @@ object Traversal {
         i += 1
       }
     }
+    e.unpersist(blocking = false) // acc is checkpointed — lineage-free
     acc
   }
 
