@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter join pruning (100 TB path): when a selective dimension
@@ -19,13 +20,28 @@ object BloomPrune {
 
   /** Build a bloom filter over `keys` of `dim` and return `fact`
     * filtered to probable matches. `expectedItems`/`fpp` size the
-    * sketch (1M keys @1% ≈ 1.2 MB broadcast).
+    * sketch (1M keys @1% ≈ 1.2 MB broadcast). Probe type follows the
+    * fact key's type — `stat.bloomFilter` hashes integral keys as longs
+    * and strings as UTF-8 bytes, so the probe must match or matching
+    * rows would be dropped.
     */
   def prune(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
             expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bloom: BloomFilter = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    fact.filter(col(factKey).isNotNull && mightContain(col(factKey)))
+    val probe = fact.schema(factKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+          .apply(col(factKey).cast(LongType))
+      case StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+          .apply(col(factKey))
+      case BinaryType =>
+        udf((k: Array[Byte]) => k != null && bc.value.mightContainBinary(k))
+          .apply(col(factKey))
+      case dt => throw new IllegalArgumentException(
+        s"bloom prune key must be integral/string/binary, got $dt")
+    }
+    fact.filter(col(factKey).isNotNull && probe)
   }
 }

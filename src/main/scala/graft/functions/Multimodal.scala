@@ -42,8 +42,9 @@ object Multimodal {
       val n = b.length
       val checksum = b.take(16).foldLeft(0L)((acc, x) => acc + (x & 0xff))
       // "frame sampling": nFrames evenly-strided byte positions
+      // long stride math: k * n overflows Int for blobs over ~0.5 GB
       val frames = (0 until nFrames).map { k =>
-        if (n == 0) 0 else b(math.min(n - 1, k * n / nFrames)) & 0xff
+        if (n == 0) 0 else b(math.min(n - 1L, k.toLong * n / nFrames).toInt) & 0xff
       }
       MediaFeatures(r.id, r.format, n, if (n == 0) 0 else b(0) & 0xff, checksum, frames)
     }
@@ -57,7 +58,7 @@ object Multimodal {
       val out = (0 until outLen).map { j =>
         if (n == 0) 0
         else {
-          val p = math.min(n - 1, j * n / outLen)
+          val p = math.min(n - 1L, j.toLong * n / outLen).toInt
           val q = math.min(n - 1, p + 1)
           ((b(p) & 0xff) + (b(q) & 0xff)) / 2
         }

@@ -24,6 +24,7 @@ object RangeJoin {
     */
   def rightWithin(left: DataFrame, right: DataFrame, key: String,
                   leftTime: String, rightTime: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
     val l = left.withColumn("_bin", (col(leftTime) / windowUs).cast("long"))
       // probe both candidate bins: explode is on the (smaller) probe
       // metadata, not the payload — 2 rows per left row

@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner-join `big` with `small` on `key`, salted `buckets` ways.
-    * Salt is a content hash of the big row (deterministic across runs,
-    * no RNG — reruns produce identical plans and results).
+    * Salt is the row's position id, not a content hash: fully-duplicate
+    * hot-key rows (the common skew shape) would all hash to one bucket,
+    * silently re-concentrating the hot key on a single task — and a
+    * content hash rejects MapType columns. Position ids spread
+    * duplicates evenly; the join RESULT is identical for any salt
+    * assignment (the salt only picks which task computes each row), so
+    * reruns still produce identical results.
     */
   def salted(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
     require(buckets > 0)
     val bigS = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(buckets)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(buckets)).cast("int"))
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")

@@ -20,15 +20,17 @@ import org.apache.spark.sql.functions.udaf
   */
 object VecOps {
 
-  /** Per-dimension sums AND counts: null vectors contribute nothing and
-    * ragged lengths average each dimension over the vectors that have
-    * it — the exact semantics of the posexplode + per-dim avg
-    * formulation this replaces (which produced no rows for a null
-    * vector and per-dim row counts for ragged ones). */
+  /** Per-dimension sums AND counts: null vectors contribute nothing,
+    * null ELEMENTS are skipped (boxed input type — a primitive
+    * Seq[Double] encoder throws on a null element, failing the whole
+    * job for one bad row), and ragged lengths average each dimension
+    * over the vectors that have it — the exact semantics of the
+    * posexplode + per-dim avg formulation this replaces (explode emits
+    * the null element, avg ignores it). */
   case class VecBuf(var sum: Array[Double], var cnt: Array[Long])
 
-  private val mean: Aggregator[Seq[Double], VecBuf, Seq[Double]] =
-    new Aggregator[Seq[Double], VecBuf, Seq[Double]] {
+  private val mean: Aggregator[Seq[java.lang.Double], VecBuf, Seq[Double]] =
+    new Aggregator[Seq[java.lang.Double], VecBuf, Seq[Double]] {
       def zero: VecBuf = VecBuf(Array.empty, Array.empty)
 
       private def grow(b: VecBuf, n: Int): Unit =
@@ -37,11 +39,15 @@ object VecOps {
           b.cnt = java.util.Arrays.copyOf(b.cnt, n)
         }
 
-      def reduce(b: VecBuf, v: Seq[Double]): VecBuf = {
+      def reduce(b: VecBuf, v: Seq[java.lang.Double]): VecBuf = {
         if (v == null) return b
         grow(b, v.length)
         var i = 0
-        while (i < v.length) { b.sum(i) += v(i); b.cnt(i) += 1; i += 1 }
+        while (i < v.length) {
+          val x = v(i)
+          if (x != null) { b.sum(i) += x; b.cnt(i) += 1 }
+          i += 1
+        }
         b
       }
 
@@ -60,5 +66,5 @@ object VecOps {
     }
 
   /** `vec_mean(array<double>)` — use in `agg()`. */
-  val vecMean = udaf(mean, ExpressionEncoder[Seq[Double]]())
+  val vecMean = udaf(mean, ExpressionEncoder[Seq[java.lang.Double]]())
 }

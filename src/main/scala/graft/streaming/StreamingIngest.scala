@@ -34,9 +34,14 @@ object StreamingIngest {
     */
   def upsertBatch(storePath: String, propCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // Existence check, NOT a catch-all: swallowing a transient read
+    // error here would treat a populated store as empty and the
+    // overwrite below would wipe it. A real read failure must fail the
+    // batch (the checkpoint retries it).
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try spark.read.parquet(storePath)
-      catch { case _: Exception => batch.limit(0) }
+      if (fs.exists(p)) spark.read.parquet(storePath) else batch.limit(0)
     // upsertNodes requires uid-unique incoming: reduce the microbatch to
     // latest-per-uid first (several updates can land in one batch).
     import org.apache.spark.sql.expressions.Window

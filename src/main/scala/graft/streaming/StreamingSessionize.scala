@@ -43,8 +43,18 @@ object StreamingSessionize {
         case Some(st) if us - st.lastUs > GapUs =>
           closed += toSession(uid, st)
           cur = Some(SessionState(us, us, 1, c.value))
+        case Some(st) if us < st.startUs - GapUs =>
+          // late event (within watermark) more than a gap BEFORE the
+          // open session: it can never merge — emit it as its own
+          // earlier session rather than folding it in with a negative
+          // gap (which the forward test above would silently accept)
+          closed += toSession(uid, SessionState(us, us, 1, c.value))
         case Some(st) =>
-          cur = Some(SessionState(st.startUs, math.max(st.lastUs, us), st.n + 1, st.total + c.value))
+          // late-but-mergeable events extend the session BACKWARD too:
+          // startUs must track min or a late first event reports the
+          // wrong session start/duration
+          cur = Some(SessionState(math.min(st.startUs, us),
+            math.max(st.lastUs, us), st.n + 1, st.total + c.value))
         case None =>
           cur = Some(SessionState(us, us, 1, c.value))
       }

@@ -24,4 +24,14 @@ class BloomPruneSpec extends SparkSpec {
     val kept = prunedFact.count()
     assert(kept < total / 2, s"kept=$kept of $total — bloom pruned nothing")
   }
+
+  test("string keys probe as strings — no matching row lost") {
+    import spark.implicits._
+    val fact = Seq(("p1", 1), ("p2", 2), ("p3", 3), ("zz", 9)).toDF("ref", "x")
+    val dim = Seq("p1", "p3").toDF("key")
+    val kept = BloomPrune.prune(fact, dim, "ref", "key", expectedItems = 10L)
+      .select("ref").as[String].collect().toSet
+    // a long-typed probe would cast these to null and drop everything
+    assert(Set("p1", "p3").subsetOf(kept))
+  }
 }

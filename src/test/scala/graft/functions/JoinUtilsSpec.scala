@@ -18,6 +18,18 @@ class JoinUtilsSpec extends SparkSpec {
     assert(out("c") === None)      // nothing at or before 10
   }
 
+  test("as-of: payload columns all come from the matched row, nulls included") {
+    val left = Seq((1L, 100L, "a")).toDF("k", "t", "tag")
+    // latest right row (t=90) carries a NULL v — the join must report
+    // (null, 90), NOT resurrect v=7.0 from t=40 / stitch columns from
+    // two different right rows
+    val right = Seq((1L, 40L, Some(7.0), 40L), (1L, 90L, None, 90L))
+      .toDF("k", "t", "v", "src")
+    val out = AsOfJoin.join(left, right, "k", "t", "t", Seq("v", "src")).collect().head
+    assert(Option(out.getAs[java.lang.Double]("v")) === None)
+    assert(out.getAs[Long]("src") === 90L)
+  }
+
   test("range join: inclusive bounds, bin-boundary pairs found, no dups") {
     val left = Seq((1L, 0L, "e0"), (1L, 1000L, "e1"), (2L, 0L, "e2"))
       .toDF("k", "lt", "tag")

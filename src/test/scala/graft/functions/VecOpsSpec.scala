@@ -44,6 +44,18 @@ class VecOpsSpec extends SparkSpec {
     assert(out === (("a", Seq(3.0, 6.0, 12.0))))
   }
 
+  test("vec_mean skips null ELEMENTS like avg does, not just null vectors") {
+    val df = Seq(
+      ("a", Seq[java.lang.Double](1.0, null, 3.0)),
+      ("a", Seq[java.lang.Double](3.0, 6.0, 5.0)))
+      .toDF("label", "v").repartition(2)
+    val out = df.groupBy("label").agg(VecOps.vecMean(col("v")).as("cv"))
+      .as[(String, Seq[Double])].collect().head
+    // dim 1 averages over the single non-null value — one bad row must
+    // not fail the job (primitive encoders NPE on null elements)
+    assert(out === (("a", Seq(2.0, 6.0, 4.0))))
+  }
+
   test("vec_mean of a single vector is the vector; empty group absent") {
     val df = Seq(("solo", Seq(4.0, -2.0))).toDF("label", "v")
     val out = df.groupBy("label").agg(VecOps.vecMean(col("v")).as("cv"))

@@ -55,4 +55,34 @@ class StreamingSessionizeSpec extends SparkSpec {
       assert(s2.total_value === 12.0)
     } finally q.stop()
   }
+
+  test("late in-watermark event extends the session backward") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Click]
+    val ckpt = Files.createTempDirectory("graft-sess-late").toString
+    val q = StreamingSessionize.sessions(mem.toDS())
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData(Click(1, ts("2026-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      // 5 minutes late (inside the 10-min watermark delay): must merge
+      // AND pull the session start back to 10:00, not report a
+      // zero-duration session starting 10:05
+      mem.addData(Click(1, ts("2026-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // far-future event closes user 1's session by gap
+      mem.addData(Click(1, ts("2026-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_late").as[Session].collect()
+      assert(closed.length === 1, closed.mkString(";"))
+      val s = closed.head
+      assert(s.sess_start_us === ts("2026-01-01 10:00:00").getTime * 1000)
+      assert(s.n_events === 2)
+      assert(s.duration_sec === 300)
+      assert(s.total_value === 3.0)
+    } finally q.stop()
+  }
 }
