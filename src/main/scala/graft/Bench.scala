@@ -1,18 +1,9 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.GraftSession.local(cpus, "graft-bench")
     // Warm the JVM so the timed loop measures steady-state plan cost,
     // not first-touch overhead: each query's first execution pays
     // whole-stage-codegen compilation + C2 JIT of the generated classes
@@ -23,22 +14,35 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val wd = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
+    def clearCaches(): Unit = {
+      // Dataset caches (Traversal etc. call .cache()) live in the
+      // CacheManager — clearCache drops the entries AND the blocks;
+      // unpersisting raw RDDs alone leaves the cached plans matchable,
+      // so a second timed run would read run 1's cache and under-report.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try { fn(spark, wd).count() } catch { case _: Throwable => }
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      try { fn(spark, wd).count() } catch {
+        case e: Throwable => System.err.println(s"[bench] $name warmup FAILED: ${e.getMessage}")
+      }
+      clearCaches()
     }
     // Best of 2 timed runs per query: a single local[32] run is noisy
     // (GC pauses, block-manager churn from neighboring queries); min-of-2
     // reports the query's actual plan cost, the standard steady-state
-    // benchmark statistic.
+    // benchmark statistic. Caches are cleared between runs so each run
+    // executes the full plan.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try { fn(spark, sfDir).count() } catch {
+          // a broken query must be LOUD — a silent catch would report
+          // time-to-exception as a (bogus, fast) per-query number
+          case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         val t = (System.nanoTime() - t0) / 1e9
-        // free lingering checkpoint/cache blocks so later runs aren't
-        // charged this run's block-manager pressure
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        clearCaches()
         t
       }.min
       System.err.println(f"[bench] $name%-22s $dt%8.2f s")

@@ -21,19 +21,28 @@ object GraftExtensions {
   /** (identifier, info, builder) tuples — shared between the extension
     * injection and direct FunctionRegistry registration (tests, REPLs
     * attaching to an already-built session). */
+  /** Arity guard: a wrong-arity SQL call must fail with a readable
+    * message, not an IndexOutOfBounds escaping the registry builder. */
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${children.length}")
+      b(children)
+    }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("consume_once_extract"),
       new ExpressionInfo(classOf[ConsumeOnceExtract].getName, "consume_once_extract"),
-      (children: Seq[Expression]) => ConsumeOnceExtract(children.head)),
+      arity("consume_once_extract", 1)(c => ConsumeOnceExtract(c.head))),
     (new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
-      (children: Seq[Expression]) => SimHash60(children.head)),
+      arity("simhash60", 1)(c => SimHash60(c.head))),
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))),
+      arity("cosine_sim", 2)(c => CosineSim(c.head, c(1)))),
     (new FunctionIdentifier("minhash16"),
       new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
-      (children: Seq[Expression]) => MinHash16(children.head)))
+      arity("minhash16", 1)(c => MinHash16(c.head))))
 
   /** Register on a live session (extensions only apply at build time).
     * Idempotent — already-registered names are left alone, so the hot

@@ -23,12 +23,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.q03TopkRevenue(spark, "/root/testdata/sf0.001")
 
-  /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  /** One per implemented operator from SURVEY.md §2. Duplicate names
+    * across packs would silently drop a query (last pack wins in toMap)
+    * — and could pair query A with query B's oracle — so uniqueness is
+    * asserted here, once, where the packs meet. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names across packs: ${dups.mkString(", ")}")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracles).toMap
+  lazy val oracleSql: Map[String, String] = {
+    val all = packs.flatMap(_.oracles)
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate oracle names across packs: ${dups.mkString(", ")}")
+    val orphans = all.map(_._1).filterNot(queries.contains)
+    require(orphans.isEmpty, s"oracles without a matching query: ${orphans.mkString(", ")}")
+    all.toMap
+  }
 }

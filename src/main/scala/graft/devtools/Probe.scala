@@ -1,16 +1,18 @@
 package graft.devtools
-import org.apache.spark.sql.SparkSession
 /** Dev-only plan/timing probe: tools/run.sh graft.devtools.Probe <query> <sfDir>. */
 object Probe {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.devtools.Probe <query> [sfDir]")
+      sys.exit(2)
+    }
     val name = args(0); val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    if (!graft.SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; valid: " +
+        graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
+    val spark = graft.core.GraftSession.local(32, "graft-probe")
     // time construction + execution together: eager localCheckpoints
     // inside query builders run jobs at construction time
     val t0 = System.nanoTime()

@@ -1,6 +1,5 @@
 package graft.devtools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev-only micro-profiler for the text-pipeline expressions. */
@@ -12,12 +11,7 @@ object Scratch {
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.GraftSession.local(32, "graft-scratch")
 
     val docs = graft.core.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .repartition(32).localCheckpoint(true)
@@ -31,11 +25,14 @@ object Scratch {
       transform(sequence(lit(1), size(col("w")) - 2),
         i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
           element_at(col("w"), i + 2))))
-    time("shingles no distinct")(w.select(col("doc_id"),
+    // size >= 3 filter everywhere shingles are built: a 1-2 token doc
+    // makes sequence(1, size-2) descend and element_at(w, 0) throw
+    time("shingles no distinct")(w.filter(size(col("w")) >= 3).select(col("doc_id"),
       transform(sequence(lit(1), size(col("w")) - 2),
         i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
           element_at(col("w"), i + 2))).as("sh")).agg(sum(size(col("sh")))).collect())
-    time("shingles+distinct")(w.select(col("doc_id"), shingles.as("sh"))
+    time("shingles+distinct")(w.filter(size(col("w")) >= 3)
+      .select(col("doc_id"), shingles.as("sh"))
       .agg(sum(size(col("sh")))).collect())
     time("shingles ckpt")(w.filter(size(col("w")) >= 3)
       .select(col("doc_id"), shingles.as("shingles")).localCheckpoint(true))
