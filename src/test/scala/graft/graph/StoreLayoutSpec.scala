@@ -51,4 +51,16 @@ class StoreLayoutSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() === 0)
     assert(plain.exceptAll(salted).count() === 0)
   }
+
+  test("salted join preserves multiplicity of fully-duplicate hot rows") {
+    // identical rows (not just identical keys) — a content-hash salt
+    // would send them all to one bucket; result must still be exact
+    val big = ((1 to 900).map(_ => ("hot", 1)) ++ Seq(("cold", 2))).toDF("key", "v")
+    val small = Seq(("hot", "H"), ("cold", "C")).toDF("key", "tag")
+    val plain = big.join(small, "key").select("key", "v", "tag")
+    val salted = SkewJoin.salted(big, small, "key", 8).select("key", "v", "tag")
+    assert(salted.count() === 901)
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
 }
