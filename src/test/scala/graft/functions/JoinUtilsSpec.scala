@@ -30,6 +30,47 @@ class JoinUtilsSpec extends SparkSpec {
     assert(out.getAs[Long]("src") === 90L)
   }
 
+  test("as-of matches a brute-force reference on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    val left = Seq.tabulate(300)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i))
+    // distinct (key, time) on the right so tie-ordering can't differ
+    // between the window plan and the brute force
+    val right = Seq.fill(400)(
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(50).toDouble, rnd.nextInt(999).toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val expected = left.map { case (k, t, id) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      val best = if (cands.isEmpty) None else Some(cands.maxBy(_._2))
+      (id, best.map(_._3), best.map(_._4))
+    }.toSet
+    val out = AsOfJoin.join(
+      left.toDF("k", "t", "id"), right.toDF("k", "t", "v", "src"),
+      "k", "t", "t", Seq("v", "src"))
+      .collect().map(r => (r.getAs[Int]("id"),
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble),
+        Option(r.getAs[java.lang.Long]("src")).map(_.toLong))).toSet
+    assert(out === expected)
+  }
+
+  test("range join matches a brute-force reference on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    val w = 100L
+    val left = Seq.tabulate(200)(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(2000).toLong, i))
+    val right = Seq.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(2000).toLong))
+    val expected = (for {
+      (k, lt, id) <- left
+      (rk, rt) <- right
+      if rk == k && rt >= lt && rt - lt <= w
+    } yield (id, rt)).groupBy(identity).view.mapValues(_.size).toMap
+    val out = RangeJoin.rightWithin(
+      left.toDF("k", "lt", "id"), right.toDF("k", "rt"), "k", "lt", "rt", w)
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Long]("rt")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(out === expected) // same pairs, same multiplicities
+  }
+
   test("range join: inclusive bounds, bin-boundary pairs found, no dups") {
     val left = Seq((1L, 0L, "e0"), (1L, 1000L, "e1"), (2L, 0L, "e2"))
       .toDF("k", "lt", "tag")
