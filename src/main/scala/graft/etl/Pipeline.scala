@@ -21,8 +21,15 @@ object Pipeline {
   private def nodesPath(store: String) = s"$store/nodes"
   private def edgesPath(store: String) = s"$store/edges"
 
-  private def readOr(spark: SparkSession, path: String, scaffold: DataFrame): DataFrame =
-    try spark.read.parquet(path) catch { case _: Exception => scaffold }
+  /** Existence check, NOT a catch-all: swallowing a transient read
+    * error would hand back the empty scaffold and the phase's final
+    * overwrite would wipe the store. A real read failure must fail the
+    * run. */
+  private def readOr(spark: SparkSession, path: String, scaffold: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path) else scaffold
+  }
 
   /** Align a stored frame to the expected column ORDER by name (the
     * partitioned store moves `label` to the end on read). Same column
@@ -48,7 +55,12 @@ object Pipeline {
   }
 
   /** Phase 1 (`facilities.py`): JSON → dedup-merge → Facility node
-    * upsert. Returns facilities imported. */
+    * upsert. Returns facilities imported.
+    *
+    * Import counters (SURVEY A5) ride the write job via `observe` —
+    * the distributed replacement for the reference's per-row counter
+    * increments. No extra pass over the store: at 100 TB a post-hoc
+    * count() is a full re-scan per metric. */
   def importFacilities(spark: SparkSession, jsonPath: String, store: String,
                        clock: Column): Long = {
     val incoming = Facilities.facilityNodes(spark, jsonPath)
@@ -56,8 +68,11 @@ object Pipeline {
     val existing = aligned(readOr(spark, nodesPath(store), incoming.limit(0)), incoming)
     val merged = GraphStore.upsertNodes(existing, incoming, clock, Facilities.fieldNames)
       .localCheckpoint(true)
-    GraphStore.writeNodes(merged, nodesPath(store)) // label-partitioned
-    merged.filter(col("label") === "Facility").count()
+    val obs = org.apache.spark.sql.Observation()
+    GraphStore.writeNodes(merged.observe(obs,
+      coalesce(sum(when(col("label") === "Facility", 1L)), lit(0L)).as("facilities")),
+      nodesPath(store)) // label-partitioned
+    obs.get("facilities").asInstanceOf[Long]
   }
 
   /** Phase 2 (`waste_items.py`): CSV → parse/classify → WasteItem +
@@ -89,12 +104,19 @@ object Pipeline {
     val existingEdges = readOr(spark, edgesPath(store), incomingEdges.limit(0))
     val mergedEdges = GraphStore.upsertEdges(existingEdges, incomingEdges).localCheckpoint(true)
 
-    GraphStore.writeNodes(mergedNodes, nodesPath(store)) // label-partitioned
-    GraphStore.writeEdges(mergedEdges, edgesPath(store)) // rel_type-partitioned
+    // counters ride the two write jobs (observe), not three extra scans
+    val nodeObs = org.apache.spark.sql.Observation()
+    val edgeObs = org.apache.spark.sql.Observation()
+    GraphStore.writeNodes(mergedNodes.observe(nodeObs,
+      coalesce(sum(when(col("label") === "WasteItem", 1L)), lit(0L)).as("items"),
+      coalesce(sum(when(col("label") === "WasteStream", 1L)), lit(0L)).as("streams")),
+      nodesPath(store)) // label-partitioned
+    GraphStore.writeEdges(mergedEdges.observe(edgeObs, count(lit(1)).as("edges")),
+      edgesPath(store)) // rel_type-partitioned
 
-    (mergedNodes.filter(col("label") === "WasteItem").count(),
-      mergedNodes.filter(col("label") === "WasteStream").count(),
-      mergedEdges.count())
+    (nodeObs.get("items").asInstanceOf[Long],
+      nodeObs.get("streams").asInstanceOf[Long],
+      edgeObs.get("edges").asInstanceOf[Long])
   }
 
   /** `init_db --stats` (`neo4j_db.py:122-148`): one-job label counts. */
