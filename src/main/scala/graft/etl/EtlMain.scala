@@ -19,13 +19,19 @@ import graft.core.GraftSession
   */
 object EtlMain {
   def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, appName = "graft-etl")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Session-agnostic body (specs drive this with the shared test
+    * session; `main` owns session lifecycle). */
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
     val a = args.sliding(2, 1).collect {
       case Array(k, v) if k.startsWith("--") && !v.startsWith("--") => k -> v
     }.toMap
     val flags = args.filter(_.startsWith("--")).toSet
     val store = a.getOrElse("--store", sys.error("--store required"))
-    val spark = GraftSession.local(
-      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, appName = "graft-etl")
     // one driver-side literal per run: current_timestamp() re-resolves
     // per action, so nodes and edges written by separate jobs in the
     // same run would get different created_at stamps (the store's
@@ -50,11 +56,16 @@ object EtlMain {
         val targets = WasteItems.loadTargets(spark, csv).localCheckpoint(true)
         val cls = WasteItems.classified(targets)
         val streams = WasteItems.streamNodes(cls).count()
-        val unmatched = WasteItems.unmatchedFacilities(cls,
-          try spark.read.parquet(s"$store/nodes").filter(col("label") === "Facility")
-            .select("uid", "name")
-          catch { case _: Exception => cls.select(col("target").as("name")).limit(0)
-            .withColumn("uid", lit("")) })
+        // existence check, not a catch-all: a corrupt store should fail
+        // the dry-run, not silently report every target as unmatched
+        val nodesP = new org.apache.hadoop.fs.Path(s"$store/nodes")
+        val nodesFs = nodesP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val knownFacilities =
+          if (nodesFs.exists(nodesP))
+            spark.read.parquet(s"$store/nodes").filter(col("label") === "Facility")
+              .select("uid", "name")
+          else cls.select(col("target").as("name")).limit(0).withColumn("uid", lit(""))
+        val unmatched = WasteItems.unmatchedFacilities(cls, knownFacilities)
           .collect().map(_.getString(0))
         println(s"dry-run: ${WasteItems.itemNodes(targets).count()} items, " +
           s"$streams streams needed, unmatched facilities: ${unmatched.mkString(", ")}")
@@ -68,6 +79,5 @@ object EtlMain {
       st.labels.toSeq.sortBy(_._1).foreach { case (l, c) => println(f"  $l%-14s $c%6d") }
       println(f"  total nodes: ${st.totalNodes}; total relationships: ${st.totalEdges}")
     }
-    spark.stop()
   }
 }
