@@ -138,4 +138,32 @@ class TextKernelsSpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(got - 1.0) < 1e-12)
   }
+
+  test("interpreted fallback (NO_CODEGEN) matches the codegen path for every kernel") {
+    import spark.implicits._
+    // Spark silently falls back to interpreted expression evaluation
+    // when codegen fails (e.g. a 64KB method-limit blowup elsewhere in
+    // the stage) — nullSafeEval must produce the same bits as doGenCode
+    // or production results would flap with plan shape. Includes a null
+    // token inside the array (the documented −1-votes / skip cases).
+    val df = Seq(
+      (Seq("foo", "bar", "baz"), Seq(1.0, -2.0, 3.0), Seq(0.5, 2.0, -1.0)),
+      (Seq("foo", null, "zz"), Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1)))
+      .toDF("w", "a", "b")
+    val exprs = Seq("simhash60(w) AS sh", "minhash16(w) AS mh",
+      "cosine_sim(a, b) AS cs", "consume_once_extract(array_join(w, ' ')) AS ce")
+    val withCodegen = df.selectExpr(exprs: _*).collect().map(_.toSeq)
+    val conf = spark.conf
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpreted = df.selectExpr(exprs: _*).collect().map(_.toSeq)
+      assert(interpreted.toSeq === withCodegen.toSeq)
+    } finally {
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+      conf.set("spark.sql.codegen.wholeStage", prevWhole)
+    }
+  }
 }
