@@ -40,7 +40,11 @@ class PlanSweepSpec extends SparkSpec {
     val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       def run(): Seq[String] = {
         val rows = fn(spark, dir).collect().map(_.toString).toSeq.sorted
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // clear the Dataset CacheManager too, or a query that cache()s
+        // internally serves run 2 from run 1's cache and the
+        // determinism comparison proves nothing
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         rows
       }
       val (a, b) = (run(), run())
