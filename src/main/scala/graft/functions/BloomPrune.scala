@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter join pruning (100 TB path): when a selective dimension
@@ -27,20 +27,25 @@ object BloomPrune {
     */
   def prune(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
             expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    def checkKeyType(dt: org.apache.spark.sql.types.DataType, side: String): Unit = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => ()
+      case other => throw new IllegalArgumentException(
+        // stat.bloomFilter itself only accepts integral/string keys —
+        // validate BOTH sides upfront with one clear message instead of
+        // letting the analyzer throw a BLOOM_FILTER_WRONG_TYPE later
+        s"bloom prune $side key must be integral or string, got ${other.catalogString}")
+    }
+    checkKeyType(dim.schema(dimKey).dataType, "dim")
+    checkKeyType(fact.schema(factKey).dataType, "fact")
     val bloom: BloomFilter = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
     val probe = fact.schema(factKey).dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-          .apply(col(factKey).cast(LongType))
       case StringType =>
         udf((k: String) => k != null && bc.value.mightContainString(k))
           .apply(col(factKey))
-      case BinaryType =>
-        udf((k: Array[Byte]) => k != null && bc.value.mightContainBinary(k))
-          .apply(col(factKey))
-      case dt => throw new IllegalArgumentException(
-        s"bloom prune key must be integral/string/binary, got $dt")
+      case _ =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+          .apply(col(factKey).cast(LongType))
     }
     fact.filter(col(factKey).isNotNull && probe)
   }

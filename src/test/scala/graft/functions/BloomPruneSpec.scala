@@ -34,4 +34,14 @@ class BloomPruneSpec extends SparkSpec {
     // a long-typed probe would cast these to null and drop everything
     assert(Set("p1", "p3").subsetOf(kept))
   }
+
+  test("unsupported key types fail loudly at build, not mid-analysis") {
+    import spark.implicits._
+    val badDim = Seq(1.5, 2.5).toDF("key")
+    val badFact = Seq(1.5).toDF("ref")
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.prune(badFact, badDim, "ref", "key", expectedItems = 10L)
+    }
+    assert(e.getMessage.contains("integral or string"))
+  }
 }
