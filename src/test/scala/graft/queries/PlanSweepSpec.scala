@@ -26,6 +26,7 @@ class PlanSweepSpec extends SparkSpec {
           case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
         }
       // free checkpoint/cache blocks so the sweep doesn't accumulate
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       res
     }
