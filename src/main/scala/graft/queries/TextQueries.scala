@@ -228,6 +228,27 @@ object TextQueries extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d15 — near-dup cluster canonicalization, the step a dedup pass
+    * runs AFTER candidate pairs are found: d07's verified pairs form a
+    * graph, GraphX connected components (min-id contract) elect one
+    * keeper per cluster, every other member is flagged a duplicate.
+    * Transitive dups (A~B, B~C but not A~C) collapse into ONE cluster —
+    * a plain per-pair "drop the higher id" would keep B or drop it
+    * depending on pair order. Scale shape: CC runs on the pair graph
+    * only (near-dups are a sliver of the corpus), never the full corpus;
+    * the oracle mirrors it as a recursive-CTE transitive closure.
+    */
+  def d15DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d07MinhashLsh(s, dir).select("doc_a", "doc_b")
+    val verts = pairs.select(col("doc_a").as("vid"))
+      .unionByName(pairs.select(col("doc_b").as("vid"))).distinct()
+    val edges = pairs.select(col("doc_a").as("src_vid"), col("doc_b").as("dst_vid"))
+    graft.graph.Traversal.connectedComponents(verts, edges, s)
+      .select(col("vid").as("doc_id"), col("component").as("keeper_id"),
+        (col("vid") =!= col("component")).cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc 60-bit SimHash over word tokens: token hash = first 15 hex
     * chars of md5 (exact in both engines), bit b of the signature set
     * when the +1/−1 token vote for that bit is positive. Computed by the
@@ -382,7 +403,8 @@ object TextQueries extends QueryPack {
     "d04_quality"       -> (d04Quality _),
     "d05_fingerprint"   -> (d05Fingerprint _),
     "d06_jaccard_pairs" -> (d06JaccardPairs _),
-    "d07_minhash_lsh"   -> (d07MinhashLsh _))
+    "d07_minhash_lsh"   -> (d07MinhashLsh _),
+    "d15_dedup_clusters" -> (d15DedupClusters _))
 
   private val shingleCte =
     """words AS (
@@ -617,5 +639,34 @@ object TextQueries extends QueryPack {
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT doc_a, doc_b, round(common/(na+nb-common)::DOUBLE, 4) AS jaccard
         |FROM pairs WHERE common/(na+nb-common)::DOUBLE >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d15_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte, mh AS (
+        |  SELECT doc_id, j, min(md5(j || ':' || s)) AS mh
+        |  FROM ex, range(16) t(j) GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, '|' ORDER BY j)) AS bh
+        |  FROM mh GROUP BY doc_id, j // 4
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+        |         any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), nd AS (
+        |  SELECT doc_a, doc_b FROM pairs WHERE common/(na+nb-common)::DOUBLE >= 0.8
+        |), und AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM nd UNION SELECT doc_b, doc_a FROM nd
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u
+        |)
+        |SELECT u AS doc_id, least(u, min(v)) AS keeper_id,
+        |       CAST(least(u, min(v)) <> u AS INT) AS is_dup
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)
 }
