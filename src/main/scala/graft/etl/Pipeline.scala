@@ -39,7 +39,7 @@ object Pipeline {
   private def aligned(existing: DataFrame, expected: DataFrame): DataFrame =
     if (existing.columns.sameElements(expected.columns)) existing
     else if (existing.columns.sorted.sameElements(expected.columns.sorted))
-      existing.select(expected.columns.map(col): _*)
+      existing.select(expected.columns.toIndexedSeq.map(col): _*)
     else sys.error(s"store schema [${existing.columns.mkString(",")}] does not match " +
       s"expected [${expected.columns.mkString(",")}] — refusing to overwrite")
 
