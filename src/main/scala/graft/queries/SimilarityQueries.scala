@@ -168,12 +168,45 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** e06 — recall@3 of the IVF index (e05, nprobe=1) against the
+    * brute-force ground truth on the SAME query/candidate split — the
+    * metric a pipeline watches to size cells/nprobe. Truth is one
+    * broadcast-scored pass (queries are few; candidates stay
+    * distributed); the hit count is a semi-join of two tiny top-k
+    * lists. Queries whose true neighbors all live outside their own
+    * cell score 0 rather than vanishing (left join from the query
+    * list).
+    */
+  def e06IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("cand_id"))
+    val truth = c.join(broadcast(q))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("query_id", "cand_id")
+    val approx = e05IvfTopk(s, dir).select("query_id", "cand_id")
+    val hits = truth.join(approx, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select("query_id").join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 3.0, 4).as("recall_at_3"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "e05_ivf_topk"        -> (e05IvfTopk _),
     "e04_cosine_neardup"  -> (e04CosineNeardup _),
     "e01_knn_brute"       -> (e01KnnBrute _),
     "e02_centroid_assign" -> (e02CentroidAssign _),
-    "e03_lsh_buckets"     -> (e03LshBuckets _))
+    "e03_lsh_buckets"     -> (e03LshBuckets _),
+    "e06_ivf_recall"      -> (e06IvfRecall _))
 
   /** DuckDB-side cosine identical to the Spark fold: list_transform
     * products (double), list_sum sequential. */
@@ -205,6 +238,42 @@ object SimilarityQueries extends QueryPack {
         |    ORDER BY cos_sim DESC, cand_id) AS INT) AS rank FROM scored)
         |SELECT query_id, cell, rank, cand_id, cos_sim FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "e06_ivf_recall" ->
+      s"""WITH cent AS (
+        |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS m
+        |    FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label),
+        |assigned AS (
+        |  SELECT vec_id, embedding, c_label AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.c_label,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${sqlCos("e.embedding", "c.cv")}, 6) DESC, c.c_label) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |ivf AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(${sqlCos("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS rank
+        |    FROM assigned q JOIN assigned c ON q.cell = c.cell
+        |     AND q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 3),
+        |btruth AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(${sqlCos("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 3),
+        |hits AS (
+        |  SELECT t.query_id, count(*) AS n_hits
+        |  FROM btruth t JOIN ivf i
+        |    ON t.query_id = i.query_id AND t.cand_id = i.cand_id
+        |  GROUP BY t.query_id)
+        |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(coalesce(h.n_hits, 0) / 3.0, 4) AS recall_at_3
+        |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+        |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin,
     "e04_cosine_neardup" ->
       s"""WITH b AS (
         |  SELECT vec_id, embedding,
