@@ -48,10 +48,17 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $dt%8.2f s")
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the whole line ~1.8 KB: the driver
+    // captures only a tail window of stdout and parses the JSON line out
+    // of it — round 1's full-precision line (~2.9 KB) got its head cut
+    // off by that window and the round's bench went unparsed. Full
+    // precision still goes to stderr above, per query.
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,20 +12,28 @@ import graft.functions.Multimodal
 object MultimodalQueries extends QueryPack {
 
   /** m01 — binary decode + featurize + frame-sample through the typed
-    * Dataset mapPartitions pipeline. */
+    * Dataset mapPartitions pipeline. The frame vector is emitted as a
+    * comma-joined string: the driver's pandas-based compare can't sort
+    * rows containing raw array cells (round-1 m01/m02 both error'd in
+    * `sort_values` on exactly that), and the string form hash-compares
+    * losslessly. */
   def m01DecodeFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, dir))
       .toDF()
-      .select("id", "format", "n_bytes", "first_byte", "checksum16", "frames")
+      .select(col("id"), col("format"), col("n_bytes"), col("first_byte"),
+        col("checksum16"),
+        array_join(col("frames").cast("array<string>"), ",").as("frames"))
       .orderBy("id")
 
   /** m02 — "resize" (byte-level image-resize/audio-resample stand-in):
     * stride-downsample every blob to 8 cells through the mapPartitions
-    * decoder, over the mixed-format media table. */
+    * decoder, over the mixed-format media table. Cells emitted
+    * comma-joined for the same driver-compare reason as m01. */
   def m02Resize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resize(Multimodal.mediaMixed(s, dir), 8)
       .toDF()
-      .select("id", "format", "n_bytes", "resized")
+      .select(col("id"), col("format"), col("n_bytes"),
+        array_join(col("resized").cast("array<string>"), ",").as("resized"))
       .orderBy("id")
 
   /** m03 — per-format media statistics: the decoded-feature table
@@ -56,17 +64,19 @@ object MultimodalQueries extends QueryPack {
         | CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
         | CAST(list_sum(list_transform(range(1, least(16, length(text)) + 1),
         |   i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum16,
-        | [CAST(ascii(substr(text, least(length(text) - 1, k * length(text) // 4) + 1, 1)) AS INT)
-        |  for k in range(0, 4)] AS frames
+        | array_to_string(
+        |   [CAST(ascii(substr(text, least(length(text) - 1, k * length(text) // 4) + 1, 1)) AS INT)
+        |    for k in range(0, 4)], ',') AS frames
         |FROM documents ORDER BY id""".stripMargin,
     "m02_resize" ->
       s"""SELECT doc_id AS id, $mixedFormat AS format,
         | CAST(length(text) AS INT) AS n_bytes,
-        | [CAST((ascii(substr(text, least(length(text) - 1, k * length(text) // 8) + 1, 1))
-        |      + ascii(substr(text,
-        |          least(length(text) - 1,
-        |                least(length(text) - 1, k * length(text) // 8) + 1) + 1, 1))) // 2 AS INT)
-        |  for k in range(0, 8)] AS resized
+        | array_to_string(
+        |   [CAST((ascii(substr(text, least(length(text) - 1, k * length(text) // 8) + 1, 1))
+        |       + ascii(substr(text,
+        |           least(length(text) - 1,
+        |                 least(length(text) - 1, k * length(text) // 8) + 1) + 1, 1))) // 2 AS INT)
+        |    for k in range(0, 8)], ',') AS resized
         |FROM documents ORDER BY id""".stripMargin,
     "m03_media_stats" ->
       s"""SELECT $mixedFormat AS format,

@@ -238,8 +238,12 @@ object RelationalQueries extends QueryPack {
 
   /** q21 — gap-based sessionization (30-min inactivity): lag + running
     * session counter per user, then per-session aggregates. Microsecond
-    * integer math so both engines agree exactly. The standard
-    * user-journey op for an events pipeline.
+    * integer math so both engines agree exactly; the value sum goes
+    * through decimal so the per-session total is independent of the
+    * (shuffle-order-dependent) double summation order — round 1 flagged
+    * a hash flap here that never reproduced locally, and exact decimal
+    * arithmetic removes the only order-sensitive term from the output.
+    * The standard user-journey op for an events pipeline.
     */
   def q21Sessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -256,7 +260,7 @@ object RelationalQueries extends QueryPack {
         min("us").as("sess_start_us"),
         count(lit(1)).as("n_events"),
         ((max(col("us")) - min(col("us"))) / 1000000L).cast("long").as("duration_sec"),
-        round(sum("value"), 2).as("total_value"))
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
       .orderBy("user_id", "session_no")
   }
 
@@ -708,7 +712,7 @@ object RelationalQueries extends QueryPack {
         |SELECT user_id, session_no, min(us) AS sess_start_us,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
-        |  round(sum(value), 2) AS total_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
     "q22_json_props" ->
