@@ -28,13 +28,14 @@ object Bench {
       }
       clearCaches()
     }
-    // Best of 2 timed runs per query: a single local[32] run is noisy
-    // (GC pauses, block-manager churn from neighboring queries); min-of-2
-    // reports the query's actual plan cost, the standard steady-state
-    // benchmark statistic. Caches are cleared between runs so each run
-    // executes the full plan.
+    // Best of 3 timed runs per query: a single local[32] run is noisy
+    // (GC pauses, block-manager churn from neighboring queries — round 1
+    // reported 8× spikes on queries that run in under a second in
+    // isolation); the min over 3 runs reports the query's actual plan
+    // cost, the standard steady-state benchmark statistic. Caches are
+    // cleared between runs so each run executes the full plan.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val dt = (1 to 2).map { _ =>
+      val dt = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           // a broken query must be LOUD — a silent catch would report

@@ -19,6 +19,20 @@ object RelationalQueries extends QueryPack {
 
   private def ts(d: String): Column = lit(d).cast("timestamp")
 
+  /** Exact-decimal aggregation of double measures. A plain `sum(double)`
+    * depends on shuffle arrival order in its last bit, and when the true
+    * sum sits on a rounding half-boundary that bit decides which way
+    * `round` goes — a per-round hash-flap lottery against the oracle
+    * (q21 lost it in round 1). Decimal sums are exact and
+    * order-independent; both engines then round the same value. The
+    * measures here carry ≤4 decimal digits, so decimal(18,6) is lossless.
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)"))
+  private def moneySum(c: Column, scale: Int = 2): Column =
+    round(dsum(c), scale).cast("double")
+  private def moneyAvg(c: Column, scale: Int): Column =
+    round(dsum(c).cast("double") / count(c), scale)
+
   /** q01 — TPC-H Q1-shaped pricing summary: scan-filter-agg-sort.
     * Reference analog: the stats/aggregation surface (SURVEY §2.4 A1/A6).
     */
@@ -27,11 +41,11 @@ object RelationalQueries extends QueryPack {
       .filter(col("l_shipdate") <= ts("2000-12-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        moneyAvg(col("l_quantity"), 4).as("avg_qty"),
+        moneyAvg(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -53,7 +67,7 @@ object RelationalQueries extends QueryPack {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_odate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .select("l_orderkey", "revenue", "o_odate", "o_orderpriority")
       .orderBy(desc("revenue"), asc("l_orderkey"))
       .limit(10)
@@ -68,7 +82,7 @@ object RelationalQueries extends QueryPack {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(count(lit(1)).as("num_customers"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .agg(count(lit(1)).as("num_customers"), moneySum(col("c_acctbal")).as("total_bal"))
       .orderBy("n_name")
   }
 
@@ -112,7 +126,8 @@ object RelationalQueries extends QueryPack {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .filter(col("l_suppkey") <= 10)
-      .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
+      .withColumn("running_qty",
+        round(sum(col("l_quantity").cast("decimal(18,6)")).over(w), 2).cast("double"))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
@@ -203,7 +218,7 @@ object RelationalQueries extends QueryPack {
   def q17GroupMonth(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
-      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total"))
       .orderBy("month")
 
   /** q18 — tumbling 5-minute event-time window as batch (the Structured
@@ -213,7 +228,7 @@ object RelationalQueries extends QueryPack {
       .groupBy(
         (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long").as("win_start"),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("total_value"))
       .orderBy("win_start", "event_type")
 
   /** q19 — self-join (J7 hierarchy-analog: same-key pairing). */
@@ -280,7 +295,7 @@ object RelationalQueries extends QueryPack {
   def q23Rollup(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"),
+      .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total"),
         grouping(col("o_orderstatus")).cast("int").as("g_status"),
         grouping(col("o_orderpriority")).cast("int").as("g_prio"))
       .orderBy(col("g_status"), col("g_prio"),
@@ -363,8 +378,8 @@ object RelationalQueries extends QueryPack {
   def q29Unpivot(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
       .selectExpr("l_returnflag",
         "stack(2, 'sum_price', sum_price, 'sum_qty', sum_qty) AS (metric, val)")
       .orderBy("l_returnflag", "metric")
@@ -375,7 +390,7 @@ object RelationalQueries extends QueryPack {
   def q30Cube(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .cube("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("cnt"), round(avg("l_discount"), 4).as("avg_disc"),
+      .agg(count(lit(1)).as("cnt"), moneyAvg(col("l_discount"), 4).as("avg_disc"),
         grouping(col("l_returnflag")).cast("int").as("g_rf"),
         grouping(col("l_linestatus")).cast("int").as("g_ls"))
       .orderBy(col("g_rf"), col("g_ls"),
@@ -389,10 +404,14 @@ object RelationalQueries extends QueryPack {
     * deletes). */
   def q31SqlSurface(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    // the correlated mean goes through an exact decimal sum so the
+    // above-threshold comparison is engine-identical (see dsum note)
     s.sql("""
       SELECT o_orderpriority, count(*) AS n_above
       FROM orders_v o
-      WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders_v i
+      WHERE o_totalprice > (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                                   / count(i.o_totalprice)
+                            FROM orders_v i
                             WHERE i.o_orderpriority = o.o_orderpriority)
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
@@ -454,7 +473,7 @@ object RelationalQueries extends QueryPack {
   def q34SlidingWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("cnt"), col("sum_value"))
       .orderBy("w_start", "event_type")
@@ -585,7 +604,7 @@ object RelationalQueries extends QueryPack {
         |  UNION ALL
         |  SELECT w0 - INTERVAL 5 MINUTE, event_type, value FROM ev)
         |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS cnt,
-        |  round(sum(value), 2) AS sum_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         |FROM ex GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
     "q33_cohort_retention" ->
@@ -627,13 +646,16 @@ object RelationalQueries extends QueryPack {
     "q31_sql_surface" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above
         |FROM orders o
-        |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |                             / count(i.o_totalprice)
+        |                      FROM orders i
         |                      WHERE i.o_orderpriority = o.o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q29_unpivot" ->
       """WITH agg AS (
-        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
-        |         round(sum(l_extendedprice), 2) AS sum_price
+        |  SELECT l_returnflag,
+        |         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM agg
         |UNION ALL
@@ -641,7 +663,9 @@ object RelationalQueries extends QueryPack {
         |ORDER BY l_returnflag, metric""".stripMargin,
     "q30_cube" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(count(*) AS BIGINT) AS cnt, round(avg(l_discount), 4) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |       / count(l_discount), 4) AS avg_disc,
         | CAST(grouping(l_returnflag) AS INT) AS g_rf,
         | CAST(grouping(l_linestatus) AS INT) AS g_ls
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -691,7 +715,8 @@ object RelationalQueries extends QueryPack {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q23_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
-        | CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice),2) AS total,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
         | CAST(grouping(o_orderstatus) AS INT) AS g_status,
         | CAST(grouping(o_orderpriority) AS INT) AS g_prio
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
@@ -722,11 +747,13 @@ object RelationalQueries extends QueryPack {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_discount),4) AS avg_disc,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |       / count(l_quantity), 4) AS avg_qty,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |       / count(l_discount), 4) AS avg_disc,
         | CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
         |GROUP BY l_returnflag, l_linestatus
@@ -737,7 +764,7 @@ object RelationalQueries extends QueryPack {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q03_topk_revenue" ->
       """SELECT l_orderkey,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
         | CAST(o_orderdate AS DATE) AS o_odate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         | JOIN lineitem ON l_orderkey = o_orderkey
@@ -748,7 +775,7 @@ object RelationalQueries extends QueryPack {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q04_join_broadcast" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS num_customers,
-        | round(sum(c_acctbal),2) AS total_bal
+        | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name IN ('EUROPE','ASIA')
@@ -771,9 +798,9 @@ object RelationalQueries extends QueryPack {
         |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q08_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_suppkey <= 10
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q09_upsert_merge" ->
@@ -828,11 +855,13 @@ object RelationalQueries extends QueryPack {
         |FROM events GROUP BY 1 ORDER BY event_norm""".stripMargin,
     "q17_group_month" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        | CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice),2) AS total
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     "q18_events_window" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS win_start, event_type,
-        | CAST(count(*) AS BIGINT) AS cnt, round(sum(value),2) AS total_value
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY win_start, event_type""".stripMargin,
     "q19_selfjoin_pairs" ->
       """SELECT a.p_brand AS brand, CAST(count(*) AS BIGINT) AS pair_cnt
