@@ -224,7 +224,40 @@ object GraphQueries extends QueryPack {
       .df.groupBy("hops", "name").agg(count(lit(1)).as("cnt"))
       .orderBy("hops", "name")
 
+  /** g13 — PageRank in integer fixed-point (damping 0.85, 3 iterations,
+    * rank scaled by 1e9, floor division): float PageRank sums
+    * contributions in shuffle order, so two runs — or two engines —
+    * disagree in the last bit; integer arithmetic makes every iteration
+    * bit-reproducible on any cluster size AND SQL-expressible, which is
+    * what lets an oracle check a ranking algorithm exactly. Dangling
+    * mass (regions) is dropped, the standard simplification. Per-node
+    * form: pr' = 0.15·S + 0.85·Σ pr/outdeg over in-edges, S = 1e9.
+    * Top 30 by (pr desc, uid) covers every node that accumulates mass
+    * (nations + regions) plus leading leaf ties — deterministic because
+    * (pr, uid) is a total order. 3 unrolled iterative joins in ONE
+    * declarative plan; at 100 TB each iteration is an edge×rank shuffle
+    * co-locatable by bucketing both tables on uid (SURVEY §4). */
+  def g13PageRank(s: SparkSession, dir: String): DataFrame = {
+    val scale = 1000000000L
+    val e = edges(s, dir).select(col("src_uid").as("src"), col("dst_uid").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val n = nodes(s, dir).select("uid")
+    var pr = n.withColumn("pr", lit(scale))
+    for (_ <- 1 to 3) {
+      val contribs = e.join(deg, "src")
+        .join(pr.withColumnRenamed("uid", "src"), "src")
+        .select(col("dst").as("uid"), expr("pr div outdeg").as("c"))
+        .groupBy("uid").agg(sum("c").as("contrib"))
+      pr = n.join(contribs, Seq("uid"), "left")
+        .select(col("uid"),
+          (lit(scale * 15 / 100) +
+            expr("(85 * coalesce(contrib, 0)) div 100")).as("pr"))
+    }
+    pr.orderBy(desc("pr"), asc("uid")).limit(30)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g13_pagerank"       -> (g13PageRank _),
     "g12_dsl_varlength"  -> (g12DslVarLength _),
     "g11_shortest_paths" -> (g11ShortestPaths _),
     "g09_dsl_twohop"    -> (g09DslTwohop _),
@@ -239,6 +272,38 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g13_pagerank" ->
+      """WITH nodes AS (
+        |  SELECT 'Customer:' || c_custkey AS uid FROM customer
+        |  UNION ALL SELECT 'Supplier:' || s_suppkey FROM supplier
+        |  UNION ALL SELECT 'Nation:' || n_nationkey FROM nation
+        |  UNION ALL SELECT 'Region:' || r_regionkey FROM region),
+        |edges AS (
+        |  SELECT 'Customer:' || c_custkey AS src, 'Nation:' || c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 'Supplier:' || s_suppkey, 'Nation:' || s_nationkey FROM supplier
+        |  UNION ALL SELECT 'Nation:' || n_nationkey, 'Region:' || n_regionkey FROM nation),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |pr0 AS (SELECT uid, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+        |it1 AS (
+        |  SELECT n.uid, 150000000 + (85 * COALESCE(c.contrib, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS uid, sum(p.pr // d.outdeg) AS contrib
+        |    FROM edges e JOIN pr0 p ON e.src = p.uid JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON n.uid = c.uid),
+        |it2 AS (
+        |  SELECT n.uid, 150000000 + (85 * COALESCE(c.contrib, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS uid, sum(p.pr // d.outdeg) AS contrib
+        |    FROM edges e JOIN it1 p ON e.src = p.uid JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON n.uid = c.uid),
+        |it3 AS (
+        |  SELECT n.uid, 150000000 + (85 * COALESCE(c.contrib, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS uid, sum(p.pr // d.outdeg) AS contrib
+        |    FROM edges e JOIN it2 p ON e.src = p.uid JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON n.uid = c.uid)
+        |SELECT uid, CAST(pr AS BIGINT) AS pr FROM it3
+        |ORDER BY pr DESC, uid LIMIT 30""".stripMargin,
     "g12_dsl_varlength" ->
       """SELECT hops, name, cnt FROM (
         |  SELECT 1 AS hops, n_name AS name, CAST(count(*) AS BIGINT) AS cnt

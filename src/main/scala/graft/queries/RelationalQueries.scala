@@ -523,7 +523,44 @@ object RelationalQueries extends QueryPack {
         date_add(col("od"), 30).as("plus30"),
         date_format(col("od"), "yyyy-MM").as("ym"))
 
+  /** q38 — bloom-pruned selective join (functions.BloomPrune, the 100 TB
+    * shuffle-reduction path): a 55-order dimension joins the lineitem
+    * fact; the bloom probe drops ~99% of fact rows BEFORE the exchange,
+    * and the exact join after it keeps the result identical to the plain
+    * join the oracle runs (bloom false positives never survive the
+    * join). */
+  def q38BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 450000)
+      .select("o_orderkey", "o_orderpriority")
+    val pruned = graft.functions.BloomPrune.prune(
+      Tables.lineitem(s, dir), dim, "l_orderkey", "o_orderkey",
+      expectedItems = 100000L)
+    pruned.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q39 — salted skew join (functions.SkewJoin): lineitem×supplier
+    * salted 8 ways so a hot supplier key spreads across tasks; the
+    * result is exactly the plain join (the salt only picks which task
+    * computes each row), which is what the oracle checks. */
+  def q39SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val small = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.functions.SkewJoin.salted(big, small, "suppkey", buckets = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lines"), moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy("s_nationkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q38_bloom_prune"     -> (q38BloomPrune _),
+    "q39_skew_join"       -> (q39SkewJoin _),
     "q37_date_funcs"      -> (q37DateFuncs _),
     "q36_null_semantics"  -> (q36NullSemantics _),
     "q35_intersect"       -> (q35Intersect _),
@@ -563,6 +600,17 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q38_bloom_prune" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q39_skew_join" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q37_date_funcs" ->
       """SELECT od,
         | CAST(year(od) AS INT) AS y,
