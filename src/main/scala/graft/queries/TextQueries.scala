@@ -389,7 +389,55 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("text")))
       .orderBy("doc_id", "fp")
 
+  /** d16 — stratified deterministic sampling: per-language keep rates
+    * (downsample the dominant language, keep half of the rest — the
+    * shape of every pretraining language mix), decided by an md5 hex
+    * prefix compare exactly like d12. Content-keyed, so the split is
+    * reproducible across runs, cluster sizes, and partitionings, and
+    * exact duplicates land in the same split; the rate table rides the
+    * plan as a literal map (broadcast-sized dimension, no join). */
+  def d16StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    // two-hex-char prefix < threshold: en 26/256 ≈ 10%, others 128/256
+    val thresholds: Map[String, String] = Map(
+      "en" -> "1a", "de" -> "80", "es" -> "80", "fr" -> "80", "zh" -> "80")
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("text")), 1, 2).as("hash_prefix"))
+      .filter(col("hash_prefix") <
+        coalesce(element_at(typedLit(thresholds), col("lang")), lit("00")))
+      .orderBy("doc_id")
+  }
+
+  /** d17 — bigram language-model counts: adjacent-token pair counts,
+    * left-token totals, and the conditional probability p(w2|w1) — the
+    * count table behind n-gram LM training and tokenizer-merge scoring.
+    * Per-row pair generation is a codegen'd higher-order function (no
+    * UDF); the two aggregations shuffle on (w1,w2) and w1. The
+    * probability is one integer-over-integer division, identical in
+    * both engines, so the oracle check stays exact. */
+  def d17BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(parallelism(s)) // same single-file hazard as shingled()
+      .select(words.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val lefts = pairs.groupBy("w1").agg(count(lit(1)).as("w1_cnt"))
+    bigrams.join(lefts, "w1")
+      .select(col("w1"), col("w2"), col("cnt"), col("w1_cnt"),
+        round(col("cnt") / col("w1_cnt").cast("double"), 4).as("p_cond"))
+      .orderBy(desc("cnt"), asc("w1"), asc("w2"))
+      .limit(40)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d16_stratified_sample" -> (d16StratifiedSample _),
+    "d17_bigram_lm"     -> (d17BigramLm _),
     "d14_winnow"        -> (d14Winnow _),
     "d13_tfidf"         -> (d13Tfidf _),
     "d12_hash_sample"   -> (d12HashSample _),
@@ -433,6 +481,29 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d16_stratified_sample" ->
+      """SELECT doc_id, lang, substr(md5(text), 1, 2) AS hash_prefix
+        |FROM documents
+        |WHERE substr(md5(text), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '1a'
+        |       WHEN lang IN ('de','es','fr','zh') THEN '80'
+        |       ELSE '00' END
+        |ORDER BY doc_id""".stripMargin,
+    "d17_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |pairs AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]) AS b
+        |    FROM toks WHERE len(w) >= 2)
+        |  WHERE b.w1 <> '' AND b.w2 <> ''),
+        |bigrams AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+        |lefts AS (SELECT w1, count(*) AS w1_cnt FROM pairs GROUP BY w1)
+        |SELECT b.w1, b.w2, CAST(b.cnt AS BIGINT) AS cnt,
+        |  CAST(l.w1_cnt AS BIGINT) AS w1_cnt,
+        |  round(b.cnt / CAST(l.w1_cnt AS DOUBLE), 4) AS p_cond
+        |FROM bigrams b JOIN lefts l USING (w1)
+        |ORDER BY cnt DESC, w1, w2 LIMIT 40""".stripMargin,
     "d14_winnow" ->
       """WITH n AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
