@@ -241,10 +241,14 @@ object GraphQueries extends QueryPack {
     val scale = 1000000000L
     val e = edges(s, dir).select(col("src_uid").as("src"), col("dst_uid").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg) is loop-invariant: stage it once instead of
+    // re-deriving edges+degrees inside every iteration's plan arm (a
+    // persisted/staged table at cluster scale, same idea as shingled())
+    val weighted = e.join(deg, "src").localCheckpoint(true)
     val n = nodes(s, dir).select("uid")
     var pr = n.withColumn("pr", lit(scale))
     for (_ <- 1 to 3) {
-      val contribs = e.join(deg, "src")
+      val contribs = weighted
         .join(pr.withColumnRenamed("uid", "src"), "src")
         .select(col("dst").as("uid"), expr("pr div outdeg").as("c"))
         .groupBy("uid").agg(sum("c").as("contrib"))
