@@ -17,7 +17,8 @@ object SparkEntry {
     GraphQueries,
     TextQueries,
     SimilarityQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    StreamQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
