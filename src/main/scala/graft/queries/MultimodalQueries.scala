@@ -49,9 +49,21 @@ object MultimodalQueries extends QueryPack {
         sum("checksum16").as("sum_checksum"))
       .orderBy("format")
 
+  /** m04 — frame table: the sampled frame vector exploded to one row
+    * per (media, frame index) via `posexplode` — the long-format table
+    * a frame-level training pipeline consumes (and the inverse of m01's
+    * packed form). The blob is dropped before the generator, so only
+    * scalar features flow through the explode. */
+  def m04FrameExplode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, dir))
+      .toDF()
+      .select(col("id"), posexplode(col("frames")).as(Seq("frame_idx", "frame_val")))
+      .orderBy("id", "frame_idx")
+
   val queries: Map[String, QueryFn] = Map(
     "m02_resize"          -> (m02Resize _),
     "m03_media_stats"     -> (m03MediaStats _),
+    "m04_frame_explode"   -> (m04FrameExplode _),
     "m01_decode_features" -> (m01DecodeFeatures _))
 
   private val mixedFormat =
@@ -78,6 +90,16 @@ object MultimodalQueries extends QueryPack {
         |                 least(length(text) - 1, k * length(text) // 8) + 1) + 1, 1))) // 2 AS INT)
         |    for k in range(0, 8)], ',') AS resized
         |FROM documents ORDER BY id""".stripMargin,
+    "m04_frame_explode" ->
+      """SELECT doc_id AS id, CAST(t.f.frame_idx AS INT) AS frame_idx,
+        |  CAST(t.f.frame_val AS INT) AS frame_val FROM (
+        |  SELECT doc_id,
+        |    unnest([{'frame_idx': k,
+        |             'frame_val': CAST(ascii(substr(text,
+        |               least(length(text) - 1, k * length(text) // 4) + 1, 1)) AS INT)}
+        |            for k in range(0, 4)]) AS f
+        |  FROM documents) t
+        |ORDER BY id, frame_idx""".stripMargin,
     "m03_media_stats" ->
       s"""SELECT $mixedFormat AS format,
         | CAST(count(*) AS BIGINT) AS n_media,

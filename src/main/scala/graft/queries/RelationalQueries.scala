@@ -558,7 +558,48 @@ object RelationalQueries extends QueryPack {
       .orderBy("s_nationkey")
   }
 
+  /** q40 — trailing 7-day range-frame window (RANGE, not ROWS — the
+    * frame is defined by the ORDER-BY value, so all orders within the
+    * trailing week enter the sum regardless of how many rows share a
+    * day). Day numbers are integer offsets from a fixed epoch, which is
+    * what lets both engines express the interval frame identically; the
+    * sum runs through decimal per the dsum note. */
+  def q40TrailingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("od_day")
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .as("od_day"),
+        col("o_totalprice"))
+      .withColumn("trail7_total",
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+          .cast("double"))
+      .select("o_custkey", "o_orderkey", "od_day", "trail7_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** a01 — approximate profile: HyperLogLog distinct users and
+    * interpolated-histogram percentiles per event type. Sketches are
+    * the only way to profile 100 TB in one pass, and their outputs are
+    * implementation-defined — no cross-engine oracle exists, so this
+    * entry takes the driver's rows-only check; ApproxSpec pins the
+    * error bounds against exact answers instead. */
+  def a01ApproxProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"),
+        round(expr("approx_percentile(value, 0.5, 1000)"), 2).as("p50_value"),
+        round(expr("approx_percentile(value, 0.99, 1000)"), 2).as("p99_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, QueryFn] = Map(
+    "q40_trailing_window" -> (q40TrailingWindow _),
+    "a01_approx_profile"  -> (a01ApproxProfile _),
     "q38_bloom_prune"     -> (q38BloomPrune _),
     "q39_skew_join"       -> (q39SkewJoin _),
     "q37_date_funcs"      -> (q37DateFuncs _),
@@ -600,6 +641,15 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q40_trailing_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS od_day,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trail7_total
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q38_bloom_prune" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
