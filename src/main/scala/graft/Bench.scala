@@ -46,7 +46,7 @@ object Bench {
         clearCaches()
         t
       }.min
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
+      System.err.println(f"[bench] $name%-22s $dt%.6f s")
       name -> dt
     }.toMap
     // Millisecond precision keeps the whole line ~1.8 KB: the driver

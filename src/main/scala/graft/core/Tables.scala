@@ -29,14 +29,18 @@ object Tables {
     * integral `div`, not float division: nano epochs (~1.7e18) exceed
     * double's exact-integer range.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = apply(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    withEventTs(apply(s, d, "events"))
+
+  /** The nanos→micros `ts` normalization, shared by every reader of the
+    * events table (batch above, streaming in queries.StreamQueries) so
+    * the two paths can never drift apart. */
+  def withEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

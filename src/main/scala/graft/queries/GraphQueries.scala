@@ -248,14 +248,20 @@ object GraphQueries extends QueryPack {
     val n = nodes(s, dir).select("uid")
     var pr = n.withColumn("pr", lit(scale))
     for (_ <- 1 to 3) {
+      // contribution sums run in decimal(38,0): a long sum would wrap
+      // silently once aggregate in-neighbor rank reaches ~1.1e17 (85·x
+      // > 2^63) — a hub node on a 100 TB graph gets there; the DuckDB
+      // oracle's HUGEINT sums don't wrap, so the overflow would also be
+      // an engine divergence. `div` on the decimal returns the exact
+      // integral part as a long again.
       val contribs = weighted
         .join(pr.withColumnRenamed("uid", "src"), "src")
         .select(col("dst").as("uid"), expr("pr div outdeg").as("c"))
-        .groupBy("uid").agg(sum("c").as("contrib"))
+        .groupBy("uid").agg(sum(col("c").cast("decimal(38,0)")).as("contrib"))
       pr = n.join(contribs, Seq("uid"), "left")
         .select(col("uid"),
           (lit(scale * 15 / 100) +
-            expr("(85 * coalesce(contrib, 0)) div 100")).as("pr"))
+            expr("(85 * coalesce(contrib, CAST(0 AS DECIMAL(38,0)))) div 100")).as("pr"))
     }
     pr.orderBy(desc("pr"), asc("uid")).limit(30)
   }

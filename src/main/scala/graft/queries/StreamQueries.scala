@@ -30,15 +30,10 @@ object StreamQueries extends QueryPack {
     val streamDir = Files.createTempDirectory("graft-s01-in")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val raw = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-    // same conditional nanos→micros conversion Tables.events applies
-    val ev = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val ev = graft.core.Tables.withEventTs(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString))
     val agg = ev
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -55,8 +50,25 @@ object StreamQueries extends QueryPack {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(300000)
-    finally q.stop()
+    try {
+      // a timed-out stream must be LOUD — returning the half-filled
+      // memory table would hand the gate (and the bench) silent garbage
+      if (!q.awaitTermination(300000))
+        sys.error("s01_stream_window: stream did not finish within 300s")
+    } finally {
+      q.stop()
+      // the result lives in the memory sink; the staged input copy and
+      // the checkpoint are dead weight — delete them so repeated bench/
+      // verify invocations don't accumulate temp dirs
+      def rm(p: java.nio.file.Path): Unit = {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      rm(streamDir)
+      rm(Paths.get(ckpt))
+    }
     s.table(sink).orderBy("win_start", "event_type")
   }
 

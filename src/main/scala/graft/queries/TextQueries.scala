@@ -426,6 +426,9 @@ object TextQueries extends QueryPack {
           element_at(col("w"), i + 1).as("w2")))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
+      // two agg arms + the join would otherwise re-derive the tokenize/
+      // explode chain once each — same materialize-once fix as shingled()
+      .localCheckpoint(true)
     val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
     val lefts = pairs.groupBy("w1").agg(count(lit(1)).as("w1_cnt"))
     bigrams.join(lefts, "w1")
