@@ -597,7 +597,32 @@ object RelationalQueries extends QueryPack {
         round(expr("approx_percentile(value, 0.99, 1000)"), 2).as("p99_value"))
       .orderBy("event_type")
 
+  /** q41 — time-series gap filling: a generated per-user date spine
+    * (min..max activity day via `sequence` + `explode` — no driver
+    * loop, no cross join) left-joined to daily totals, gaps
+    * forward-filled with `last_value(… ignoreNulls)` over the date
+    * order. The densify-and-fill shape every metrics/feature pipeline
+    * needs before resampling; at scale the spine explode is per-user
+    * bounded and the fill is one partitioned window sort. */
+  def q41GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .filter(col("user_id") <= 20)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(moneySum(col("value")).as("day_total"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        last("day_total", ignoreNulls = true).over(w).as("filled_total"),
+        col("day_total").isNull.as("is_gap"))
+      .orderBy("user_id", "d")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q41_gap_fill"        -> (q41GapFill _),
     "q40_trailing_window" -> (q40TrailingWindow _),
     "a01_approx_profile"  -> (a01ApproxProfile _),
     "q38_bloom_prune"     -> (q38BloomPrune _),
@@ -641,6 +666,22 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q41_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS day_total
+        |  FROM events WHERE user_id <= 20
+        |  GROUP BY user_id, CAST(ts AS DATE)),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(min(d), max(d),
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM daily GROUP BY user_id)
+        |SELECT s.user_id, s.d,
+        |  last_value(dl.day_total IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.d) AS filled_total,
+        |  dl.day_total IS NULL AS is_gap
+        |FROM spine s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.d = dl.d
+        |ORDER BY s.user_id, s.d""".stripMargin,
     "q40_trailing_window" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS od_day,
