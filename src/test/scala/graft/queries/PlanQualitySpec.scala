@@ -61,6 +61,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("*("), s"agg outside codegen in:\n$plan")
   }
 
+  test("q38: the bloom probe filter sits on the scan side of the plan") {
+    val plan = planOf(RelationalQueries.q38BloomPrune(spark, dir))
+    // the probe compiles to a UDF filter over l_orderkey; it must be in
+    // the plan at all (dropping it silently would still pass the value
+    // oracle — the join stays exact — but the 100 TB shuffle saving is
+    // gone)
+    val filterLine = plan.linesIterator.find(l =>
+      l.contains("Filter") && l.contains("UDF") && l.contains("l_orderkey"))
+    assert(filterLine.isDefined, s"no bloom probe filter in:\n$plan")
+  }
+
+  test("q40: the range-frame window plans one sort, no extra exchange per function") {
+    val plan = planOf(RelationalQueries.q40TrailingWindow(spark, dir))
+    assert(plan.contains("Window"), s"no window node in:\n$plan")
+    assert(plan.contains("RangeFrame"),
+      s"window not planned as a range frame in:\n$plan")
+  }
+
+  test("q41: spine explode plus fill stays a single window sort per partition key") {
+    val plan = planOf(RelationalQueries.q41GapFill(spark, dir))
+    assert(plan.contains("Generate explode"), s"no generator for the date spine in:\n$plan")
+    assert(plan.contains("last("), s"no ignore-nulls fill window in:\n$plan")
+  }
+
   test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
     val df = RelationalQueries.q01PricingSummary(spark, dir)
     df.collect()
