@@ -266,7 +266,20 @@ object GraphQueries extends QueryPack {
     pr.orderBy(desc("pr"), asc("uid")).limit(30)
   }
 
+  /** g14 — reverse traversal `(n:Nation)<-[:IN_NATION]-(m)`: the DSL's
+    * backward hop (Cypher's other arrow), counting residents per
+    * nation with path multiplicity — the same plan shape as a forward
+    * hop, joined on dst_uid instead of src_uid. */
+  def g14DslReverse(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphDSL.on(nodes(s, dir), edges(s, dir))
+      .matchLabel("Nation")
+      .where(col("name") < "NATION_2")
+      .in("IN_NATION")
+      .df.groupBy("label").agg(count(lit(1)).as("cnt"))
+      .orderBy("label")
+
   val queries: Map[String, QueryFn] = Map(
+    "g14_dsl_reverse"    -> (g14DslReverse _),
     "g13_pagerank"       -> (g13PageRank _),
     "g12_dsl_varlength"  -> (g12DslVarLength _),
     "g11_shortest_paths" -> (g11ShortestPaths _),
@@ -282,6 +295,14 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g14_dsl_reverse" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT 'Customer' AS label FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey WHERE n_name < 'NATION_2'
+        |  UNION ALL
+        |  SELECT 'Supplier' FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey WHERE n_name < 'NATION_2')
+        |GROUP BY label ORDER BY label""".stripMargin,
     "g13_pagerank" ->
       """WITH nodes AS (
         |  SELECT 'Customer:' || c_custkey AS uid FROM customer

@@ -621,7 +621,29 @@ object RelationalQueries extends QueryPack {
       .orderBy("user_id", "d")
   }
 
+  /** q42 — blocked fuzzy matching (entity resolution, the scalable form
+    * of the reference's dedup-merge-by-name, facilities.py:58-76):
+    * candidate pairs come from an equi-join on a blocking key
+    * (nation + name prefix) — never an all-pairs cross join — and only
+    * candidates pay the levenshtein edit-distance check. Standard
+    * blocking recall trade-off: pairs differing inside the block key
+    * are unreachable by construction, identically in both engines. */
+  def q42FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(
+      col("c_nationkey").as("nationkey"), col("c_name").as("name"),
+      substring(col("c_name"), 10, 5).as("blk"))
+    val a = c.select(col("nationkey"), col("blk"), col("name").as("name_a"))
+    val b = c.select(col("nationkey"), col("blk"), col("name").as("name_b"))
+    a.join(b, Seq("nationkey", "blk"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 2)
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("nationkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q42_fuzzy_match"     -> (q42FuzzyMatch _),
     "q41_gap_fill"        -> (q41GapFill _),
     "q40_trailing_window" -> (q40TrailingWindow _),
     "a01_approx_profile"  -> (a01ApproxProfile _),
@@ -666,6 +688,14 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q42_fuzzy_match" ->
+      """SELECT a.c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        | AND substr(a.c_name, 10, 5) = substr(b.c_name, 10, 5)
+        | AND a.c_name < b.c_name
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |GROUP BY a.c_nationkey ORDER BY nationkey""".stripMargin,
     "q41_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d,
