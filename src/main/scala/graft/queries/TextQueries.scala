@@ -438,7 +438,29 @@ object TextQueries extends QueryPack {
       .limit(40)
   }
 
+  /** d18 — benchmark decontamination: flag corpus documents sharing any
+    * word 3-gram with a held-out eval set (every 50th doc stands in for
+    * the benchmark). The canonical pretraining hygiene op, shaped for
+    * scale: eval shingles are a small distinct dimension (broadcastable
+    * against a 100 TB corpus), the overlap is one equi-join on the
+    * shingle key — never a document cross join — and the per-doc
+    * aggregate counts distinct eval sources so triage can rank by
+    * contamination breadth. */
+  def d18Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val rows = shingleRowsOf(shingled(s, dir))
+      .select(col("doc_id"), col("s"))
+    val evalRows = rows.filter(col("doc_id") % 50 === 0)
+      .select(col("s"), col("doc_id").as("eval_id")).distinct()
+    rows.filter(col("doc_id") % 50 =!= 0)
+      .join(evalRows, "s")
+      .groupBy("doc_id")
+      .agg(countDistinct("eval_id").as("n_eval_docs"),
+        countDistinct("s").as("n_shared_shingles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d18_decontaminate" -> (d18Decontaminate _),
     "d16_stratified_sample" -> (d16StratifiedSample _),
     "d17_bigram_lm"     -> (d17BigramLm _),
     "d14_winnow"        -> (d14Winnow _),
@@ -484,6 +506,15 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d18_decontaminate" ->
+      s"""WITH $shingleCte
+        |SELECT c.doc_id,
+        |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs,
+        |  CAST(count(DISTINCT c.s) AS BIGINT) AS n_shared_shingles
+        |FROM (SELECT doc_id, s FROM ex WHERE doc_id % 50 <> 0) c
+        |JOIN (SELECT DISTINCT s, doc_id AS eval_id FROM ex WHERE doc_id % 50 = 0) e
+        |  ON c.s = e.s
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "d16_stratified_sample" ->
       """SELECT doc_id, lang, substr(md5(text), 1, 2) AS hash_prefix
         |FROM documents
