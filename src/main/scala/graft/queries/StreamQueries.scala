@@ -1,39 +1,82 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Structured Streaming driven through the DuckDB gate (SURVEY §2.10):
-  * the events table replayed through a real `readStream` file source →
-  * event-time window aggregation → AvailableNow trigger → memory sink,
-  * with the final result checked hash-exactly against a batch SQL
-  * oracle. This is the incremental-equals-batch contract a streaming
-  * engine owes its users, enforced per round — the watermark/late-data
-  * and stateful paths are spec-covered (StreamingWindowSpec,
-  * StreamingSessionizeSpec); this entry proves the production source +
-  * sink wiring end-to-end.
+  * the events table replayed through real `readStream` file sources,
+  * AvailableNow triggers, and memory sinks, with each final result
+  * checked hash-exactly against a batch SQL oracle. This is the
+  * incremental-equals-batch contract a streaming engine owes its
+  * users, enforced per round — the late-data and custom-state paths
+  * are spec-covered (StreamingWindowSpec, StreamingSessionizeSpec);
+  * these entries prove the production source + sink wiring end-to-end.
   *
   * Scale notes: the file source discovers and batches files
-  * incrementally (`maxFilesPerTrigger`) — at 100 TB the same plan runs
-  * over an arriving directory with a watermark bounding state; the
-  * tumbling-window agg shuffles once per micro-batch on (window,
-  * event_type), exactly like its batch twin q18.
+  * incrementally (`maxFilesPerTrigger`) — at 100 TB the same plans run
+  * over an arriving directory with watermarks bounding state; each
+  * micro-batch shuffles exactly like its batch twin (q18 for s01, q26
+  * for s02).
   */
 object StreamQueries extends QueryPack {
 
-  def s01StreamWindow(s: SparkSession, dir: String): DataFrame = {
+  /** Stage the events table file into a fresh directory (the file
+    * source watches directories) and open a schema-pinned stream over
+    * it with the same ts normalization as the batch path. */
+  private def stagedEventStream(s: SparkSession, dir: String,
+                                tag: String): (DataFrame, Path) = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    // the file source watches a directory; stage the table file into one
-    val streamDir = Files.createTempDirectory("graft-s01-in")
+    val streamDir = Files.createTempDirectory(s"graft-$tag-in")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val ev = graft.core.Tables.withEventTs(
+    val df = graft.core.Tables.withEventTs(
       s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString))
+    (df, streamDir)
+  }
+
+  /** Run `plan` to completion into a uniquely-named memory sink (Verify
+    * and Bench both call each query function repeatedly in one session)
+    * and return the sink table. Fails LOUDLY on timeout — returning a
+    * half-filled memory table would hand the gate silent garbage — and
+    * deletes the staged input + checkpoint afterwards so repeated
+    * invocations don't accumulate temp dirs (the result lives in the
+    * sink, not on disk). */
+  private def runToMemory(s: SparkSession, plan: DataFrame, tag: String,
+                          mode: String, staged: Path): DataFrame = {
+    val sink = tag + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = Files.createTempDirectory(s"graft-$tag-ckpt")
+    val q = plan.writeStream.format("memory").queryName(sink)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        sys.error(s"$tag: stream did not finish within 300s")
+    } finally {
+      q.stop()
+      def rm(p: Path): Unit = {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      rm(staged)
+      rm(ckpt)
+    }
+    s.table(sink)
+  }
+
+  /** s01 — event-time tumbling-window aggregation (the streaming twin
+    * of q18): readStream → 5-minute windows → complete-mode memory
+    * sink; the value sum rides decimal per the dsum determinism note. */
+  def s01StreamWindow(s: SparkSession, dir: String): DataFrame = {
+    val (ev, staged) = stagedEventStream(s, dir, "s01")
     val agg = ev
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -41,41 +84,53 @@ object StreamQueries extends QueryPack {
           .as("total_value"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("cnt"), col("total_value"))
-    // unique sink/checkpoint per invocation: Verify and Bench both call
-    // the query function repeatedly in one session
-    val sink = "s01_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val ckpt = Files.createTempDirectory("graft-s01-ckpt").toString
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      // a timed-out stream must be LOUD — returning the half-filled
-      // memory table would hand the gate (and the bench) silent garbage
-      if (!q.awaitTermination(300000))
-        sys.error("s01_stream_window: stream did not finish within 300s")
-    } finally {
-      q.stop()
-      // the result lives in the memory sink; the staged input copy and
-      // the checkpoint are dead weight — delete them so repeated bench/
-      // verify invocations don't accumulate temp dirs
-      def rm(p: java.nio.file.Path): Unit = {
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.deleteIfExists(f))
-        finally walk.close()
-      }
-      rm(streamDir)
-      rm(Paths.get(ckpt))
-    }
-    s.table(sink).orderBy("win_start", "event_type")
+    runToMemory(s, agg, "s01", "complete", staged)
+      .orderBy("win_start", "event_type")
+  }
+
+  /** s02 — watermarked stream-stream interval join: click and error
+    * streams (two independent file sources over the same staged events
+    * table) joined per user within a preceding 30-minute window — the
+    * streaming form of q26's range join, with BOTH sides' state bounded
+    * by watermarks. The whole table arrives in each source's first
+    * micro-batch here, so the append-mode inner join emits exactly the
+    * batch join the oracle runs; at scale the same plan runs over
+    * arriving files with the watermarks GC'ing join state. */
+  def s02StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val (src1, staged) = stagedEventStream(s, dir, "s02")
+    // second source over the same staged dir: its own file-source state
+    val src2 = graft.core.Tables.withEventTs(
+      s.readStream.schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString))
+    val clicks = src1.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val errors = src2.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_event"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = clicks.join(errors,
+      expr("c_user = e_user AND e_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"))
+      .select(col("c_event"), col("e_event"), col("c_user").as("user_id"))
+    runToMemory(s, joined, "s02", "append", staged)
+      .orderBy("c_event", "e_event")
   }
 
   val queries: Map[String, QueryFn] = Map(
-    "s01_stream_window" -> (s01StreamWindow _))
+    "s01_stream_window" -> (s01StreamWindow _),
+    "s02_stream_join"   -> (s02StreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "s02_stream_join" ->
+      """SELECT c.event_id AS c_event, e.event_id AS e_event,
+        |  c.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id
+        | AND e.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+        |ORDER BY c_event, e_event""".stripMargin,
     "s01_stream_window" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS win_start, event_type,
         | CAST(count(*) AS BIGINT) AS cnt,
