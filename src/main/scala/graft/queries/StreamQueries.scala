@@ -50,6 +50,13 @@ object StreamQueries extends QueryPack {
                           mode: String, staged: Path): DataFrame = {
     val sink = tag + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ckpt = Files.createTempDirectory(s"graft-$tag-ckpt")
+    // state-store partition count is captured from shuffle.partitions at
+    // stream start and each partition pays per-batch store setup/commit
+    // IO — 32 partitions of near-empty state cost ~4s/run on the
+    // stateful join. 8 fits this state; a real deployment sizes this to
+    // state volume, which is exactly what this override models.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = plan.writeStream.format("memory").queryName(sink)
       .outputMode(mode)
       .option("checkpointLocation", ckpt.toString)
@@ -59,6 +66,10 @@ object StreamQueries extends QueryPack {
       if (!q.awaitTermination(300000))
         sys.error(s"$tag: stream did not finish within 300s")
     } finally {
+      // restore only after the stream is done: batch 0 pins the state
+      // partition count from the session conf when it plans, which can
+      // happen after start() returns
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.stop()
       def rm(p: Path): Unit = {
         val walk = Files.walk(p)
