@@ -57,20 +57,22 @@ object StreamQueries extends QueryPack {
     // state volume, which is exactly what this override models.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = plan.writeStream.format("memory").queryName(sink)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
     try {
-      if (!q.awaitTermination(300000))
-        sys.error(s"$tag: stream did not finish within 300s")
+      val q = plan.writeStream.format("memory").queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error(s"$tag: stream did not finish within 300s")
+      } finally q.stop()
     } finally {
-      // restore only after the stream is done: batch 0 pins the state
+      // restore only after the stream is done (batch 0 pins the state
       // partition count from the session conf when it plans, which can
-      // happen after start() returns
+      // happen after start() returns) — and on EVERY exit path: leaving
+      // the session at 8 would silently re-partition every later query
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.stop()
       def rm(p: Path): Unit = {
         val walk = Files.walk(p)
         try walk.sorted(java.util.Comparator.reverseOrder[Path]())
