@@ -23,42 +23,46 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamQueries extends QueryPack {
 
-  /** Stage the events table file into a fresh directory (the file
-    * source watches directories) and open a schema-pinned stream over
-    * it with the same ts normalization as the batch path. */
-  private def stagedEventStream(s: SparkSession, dir: String,
-                                tag: String): (DataFrame, Path) = {
+  /** Stage the events table into a fresh watch directory, hand `build`
+    * a source factory (each call opens an independent schema-pinned
+    * file stream with the batch path's ts normalization — s02 needs
+    * two), run the built plan to completion into a uniquely-named
+    * memory sink, and return the sink table. One scope owns the whole
+    * lifecycle:
+    *
+    *  - the sink name is unique per invocation (Verify and Bench call
+    *    each query function repeatedly in one session);
+    *  - a timed-out stream fails LOUDLY — returning a half-filled
+    *    memory table would hand the gate silent garbage;
+    *  - the state-store partition count is pinned from
+    *    shuffle.partitions when batch 0 plans, and each partition pays
+    *    per-batch store setup/commit IO — 32 partitions of near-empty
+    *    state cost the stateful join ~4s/run, so streams run at 8
+    *    (restored on every exit path AFTER the stream is done: batch 0
+    *    can plan after start() returns, and leaving the session at 8
+    *    would silently re-partition every later query);
+    *  - the staged copy and checkpoint are deleted on every exit path,
+    *    including a throw during plan construction, and a cleanup
+    *    failure never masks the stream's own exception (the result
+    *    lives in the memory sink, not on disk).
+    */
+  private def runStaged(s: SparkSession, dir: String, tag: String,
+                        mode: String)
+                       (build: (() => DataFrame) => DataFrame): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val streamDir = Files.createTempDirectory(s"graft-$tag-in")
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val df = graft.core.Tables.withEventTs(
-      s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(streamDir.toString))
-    (df, streamDir)
-  }
-
-  /** Run `plan` to completion into a uniquely-named memory sink (Verify
-    * and Bench both call each query function repeatedly in one session)
-    * and return the sink table. Fails LOUDLY on timeout — returning a
-    * half-filled memory table would hand the gate silent garbage — and
-    * deletes the staged input + checkpoint afterwards so repeated
-    * invocations don't accumulate temp dirs (the result lives in the
-    * sink, not on disk). */
-  private def runToMemory(s: SparkSession, plan: DataFrame, tag: String,
-                          mode: String, staged: Path): DataFrame = {
-    val sink = tag + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ckpt = Files.createTempDirectory(s"graft-$tag-ckpt")
-    // state-store partition count is captured from shuffle.partitions at
-    // stream start and each partition pays per-batch store setup/commit
-    // IO — 32 partitions of near-empty state cost ~4s/run on the
-    // stateful join. 8 fits this state; a real deployment sizes this to
-    // state volume, which is exactly what this override models.
+    val sink = tag + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = plan.writeStream.format("memory").queryName(sink)
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val src = () => graft.core.Tables.withEventTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString))
+      val q = build(src).writeStream.format("memory").queryName(sink)
         .outputMode(mode)
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
@@ -68,19 +72,19 @@ object StreamQueries extends QueryPack {
           sys.error(s"$tag: stream did not finish within 300s")
       } finally q.stop()
     } finally {
-      // restore only after the stream is done (batch 0 pins the state
-      // partition count from the session conf when it plans, which can
-      // happen after start() returns) — and on EVERY exit path: leaving
-      // the session at 8 would silently re-partition every later query
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      def rm(p: Path): Unit = {
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
-        finally walk.close()
-      }
-      rm(staged)
-      rm(ckpt)
+      def rmQuiet(p: Path): Unit =
+        try {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[$tag] temp cleanup of $p failed: ${e.getMessage}")
+        }
+      rmQuiet(streamDir)
+      rmQuiet(ckpt)
     }
     s.table(sink)
   }
@@ -88,18 +92,16 @@ object StreamQueries extends QueryPack {
   /** s01 — event-time tumbling-window aggregation (the streaming twin
     * of q18): readStream → 5-minute windows → complete-mode memory
     * sink; the value sum rides decimal per the dsum determinism note. */
-  def s01StreamWindow(s: SparkSession, dir: String): DataFrame = {
-    val (ev, staged) = stagedEventStream(s, dir, "s01")
-    val agg = ev
-      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
-          .as("total_value"))
-      .select(unix_timestamp(col("window.start")).as("win_start"),
-        col("event_type"), col("cnt"), col("total_value"))
-    runToMemory(s, agg, "s01", "complete", staged)
-      .orderBy("win_start", "event_type")
-  }
+  def s01StreamWindow(s: SparkSession, dir: String): DataFrame =
+    runStaged(s, dir, "s01", "complete") { src =>
+      src()
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+            .as("total_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("cnt"), col("total_value"))
+    }.orderBy("win_start", "event_type")
 
   /** s02 — watermarked stream-stream interval join: click and error
     * streams (two independent file sources over the same staged events
@@ -109,27 +111,20 @@ object StreamQueries extends QueryPack {
     * micro-batch here, so the append-mode inner join emits exactly the
     * batch join the oracle runs; at scale the same plan runs over
     * arriving files with the watermarks GC'ing join state. */
-  def s02StreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val (src1, staged) = stagedEventStream(s, dir, "s02")
-    // second source over the same staged dir: its own file-source state
-    val src2 = graft.core.Tables.withEventTs(
-      s.readStream.schema(s.read.parquet(s"$dir/events.parquet").schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged.toString))
-    val clicks = src1.filter(col("event_type") === "click")
-      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val errors = src2.filter(col("event_type") === "error")
-      .select(col("event_id").as("e_event"), col("user_id").as("e_user"),
-        col("ts").as("e_ts"))
-      .withWatermark("e_ts", "1 hour")
-    val joined = clicks.join(errors,
-      expr("c_user = e_user AND e_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"))
-      .select(col("c_event"), col("e_event"), col("c_user").as("user_id"))
-    runToMemory(s, joined, "s02", "append", staged)
-      .orderBy("c_event", "e_event")
-  }
+  def s02StreamJoin(s: SparkSession, dir: String): DataFrame =
+    runStaged(s, dir, "s02", "append") { src =>
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val errors = src().filter(col("event_type") === "error")
+        .select(col("event_id").as("e_event"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      clicks.join(errors,
+        expr("c_user = e_user AND e_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"))
+        .select(col("c_event"), col("e_event"), col("c_user").as("user_id"))
+    }.orderBy("c_event", "e_event")
 
   val queries: Map[String, QueryFn] = Map(
     "s01_stream_window" -> (s01StreamWindow _),

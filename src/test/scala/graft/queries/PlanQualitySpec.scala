@@ -72,24 +72,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(filterLine.isDefined, s"no bloom probe filter in:\n$plan")
   }
 
-  test("q40: the range-frame window plans one sort, no extra exchange per function") {
-    val plan = planOf(RelationalQueries.q40TrailingWindow(spark, dir))
-    assert(plan.contains("Window"), s"no window node in:\n$plan")
-    assert(plan.contains("RangeFrame"),
-      s"window not planned as a range frame in:\n$plan")
-  }
-
-  test("q41: spine explode plus fill stays a single window sort per partition key") {
-    val plan = planOf(RelationalQueries.q41GapFill(spark, dir))
-    assert(plan.contains("Generate explode"), s"no generator for the date spine in:\n$plan")
-    assert(plan.contains("last("), s"no ignore-nulls fill window in:\n$plan")
-  }
-
-  test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
-    val df = RelationalQueries.q01PricingSummary(spark, dir)
+  /** Count Exchange nodes in the executed plan. AQE wraps materialized
+    * stages in leaf QueryStageExec nodes — descend into them or wrapped
+    * exchanges go uncounted. */
+  private def exchangeCount(df: DataFrame): Int = {
     df.collect()
-    // AQE wraps materialized stages in leaf QueryStageExec nodes —
-    // descend into them or wrapped exchanges go uncounted
     def exchanges(p: SparkPlan): Int = {
       val self = p match { case _: Exchange => 1; case _ => 0 }
       val inner = p match {
@@ -99,8 +86,40 @@ class PlanQualitySpec extends SparkSpec {
       }
       self + inner + p.children.map(exchanges).sum
     }
-    val n = exchanges(df.queryExecution.executedPlan)
+    exchanges(df.queryExecution.executedPlan)
+  }
+
+  test("q40: the range-frame window plans one window over one shuffle, plus the sort") {
+    val df = RelationalQueries.q40TrailingWindow(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("RangeFrame"),
+      s"window not planned as a range frame in:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"expected exactly one Window node in:\n$plan")
+    // one exchange partitioning by o_custkey for the window, one for the
+    // final orderBy — a second window spec or lost partition alignment
+    // would add more
+    val n = exchangeCount(df)
+    assert(n <= 2, s"q40 shuffles $n times")
+  }
+
+  test("q41: spine + fill runs one window and bounded exchanges") {
+    val df = RelationalQueries.q41GapFill(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("Generate explode"), s"no generator for the date spine in:\n$plan")
+    assert(plan.contains("last("), s"no ignore-nulls fill window in:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"expected exactly one Window node in:\n$plan")
+    // daily agg (1, localCheckpointed so counted once) + spine agg (1) +
+    // spine-daily join (up to 2) + fill window (1) + final sort (1)
+    val n = exchangeCount(df)
+    assert(n <= 6, s"q41 shuffles $n times")
+  }
+
+  test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
+    val df = RelationalQueries.q01PricingSummary(spark, dir)
     // one exchange for the groupBy, one for the final orderBy — no more
+    val n = exchangeCount(df)
     assert(n <= 2, s"q01 shuffles $n times")
   }
 }
