@@ -278,7 +278,21 @@ object GraphQueries extends QueryPack {
       .df.groupBy("label").agg(count(lit(1)).as("cnt"))
       .orderBy("label")
 
+  /** g15 — out-degree distribution per label: the first profiling query
+    * run on any new graph (degree histograms expose skew — the hot-key
+    * hazard of every traversal join — before it bites). Left join keeps
+    * zero-degree nodes (regions) in the histogram. */
+  def g15DegreeHistogram(s: SparkSession, dir: String): DataFrame = {
+    val deg = edges(s, dir).groupBy(col("src_uid").as("uid"))
+      .agg(count(lit(1)).as("out_deg"))
+    nodes(s, dir).join(deg, Seq("uid"), "left")
+      .select(col("label"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .groupBy("label", "out_deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("label", "out_deg")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g15_degree_histogram" -> (g15DegreeHistogram _),
     "g14_dsl_reverse"    -> (g14DslReverse _),
     "g13_pagerank"       -> (g13PageRank _),
     "g12_dsl_varlength"  -> (g12DslVarLength _),
@@ -295,6 +309,23 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g15_degree_histogram" ->
+      """WITH deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM (
+        |    SELECT 'Customer:' || c_custkey AS src FROM customer
+        |    UNION ALL SELECT 'Supplier:' || s_suppkey FROM supplier
+        |    UNION ALL SELECT 'Nation:' || n_nationkey FROM nation)
+        |  GROUP BY src),
+        |nodes AS (
+        |  SELECT 'Customer' AS label, 'Customer:' || c_custkey AS uid FROM customer
+        |  UNION ALL SELECT 'Supplier', 'Supplier:' || s_suppkey FROM supplier
+        |  UNION ALL SELECT 'Nation', 'Nation:' || n_nationkey FROM nation
+        |  UNION ALL SELECT 'Region', 'Region:' || r_regionkey FROM region)
+        |SELECT n.label, COALESCE(d.out_deg, 0) AS out_deg,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM nodes n LEFT JOIN deg d ON n.uid = d.src
+        |GROUP BY n.label, COALESCE(d.out_deg, 0)
+        |ORDER BY label, out_deg""".stripMargin,
     "g14_dsl_reverse" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM (
         |  SELECT 'Customer' AS label FROM customer

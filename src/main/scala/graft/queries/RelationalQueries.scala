@@ -649,7 +649,28 @@ object RelationalQueries extends QueryPack {
       .orderBy("nationkey")
   }
 
+  /** q43 — heterogeneous-schema union (schema evolution at ingestion):
+    * customer and supplier snapshots with different column sets unioned
+    * by NAME with missing columns null-filled — the tolerant-reader
+    * shape every long-lived ingestion pipeline needs when upstream
+    * schemas drift. Positional union would silently misalign; this is
+    * the API contract `unionByName(allowMissingColumns)` pins. */
+  def q43SchemaUnion(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("party_id"), col("c_name").as("name"),
+      col("c_acctbal").as("balance"), col("c_mktsegment").as("segment"))
+      .withColumn("kind", lit("customer"))
+    val su = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("party_id"), col("s_name").as("name"),
+      col("s_nationkey").as("nation"))
+      .withColumn("kind", lit("supplier"))
+    c.unionByName(su, allowMissingColumns = true)
+      .filter(col("party_id") <= 50)
+      .orderBy("kind", "party_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q43_schema_union"    -> (q43SchemaUnion _),
     "q42_fuzzy_match"     -> (q42FuzzyMatch _),
     "q41_gap_fill"        -> (q41GapFill _),
     "q40_trailing_window" -> (q40TrailingWindow _),
@@ -695,6 +716,17 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q43_schema_union" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS party_id, c_name AS name, c_acctbal AS balance,
+        |         c_mktsegment AS segment, 'customer' AS kind
+        |  FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_suppkey AS party_id, s_name AS name,
+        |         s_nationkey AS nation, 'supplier' AS kind
+        |  FROM supplier)
+        |WHERE party_id <= 50
+        |ORDER BY kind, party_id""".stripMargin,
     "q42_fuzzy_match" ->
       """SELECT a.c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM customer a JOIN customer b

@@ -459,7 +459,28 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** d19 — intra-document repetition scoring: the fraction of word
+    * 3-gram occurrences that are repeats (1 − distinct/total), the
+    * Gopher-style quality signal that catches boilerplate and
+    * degenerate loops exact dedup misses. Pure per-row array
+    * arithmetic — integer ratio, so the score is engine-exact — and
+    * no shuffle until the final ordering. */
+  def d19Repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(parallelism(s)) // same single-file hazard as shingled()
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        (size(col("w")) - 2).as("n_trigrams"),
+        size(shingles).as("n_distinct"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_trigrams").cast("double"), 4)
+          .as("rep_score"))
+      .orderBy("doc_id")
+
   val queries: Map[String, QueryFn] = Map(
+    "d19_repetition"    -> (d19Repetition _),
     "d18_decontaminate" -> (d18Decontaminate _),
     "d16_stratified_sample" -> (d16StratifiedSample _),
     "d17_bigram_lm"     -> (d17BigramLm _),
@@ -506,6 +527,18 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d19_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) - 2 AS INT) AS n_trigrams,
+        |  CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in range(1, len(w)-1)])) AS INT) AS n_distinct,
+        |  round(1.0 - CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                      for i in range(1, len(w)-1)])) AS DOUBLE)
+        |              / (len(w) - 2), 4) AS rep_score
+        |FROM words WHERE len(w) >= 3
+        |ORDER BY doc_id""".stripMargin,
     "d18_decontaminate" ->
       s"""WITH $shingleCte
         |SELECT c.doc_id,
