@@ -49,17 +49,35 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $dt%.6f s")
       name -> dt
     }.toMap
-    // Millisecond precision keeps the whole line ~1.8 KB: the driver
-    // captures only a tail window of stdout and parses the JSON line out
-    // of it — round 1's full-precision line (~2.9 KB) got its head cut
-    // off by that window and the round's bench went unparsed. Full
-    // precision still goes to stderr above, per query.
+    // The driver captures only a ~2.8 KB tail window of stdout and
+    // parses the JSON line out of it. Rounds 1 AND 2 both went unparsed
+    // because the all-queries map (86 entries, ~2.3 KB even at
+    // millisecond precision) pushed the line's head out of the window.
+    // So stdout carries a headline subset — one representative per
+    // operator family — and the complete per-query map goes to
+    // bench_full.json in the working directory (plus full precision per
+    // query on stderr above).
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + sec(v) }
-      .mkString("{", ",", "}")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
+    val headline = Seq(
+      "q01_pricing_summary", "q03_topk_revenue", "q04_join_broadcast",
+      "q21_sessionize", "q26_range_join", "d07_minhash_lsh",
+      "d10_clean_corpus", "d13_tfidf", "e01_knn_brute", "e05_ivf_topk",
+      "g08_graph_components", "g13_pagerank", "m04_frame_explode",
+      "s01_stream_window", "s02_stream_join")
+    val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = jsonMap(results.toSeq.sortBy(_._1))
+    try {
+      val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
+      try w.println(
+        s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch {
+      case e: Exception => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

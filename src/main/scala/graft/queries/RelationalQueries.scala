@@ -253,11 +253,13 @@ object RelationalQueries extends QueryPack {
 
   /** q21 — gap-based sessionization (30-min inactivity): lag + running
     * session counter per user, then per-session aggregates. Microsecond
-    * integer math so both engines agree exactly; the value sum goes
-    * through decimal so the per-session total is independent of the
-    * (shuffle-order-dependent) double summation order — round 1 flagged
-    * a hash flap here that never reproduced locally, and exact decimal
-    * arithmetic removes the only order-sensitive term from the output.
+    * integer math so both engines agree exactly; the value sum rides
+    * decimal so the per-session total is independent of summation order.
+    * The round-1/2 hash flap was NOT summation order: DuckDB returns
+    * HUGEINT for an integer window sum, which the gate's pandas compare
+    * materializes as float64 ('3.0' vs our int64 '3'), so the oracle's
+    * session_no must be CAST to BIGINT — same convention as the
+    * CAST(count(*) AS BIGINT) used everywhere else.
     * The standard user-journey op for an events pipeline.
     */
   def q21Sessionize(s: SparkSession, dir: String): DataFrame = {
@@ -939,8 +941,8 @@ object RelationalQueries extends QueryPack {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
-        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         |  FROM marked)
         |SELECT user_id, session_no, min(us) AS sess_start_us,
         |  CAST(count(*) AS BIGINT) AS n_events,

@@ -44,7 +44,15 @@ object StreamQueries extends QueryPack {
     *  - the staged copy and checkpoint are deleted on every exit path,
     *    including a throw during plan construction, and a cleanup
     *    failure never masks the stream's own exception (the result
-    *    lives in the memory sink, not on disk).
+    *    lives in the memory sink, not on disk);
+    *  - the memory sink itself is dropped before returning: Bench runs
+    *    each stream query 4× (warmup + 3 timed) and Verify adds more,
+    *    and each run's sink would otherwise pin its full result set in
+    *    driver memory for the session lifetime. The result is
+    *    materialized into block-manager storage (localCheckpoint) first
+    *    so the returned DataFrame outlives the dropped view; the
+    *    session-level cache clears in Bench/Verify release those
+    *    blocks once the result has been consumed.
     */
   private def runStaged(s: SparkSession, dir: String, tag: String,
                         mode: String)
@@ -86,7 +94,9 @@ object StreamQueries extends QueryPack {
       rmQuiet(streamDir)
       rmQuiet(ckpt)
     }
-    s.table(sink)
+    val out = s.table(sink).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
   }
 
   /** s01 — event-time tumbling-window aggregation (the streaming twin

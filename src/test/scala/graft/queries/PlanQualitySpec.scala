@@ -110,10 +110,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("last("), s"no ignore-nulls fill window in:\n$plan")
     assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
       s"expected exactly one Window node in:\n$plan")
-    // daily agg (1, localCheckpointed so counted once) + spine agg (1) +
-    // spine-daily join (up to 2) + fill window (1) + final sort (1)
+    // The daily agg is localCheckpointed at construction, which
+    // truncates lineage — its shuffle happens once when the checkpoint
+    // materializes and does NOT appear in this executed plan at all.
+    // Counted here: spine agg (1) + spine-daily join (up to 2) + fill
+    // window (1) + final sort (1).
     val n = exchangeCount(df)
-    assert(n <= 6, s"q41 shuffles $n times")
+    assert(n <= 5, s"q41 shuffles $n times")
   }
 
   test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
