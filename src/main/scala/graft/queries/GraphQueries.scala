@@ -291,7 +291,42 @@ object GraphQueries extends QueryPack {
       .orderBy("label", "out_deg")
   }
 
+  /** g16 — triangle counting (the classic cohesion metric) over a
+    * derived co-occurrence graph: users clicking in the same 5-minute
+    * bucket share an edge; a triangle is three users pairwise
+    * connected. Canonical u1<u2 edges stop double counting, and the
+    * enumeration is the standard two-path + closing-edge join — all
+    * shuffles on user keys. At scale the bucket self-join is the skew
+    * hazard (a hot bucket fans out quadratically — AQE skew-split
+    * handles it), and the join order would follow degree (node-iterator
+    * style) to bound fan-out; the per-user participation counts double
+    * as the local clustering numerator. */
+  def g16Triangles(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 300").as("b"))
+      .distinct()
+    val pairs = c.select(col("b"), col("user_id").as("u1"))
+      .join(c.select(col("b"), col("user_id").as("u2")), "b")
+      .filter(col("u1") < col("u2"))
+      .select("u1", "u2").distinct()
+      // all three legs of the triangle join read the edge list — stage
+      // it once (d17/q41 pattern) or the plan replays scan + bucket
+      // self-join + distinct three times
+      .localCheckpoint(true)
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"),
+        col("e2.u1") === col("e1.u1") && col("e1.u2") < col("e2.u2"))
+      .join(pairs.as("e3"),
+        col("e3.u1") === col("e1.u2") && col("e3.u2") === col("e2.u2"))
+      .select(col("e1.u1").as("a"), col("e1.u2").as("bb"), col("e2.u2").as("cc"))
+    tri.select(explode(array(col("a"), col("bb"), col("cc"))).as("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("tri_cnt"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g16_triangles"      -> (g16Triangles _),
     "g15_degree_histogram" -> (g15DegreeHistogram _),
     "g14_dsl_reverse"    -> (g14DslReverse _),
     "g13_pagerank"       -> (g13PageRank _),
@@ -309,6 +344,23 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g16_triangles" ->
+      """WITH c AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT DISTINCT a.user_id AS u1, b2.user_id AS u2
+        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id),
+        |t AS (
+        |  SELECT e1.u1 AS a, e1.u2 AS bb, e2.u2 AS cc
+        |  FROM p e1
+        |  JOIN p e2 ON e2.u1 = e1.u1 AND e1.u2 < e2.u2
+        |  JOIN p e3 ON e3.u1 = e1.u2 AND e3.u2 = e2.u2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS tri_cnt
+        |FROM (SELECT a AS user_id FROM t
+        |      UNION ALL SELECT bb FROM t
+        |      UNION ALL SELECT cc FROM t)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "g15_degree_histogram" ->
       """WITH deg AS (
         |  SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM (

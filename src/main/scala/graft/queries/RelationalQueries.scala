@@ -671,7 +671,96 @@ object RelationalQueries extends QueryPack {
       .orderBy("kind", "party_id")
   }
 
+  /** q44 — EXISTS / NOT EXISTS predicate subqueries (S7 surface, the
+    * declarative form of J1/J6's membership checks): customers with at
+    * least one urgent order and no failed one. Catalyst's
+    * RewritePredicateSubquery turns both into one semi- plus one
+    * anti-join — no per-row re-execution, same plan you'd write by
+    * hand, but stated as the user states it. */
+  def q44ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v44")
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM customer_v c
+      WHERE EXISTS (SELECT 1 FROM orders_v44 o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders_v44 o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  }
+
+  /** q45 — multiple exact count-distincts in one aggregation: Catalyst
+    * plans this with an Expand (one replica of each row per distinct
+    * set) feeding a single shuffle — not N self-joined single-distinct
+    * aggs. The per-group de-dup happens map-side after the expand, so
+    * at 100 TB the shuffle carries distinct (group, key) pairs, not raw
+    * rows. */
+  def q45MultiDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(to_date(col("o_orderdate"))).as("n_days"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** q46 — higher-order array functions over tokenized text (the
+    * in-row form of the doc-pipeline kernels, SURVEY §2.8/F4): filter,
+    * aggregate (fold), and exists run as codegen'd array lambdas inside
+    * the row — no explode, no shuffle, no UDF. At 100 TB this is the
+    * difference between a narrow map stage and an explode that
+    * multiplies the row count by mean token length. */
+  def q46HigherOrder(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(expr("filter(toks, t -> length(t) > 4)")).as("n_long"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("total_chars"),
+        expr("exists(toks, t -> t = 'spark')").as("has_spark"))
+      .orderBy("doc_id")
+
+  /** q47 — regexp_extract_all: all matches per row as an array (F6's
+    * find-all half; the consume-once half lives in
+    * functions.ConsumeOnceExtract). Count and first-match stay scalar
+    * so the result is hash-comparable. */
+  def q47RegexpExtractAll(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("ms", regexp_extract_all(col("text"), lit("\\b[a-z]*a[a-z]*\\b"), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("ms")).as("n_matches"),
+        coalesce(col("ms").getItem(0), lit("")).as("first_match"))
+      .orderBy("doc_id")
+
+  /** q48 — distribution window functions: percent_rank, cume_dist and
+    * first/last frame navigation over each priority's price order. One
+    * window spec → one shuffle + one sort; the total ORDER BY keys
+    * include the price so ties cannot reorder output between engines. */
+  def q48DistWindows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        first(col("o_orderkey")).over(w).as("cheapest_key"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q48_dist_windows"    -> (q48DistWindows _),
+    "q47_regexp_extract"  -> (q47RegexpExtractAll _),
+    "q46_higher_order"    -> (q46HigherOrder _),
+    "q45_multi_distinct"  -> (q45MultiDistinct _),
+    "q44_exists_subquery" -> (q44ExistsSubquery _),
     "q43_schema_union"    -> (q43SchemaUnion _),
     "q42_fuzzy_match"     -> (q42FuzzyMatch _),
     "q41_gap_fill"        -> (q41GapFill _),
@@ -718,6 +807,44 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q48_dist_windows" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | first_value(o_orderkey) OVER w AS cheapest_key
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q47_regexp_extract" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\b[a-z]*a[a-z]*\b')) AS INT) AS n_matches,
+        | coalesce(regexp_extract_all(text, '\b[a-z]*a[a-z]*\b')[1], '') AS first_match
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q46_higher_order" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        | CAST(len(toks) AS INT) AS n_tokens,
+        | CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS n_long,
+        | CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars,
+        | list_contains(toks, 'spark') AS has_spark
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q45_multi_distinct" ->
+      """SELECT o_orderpriority,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        | CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q44_exists_subquery" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
     "q43_schema_union" ->
       """SELECT * FROM (
         |  SELECT c_custkey AS party_id, c_name AS name, c_acctbal AS balance,

@@ -136,11 +136,84 @@ object StreamQueries extends QueryPack {
         .select(col("c_event"), col("e_event"), col("c_user").as("user_id"))
     }.orderBy("c_event", "e_event")
 
+  /** s03 — streaming exact deduplication (d01's incremental twin):
+    * dropDuplicates over (user, type, day) emits each key once, on
+    * first sight, from any arrival order — the result is exactly
+    * `SELECT DISTINCT`, which is what makes it gateable. State carries
+    * one entry per distinct key — the same cardinality any exact dedup
+    * must hold somewhere — and is partitioned by the key shuffle; for
+    * looser delivery contracts the delay-bounded variant
+    * (dropDuplicatesWithinWatermark) trades that state for approximate
+    * dedup, which would NOT hash-match a DISTINCT oracle. */
+  def s03StreamDedup(s: SparkSession, dir: String): DataFrame =
+    runStaged(s, dir, "s03", "append") { src =>
+      src().filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+        .dropDuplicates("user_id", "event_type", "d")
+    }.orderBy("user_id", "event_type", "d")
+
+  /** s04 — custom-state sessionization through the gate: the
+    * flatMapGroupsWithState gap-sessionizer (StreamingSessionize, q21's
+    * stateful twin) over the click stream, with event-time timeouts
+    * closing idle sessions. Append mode emits a session only when it
+    * CLOSES: by gap (a later event for the same user opens the next
+    * session) or by watermark timeout (the no-data final micro-batch
+    * fires timers once the watermark reaches last-activity + gap). A
+    * user's final session whose timer the terminal watermark
+    * (max click time − 10 min delay) never reaches stays open and is
+    * NOT emitted — the oracle encodes exactly that emit rule, making
+    * "incremental state machine ≡ batch window query, minus the
+    * still-open tail" a checked invariant rather than a hope.
+    * total_value is spec-covered but not gated: it accumulates doubles
+    * in per-batch order, which no SQL oracle can replay. */
+  def s04StreamSessionize(s: SparkSession, dir: String): DataFrame =
+    runStaged(s, dir, "s04", "append") { src =>
+      import graft.streaming.StreamingSessionize
+      implicit val enc = org.apache.spark.sql.Encoders.product[StreamingSessionize.Click]
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[StreamingSessionize.Click]
+      StreamingSessionize.sessions(clicks, "10 minutes").toDF()
+        .select("user_id", "sess_start_us", "n_events", "duration_sec")
+    }.orderBy("user_id", "sess_start_us")
+
   val queries: Map[String, QueryFn] = Map(
     "s01_stream_window" -> (s01StreamWindow _),
-    "s02_stream_join"   -> (s02StreamJoin _))
+    "s02_stream_join"   -> (s02StreamJoin _),
+    "s03_stream_dedup"  -> (s03StreamDedup _),
+    "s04_stream_sessionize" -> (s04StreamSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "s03_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |ORDER BY user_id, event_type, d""".stripMargin,
+    "s04_stream_sessionize" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'click'),
+        |marked AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM clicks WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sn
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, sn, min(us) AS sess_start_us,
+        |    CAST(count(*) AS INT) AS n_events,
+        |    CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
+        |    max(us) AS last_us
+        |  FROM sess GROUP BY user_id, sn),
+        |wm AS (
+        |  SELECT max(us) // 1000 - 600000 AS wm_ms FROM clicks)
+        |SELECT user_id, sess_start_us, n_events, duration_sec
+        |FROM agg, wm
+        |WHERE (last_us + 1800000000) // 1000 < wm_ms
+        |   OR sn < (SELECT max(sn) FROM agg a2 WHERE a2.user_id = agg.user_id)
+        |ORDER BY user_id, sess_start_us""".stripMargin,
     "s02_stream_join" ->
       """SELECT c.event_id AS c_event, e.event_id AS e_event,
         |  c.user_id AS user_id

@@ -23,6 +23,15 @@ object StreamingSessionize {
 
   val GapUs: Long = 30L * 60 * 1000000 // 30 min inactivity gap
 
+  /** Exact epoch microseconds. `Timestamp.getTime * 1000` silently
+    * truncates to milliseconds — on micro-precision event time that
+    * shifts every session boundary and start/duration off the batch
+    * sessionizer (q21) by up to 999 us. */
+  private def usOf(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   private def toSession(uid: Long, st: SessionState): Session =
     Session(uid, st.startUs, st.n, (st.lastUs - st.startUs) / 1000000L,
       math.rint(st.total * 100) / 100)
@@ -34,11 +43,11 @@ object StreamingSessionize {
       state.remove()
       return out
     }
-    val sorted = events.toSeq.sortBy(c => (c.ts.getTime, c.value))
+    val sorted = events.toSeq.sortBy(c => (usOf(c.ts), c.value))
     val closed = Seq.newBuilder[Session]
     var cur = state.getOption
     for (c <- sorted) {
-      val us = c.ts.getTime * 1000
+      val us = usOf(c.ts)
       cur match {
         case Some(st) if us - st.lastUs > GapUs =>
           closed += toSession(uid, st)
