@@ -177,13 +177,88 @@ object StreamQueries extends QueryPack {
         .select("user_id", "sess_start_us", "n_events", "duration_sec")
     }.orderBy("user_id", "sess_start_us")
 
+  /** s05 — the streaming ingest path end-to-end (SURVEY §2.10's
+    * readStream → watermarked dedup → foreachBatch idempotent upsert,
+    * `StreamingIngest`): events become User nodes, each micro-batch
+    * upserts latest-per-uid into a parquet node store, and the FINAL
+    * STORE STATE — not a sink stream — is checked against a
+    * latest-event-per-user SQL oracle. This is the MERGE contract (S4,
+    * `facilities.py:110`) proven under streaming delivery: re-delivered
+    * batches and no-data batches leave the store byte-identical.
+    * Determinism note: (uid, event ts) is unique in this corpus, so
+    * latest-per-uid has no ties; audit columns (created_at/updated_at
+    * ride the wall clock) are excluded from the gated projection. */
+  def s05StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingIngest
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = Files.createTempDirectory("graft-s05-in")
+    val ckpt = Files.createTempDirectory("graft-s05-ckpt")
+    val storeRoot = Files.createTempDirectory("graft-s05-store")
+    val store = storeRoot.resolve("nodes").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val raw = graft.core.Tables.withEventTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString))
+      val nodes = raw.select(
+        lit("User").as("label"),
+        concat(lit("User:"), col("user_id")).as("uid"),
+        concat(lit("user_"), col("user_id")).as("name"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"),
+        col("ts").as("created_at"),
+        col("ts").as("updated_at"))
+      val deduped = StreamingIngest.dedup(nodes, "uid", "updated_at", "1 hour")
+      val q = deduped.writeStream
+        .foreachBatch(StreamingIngest.upsertBatch(store, Seq("last_type", "last_value")) _)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("s05: stream did not finish within 300s")
+      } finally q.stop()
+      s.read.parquet(store)
+        .select(col("uid"), col("last_type"), col("last_value"))
+        .localCheckpoint(true)
+        .orderBy("uid")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      def rmQuiet(p: Path): Unit =
+        try {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[s05] temp cleanup of $p failed: ${e.getMessage}")
+        }
+      rmQuiet(streamDir)
+      rmQuiet(ckpt)
+      rmQuiet(storeRoot)
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "s01_stream_window" -> (s01StreamWindow _),
     "s02_stream_join"   -> (s02StreamJoin _),
     "s03_stream_dedup"  -> (s03StreamDedup _),
-    "s04_stream_sessionize" -> (s04StreamSessionize _))
+    "s04_stream_sessionize" -> (s04StreamSessionize _),
+    "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "s05_stream_upsert" ->
+      """SELECT 'User:' || user_id AS uid,
+        |  event_type AS last_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY uid""".stripMargin,
     "s03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d
         |FROM events WHERE event_type IN ('click', 'purchase')
