@@ -755,7 +755,78 @@ object RelationalQueries extends QueryPack {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** q49 — SCD type-2 build from an event log: collapse each user's
+    * event stream to its type-change points, then derive
+    * [valid_from, valid_to) microsecond intervals with lead() — the
+    * standard dimension-history shape every warehouse load needs. Two
+    * window passes over the SAME (user_id) partitioning: Catalyst
+    * reuses the exchange, so the filter between them costs no extra
+    * shuffle. All interval math is integer microseconds — engine-exact. */
+  def q49Scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val openEnd = 253402300799000000L // 9999-12-31T23:59:59Z in micros
+    Tables.events(s, dir)
+      .filter(col("user_id") <= 300)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("next_us", lead("us", 1).over(byUser))
+      .select(col("user_id"), col("event_type"),
+        col("us").as("valid_from_us"),
+        coalesce(col("next_us") - 1, lit(openEnd)).as("valid_to_us"),
+        when(col("next_us").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  /** q50 — GROUPING SETS with heterogeneous sets ((status), (priority),
+    * ()): the general form q23's rollup and q30's cube are sugar for.
+    * Catalyst plans one Expand (3 replicas) into a single hash
+    * aggregate — not three scans unioned; grouping() tells subtotal
+    * NULLs from data NULLs. */
+  def q50GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v50")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        count(*) AS cnt,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+        CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        CAST(grouping(o_orderpriority) AS INT) AS g_prio
+      FROM orders_v50
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+  }
+
+  /** q51 — peak-concurrency via sweep-line: each event opens a 5-minute
+    * interval; starts/ends become +1/−1 deltas, a running sum per type
+    * finds the maximum overlap. The sweep replaces the quadratic
+    * range self-join (q26's shape) with 2N rows and ONE window — the
+    * only formulation that survives a 100 TB event log. End bounds are
+    * exclusive (a start at an end instant does not overlap), encoded by
+    * sorting −1 before +1 at equal timestamps; the default RANGE frame
+    * makes tied rows share one cumulative value, so the result is
+    * independent of tie order inside the shuffle. */
+  def q51Concurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+    val deltas = ev.select(col("event_type"), col("us").as("t"), lit(1).as("delta"))
+      .unionByName(ev.select(col("event_type"),
+        (col("us") + 300000000L).as("t"), lit(-1).as("delta")))
+    val sweep = Window.partitionBy("event_type").orderBy("t", "delta")
+    deltas
+      .withColumn("conc", sum("delta").over(sweep))
+      .groupBy("event_type")
+      .agg(max("conc").as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q51_concurrency"     -> (q51Concurrency _),
+    "q50_grouping_sets"   -> (q50GroupingSets _),
+    "q49_scd2"            -> (q49Scd2 _),
     "q48_dist_windows"    -> (q48DistWindows _),
     "q47_regexp_extract"  -> (q47RegexpExtractAll _),
     "q46_higher_order"    -> (q46HigherOrder _),
@@ -807,6 +878,42 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q49_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id <= 300),
+        |marked AS (
+        |  SELECT *, lag(event_type) OVER w AS prev_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |changes AS (
+        |  SELECT user_id, event_type, us, event_id FROM marked
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, us AS valid_from_us,
+        |  coalesce(lead(us) OVER w - 1, 253402300799000000) AS valid_to_us,
+        |  CAST(CASE WHEN lead(us) OVER w IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM changes WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, valid_from_us""".stripMargin,
+    "q50_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+    "q51_concurrency" ->
+      """WITH deltas AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 300000000, -1 FROM events),
+        |running AS (
+        |  SELECT event_type,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS conc
+        |  FROM deltas)
+        |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_intervals
+        |FROM running GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q48_dist_windows" ->
       """SELECT o_orderpriority, o_orderkey,
         | round(percent_rank() OVER w, 6) AS pct_rank,

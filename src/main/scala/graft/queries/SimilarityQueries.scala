@@ -200,7 +200,38 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id")
   }
 
+  /** e07 — one Lloyd's k-means iteration (the IVF index REFRESH path:
+    * e05 builds and searches a fixed quantizer; real pipelines re-train
+    * it): assign every vector to its nearest current centroid
+    * (broadcast join — the fact side never shuffles for the join), then
+    * recompute each cell's mean with the fixed-size-buffer vecMean
+    * Aggregator (one shuffle of 10 buffers, not 64× exploded rows) and
+    * report membership + centroid drift. Iterating this to convergence
+    * is a driver loop over the same plan — each step is one job. */
+  def e07KmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cent = centroids(e)
+    import org.apache.spark.sql.expressions.Window
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("c_label"))
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("c_label"),
+        round(cosine(col("v"), col("cv")), 6).as("cs"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("c_label").as("cell"))
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        graft.functions.VecOps.vecMean(col("v")).as("nv"))
+      .join(broadcast(cent), col("cell") === col("c_label"))
+      .select(col("cell"), col("n_members"),
+        round(cosine(col("cv"), col("nv")), 6).as("drift_cos"),
+        round(element_at(col("nv"), 1), 6).as("c1"),
+        round(element_at(col("nv"), 2), 6).as("c2"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e07_kmeans_step"     -> (e07KmeansStep _),
     "e05_ivf_topk"        -> (e05IvfTopk _),
     "e04_cosine_neardup"  -> (e04CosineNeardup _),
     "e01_knn_brute"       -> (e01KnnBrute _),
@@ -216,6 +247,31 @@ object SimilarityQueries extends QueryPack {
        |  * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e07_kmeans_step" ->
+      s"""WITH cent AS (
+        |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS m
+        |    FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label),
+        |assigned AS (
+        |  SELECT vec_id, embedding, c_label AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.c_label,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${sqlCos("e.embedding", "c.cv")}, 6) DESC, c.c_label) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |newcent AS (
+        |  SELECT cell, CAST(nm AS BIGINT) AS n_members, list(m ORDER BY dim) AS nv FROM (
+        |    SELECT a.cell, i AS dim, avg(a.embedding[i]::DOUBLE) AS m,
+        |      any_value(cnt) AS nm
+        |    FROM assigned a
+        |    JOIN (SELECT cell, count(*) AS cnt FROM assigned GROUP BY cell) n
+        |      USING (cell), range(1, 65) t(i)
+        |    GROUP BY a.cell, i) GROUP BY cell, nm)
+        |SELECT n.cell, n.n_members,
+        |  round(${sqlCos("c.cv", "n.nv")}, 6) AS drift_cos,
+        |  round(n.nv[1], 6) AS c1, round(n.nv[2], 6) AS c2
+        |FROM newcent n JOIN cent c ON n.cell = c.c_label
+        |ORDER BY n.cell""".stripMargin,
     "e05_ivf_topk" ->
       s"""WITH cent AS (
         |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (

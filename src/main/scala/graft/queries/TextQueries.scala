@@ -479,7 +479,94 @@ object TextQueries extends QueryPack {
           .as("rep_score"))
       .orderBy("doc_id")
 
+  /** Synthetic PII tail appended to each doc (the corpus itself is
+    * clean words): a derived email, IPv4, and phone per doc_id, so d20
+    * exercises real match/replace work with a deterministic oracle. */
+  private val withPiiText: Column = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+    lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+    lit(" phone 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val ipRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** d20 — PII redaction: scrub emails, IPv4s, and phone-shaped digit
+    * runs with typed placeholders, counting each class per doc — the
+    * compliance pass every pretraining corpus runs before anything else.
+    * Pure per-row regexp work (codegen'd, no UDF, no shuffle until the
+    * final order); the replace order is fixed (email → IP → phone) so
+    * the classes can't consume each other's matches. The patterns are
+    * written in the Java ∩ RE2 common dialect so the DuckDB oracle runs
+    * them verbatim. Redacted text is compared by md5, not shipped. */
+  def d20PiiRedact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), withPiiText.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+          .as("redacted_hash"))
+      .orderBy("doc_id")
+
+  /** d21 — overlapping document chunking: 50-token windows every 40
+    * tokens (10-token overlap), the standard shaping step before
+    * tokenize-and-pack or embedding. Chunk generation is a per-row
+    * higher-order transform over the token array — the row fans out to
+    * its chunk count with no shuffle (vs a join against a spine), and
+    * slice() clamps the tail chunk. Chunks are compared by md5 + length
+    * so the gate doesn't ship megabytes of text. */
+  def d21ChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val chunkLen = 50
+    val stride = 40
+    docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(parallelism(s)) // same single-file hazard as shingled()
+      .select(col("doc_id"), words.as("w"))
+      .withColumn("n_extra",
+        when(size(col("w")) <= chunkLen, 0)
+          .otherwise(expr(s"(size(w) - ${chunkLen - stride + 1}) div $stride").cast("int")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_extra")),
+          i => slice(col("w"), i * stride + 1, lit(chunkLen)))).as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("c")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("c"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** d22 — temperature-scaled domain mixing: per-(source, lang) corpus
+    * shares re-weighted by sqrt (α = 0.5, the standard low-resource
+    * upsampling), normalized into sampling shares and expected document
+    * counts at a 100k budget. The normalizing total rides an exact
+    * decimal sum of pre-rounded weights — a double running sum would
+    * depend on partition order and flap the hash. The unpartitioned
+    * window is over the post-agg domain table (tens of rows at any
+    * corpus size), not the corpus. */
+  def d22DomainMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", round(sqrt(col("cnt")), 10).cast("decimal(24,10)"))
+      .withColumn("total", sum(col("w")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("source"), col("lang"), col("cnt"),
+        round(col("w").cast("double") / col("total").cast("double"), 6).as("share"),
+        round(col("w").cast("double") / col("total").cast("double") * 100000, 0)
+          .cast("long").as("expected_docs"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d22_domain_mix"    -> (d22DomainMix _),
+    "d21_chunk_overlap" -> (d21ChunkOverlap _),
+    "d20_pii_redact"    -> (d20PiiRedact _),
     "d19_repetition"    -> (d19Repetition _),
     "d18_decontaminate" -> (d18Decontaminate _),
     "d16_stratified_sample" -> (d16StratifiedSample _),
@@ -527,6 +614,44 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d20_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 10.0.'
+        |    || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || ' phone 555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "d21_chunk_overlap" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |k AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 50 THEN 0 ELSE (len(w) - 11) // 40 END AS n_extra
+        |  FROM words)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(len(w[i*40+1 : i*40+50]) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(w[i*40+1 : i*40+50], ' ')) AS chunk_hash
+        |FROM k, unnest(range(0, n_extra + 1)) AS t(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "d22_domain_mix" ->
+      """WITH dom AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(round(sqrt(count(*)), 10) AS DECIMAL(24,10)) AS w
+        |  FROM documents GROUP BY source, lang),
+        |t AS (SELECT *, sum(w) OVER () AS total FROM dom)
+        |SELECT source, lang, cnt,
+        |  round(CAST(w AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  CAST(round(CAST(w AS DOUBLE) / CAST(total AS DOUBLE) * 100000, 0) AS BIGINT)
+        |    AS expected_docs
+        |FROM t ORDER BY source, lang""".stripMargin,
     "d19_repetition" ->
       """WITH words AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)

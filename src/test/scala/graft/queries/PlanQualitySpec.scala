@@ -119,6 +119,63 @@ class PlanQualitySpec extends SparkSpec {
     assert(n <= 5, s"q41 shuffles $n times")
   }
 
+  test("q51: the sweep-line is one window, never a range self-join") {
+    val df = RelationalQueries.q51Concurrency(spark, dir)
+    val plan = planOf(df)
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"expected exactly one Window node in:\n$plan")
+    // the quadratic formulation q51 exists to avoid: any join at all
+    assert(!plan.contains("Join"), s"sweep-line planned a join in:\n$plan")
+    // union → window shuffle on event_type (1); the groupBy reuses that
+    // partitioning; final orderBy (1)
+    val n = exchangeCount(df)
+    assert(n <= 3, s"q51 shuffles $n times")
+  }
+
+  test("q49: both SCD-2 windows share one user_id exchange") {
+    val df = RelationalQueries.q49Scd2(spark, dir)
+    val plan = planOf(df)
+    // lag-window, filter, lead-window: same (user_id; us, event_id)
+    // spec, so Catalyst must NOT re-shuffle between them — one exchange
+    // for the windows + one for the final sort
+    val n = exchangeCount(df)
+    assert(n <= 2, s"q49 shuffles $n times")
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 2,
+      s"expected two Window nodes (lag pass, lead pass) in:\n$plan")
+  }
+
+  test("q50: grouping sets plan one Expand into one aggregate") {
+    val plan = planOf(RelationalQueries.q50GroupingSets(spark, dir))
+    assert(plan.contains("Expand"), s"no Expand for grouping sets in:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial agg in:\n$plan")
+  }
+
+  test("d21: chunking fans out in-row (Generate), no shuffle before it") {
+    val df = TextQueries.d21ChunkOverlap(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("Generate posexplode"),
+      s"chunk fan-out not a generator in:\n$plan")
+    // spread (1) + final orderBy (1); a join-against-spine formulation
+    // would add a shuffle per side
+    val n = exchangeCount(df)
+    assert(n <= 2, s"d21 shuffles $n times")
+  }
+
+  test("d20: redaction is a pure map — only the final sort shuffles") {
+    val n = exchangeCount(TextQueries.d20PiiRedact(spark, dir))
+    assert(n <= 1, s"d20 shuffles $n times")
+  }
+
+  test("e07: both centroid joins broadcast — vectors never shuffle for a join") {
+    val plan = planOf(SimilarityQueries.e07KmeansStep(spark, dir))
+    // assignment is a conditionless broadcast against 10 centroids
+    // (BroadcastNestedLoop, the e05 shape); the drift lookup is a
+    // broadcast hash join on cell — neither may shuffle the vector side
+    assert("Broadcast(NestedLoop|Hash)Join".r.findAllIn(plan).size >= 2,
+      s"expected 2 broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"centroid join shuffled in:\n$plan")
+  }
+
   test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
     val df = RelationalQueries.q01PricingSummary(spark, dir)
     // one exchange for the groupBy, one for the final orderBy — no more
