@@ -325,7 +325,44 @@ object GraphQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** g17 — neighbor-set Jaccard (link prediction / node similarity)
+    * over g16's click co-occurrence graph: for user pairs sharing ≥2
+    * common neighbors, |N(a)∩N(b)| / |N(a)∪N(b)|. The common-neighbor
+    * count is ONE equi-join on the neighbor key (each 2-path counted at
+    * its midpoint) — never a neighbor-set cross product — and degrees
+    * join in as two aggregate sides; inclusion-exclusion gives the
+    * union size. Integer ratio → engine-exact after round. This is the
+    * same shuffle shape as d18's shingle overlap, on graph adjacency. */
+  def g17NeighborJaccard(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 300").as("b"))
+      .distinct()
+    val pairs = c.select(col("b"), col("user_id").as("u1"))
+      .join(c.select(col("b"), col("user_id").as("u2")), "b")
+      .filter(col("u1") < col("u2"))
+      .select("u1", "u2").distinct()
+      .localCheckpoint(true) // adjacency + degrees + midpoint join reuse it
+    val adj = pairs.unionByName(
+      pairs.select(col("u2").as("u1"), col("u1").as("u2")))
+    val deg = adj.groupBy("u1").agg(count(lit(1)).as("deg"))
+    val common = adj.select(col("u1").as("a"), col("u2").as("n"))
+      .join(adj.select(col("u1").as("bb"), col("u2").as("n")), "n")
+      .filter(col("a") < col("bb"))
+      .groupBy("a", "bb").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 2)
+    common
+      .join(deg.select(col("u1").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("u1").as("bb"), col("deg").as("deg_b")), "bb")
+      .select(col("a").as("user_a"), col("bb").as("user_b"), col("common"),
+        round(col("common") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy("user_a", "user_b")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g17_neighbor_jaccard" -> (g17NeighborJaccard _),
     "g16_triangles"      -> (g16Triangles _),
     "g15_degree_histogram" -> (g15DegreeHistogram _),
     "g14_dsl_reverse"    -> (g14DslReverse _),
@@ -344,6 +381,28 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g17_neighbor_jaccard" ->
+      """WITH c AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT DISTINCT a.user_id AS u1, b2.user_id AS u2
+        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id),
+        |adj AS (
+        |  SELECT u1, u2 FROM p UNION ALL SELECT u2, u1 FROM p),
+        |deg AS (
+        |  SELECT u1, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u1),
+        |common AS (
+        |  SELECT x.u1 AS a, y.u1 AS bb, CAST(count(*) AS BIGINT) AS common
+        |  FROM adj x JOIN adj y ON x.u2 = y.u2 AND x.u1 < y.u1
+        |  GROUP BY x.u1, y.u1 HAVING count(*) >= 2)
+        |SELECT c.a AS user_a, c.bb AS user_b, c.common,
+        |  round(c.common / CAST(da.deg + db.deg - c.common AS DOUBLE), 4)
+        |    AS jaccard
+        |FROM common c
+        |JOIN deg da ON da.u1 = c.a
+        |JOIN deg db ON db.u1 = c.bb
+        |ORDER BY user_a, user_b""".stripMargin,
     "g16_triangles" ->
       """WITH c AS (
         |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b

@@ -823,7 +823,28 @@ object RelationalQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q52 — native session windows: Spark's built-in
+    * `session_window(ts, gap)` groupBy — the declarative form of q21's
+    * hand-rolled lag/running-sum sessionizer and the batch twin of the
+    * s04 state machine. One shuffle on (user, session) after map-side
+    * window assignment; window.start/end are the first event and
+    * last event + gap, checked against a gap-sessionization oracle.
+    * Having both q21 and q52 pins that the built-in operator and the
+    * from-scratch formulation agree row-for-row. */
+  def q52SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+          .as("total_value"))
+      .select(col("user_id"),
+        expr("unix_micros(sw.start)").as("sess_start_us"),
+        expr("unix_micros(sw.end)").as("sess_end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "sess_start_us")
+
   val queries: Map[String, QueryFn] = Map(
+    "q52_session_window"  -> (q52SessionWindow _),
     "q51_concurrency"     -> (q51Concurrency _),
     "q50_grouping_sets"   -> (q50GroupingSets _),
     "q49_scd2"            -> (q49Scd2 _),
@@ -878,6 +899,25 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q52_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |marked AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sn
+        |  FROM marked)
+        |SELECT user_id, min(us) AS sess_start_us,
+        |  max(us) + 1800000000 AS sess_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sn
+        |ORDER BY user_id, sess_start_us""".stripMargin,
     "q49_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id

@@ -244,7 +244,28 @@ object StreamQueries extends QueryPack {
     }
   }
 
+  /** s06 — stream-static dimension enrichment: the event stream joined
+    * to the static customer table (the reference's pre-fetched facility
+    * dimension, J1, under streaming delivery), aggregated per market
+    * segment. The static side is planned per micro-batch as a broadcast
+    * — stream rows never shuffle for the join, the shape that holds
+    * when the stream is 100 TB/day and the dimension is megabytes. The
+    * value sum rides decimal so per-batch accumulation order can't
+    * drift from the batch oracle. */
+  def s06StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val cust = broadcast(graft.core.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    runStaged(s, dir, "s06", "complete") { src =>
+      src().join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+            .as("total_value"))
+    }.orderBy("segment")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s06_stream_enrich" -> (s06StreamEnrich _),
     "s01_stream_window" -> (s01StreamWindow _),
     "s02_stream_join"   -> (s02StreamJoin _),
     "s03_stream_dedup"  -> (s03StreamDedup _),
@@ -252,6 +273,11 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "s06_stream_enrich" ->
+      """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
     "s05_stream_upsert" ->
       """SELECT 'User:' || user_id AS uid,
         |  event_type AS last_type, value AS last_value

@@ -176,6 +176,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"centroid join shuffled in:\n$plan")
   }
 
+  test("q52: native session windows aggregate over bounded exchanges") {
+    val df = RelationalQueries.q52SessionWindow(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("session_window") || plan.contains("SessionWindow"),
+      s"no session-window operator in:\n$plan")
+    // session-window agg (sort-based within user) + final orderBy
+    val n = exchangeCount(df)
+    assert(n <= 2, s"q52 shuffles $n times")
+  }
+
+  test("g17: common-neighbor join is an equi-join, never a neighbor cross product") {
+    val plan = planOf(GraphQueries.g17NeighborJaccard(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"neighbor similarity planned a cross product in:\n$plan")
+  }
+
   test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
     val df = RelationalQueries.q01PricingSummary(spark, dir)
     // one exchange for the groupBy, one for the final orderBy — no more
