@@ -301,19 +301,26 @@ object GraphQueries extends QueryPack {
     * handles it), and the join order would follow degree (node-iterator
     * style) to bound fan-out; the per-user participation counts double
     * as the local clustering numerator. */
-  def g16Triangles(s: SparkSession, dir: String): DataFrame = {
+  /** Canonical edge list (u1 < u2, distinct) of the click
+    * co-occurrence graph g16/g17/g18 share: users co-clicking in the
+    * same 5-minute bucket. localCheckpointed because every consumer
+    * reads it from several join legs — one materialization instead of
+    * replaying scan + bucket self-join + distinct per leg (d17/q41
+    * pattern). */
+  private def coClickPairs(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.events(s, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id"), expr("unix_timestamp(ts) div 300").as("b"))
       .distinct()
-    val pairs = c.select(col("b"), col("user_id").as("u1"))
+    c.select(col("b"), col("user_id").as("u1"))
       .join(c.select(col("b"), col("user_id").as("u2")), "b")
       .filter(col("u1") < col("u2"))
       .select("u1", "u2").distinct()
-      // all three legs of the triangle join read the edge list — stage
-      // it once (d17/q41 pattern) or the plan replays scan + bucket
-      // self-join + distinct three times
       .localCheckpoint(true)
+  }
+
+  def g16Triangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coClickPairs(s, dir)
     val tri = pairs.as("e1")
       .join(pairs.as("e2"),
         col("e2.u1") === col("e1.u1") && col("e1.u2") < col("e2.u2"))
@@ -334,15 +341,7 @@ object GraphQueries extends QueryPack {
     * union size. Integer ratio → engine-exact after round. This is the
     * same shuffle shape as d18's shingle overlap, on graph adjacency. */
   def g17NeighborJaccard(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.events(s, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id"), expr("unix_timestamp(ts) div 300").as("b"))
-      .distinct()
-    val pairs = c.select(col("b"), col("user_id").as("u1"))
-      .join(c.select(col("b"), col("user_id").as("u2")), "b")
-      .filter(col("u1") < col("u2"))
-      .select("u1", "u2").distinct()
-      .localCheckpoint(true) // adjacency + degrees + midpoint join reuse it
+    val pairs = coClickPairs(s, dir)
     val adj = pairs.unionByName(
       pairs.select(col("u2").as("u1"), col("u1").as("u2")))
     val deg = adj.groupBy("u1").agg(count(lit(1)).as("deg"))
@@ -361,7 +360,39 @@ object GraphQueries extends QueryPack {
       .orderBy("user_a", "user_b")
   }
 
+  /** g18 — Adamic-Adar link prediction over the same co-click graph:
+    * candidate pairs scored by Σ 1/ln(deg(n)) over common neighbors n —
+    * rare shared neighbors count more than hubs, the classic
+    * degree-discounted variant of g17's Jaccard. Same midpoint
+    * equi-join shape (each 2-path counted once at its shared neighbor,
+    * never a neighbor-set cross product), with the neighbor's degree
+    * joined in as an aggregate dimension BEFORE the pair group-by, so
+    * the discount weight rides the same shuffle as the count. A common
+    * neighbor has degree ≥ 2 by construction, so ln never hits zero.
+    * Top-20 shortlist ordered by the rounded score — deterministic
+    * through the limit because the order key is (rounded score, pair).
+    */
+  def g18AdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coClickPairs(s, dir)
+    val adj = pairs.unionByName(
+      pairs.select(col("u2").as("u1"), col("u1").as("u2")))
+    val deg = adj.groupBy("u1").agg(count(lit(1)).as("deg"))
+    adj.select(col("u1").as("a"), col("u2").as("n"))
+      .join(adj.select(col("u1").as("bb"), col("u2").as("n")), "n")
+      .filter(col("a") < col("bb"))
+      .join(deg.select(col("u1").as("n"), col("deg").as("deg_n")), "n")
+      .groupBy("a", "bb")
+      .agg(count(lit(1)).as("common"),
+        round(sum(lit(1.0) / log(col("deg_n").cast("double"))), 4).as("aa_score"))
+      .filter(col("common") >= 2)
+      .select(col("a").as("user_a"), col("bb").as("user_b"),
+        col("common"), col("aa_score"))
+      .orderBy(desc("aa_score"), col("user_a"), col("user_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g18_adamic_adar"    -> (g18AdamicAdar _),
     "g17_neighbor_jaccard" -> (g17NeighborJaccard _),
     "g16_triangles"      -> (g16Triangles _),
     "g15_degree_histogram" -> (g15DegreeHistogram _),
@@ -381,6 +412,25 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g18_adamic_adar" ->
+      """WITH c AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT DISTINCT a.user_id AS u1, b2.user_id AS u2
+        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id),
+        |adj AS (
+        |  SELECT u1, u2 FROM p UNION ALL SELECT u2, u1 FROM p),
+        |deg AS (
+        |  SELECT u1, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u1),
+        |scored AS (
+        |  SELECT x.u1 AS a, y.u1 AS bb, CAST(count(*) AS BIGINT) AS common,
+        |    round(sum(1.0 / ln(d.deg)), 4) AS aa_score
+        |  FROM adj x JOIN adj y ON x.u2 = y.u2 AND x.u1 < y.u1
+        |  JOIN deg d ON d.u1 = x.u2
+        |  GROUP BY x.u1, y.u1 HAVING count(*) >= 2)
+        |SELECT a AS user_a, bb AS user_b, common, aa_score
+        |FROM scored ORDER BY aa_score DESC, user_a, user_b LIMIT 20""".stripMargin,
     "g17_neighbor_jaccard" ->
       """WITH c AS (
         |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b

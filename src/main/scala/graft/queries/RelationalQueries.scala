@@ -843,7 +843,129 @@ object RelationalQueries extends QueryPack {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "sess_start_us")
 
+  /** q53 — null-aware anti join: the three spellings of "customers
+    * with no urgent order" whose semantics diverge the moment the
+    * subquery column is nullable. `NOT IN` over a clean list is a
+    * plain anti join; `NOT IN` over a list containing a NULL returns
+    * UNKNOWN for every candidate (three-valued logic) so the filter
+    * keeps nothing; `NOT EXISTS` with an equality predicate simply
+    * never matches the NULL row and keeps the anti-join semantics.
+    * Catalyst plans the nullable NOT IN as a single-column
+    * null-aware anti join (broadcast hash, not a nested-loop per-row
+    * rescan) — the plan NullAwareAntiJoinSpec pins — so the
+    * "correct but slow" trap of BroadcastNestedLoopJoin is avoided
+    * at any scale where the subquery side broadcasts. */
+  def q53NullAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v53")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v53")
+    s.sql("""
+      SELECT 'not_in_clean' AS variant, count(*) AS n_rows
+      FROM customer_v53
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v53
+                              WHERE o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT 'not_in_nullable' AS variant, count(*) AS n_rows
+      FROM customer_v53
+      WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders_v53
+                              WHERE o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT 'not_exists' AS variant, count(*) AS n_rows
+      FROM customer_v53 c
+      WHERE NOT EXISTS (SELECT 1 FROM orders_v53 o
+                        WHERE nullif(o.o_custkey, 7) = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      ORDER BY variant""")
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[queries] temp cleanup of $p failed: ${e.getMessage}")
+    }
+
+  /** q54 — the multiline-quoted CSV source through the gate (S2,
+    * `waste_items.py:251-281`): cells with embedded newlines round-trip
+    * write → multiLine read, then aggregate. The oracle computes the
+    * same result from the parquet ground truth, so any quoting/escape/
+    * embedded-newline loss in the CSV path breaks the hash. The read
+    * carries an explicit schema (inference is a scan of its own and a
+    * drift risk at scale). */
+  def q54CsvSource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q54-csv")
+    try {
+      Tables.nation(s, dir).select(
+        col("n_nationkey"), col("n_regionkey"), col("n_name"),
+        concat(col("n_name"), lit("\nnote: rk="), col("n_regionkey")).as("note"))
+        .write.mode("overwrite").option("header", true).option("escape", "\"")
+        .csv(tmp.toString)
+      s.read.option("header", true).option("multiLine", true)
+        .option("escape", "\"")
+        .schema("n_nationkey INT, n_regionkey INT, n_name STRING, note STRING")
+        .csv(tmp.toString)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          sum(length(col("note"))).as("sum_note_len"),
+          min("n_name").as("first_name"),
+          max("n_name").as("last_name"))
+        .orderBy("n_regionkey")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
+  /** q55 — the nested JSON source through the gate (S1's map-of-arrays
+    * shape, `facilities.py:41-76`): array-of-struct rows round-trip
+    * write.json → schema'd read.json → explode → aggregate, against the
+    * parquet ground truth. collect_list rides sort_array so the nested
+    * payload is order-deterministic before it ever hits the file. */
+  def q55JsonSource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q55-json")
+    try {
+      Tables.nation(s, dir)
+        .groupBy("n_regionkey")
+        .agg(sort_array(collect_list(struct(col("n_nationkey"), col("n_name"))))
+          .as("nations"))
+        .write.mode("overwrite").json(tmp.toString)
+      s.read
+        .schema("n_regionkey INT, nations ARRAY<STRUCT<n_nationkey: INT, n_name: STRING>>")
+        .json(tmp.toString)
+        .select(col("n_regionkey"), explode(col("nations")).as("n"))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n.n_nationkey")).as("sum_key"),
+          concat_ws("|", sort_array(collect_list(col("n.n_name")))).as("names"))
+        .orderBy("n_regionkey")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
+  /** q56 — ORC as an alternative columnar sink/source (beyond-parity
+    * format coverage): parquet → ORC → aggregate, same oracle as the
+    * parquet ground truth. Decimal sum discipline as everywhere. */
+  def q56OrcSource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q56-orc")
+    try {
+      val orders = Tables.orders(s, dir)
+      orders.write.mode("overwrite").orc(tmp.toString)
+      s.read.schema(orders.schema).orc(tmp.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double")
+            .as("total"))
+        .orderBy("o_orderstatus")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q56_orc_source"      -> (q56OrcSource _),
+    "q55_json_source"     -> (q55JsonSource _),
+    "q54_csv_source"      -> (q54CsvSource _),
+    "q53_null_anti"       -> (q53NullAntiJoin _),
     "q52_session_window"  -> (q52SessionWindow _),
     "q51_concurrency"     -> (q51Concurrency _),
     "q50_grouping_sets"   -> (q50GroupingSets _),
@@ -899,6 +1021,41 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q54_csv_source" ->
+      """WITH src AS (
+        |  SELECT n_regionkey, n_name,
+        |    n_name || chr(10) || 'note: rk=' || n_regionkey AS note
+        |  FROM nation)
+        |SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(length(note)) AS BIGINT) AS sum_note_len,
+        |  min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM src GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q55_json_source" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q56_orc_source" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q53_null_anti" ->
+      """SELECT 'not_in_clean' AS variant, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'not_in_nullable' AS variant, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'not_exists' AS variant, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE nullif(o.o_custkey, 7) = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY variant""".stripMargin,
     "q52_session_window" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, value FROM events),

@@ -230,7 +230,67 @@ object SimilarityQueries extends QueryPack {
       .orderBy("cell")
   }
 
+  /** Sequential squared-L2 fold between two ARRAY<DOUBLE> blocks —
+    * zip_with products then a left-to-right aggregate, the same order
+    * the oracle's list_sum replays. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+
+  /** e08 — product-quantization ADC top-k (the memory-scale path IVF
+    * alone doesn't give): vectors are cut into 8 subspaces of 8 dims,
+    * each block quantized to the nearest of 10 codebook entries (the
+    * per-label centroid slices — mean commutes with slicing, so the
+    * codebook is just `centroids` cut up). A candidate is then 8 small
+    * code ids instead of 64 floats. Queries answer via the asymmetric
+    * distance computation: a per-query lookup table of (block, code) →
+    * exact squared-L2 to the query's own block, and the candidate's
+    * approximate distance is the sum of 8 LUT hits.
+    *
+    * Scale shape: the codebook (80 rows) and the LUT (queries × 80)
+    * broadcast; candidates join them by (block, code) equi-keys and
+    * never ship their float vectors to the scoring join — at 100 TB the
+    * fact side carries 8 bytes of codes per vector, which is the whole
+    * point of PQ. No cross join anywhere; the final top-k is one
+    * per-query window. Determinism: code assignment and ranking order
+    * by ROUNDED distances with id tie-breaks, so engine ulp noise
+    * cannot flip an argmin. */
+  def e08PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val blkIds = explode(sequence(lit(0), lit(7))).as("blk")
+    val codeBlocks = centroids(e).select(col("c_label"), blkIds, col("cv"))
+      .select(col("c_label"), col("blk"),
+        slice(col("cv"), col("blk") * 8 + 1, lit(8)).as("cb"))
+    val vecBlocks = e.select(col("vec_id"), blkIds, col("v"))
+      .select(col("vec_id"), col("blk"),
+        slice(col("v"), col("blk") * 8 + 1, lit(8)).as("vb"))
+    val wEnc = Window.partitionBy("vec_id", "blk").orderBy(col("d2r"), col("c_label"))
+    val codes = vecBlocks.join(broadcast(codeBlocks), Seq("blk"))
+      .select(col("vec_id"), col("blk"), col("c_label"),
+        round(l2sq(col("vb"), col("cb")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("blk"), col("c_label").as("code"))
+    val lut = vecBlocks.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("blk"), col("vb").as("qb"))
+      .join(broadcast(codeBlocks), Seq("blk"))
+      .select(col("query_id"), col("blk"), col("c_label").as("code"),
+        l2sq(col("qb"), col("cb")).as("d2"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
+    codes.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("blk"), col("code"))
+      .join(broadcast(lut), Seq("blk", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(round(sum("d2"), 6).as("adc"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "cand_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e08_pq_adc"          -> (e08PqAdc _),
     "e07_kmeans_step"     -> (e07KmeansStep _),
     "e05_ivf_topk"        -> (e05IvfTopk _),
     "e04_cosine_neardup"  -> (e04CosineNeardup _),
@@ -246,7 +306,46 @@ object SimilarityQueries extends QueryPack {
        | / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
        |  * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
 
+  /** DuckDB-side squared-L2 between two 8-dim double lists, same
+    * sequential fold as the Spark aggregate(). */
+  private def sqlL2sq(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 9),
+       |  j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "e08_pq_adc" ->
+      s"""WITH cent AS (
+        |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS m
+        |    FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label),
+        |cb AS (
+        |  SELECT c_label, s AS blk, cv[s*8+1 : s*8+8] AS cbv
+        |  FROM cent, range(0, 8) t(s)),
+        |vb AS (
+        |  SELECT vec_id, s AS blk,
+        |    list_transform(embedding[s*8+1 : s*8+8], x -> x::DOUBLE) AS vbv
+        |  FROM embeddings, range(0, 8) t(s)),
+        |enc AS (
+        |  SELECT vec_id, blk, c_label AS code FROM (
+        |    SELECT v.vec_id, v.blk, c.c_label,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.blk
+        |        ORDER BY round(${sqlL2sq("v.vbv", "c.cbv")}, 6), c.c_label) AS rn
+        |    FROM vb v JOIN cb c USING (blk))
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT v.vec_id AS query_id, v.blk, c.c_label AS code,
+        |    ${sqlL2sq("v.vbv", "c.cbv")} AS d2
+        |  FROM vb v JOIN cb c USING (blk) WHERE v.vec_id < 5),
+        |adc AS (
+        |  SELECT l.query_id, e2.vec_id AS cand_id, round(sum(l.d2), 6) AS adc
+        |  FROM enc e2 JOIN lut l ON e2.blk = l.blk AND e2.code = l.code
+        |  WHERE e2.vec_id >= 5
+        |  GROUP BY l.query_id, e2.vec_id),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc, cand_id) AS INT) AS rank FROM adc)
+        |SELECT query_id, rank, cand_id, adc FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e07_kmeans_step" ->
       s"""WITH cent AS (
         |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (

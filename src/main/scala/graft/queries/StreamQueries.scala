@@ -264,7 +264,120 @@ object StreamQueries extends QueryPack {
     }.orderBy("segment")
   }
 
+  /** s07 — watermarked stream-stream LEFT OUTER interval join: s02's
+    * click⋈error join, but clicks with no error in their trailing
+    * 30-minute window must ALSO emit, null-padded — which only happens
+    * when the watermark proves no future match can arrive. A single
+    * AvailableNow pass over one file would end before the watermark
+    * ever passes the data (outer rows are emitted by the NEXT batch's
+    * state eviction, and Spark does not flush open state at stop), so
+    * the staging writes two far-future sentinel rows as separate files:
+    * batch 1's sentinel (max+2h) lifts both sides' watermarks past
+    * every real row, and batch 2 exists so that lifted watermark
+    * actually runs eviction — exactly how a production stream drains a
+    * quiet topic (heartbeat events), reproduced deterministically.
+    * Sentinels carry user_id −1 (joinable only with themselves) and are
+    * dropped from the gated result after the sink; the oracle is the
+    * plain batch LEFT JOIN.
+    */
+  def s07StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = Files.createTempDirectory("graft-s07-in")
+    val ckpt = Files.createTempDirectory("graft-s07-ckpt")
+    val scratch = Files.createTempDirectory("graft-s07-scratch")
+    val sink = "s07_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("000_events.parquet"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val tsIsLong =
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val maxTs = raw.agg(max("ts")).head.get(0)
+      Seq(1, 2).foreach { i =>
+        val tsCol =
+          if (tsIsLong) lit(maxTs.asInstanceOf[Long] + i * 7200L * 1000000000L)
+          else lit(maxTs) + expr(s"INTERVAL ${2 * i} HOURS")
+        val cols = schema.fields.map { f =>
+          (f.name match {
+            case "ts"         => tsCol
+            case "event_id"   => lit(-i.toLong)
+            case "user_id"    => lit(-1L)
+            case "event_type" => lit("sentinel")
+            case "value"      => lit(0.0)
+            case "props"      => lit("{}")
+            case _            => lit(null)
+          }).cast(f.dataType).as(f.name)
+        }
+        val outDir = scratch.resolve(s"sent$i")
+        s.range(1).select(cols.toSeq: _*).coalesce(1)
+          .write.mode("overwrite").parquet(outDir.toString)
+        val part = {
+          val l = Files.list(outDir)
+          try l.filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst.get
+          finally l.close()
+        }
+        Files.move(part, streamDir.resolve(f"00$i%d_sentinel.parquet"))
+      }
+      // the file source picks files oldest-modtime-first; pin the order
+      // events → sentinel1 → sentinel2 (a sentinel processed first
+      // would put every real row below the watermark and drop it)
+      val base = System.currentTimeMillis() - 60000L
+      Seq("000_events.parquet", "001_sentinel.parquet", "002_sentinel.parquet")
+        .zipWithIndex.foreach { case (n, i) =>
+          Files.setLastModifiedTime(streamDir.resolve(n),
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+        }
+      def src(): DataFrame = graft.core.Tables.withEventTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString))
+      val clicks = src().filter(col("event_type").isin("click", "sentinel"))
+        .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val errors = src().filter(col("event_type").isin("error", "sentinel"))
+        .select(col("event_id").as("e_event"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val joined = clicks.join(errors,
+        expr("c_user = e_user AND e_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"),
+        "leftOuter")
+        .select(col("c_event"), col("e_event"), col("c_user").as("user_id"))
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("s07: stream did not finish within 300s")
+      } finally q.stop()
+      val out = s.table(sink).filter(col("user_id") >= 0).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy("c_event", "e_event")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      def rmQuiet(p: Path): Unit =
+        try {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[s07] temp cleanup of $p failed: ${e.getMessage}")
+        }
+      rmQuiet(streamDir)
+      rmQuiet(ckpt)
+      rmQuiet(scratch)
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s07_stream_outer_join" -> (s07StreamOuterJoin _),
     "s06_stream_enrich" -> (s06StreamEnrich _),
     "s01_stream_window" -> (s01StreamWindow _),
     "s02_stream_join"   -> (s02StreamJoin _),
@@ -273,6 +386,14 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "s07_stream_outer_join" ->
+      """SELECT c.event_id AS c_event, e.event_id AS e_event,
+        |  c.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id
+        | AND e.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+        |ORDER BY c_event, e_event""".stripMargin,
     "s06_stream_enrich" ->
       """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value

@@ -563,7 +563,62 @@ object TextQueries extends QueryPack {
       .orderBy("source", "lang")
   }
 
+  /** d23 — LM-perplexity quality scoring (the CCNet filter): every doc
+    * scored under the corpus' own add-one-smoothed bigram model (d17's
+    * LM made total — every bigram, not the top-40), then cut into
+    * head/middle/tail thirds per language — the signal CCNet-style
+    * pipelines use to keep fluent text and downsample noise.
+    *
+    * Scale shape: the LM is two aggregate tables (bigram and unigram
+    * counts) pre-joined into one conditional-probability dimension, so
+    * the corpus-sized fact shuffles ONCE on (w1, w2); the vocab size is
+    * a one-row broadcast. The tail ntile window partitions by language
+    * over one row per doc — the only all-doc ordering, same cost class
+    * as the final ORDER BY. Determinism: counts are exact integers, the
+    * per-bigram NLL is a double ln of an exact ratio, and the per-doc
+    * mean is rounded to 4 decimals before exp/ntile so summation-order
+    * noise cannot flip a bucket.
+    */
+  def d23Perplexity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(parallelism(s)) // same single-file hazard as shingled()
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      // three agg arms (bigram counts, unigram counts, vocab) + the
+      // scoring join would otherwise re-tokenize once each
+      .localCheckpoint(true)
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val lefts = pairs.groupBy("w1").agg(count(lit(1)).as("w1_cnt"))
+    // LM dimension assembled agg-side (vocab²-bounded, far smaller than
+    // the corpus) so the fact table joins it in one (w1, w2) shuffle
+    val lm = bigrams.join(lefts, "w1")
+    val vocab = pairs.select(col("w1").as("tok"))
+      .union(pairs.select(col("w2"))).agg(countDistinct("tok").as("v"))
+    val scored = pairs
+      .join(lm, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log((col("cnt") + 1).cast("double") /
+          (col("w1_cnt") + col("v")).cast("double"))).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 4).as("avg_nll"))
+    val wLang = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+    scored.join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll"),
+        round(exp(col("avg_nll")), 2).as("ppl"),
+        ntile(3).over(wLang).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d23_perplexity"    -> (d23Perplexity _),
     "d22_domain_mix"    -> (d22DomainMix _),
     "d21_chunk_overlap" -> (d21ChunkOverlap _),
     "d20_pii_redact"    -> (d20PiiRedact _),
@@ -614,6 +669,32 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d23_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]) AS b
+        |    FROM toks WHERE len(w) >= 2)
+        |  WHERE b.w1 <> '' AND b.w2 <> ''),
+        |bigrams AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+        |lefts AS (SELECT w1, count(*) AS w1_cnt FROM pairs GROUP BY w1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM
+        |  (SELECT w1 AS tok FROM pairs UNION SELECT w2 FROM pairs)),
+        |scored AS (
+        |  SELECT p.doc_id, -ln((b.cnt + 1) / CAST(l.w1_cnt + vocab.v AS DOUBLE)) AS nll
+        |  FROM pairs p JOIN bigrams b USING (w1, w2) JOIN lefts l USING (w1)
+        |  CROSS JOIN vocab),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(avg(nll), 4) AS avg_nll
+        |  FROM scored GROUP BY doc_id)
+        |SELECT a.doc_id, d.lang, a.n_bigrams, a.avg_nll,
+        |  round(exp(a.avg_nll), 2) AS ppl,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY a.avg_nll, a.doc_id) AS INT)
+        |    AS ppl_bucket
+        |FROM agg a JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "d20_pii_redact" ->
       """WITH t AS (
         |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 10.0.'

@@ -192,6 +192,77 @@ class PlanQualitySpec extends SparkSpec {
       s"neighbor similarity planned a cross product in:\n$plan")
   }
 
+  /** Every physical node in the executed plan, descending through AQE
+    * wrappers and materialized query stages (same traversal as
+    * exchangeCount, keeping the nodes). */
+  private def collectNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case q: QueryStageExec => all(q.plan)
+        case _ => Nil
+      }
+      p +: (inner ++ p.children.flatMap(all))
+    }
+    all(df.queryExecution.executedPlan)
+  }
+
+  test("q53: the nullable NOT IN is a null-aware broadcast anti join, not a nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val nodes = collectNodes(RelationalQueries.q53NullAntiJoin(spark, dir))
+    val anti = nodes.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j }
+    // both NOT IN variants hash-broadcast their subquery; the nullable
+    // one must carry the null-aware flag (a regression to per-row
+    // BroadcastNestedLoopJoin would still pass the value oracle but
+    // rescans the build side per probe row at scale). The NOT EXISTS
+    // variant may legitimately plan as a non-broadcast anti join.
+    assert(anti.size >= 2, s"expected >=2 broadcast anti joins, got ${anti.size}")
+    assert(anti.exists(_.isNullAwareAntiJoin),
+      "nullable NOT IN lost the null-aware anti join plan")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "NOT IN fell back to BroadcastNestedLoopJoin")
+  }
+
+  test("e08: PQ scoring joins broadcast the codebook/LUT — codes never sort-merge") {
+    val plan = planOf(SimilarityQueries.e08PqAdc(spark, dir))
+    // encode join (codebook), LUT build join (codebook), ADC join (LUT):
+    // all three against broadcast dimensions; the candidate/fact side
+    // must never shuffle for a join
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected 3 broadcast hash joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"PQ join shuffled or crossed in:\n$plan")
+  }
+
+  test("d23: the corpus scores in one LM join pass — one ntile window, no cross join") {
+    val df = TextQueries.d23Perplexity(spark, dir)
+    val plan = planOf(df)
+    // exactly one Window (the per-language ntile over one row per doc)
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"expected one Window node in:\n$plan")
+    // the vocab scalar rides a 1-row broadcast (BroadcastNestedLoopJoin
+    // against a single row is the intended shape); an unbroadcast
+    // CartesianProduct would be the scale bug
+    assert(!plan.contains("CartesianProduct"),
+      s"vocab joined as cartesian in:\n$plan")
+  }
+
+  test("g18: Adamic-Adar stays on midpoint equi-joins like g17") {
+    val df = GraphQueries.g18AdamicAdar(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"link-prediction scoring planned a cross product in:\n$plan")
+    // top-20 must plan as TopK, not a global sort. Asserted on the
+    // pre-adaptive physical plan: the collect() path hides
+    // TakeOrderedAndProject inside the result stage's executeCollect.
+    val initial = df.queryExecution.sparkPlan.toString
+    assert(initial.contains("TakeOrderedAndProject"),
+      s"shortlist planned as global sort in:\n$initial")
+  }
+
   test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
     val df = RelationalQueries.q01PricingSummary(spark, dir)
     // one exchange for the groupBy, one for the final orderBy — no more

@@ -54,4 +54,22 @@ class StreamStreamJoinSpec extends SparkSpec {
         (3L, "2026-01-01 10:01:00.0")))
     } finally q.stop()
   }
+
+  test("s07 left-outer gate = inner join rows + null-padded unmatched clicks") {
+    val dir = "/root/testdata/sf0.001"
+    val outer = graft.queries.StreamQueries.s07StreamOuterJoin(spark, dir).collect()
+    val inner = graft.queries.StreamQueries.s02StreamJoin(spark, dir).collect()
+    // the matched subset of the outer result IS the inner join
+    val matched = outer.filter(r => !r.isNullAt(1)).map(_.toString).sorted.toSeq
+    assert(matched == inner.map(_.toString).sorted.toSeq,
+      "outer join's matched rows diverge from the inner join")
+    // every unmatched click emits exactly one null-padded row — the
+    // watermark-driven eviction actually drained (no state stuck open)
+    val nClicks = graft.core.Tables.events(spark, dir)
+      .filter(col("event_type") === "click").count()
+    val matchedClicks = outer.filter(r => !r.isNullAt(1)).map(_.getLong(0)).distinct.length
+    val nullRows = outer.count(_.isNullAt(1))
+    assert(nullRows == nClicks - matchedClicks,
+      s"$nullRows null rows for ${nClicks - matchedClicks} unmatched clicks")
+  }
 }
