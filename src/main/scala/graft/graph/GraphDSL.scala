@@ -74,6 +74,22 @@ final case class GraphDSL private (nodes: DataFrame, edges: DataFrame, frontier:
     copy(frontier = acc.get.join(nodes, "uid"))
   }
 
+  /** OPTIONAL MATCH (n)-[:relType]->(m): every current frontier row
+    * survives; matched paths carry the destination node as
+    * m_uid/m_label/m_name (null when the node has no such edge). Path
+    * multiplicity on the matched side follows Cypher (one row per
+    * edge). The frontier keeps the SOURCE node's identity columns, so
+    * aggregations over match/no-match both work. */
+  def outOptional(relType: String): GraphDSL = {
+    val e = edges.filter(col("rel_type") === relType)
+      .select(col("src_uid").as("uid"), col("dst_uid").as("_m_uid"))
+    val m = nodes.select(col("uid").as("_m_uid"),
+      col("label").as("m_label"), col("name").as("m_name"))
+    copy(frontier = frontier.join(e, Seq("uid"), "left")
+      .join(m, Seq("_m_uid"), "left")
+      .withColumnRenamed("_m_uid", "m_uid"))
+  }
+
   /** WHERE NOT (n)-[:relType]->() — anti-join on outgoing pattern
     * (J6, the orphan check). */
   def whereNotOut(relTypes: String*): GraphDSL =

@@ -391,7 +391,25 @@ object GraphQueries extends QueryPack {
       .limit(20)
   }
 
+  /** g19 — OPTIONAL MATCH through the DSL (`Cypher OPTIONAL MATCH
+    * (n)-[:IN_NATION]->(m)`): every node survives the hop; per label,
+    * how many rows matched and how many distinct nations they reach —
+    * Customer/Supplier rows match (each has exactly one nation edge),
+    * Nation/Region rows come back null-padded. The left join broadcasts
+    * the edge and dimension sides exactly like the required-match hop.
+    */
+  def g19DslOptional(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphDSL.on(nodes(s, dir), edges(s, dir))
+      .outOptional("IN_NATION")
+      .df
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("m_uid")).as("n_matched"),
+        countDistinct(col("m_name")).as("n_nations"))
+      .orderBy("label")
+
   val queries: Map[String, QueryFn] = Map(
+    "g19_dsl_optional"   -> (g19DslOptional _),
     "g18_adamic_adar"    -> (g18AdamicAdar _),
     "g17_neighbor_jaccard" -> (g17NeighborJaccard _),
     "g16_triangles"      -> (g16Triangles _),
@@ -412,6 +430,24 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g19_dsl_optional" ->
+      """WITH n AS (
+        |  SELECT 'Customer' AS label, 'Customer:' || c_custkey AS uid FROM customer
+        |  UNION ALL SELECT 'Supplier', 'Supplier:' || s_suppkey FROM supplier
+        |  UNION ALL SELECT 'Nation', 'Nation:' || n_nationkey FROM nation
+        |  UNION ALL SELECT 'Region', 'Region:' || r_regionkey FROM region),
+        |e AS (
+        |  SELECT 'Customer:' || c_custkey AS src_uid,
+        |         'Nation:' || c_nationkey AS dst_uid FROM customer
+        |  UNION ALL SELECT 'Supplier:' || s_suppkey,
+        |         'Nation:' || s_nationkey FROM supplier),
+        |m AS (SELECT 'Nation:' || n_nationkey AS dst_uid, n_name FROM nation)
+        |SELECT n.label, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(e.dst_uid) AS BIGINT) AS n_matched,
+        |  CAST(count(DISTINCT m.n_name) AS BIGINT) AS n_nations
+        |FROM n LEFT JOIN e ON n.uid = e.src_uid
+        |LEFT JOIN m ON e.dst_uid = m.dst_uid
+        |GROUP BY n.label ORDER BY label""".stripMargin,
     "g18_adamic_adar" ->
       """WITH c AS (
         |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b

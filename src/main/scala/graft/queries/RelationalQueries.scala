@@ -961,7 +961,34 @@ object RelationalQueries extends QueryPack {
     } finally rmTree(tmp)
   }
 
+  /** q57 — the six-table regional-revenue join (TPC-H Q5's shape): the
+    * local-supplier condition (supplier in the customer's own nation)
+    * makes lineitem join BOTH orders and supplier before the dimension
+    * chain resolves — the classic join-order workout. Plan shape for
+    * scale: the two fact-fact joins (lineitem⋈orders, ⋈supplier) are
+    * key shuffles; nation and region broadcast; revenue rides the
+    * per-row double product cast to decimal BEFORE the sum (q03's
+    * moneySum discipline) so a 1000-way shuffle can't reorder a bit. */
+  def q57RegionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q57_regional_revenue" -> (q57RegionalRevenue _),
     "q56_orc_source"      -> (q56OrcSource _),
     "q55_json_source"     -> (q55JsonSource _),
     "q54_csv_source"      -> (q54CsvSource _),
@@ -1021,6 +1048,18 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q57_regional_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))), 2)
+        |   AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q54_csv_source" ->
       """WITH src AS (
         |  SELECT n_regionkey, n_name,

@@ -617,7 +617,34 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** d24 — sequence packing (tokenize-and-pack): documents assigned to
+    * fixed 512-token training batches by prefix-sum — a doc belongs to
+    * the batch its starting token offset falls in, the deterministic
+    * greedy packing every pretraining pipeline runs before writing
+    * examples. The running sum is PER LANGUAGE (the shard key): at
+    * 100 TB packing is embarrassingly parallel across shards, and the
+    * per-shard window is the only ordered pass — a single global
+    * running sum would serialize the corpus through one partition.
+    * Integer token counts → the batch boundary is engine-exact. */
+  def d24SeqPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("batch_id", expr("(cum - n_tokens) div 512"))
+      .groupBy("lang", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("batch_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "batch_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d24_seq_pack"      -> (d24SeqPack _),
     "d23_perplexity"    -> (d23Perplexity _),
     "d22_domain_mix"    -> (d22DomainMix _),
     "d21_chunk_overlap" -> (d21ChunkOverlap _),
@@ -669,6 +696,23 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d24_seq_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM toks),
+        |packed AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    CAST((cum - n_tokens) // 512 AS BIGINT) AS batch_id
+        |  FROM cum)
+        |SELECT lang, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin,
     "d23_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),

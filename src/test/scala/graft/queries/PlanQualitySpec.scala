@@ -263,6 +263,27 @@ class PlanQualitySpec extends SparkSpec {
       s"shortlist planned as global sort in:\n$initial")
   }
 
+  test("q57: dimension chain broadcasts — only the fact-fact joins shuffle") {
+    val plan = planOf(RelationalQueries.q57RegionalRevenue(spark, dir))
+    // nation + region must ride broadcast joins; lineitem⋈orders and
+    // ⋈supplier may shuffle (fact-fact), but nothing may cross-join
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected broadcast dimension joins in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"regional revenue planned a cross product in:\n$plan")
+  }
+
+  test("d24: the packing prefix-sum is a per-language window, not a global one") {
+    val df = TextQueries.d24SeqPack(spark, dir)
+    val plan = planOf(df)
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"expected one Window node in:\n$plan")
+    // partitioned by the shard key — an empty partition spec would
+    // serialize the whole corpus through one task at scale
+    assert("windowspecdefinition\\(lang".r.findFirstIn(plan).isDefined,
+      s"packing window lost its lang partition in:\n$plan")
+  }
+
   test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
     val df = RelationalQueries.q01PricingSummary(spark, dir)
     // one exchange for the groupBy, one for the final orderBy — no more
