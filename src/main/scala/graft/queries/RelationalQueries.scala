@@ -987,7 +987,41 @@ object RelationalQueries extends QueryPack {
       .orderBy("r_name", "n_name")
   }
 
+  /** q58 — dedup-with-merge through the gate (A3, `facilities.py:58-76`):
+    * the reference's "first-seen wins, later entries fill only missing
+    * fields" merge, driver-checked. A re-crawl batch (every 10th
+    * customer re-arrives with an empty segment, a blanked name, and a
+    * fresh balance) unions with the base at source rank 1; the merge
+    * keeps rank-0's non-empty value per column and falls back to
+    * rank-1 only where rank 0 was empty. With two ranks the
+    * first-non-empty fold is a closed form — one conditional aggregate
+    * per column, a single shuffle — which is exactly how the
+    * FacilityMergeAggregator semantics (spec-gated on the fixtures)
+    * look to Catalyst on a generic table. */
+  def q58DedupMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"), lit(0).as("rnk"))
+    val recrawl = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lit("").as("c_name"), lit("").as("c_mktsegment"),
+        (col("c_acctbal") + 100).as("c_acctbal"), lit(1).as("rnk"))
+    def firstNonEmpty(c: String): Column =
+      coalesce(
+        max(when(col("rnk") === 0 && col(c) =!= "", col(c))),
+        max(when(col("rnk") === 1 && col(c) =!= "", col(c)))).as(c)
+    base.unionByName(recrawl)
+      .groupBy("c_custkey")
+      .agg(firstNonEmpty("c_name"), firstNonEmpty("c_mktsegment"),
+        coalesce(
+          max(when(col("rnk") === 0, col("c_acctbal"))),
+          max(when(col("rnk") === 1, col("c_acctbal"))))
+          .cast("double").as("c_acctbal"),
+        count(lit(1)).as("n_sources"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q58_dedup_merge"     -> (q58DedupMerge _),
     "q57_regional_revenue" -> (q57RegionalRevenue _),
     "q56_orc_source"      -> (q56OrcSource _),
     "q55_json_source"     -> (q55JsonSource _),
@@ -1048,6 +1082,25 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q58_dedup_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal, 0 AS rnk
+        |  FROM customer),
+        |recrawl AS (
+        |  SELECT c_custkey, '' AS c_name, '' AS c_mktsegment,
+        |    c_acctbal + 100 AS c_acctbal, 1 AS rnk
+        |  FROM base WHERE c_custkey % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM recrawl)
+        |SELECT c_custkey,
+        |  coalesce(max(CASE WHEN rnk = 0 AND c_name <> '' THEN c_name END),
+        |           max(CASE WHEN rnk = 1 AND c_name <> '' THEN c_name END)) AS c_name,
+        |  coalesce(max(CASE WHEN rnk = 0 AND c_mktsegment <> '' THEN c_mktsegment END),
+        |           max(CASE WHEN rnk = 1 AND c_mktsegment <> '' THEN c_mktsegment END)) AS c_mktsegment,
+        |  CAST(coalesce(max(CASE WHEN rnk = 0 THEN c_acctbal END),
+        |           max(CASE WHEN rnk = 1 THEN c_acctbal END)) AS DOUBLE) AS c_acctbal,
+        |  CAST(count(*) AS BIGINT) AS n_sources
+        |FROM u GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q57_regional_revenue" ->
       """SELECT r_name, n_name,
         | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))), 2)

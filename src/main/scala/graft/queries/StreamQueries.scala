@@ -280,14 +280,70 @@ object StreamQueries extends QueryPack {
     * dropped from the gated result after the sink; the oracle is the
     * plain batch LEFT JOIN.
     */
-  def s07StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+  def s07StreamOuterJoin(s: SparkSession, dir: String): DataFrame =
+    runStagedSentinels(s, dir, "s07", "append") { src =>
+      val clicks = src().filter(col("event_type").isin("click", "sentinel"))
+        .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val errors = src().filter(col("event_type").isin("error", "sentinel"))
+        .select(col("event_id").as("e_event"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      clicks.join(errors,
+        expr("c_user = e_user AND e_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"),
+        "leftOuter")
+        .select(col("c_event"), col("e_event"), col("c_user").as("user_id"))
+    }.filter(col("user_id") >= 0).orderBy("c_event", "e_event")
+
+  /** s08 — the Spark 4 `transformWithState` surface through the gate
+    * (`StreamingActivity`): per-user click rollups held in typed
+    * ValueState, each emitted exactly once by an explicit event-time
+    * timer when the watermark passes last-activity + 30 min. Runs on
+    * RocksDB state (the API requires it — also the store a production
+    * stream runs). The sentinel staging drives the watermark past
+    * every real user's timer, so the emitted set is exactly the batch
+    * per-user aggregate — which is the oracle. Only order-insensitive
+    * aggregates (count/min/max) live in state, so intra-batch row
+    * order cannot leak into the result.
+    */
+  def s08StreamRollup(s: SparkSession, dir: String): DataFrame =
+    runStagedSentinels(s, dir, "s08", "append",
+      extraConf = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { src =>
+      import graft.streaming.StreamingActivity
+      implicit val enc = org.apache.spark.sql.Encoders.product[StreamingActivity.Click]
+      val clicks = src().filter(col("event_type").isin("click", "sentinel"))
+        .select(col("user_id"), col("ts"))
+        .as[StreamingActivity.Click]
+      StreamingActivity.rollups(clicks, "1 hour").toDF()
+    }.filter(col("user_id") >= 0)
+      .orderBy("user_id")
+
+  /** Stage the events table plus two far-future sentinel files and run
+    * `build`'s plan to completion (same contract as [[runStaged]]):
+    * sentinel rows (event_type 'sentinel', user_id -1, ts max+2h and
+    * max+4h) arrive as micro-batches 1 and 2 and exist to ADVANCE THE
+    * WATERMARK past every real row after the data has all arrived —
+    * the deterministic replay of a production stream draining a quiet
+    * topic via heartbeats. Outer joins need it to emit null-padded
+    * rows, timer-based operators to fire their last timers; callers
+    * filter `user_id >= 0` to drop sentinel-derived rows. `extraConf`
+    * entries are set for the stream's lifetime and restored after
+    * (s08 swaps in the RocksDB state store). */
+  private def runStagedSentinels(s: SparkSession, dir: String, tag: String,
+                                 mode: String,
+                                 extraConf: Map[String, String] = Map.empty)
+                                (build: (() => DataFrame) => DataFrame): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = Files.createTempDirectory("graft-s07-in")
-    val ckpt = Files.createTempDirectory("graft-s07-ckpt")
-    val scratch = Files.createTempDirectory("graft-s07-scratch")
-    val sink = "s07_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val streamDir = Files.createTempDirectory(s"graft-$tag-in")
+    val ckpt = Files.createTempDirectory(s"graft-$tag-ckpt")
+    val scratch = Files.createTempDirectory(s"graft-$tag-scratch")
+    val sink = tag + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevExtra = extraConf.keys.map(k => k -> s.conf.getOption(k)).toMap
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    extraConf.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       Files.copy(Paths.get(s"$dir/events.parquet"),
         streamDir.resolve("000_events.parquet"))
@@ -322,7 +378,7 @@ object StreamQueries extends QueryPack {
         Files.move(part, streamDir.resolve(f"00$i%d_sentinel.parquet"))
       }
       // the file source picks files oldest-modtime-first; pin the order
-      // events → sentinel1 → sentinel2 (a sentinel processed first
+      // events -> sentinel1 -> sentinel2 (a sentinel processed first
       // would put every real row below the watermark and drop it)
       val base = System.currentTimeMillis() - 60000L
       Seq("000_events.parquet", "001_sentinel.parquet", "002_sentinel.parquet")
@@ -330,36 +386,28 @@ object StreamQueries extends QueryPack {
           Files.setLastModifiedTime(streamDir.resolve(n),
             java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
         }
-      def src(): DataFrame = graft.core.Tables.withEventTs(
+      val src = () => graft.core.Tables.withEventTs(
         s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(streamDir.toString))
-      val clicks = src().filter(col("event_type").isin("click", "sentinel"))
-        .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
-          col("ts").as("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-      val errors = src().filter(col("event_type").isin("error", "sentinel"))
-        .select(col("event_id").as("e_event"), col("user_id").as("e_user"),
-          col("ts").as("e_ts"))
-        .withWatermark("e_ts", "1 hour")
-      val joined = clicks.join(errors,
-        expr("c_user = e_user AND e_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"),
-        "leftOuter")
-        .select(col("c_event"), col("e_event"), col("c_user").as("user_id"))
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
+      val q = build(src).writeStream.format("memory").queryName(sink)
+        .outputMode(mode)
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       try {
         if (!q.awaitTermination(300000))
-          sys.error("s07: stream did not finish within 300s")
+          sys.error(s"$tag: stream did not finish within 300s")
       } finally q.stop()
-      val out = s.table(sink).filter(col("user_id") >= 0).localCheckpoint(true)
+      val out = s.table(sink).localCheckpoint(true)
       s.catalog.dropTempView(sink)
-      out.orderBy("c_event", "e_event")
+      out
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevExtra.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
       def rmQuiet(p: Path): Unit =
         try {
           val walk = Files.walk(p)
@@ -368,7 +416,7 @@ object StreamQueries extends QueryPack {
           finally walk.close()
         } catch {
           case e: Exception =>
-            System.err.println(s"[s07] temp cleanup of $p failed: ${e.getMessage}")
+            System.err.println(s"[$tag] temp cleanup of $p failed: ${e.getMessage}")
         }
       rmQuiet(streamDir)
       rmQuiet(ckpt)
@@ -377,6 +425,7 @@ object StreamQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "s08_stream_rollup" -> (s08StreamRollup _),
     "s07_stream_outer_join" -> (s07StreamOuterJoin _),
     "s06_stream_enrich" -> (s06StreamEnrich _),
     "s01_stream_window" -> (s01StreamWindow _),
@@ -386,6 +435,11 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "s08_stream_rollup" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+        |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s07_stream_outer_join" ->
       """SELECT c.event_id AS c_event, e.event_id AS e_event,
         |  c.user_id AS user_id
