@@ -1020,7 +1020,67 @@ object RelationalQueries extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  /** q59 — statistical moment aggregates (the profiling family a data
+    * pipeline runs before modeling): per-flag stddev, correlation,
+    * covariance, and regression slope in ONE partial+final pass —
+    * Catalyst's co-moment buffers merge associatively, so this is a
+    * single shuffle at any scale, never a two-pass mean-then-deviation
+    * job. Rounding is sized to the FP merge-order noise of each
+    * statistic (stddev/covar to 2 at magnitude 1e4, corr to 6 at
+    * magnitude 1, slope to 4): sums of squared deviations differ
+    * between engines in the last bits, and the variance itself
+    * (magnitude ~1e9, absolute noise ~1) is deliberately NOT emitted —
+    * its sqrt is, where the noise compresses below any rounding edge.
+    */
+  def q59StatsMoments(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("price_per_qty"))
+      .orderBy("l_returnflag")
+
+  /** Names used by q60, a subset of `WasteParse.knownFacilityNames` in
+    * the SAME relative (longest-first) order, none rewritten by the
+    * normalization map, none a substring of another except the
+    * deliberate "Verpackungstonne (Gelbe Tonne)" ⊃ "Verpackungstonne"
+    * pair — the case consume-once exists for. */
+  private val q60Names = Seq(
+    "Verpackungstonne (Gelbe Tonne)", "Fachhandel / Hersteller",
+    "Schadstoffsammlung", "Wertstoffhof Nord", "Wertstoffhof West",
+    "Kofferraumservice", "Verpackungstonne", "Biotonne")
+
+  /** q60 — the consume-once ordered extraction (F6, the reference's
+    * hardest semantic, `waste_items.py:174-237`) through the driver
+    * gate, via its SQL registration (`GraftExtensions` →
+    * `consume_once_extract`, the codegen'd Catalyst expression): each
+    * row's text is two known facility names concatenated, including
+    * pairs where one name contains the other — longest-first matching
+    * consumes the long form so the bare substring is never
+    * double-counted. The oracle reconstructs the expected extraction
+    * (the chosen names in pattern-priority order) from the same row
+    * arithmetic, independently of the expression. */
+  def q60ConsumeExtract(s: SparkSession, dir: String): DataFrame = {
+    val arr = array(q60Names.map(lit): _*)
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"),
+        concat(
+          element_at(arr, (col("n_nationkey") % 8) + 1), lit(" und "),
+          element_at(arr, ((col("n_nationkey") * 3 + 1) % 8) + 1)).as("text"))
+      .select(col("n_nationkey"),
+        posexplode(call_function("consume_once_extract", col("text")))
+          .as(Seq("p", "target")))
+      .select(col("n_nationkey"), col("target"), (col("p") + 1).cast("int").as("pos"))
+      .orderBy("n_nationkey", "pos")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q60_consume_extract" -> (q60ConsumeExtract _),
+    "q59_stats_moments"   -> (q59StatsMoments _),
     "q58_dedup_merge"     -> (q58DedupMerge _),
     "q57_regional_revenue" -> (q57RegionalRevenue _),
     "q56_orc_source"      -> (q56OrcSource _),
@@ -1082,6 +1142,31 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q60_consume_extract" ->
+      """WITH pats(prio, nm) AS (VALUES
+        |  (1, 'Verpackungstonne (Gelbe Tonne)'), (2, 'Fachhandel / Hersteller'),
+        |  (3, 'Schadstoffsammlung'), (4, 'Wertstoffhof Nord'),
+        |  (5, 'Wertstoffhof West'), (6, 'Kofferraumservice'),
+        |  (7, 'Verpackungstonne'), (8, 'Biotonne')),
+        |r AS (
+        |  SELECT n_nationkey,
+        |    (n_nationkey % 8) + 1 AS ai,
+        |    ((n_nationkey * 3 + 1) % 8) + 1 AS bi
+        |  FROM nation),
+        |chosen AS (
+        |  SELECT r.n_nationkey, p.prio, p.nm
+        |  FROM r JOIN pats p ON p.prio = r.ai OR p.prio = r.bi)
+        |SELECT n_nationkey, nm AS target,
+        |  CAST(row_number() OVER (PARTITION BY n_nationkey ORDER BY prio) AS INT) AS pos
+        |FROM chosen ORDER BY n_nationkey, pos""".stripMargin,
+    "q59_stats_moments" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q58_dedup_merge" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, c_mktsegment,
