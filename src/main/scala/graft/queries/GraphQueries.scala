@@ -340,11 +340,18 @@ object GraphQueries extends QueryPack {
     * join in as two aggregate sides; inclusion-exclusion gives the
     * union size. Integer ratio → engine-exact after round. This is the
     * same shuffle shape as d18's shingle overlap, on graph adjacency. */
-  def g17NeighborJaccard(s: SparkSession, dir: String): DataFrame = {
-    val pairs = coClickPairs(s, dir)
+  /** Directed adjacency (both orientations of the canonical edges) and
+    * per-node degrees — the two derived views every neighborhood
+    * similarity query (g17/g18) reads. */
+  private def adjAndDeg(pairs: DataFrame): (DataFrame, DataFrame) = {
     val adj = pairs.unionByName(
       pairs.select(col("u2").as("u1"), col("u1").as("u2")))
-    val deg = adj.groupBy("u1").agg(count(lit(1)).as("deg"))
+    (adj, adj.groupBy("u1").agg(count(lit(1)).as("deg")))
+  }
+
+  def g17NeighborJaccard(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coClickPairs(s, dir)
+    val (adj, deg) = adjAndDeg(pairs)
     val common = adj.select(col("u1").as("a"), col("u2").as("n"))
       .join(adj.select(col("u1").as("bb"), col("u2").as("n")), "n")
       .filter(col("a") < col("bb"))
@@ -374,9 +381,7 @@ object GraphQueries extends QueryPack {
     */
   def g18AdamicAdar(s: SparkSession, dir: String): DataFrame = {
     val pairs = coClickPairs(s, dir)
-    val adj = pairs.unionByName(
-      pairs.select(col("u2").as("u1"), col("u1").as("u2")))
-    val deg = adj.groupBy("u1").agg(count(lit(1)).as("deg"))
+    val (adj, deg) = adjAndDeg(pairs)
     adj.select(col("u1").as("a"), col("u2").as("n"))
       .join(adj.select(col("u1").as("bb"), col("u2").as("n")), "n")
       .filter(col("a") < col("bb"))

@@ -878,15 +878,7 @@ object RelationalQueries extends QueryPack {
   }
 
   private def rmTree(p: java.nio.file.Path): Unit =
-    try {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    } catch {
-      case e: Exception =>
-        System.err.println(s"[queries] temp cleanup of $p failed: ${e.getMessage}")
-    }
+    graft.core.TempDirs.deleteQuietly(p, "queries")
 
   /** q54 — the multiline-quoted CSV source through the gate (S2,
     * `waste_items.py:251-281`): cells with embedded newlines round-trip
@@ -1070,7 +1062,7 @@ object RelationalQueries extends QueryPack {
       .select(col("n_nationkey"),
         concat(
           element_at(arr, (col("n_nationkey") % 8) + 1), lit(" und "),
-          element_at(arr, ((col("n_nationkey") * 3 + 1) % 8) + 1)).as("text"))
+          element_at(arr, ((col("n_nationkey") * 5 + 6) % 8) + 1)).as("text"))
       .select(col("n_nationkey"),
         posexplode(call_function("consume_once_extract", col("text")))
           .as(Seq("p", "target")))
@@ -1151,7 +1143,7 @@ object RelationalQueries extends QueryPack {
         |r AS (
         |  SELECT n_nationkey,
         |    (n_nationkey % 8) + 1 AS ai,
-        |    ((n_nationkey * 3 + 1) % 8) + 1 AS bi
+        |    ((n_nationkey * 5 + 6) % 8) + 1 AS bi
         |  FROM nation),
         |chosen AS (
         |  SELECT r.n_nationkey, p.prio, p.nm

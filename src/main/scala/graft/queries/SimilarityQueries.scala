@@ -266,7 +266,11 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("blk"),
         slice(col("v"), col("blk") * 8 + 1, lit(8)).as("vb"))
     val wEnc = Window.partitionBy("vec_id", "blk").orderBy(col("d2r"), col("c_label"))
-    val codes = vecBlocks.join(broadcast(codeBlocks), Seq("blk"))
+    // encode ONLY the candidate side — queries are answered from the
+    // exact LUT below and their codes would be dead rows in the
+    // (vec_id, blk) window shuffle
+    val codes = vecBlocks.filter(col("vec_id") >= 5)
+      .join(broadcast(codeBlocks), Seq("blk"))
       .select(col("vec_id"), col("blk"), col("c_label"),
         round(l2sq(col("vb"), col("cb")), 6).as("d2r"))
       .withColumn("rn", row_number().over(wEnc))
@@ -278,7 +282,7 @@ object SimilarityQueries extends QueryPack {
       .select(col("query_id"), col("blk"), col("c_label").as("code"),
         l2sq(col("qb"), col("cb")).as("d2"))
     val wRank = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
-    codes.filter(col("vec_id") >= 5)
+    codes
       .select(col("vec_id").as("cand_id"), col("blk"), col("code"))
       .join(broadcast(lut), Seq("blk", "code"))
       .groupBy("query_id", "cand_id")

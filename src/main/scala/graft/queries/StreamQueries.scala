@@ -56,48 +56,8 @@ object StreamQueries extends QueryPack {
     */
   private def runStaged(s: SparkSession, dir: String, tag: String,
                         mode: String)
-                       (build: (() => DataFrame) => DataFrame): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = Files.createTempDirectory(s"graft-$tag-in")
-    val ckpt = Files.createTempDirectory(s"graft-$tag-ckpt")
-    val sink = tag + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        streamDir.resolve("events.parquet"))
-      val src = () => graft.core.Tables.withEventTs(
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(streamDir.toString))
-      val q = build(src).writeStream.format("memory").queryName(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try {
-        if (!q.awaitTermination(300000))
-          sys.error(s"$tag: stream did not finish within 300s")
-      } finally q.stop()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      def rmQuiet(p: Path): Unit =
-        try {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-          finally walk.close()
-        } catch {
-          case e: Exception =>
-            System.err.println(s"[$tag] temp cleanup of $p failed: ${e.getMessage}")
-        }
-      rmQuiet(streamDir)
-      rmQuiet(ckpt)
-    }
-    val out = s.table(sink).localCheckpoint(true)
-    s.catalog.dropTempView(sink)
-    out
-  }
+                       (build: (() => DataFrame) => DataFrame): DataFrame =
+    runStagedImpl(s, dir, tag, mode, sentinels = false, Map.empty)(build)
 
   /** s01 — event-time tumbling-window aggregation (the streaming twin
     * of q18): readStream → 5-minute windows → complete-mode memory
@@ -228,19 +188,9 @@ object StreamQueries extends QueryPack {
         .orderBy("uid")
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      def rmQuiet(p: Path): Unit =
-        try {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-          finally walk.close()
-        } catch {
-          case e: Exception =>
-            System.err.println(s"[s05] temp cleanup of $p failed: ${e.getMessage}")
-        }
-      rmQuiet(streamDir)
-      rmQuiet(ckpt)
-      rmQuiet(storeRoot)
+      graft.core.TempDirs.deleteQuietly(streamDir, "s05")
+      graft.core.TempDirs.deleteQuietly(ckpt, "s05")
+      graft.core.TempDirs.deleteQuietly(storeRoot, "s05")
     }
   }
 
@@ -334,7 +284,17 @@ object StreamQueries extends QueryPack {
   private def runStagedSentinels(s: SparkSession, dir: String, tag: String,
                                  mode: String,
                                  extraConf: Map[String, String] = Map.empty)
-                                (build: (() => DataFrame) => DataFrame): DataFrame = {
+                                (build: (() => DataFrame) => DataFrame): DataFrame =
+    runStagedImpl(s, dir, tag, mode, sentinels = true, extraConf)(build)
+
+  /** The one staging engine behind [[runStaged]] and
+    * [[runStagedSentinels]]; `sentinels` adds the two heartbeat files,
+    * `extraConf` entries are set for the stream's lifetime and
+    * restored after (s08 swaps in the RocksDB state store). */
+  private def runStagedImpl(s: SparkSession, dir: String, tag: String,
+                            mode: String, sentinels: Boolean,
+                            extraConf: Map[String, String])
+                           (build: (() => DataFrame) => DataFrame): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val streamDir = Files.createTempDirectory(s"graft-$tag-in")
     val ckpt = Files.createTempDirectory(s"graft-$tag-ckpt")
@@ -347,45 +307,7 @@ object StreamQueries extends QueryPack {
     try {
       Files.copy(Paths.get(s"$dir/events.parquet"),
         streamDir.resolve("000_events.parquet"))
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val tsIsLong =
-        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-      val maxTs = raw.agg(max("ts")).head.get(0)
-      Seq(1, 2).foreach { i =>
-        val tsCol =
-          if (tsIsLong) lit(maxTs.asInstanceOf[Long] + i * 7200L * 1000000000L)
-          else lit(maxTs) + expr(s"INTERVAL ${2 * i} HOURS")
-        val cols = schema.fields.map { f =>
-          (f.name match {
-            case "ts"         => tsCol
-            case "event_id"   => lit(-i.toLong)
-            case "user_id"    => lit(-1L)
-            case "event_type" => lit("sentinel")
-            case "value"      => lit(0.0)
-            case "props"      => lit("{}")
-            case _            => lit(null)
-          }).cast(f.dataType).as(f.name)
-        }
-        val outDir = scratch.resolve(s"sent$i")
-        s.range(1).select(cols.toSeq: _*).coalesce(1)
-          .write.mode("overwrite").parquet(outDir.toString)
-        val part = {
-          val l = Files.list(outDir)
-          try l.filter(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet")).findFirst.get
-          finally l.close()
-        }
-        Files.move(part, streamDir.resolve(f"00$i%d_sentinel.parquet"))
-      }
-      // the file source picks files oldest-modtime-first; pin the order
-      // events -> sentinel1 -> sentinel2 (a sentinel processed first
-      // would put every real row below the watermark and drop it)
-      val base = System.currentTimeMillis() - 60000L
-      Seq("000_events.parquet", "001_sentinel.parquet", "002_sentinel.parquet")
-        .zipWithIndex.foreach { case (n, i) =>
-          Files.setLastModifiedTime(streamDir.resolve(n),
-            java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
-        }
+      if (sentinels) stageSentinels(s, dir, schema, streamDir, scratch)
       val src = () => graft.core.Tables.withEventTs(
         s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -399,6 +321,8 @@ object StreamQueries extends QueryPack {
         if (!q.awaitTermination(300000))
           sys.error(s"$tag: stream did not finish within 300s")
       } finally q.stop()
+      // materialize before the cleanup deletes the staged files: the
+      // rows live in the memory sink, the checkpoint keeps them safe
       val out = s.table(sink).localCheckpoint(true)
       s.catalog.dropTempView(sink)
       out
@@ -408,20 +332,56 @@ object StreamQueries extends QueryPack {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None)    => s.conf.unset(k)
       }
-      def rmQuiet(p: Path): Unit =
-        try {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-          finally walk.close()
-        } catch {
-          case e: Exception =>
-            System.err.println(s"[$tag] temp cleanup of $p failed: ${e.getMessage}")
-        }
-      rmQuiet(streamDir)
-      rmQuiet(ckpt)
-      rmQuiet(scratch)
+      graft.core.TempDirs.deleteQuietly(streamDir, tag)
+      graft.core.TempDirs.deleteQuietly(ckpt, tag)
+      graft.core.TempDirs.deleteQuietly(scratch, tag)
     }
+  }
+
+  /** Write the two heartbeat files (ts max+2h / max+4h, user_id -1,
+    * event_type 'sentinel') into the watch directory and pin all three
+    * files' modification times so the file source processes events ->
+    * sentinel1 -> sentinel2 (a sentinel processed first would put every
+    * real row below the watermark and drop it). */
+  private def stageSentinels(s: SparkSession, dir: String,
+                             schema: org.apache.spark.sql.types.StructType,
+                             streamDir: Path, scratch: Path): Unit = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsIsLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val maxTs = raw.agg(max("ts")).head.get(0)
+    Seq(1, 2).foreach { i =>
+      val tsCol =
+        if (tsIsLong) lit(maxTs.asInstanceOf[Long] + i * 7200L * 1000000000L)
+        else lit(maxTs) + expr(s"INTERVAL ${2 * i} HOURS")
+      val cols = schema.fields.map { f =>
+        (f.name match {
+          case "ts"         => tsCol
+          case "event_id"   => lit(-i.toLong)
+          case "user_id"    => lit(-1L)
+          case "event_type" => lit("sentinel")
+          case "value"      => lit(0.0)
+          case "props"      => lit("{}")
+          case _            => lit(null)
+        }).cast(f.dataType).as(f.name)
+      }
+      val outDir = scratch.resolve(s"sent$i")
+      s.range(1).select(cols.toSeq: _*).coalesce(1)
+        .write.mode("overwrite").parquet(outDir.toString)
+      val part = {
+        val l = Files.list(outDir)
+        try l.filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).findFirst.get
+        finally l.close()
+      }
+      Files.move(part, streamDir.resolve(f"00$i%d_sentinel.parquet"))
+    }
+    val base = System.currentTimeMillis() - 60000L
+    Seq("000_events.parquet", "001_sentinel.parquet", "002_sentinel.parquet")
+      .zipWithIndex.foreach { case (n, i) =>
+        Files.setLastModifiedTime(streamDir.resolve(n),
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+      }
   }
 
   val queries: Map[String, QueryFn] = Map(
