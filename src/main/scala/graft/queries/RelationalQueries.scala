@@ -1070,7 +1070,58 @@ object RelationalQueries extends QueryPack {
       .orderBy("n_nationkey", "pos")
   }
 
+  /** q61 — snapshot diff: classify every key of two table versions as
+    * added / removed / changed / unchanged with ONE full-outer join —
+    * the audit every idempotent MERGE pipeline (J4, the re-run
+    * contract) runs to prove "re-run changed nothing" or to quantify a
+    * delta. The synthetic next-snapshot drops every 97th key, bumps
+    * every 7th balance, and re-keys every 89th row as an insert.
+    * Doubles are compared, never rendered (a string form of a double
+    * is engine-dependent; the values themselves are exact). */
+  def q61TableDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+    val next = base.filter(col("c_custkey") % 97 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1).otherwise(col("c_acctbal")))
+      .unionByName(base.filter(col("c_custkey") % 89 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_acctbal")))
+    base.select(col("c_custkey"), col("c_acctbal").as("bal_a"))
+      .join(next.select(col("c_custkey"), col("c_acctbal").as("bal_b")),
+        Seq("c_custkey"), "full_outer")
+      .select(
+        when(col("bal_a").isNull, "added")
+          .when(col("bal_b").isNull, "removed")
+          .when(col("bal_a") =!= col("bal_b"), "changed")
+          .otherwise("unchanged").as("diff_class"))
+      .groupBy("diff_class").agg(count(lit(1)).as("cnt"))
+      .orderBy("diff_class")
+  }
+
+  /** q62 — order-independent table fingerprint: per-row 60-bit hash
+    * (top 15 hex chars of md5 over the concatenated row — the simhash
+    * hex-fold, engine-identical) folded with the commutative
+    * `bit_xor`, plus the row count. XOR makes the checksum independent
+    * of row order AND partitioning — the only aggregation shape that
+    * lets two clusters compare 100 TB tables without a sort: one scan,
+    * one 8-byte value per table. Only int/string columns feed the hash
+    * (a rendered double is engine-dependent). */
+  def q62TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    def fp(df: DataFrame, tbl: String, cols: Seq[String]): DataFrame =
+      df.select(expr(
+        s"CAST(conv(substring(md5(concat_ws('|', ${cols.mkString(", ")})), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_hash"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("xor_hash"))
+    fp(Tables.nation(s, dir), "nation", Seq("n_nationkey", "n_name", "n_regionkey"))
+      .unionByName(fp(Tables.region(s, dir), "region", Seq("r_regionkey", "r_name")))
+      .unionByName(fp(Tables.supplier(s, dir), "supplier",
+        Seq("s_suppkey", "s_name", "s_nationkey")))
+      .orderBy("tbl")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q62_table_checksum"  -> (q62TableChecksum _),
+    "q61_table_diff"      -> (q61TableDiff _),
     "q60_consume_extract" -> (q60ConsumeExtract _),
     "q59_stats_moments"   -> (q59StatsMoments _),
     "q58_dedup_merge"     -> (q58DedupMerge _),
@@ -1134,6 +1185,37 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q61_table_diff" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+        |nxt AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1 ELSE c_acctbal END
+        |      AS c_acctbal
+        |  FROM base WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal FROM base WHERE c_custkey % 89 = 0),
+        |j AS (
+        |  SELECT CASE WHEN b.c_custkey IS NULL THEN 'added'
+        |              WHEN n.c_custkey IS NULL THEN 'removed'
+        |              WHEN b.c_acctbal <> n.c_acctbal THEN 'changed'
+        |              ELSE 'unchanged' END AS diff_class
+        |  FROM base b FULL OUTER JOIN nxt n ON b.c_custkey = n.c_custkey)
+        |SELECT diff_class, CAST(count(*) AS BIGINT) AS cnt
+        |FROM j GROUP BY diff_class ORDER BY diff_class""".stripMargin,
+    "q62_table_checksum" ->
+      """WITH h AS (
+        |  SELECT 'nation' AS tbl,
+        |    concat_ws('|', n_nationkey, n_name, n_regionkey) AS r FROM nation
+        |  UNION ALL SELECT 'region', concat_ws('|', r_regionkey, r_name) FROM region
+        |  UNION ALL SELECT 'supplier',
+        |    concat_ws('|', s_suppkey, s_name, s_nationkey) FROM supplier),
+        |hashed AS (
+        |  SELECT tbl, CAST(list_sum(list_transform(range(1, 16),
+        |    i -> (strpos('0123456789abcdef', substr(md5(r), i, 1)) - 1)::HUGEINT
+        |         * (1::HUGEINT << (4 * (15 - i))))) AS BIGINT) AS hv
+        |  FROM h)
+        |SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(hv) AS xor_hash
+        |FROM hashed GROUP BY tbl ORDER BY tbl""".stripMargin,
     "q60_consume_extract" ->
       """WITH pats(prio, nm) AS (VALUES
         |  (1, 'Verpackungstonne (Gelbe Tonne)'), (2, 'Fachhandel / Hersteller'),
