@@ -1119,7 +1119,44 @@ object RelationalQueries extends QueryPack {
       .orderBy("tbl")
   }
 
+  /** q63 — CDC apply: fold a change feed carrying updates, deletes,
+    * and inserts into a base snapshot in ONE full-outer join — the
+    * general form of the MERGE contract (q09 applies upserts only;
+    * real feeds also delete). Conflicting ops on one key resolve
+    * deterministically (delete wins — `row_number` over op). At scale
+    * this is the nightly compaction every CDC-ingesting lake runs: the
+    * feed is usually small enough to broadcast, the base never
+    * shuffles more than once. Doubles compared/coalesced, never
+    * rendered. */
+  def q63ApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val changes = base.filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+        lit(null).cast("double").as("c_acctbal"), lit("D").as("op"))
+      .unionByName(base.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 10).as("c_acctbal"), lit("U").as("op")))
+      .unionByName(base.filter(col("c_custkey") % 83 === 0)
+        .select((col("c_custkey") + 2000000).as("c_custkey"), col("c_name"),
+          col("c_acctbal"), lit("U").as("op")))
+    val latest = changes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_custkey").orderBy("op")))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    base.as("b")
+      .join(latest.as("c"), Seq("c_custkey"), "full_outer")
+      .filter(coalesce(col("c.op"), lit("")) =!= "D")
+      .select(col("c_custkey"),
+        coalesce(col("c.c_name"), col("b.c_name")).as("c_name"),
+        coalesce(col("c.c_acctbal"), col("b.c_acctbal")).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q63_apply_changes"   -> (q63ApplyChanges _),
     "q62_table_checksum"  -> (q62TableChecksum _),
     "q61_table_diff"      -> (q61TableDiff _),
     "q60_consume_extract" -> (q60ConsumeExtract _),
@@ -1185,6 +1222,28 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q63_apply_changes" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+        |    CAST(NULL AS DOUBLE) AS c_acctbal, 'D' AS op
+        |  FROM base WHERE c_custkey % 50 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 10, 'U'
+        |  FROM base WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, c_acctbal, 'U'
+        |  FROM base WHERE c_custkey % 83 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY op) AS rn
+        |    FROM chg) WHERE rn = 1)
+        |SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+        |  coalesce(c.c_name, b.c_name) AS c_name,
+        |  coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal
+        |FROM base b FULL OUTER JOIN latest c ON b.c_custkey = c.c_custkey
+        |WHERE coalesce(c.op, '') <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     "q61_table_diff" ->
       """WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
         |nxt AS (

@@ -284,6 +284,15 @@ class PlanQualitySpec extends SparkSpec {
       s"packing window lost its lang partition in:\n$plan")
   }
 
+  test("q62: the fingerprint folds map-side — partial bit_xor before any exchange") {
+    val plan = planOf(RelationalQueries.q62TableChecksum(spark, dir))
+    // each table's xor reduces to one 8-byte buffer per partition
+    // before the single-row final agg; no sort anywhere
+    assert(plan.contains("partial_"), s"no map-side partial fold in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"checksum planned a join in:\n$plan")
+  }
+
   test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
     val df = RelationalQueries.q01PricingSummary(spark, dir)
     // one exchange for the groupBy, one for the final orderBy — no more
