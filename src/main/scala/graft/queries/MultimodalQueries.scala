@@ -60,7 +60,26 @@ object MultimodalQueries extends QueryPack {
       .select(col("id"), posexplode(col("frames")).as(Seq("frame_idx", "frame_val")))
       .orderBy("id", "frame_idx")
 
+  /** m05 — cross-modal curation matrix: each document's text-quality
+    * verdict (d04) joined to its embedding's cluster label by shared id
+    * — the table a multimodal pipeline reads to decide which (cluster,
+    * quality) cells to keep, upsample, or drop. One equi-join on the id
+    * (both sides already carry it — no re-embedding, no shuffle wider
+    * than the id + two small columns), then a tiny aggregate. */
+  def m05ModalityJoin(s: SparkSession, dir: String): DataFrame = {
+    val quality = TextQueries.d04Quality(s, dir)
+      .select(col("doc_id"), col("quality_ok"), col("alpha_ratio"))
+    val emb = graft.core.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("label"))
+    quality.join(emb, "doc_id")
+      .groupBy("label", "quality_ok")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("alpha_ratio"), 4).as("avg_alpha"))
+      .orderBy("label", "quality_ok")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "m05_modality_join"   -> (m05ModalityJoin _),
     "m02_resize"          -> (m02Resize _),
     "m03_media_stats"     -> (m03MediaStats _),
     "m04_frame_explode"   -> (m04FrameExplode _),
@@ -70,6 +89,26 @@ object MultimodalQueries extends QueryPack {
     "CASE WHEN doc_id % 3 = 0 THEN 'txt' WHEN doc_id % 3 = 1 THEN 'img' ELSE 'aud' END"
 
   val oracles: Map[String, String] = Map(
+    "m05_modality_join" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |      / greatest(length(text), 1)::DOUBLE, 4) AS alpha_ratio,
+        |    (length(text) >= 50
+        |     AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |         / greatest(length(text), 1)::DOUBLE >= 0.5
+        |     AND len([x for x in string_split_regex(lower(trim(text)), '\s+')
+        |              if x IN ('the','a','of','and','to','in','is')])
+        |         / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE
+        |         >= 0.01
+        |     AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |         / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE
+        |         BETWEEN 2.0 AND 12.0) AS quality_ok
+        |  FROM documents)
+        |SELECT e.label, q.quality_ok, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(q.alpha_ratio), 4) AS avg_alpha
+        |FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+        |GROUP BY e.label, q.quality_ok ORDER BY label, quality_ok""".stripMargin,
     "m01_decode_features" ->
       """SELECT doc_id AS id, 'txt' AS format,
         | CAST(length(text) AS INT) AS n_bytes,

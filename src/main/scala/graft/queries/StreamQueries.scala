@@ -23,6 +23,14 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamQueries extends QueryPack {
 
+  /** Shuffle/state partition count while a staged stream runs. Each
+    * stateful partition pays per-batch store setup/commit IO, so
+    * near-empty state wants FEW partitions (32 → 8 measured ~4s/run on
+    * the stateful join); at real scale state size, not overhead, picks
+    * this number — hence the env knob (default 8). */
+  private def streamParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
   /** Stage the events table into a fresh watch directory, hand `build`
     * a source factory (each call opens an independent schema-pinned
     * file stream with the batch path's ts normalization — s02 needs
@@ -156,7 +164,7 @@ object StreamQueries extends QueryPack {
     val storeRoot = Files.createTempDirectory("graft-s05-store")
     val store = storeRoot.resolve("nodes").toString
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
     try {
       Files.copy(Paths.get(s"$dir/events.parquet"),
         streamDir.resolve("events.parquet"))
@@ -302,7 +310,7 @@ object StreamQueries extends QueryPack {
     val sink = tag + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevExtra = extraConf.keys.map(k => k -> s.conf.getOption(k)).toMap
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
     extraConf.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       Files.copy(Paths.get(s"$dir/events.parquet"),
