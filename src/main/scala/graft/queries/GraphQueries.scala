@@ -413,7 +413,41 @@ object GraphQueries extends QueryPack {
         countDistinct(col("m_name")).as("n_nations"))
       .orderBy("label")
 
+  /** g20 — co-occurrence lift (PMI's ratio form) over the click
+    * bipartite graph: for user pairs sharing ≥2 five-minute buckets,
+    * lift = P(a,b) / (P(a)·P(b)) over the bucket universe — the
+    * association score that separates "both users are everywhere" from
+    * "these two actually move together" (g17/g18 score neighborhoods;
+    * this scores the CO-OCCURRENCE itself). All counts are integers
+    * from two aggregates of the same distinct (bucket, user) table —
+    * one equi-join on the bucket key for the pair counts, two
+    * broadcast-sized marginal joins — so the ratio is engine-exact
+    * after round. */
+  def g20CooccurrenceLift(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 300").as("b"))
+      .distinct()
+      .localCheckpoint(true) // pair join + marginals + universe reuse it
+    val universe = c.agg(countDistinct("b").as("n_buckets"))
+    val marg = c.groupBy("user_id").agg(count(lit(1)).as("n_u"))
+    val pairCnt = c.select(col("b"), col("user_id").as("u1"))
+      .join(c.select(col("b"), col("user_id").as("u2")), "b")
+      .filter(col("u1") < col("u2"))
+      .groupBy("u1", "u2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairCnt
+      .join(marg.select(col("user_id").as("u1"), col("n_u").as("n_a")), "u1")
+      .join(marg.select(col("user_id").as("u2"), col("n_u").as("n_b")), "u2")
+      .crossJoin(broadcast(universe))
+      .select(col("u1").as("user_a"), col("u2").as("user_b"), col("n_ab"),
+        round(col("n_ab") * col("n_buckets") /
+          (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
+      .orderBy("user_a", "user_b")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g20_cooccurrence_lift" -> (g20CooccurrenceLift _),
     "g19_dsl_optional"   -> (g19DslOptional _),
     "g18_adamic_adar"    -> (g18AdamicAdar _),
     "g17_neighbor_jaccard" -> (g17NeighborJaccard _),
@@ -435,6 +469,23 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g20_cooccurrence_lift" ->
+      """WITH c AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |u AS (SELECT count(DISTINCT b) AS n_buckets FROM c),
+        |marg AS (SELECT user_id, count(*) AS n_u FROM c GROUP BY user_id),
+        |pc AS (
+        |  SELECT a.user_id AS u1, b2.user_id AS u2, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id
+        |  GROUP BY a.user_id, b2.user_id HAVING count(*) >= 2)
+        |SELECT pc.u1 AS user_a, pc.u2 AS user_b, pc.n_ab,
+        |  round(pc.n_ab * u.n_buckets / CAST(ma.n_u * mb.n_u AS DOUBLE), 4) AS lift
+        |FROM pc
+        |JOIN marg ma ON ma.user_id = pc.u1
+        |JOIN marg mb ON mb.user_id = pc.u2
+        |CROSS JOIN u
+        |ORDER BY user_a, user_b""".stripMargin,
     "g19_dsl_optional" ->
       """WITH n AS (
         |  SELECT 'Customer' AS label, 'Customer:' || c_custkey AS uid FROM customer
