@@ -307,11 +307,18 @@ object GraphQueries extends QueryPack {
     * reads it from several join legs — one materialization instead of
     * replaying scan + bucket self-join + distinct per leg (d17/q41
     * pattern). */
-  private def coClickPairs(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.events(s, dir)
+  /** Distinct (user, 5-minute-bucket) click incidence — the bipartite
+    * table every co-occurrence query derives from (coClickPairs' edge
+    * list, g20's lift marginals). One projection so the bucket width
+    * and the click predicate live in one place. */
+  private def clickBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id"), expr("unix_timestamp(ts) div 300").as("b"))
       .distinct()
+
+  private def coClickPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = clickBuckets(s, dir)
     c.select(col("b"), col("user_id").as("u1"))
       .join(c.select(col("b"), col("user_id").as("u2")), "b")
       .filter(col("u1") < col("u2"))
@@ -424,10 +431,7 @@ object GraphQueries extends QueryPack {
     * broadcast-sized marginal joins — so the ratio is engine-exact
     * after round. */
   def g20CooccurrenceLift(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.events(s, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id"), expr("unix_timestamp(ts) div 300").as("b"))
-      .distinct()
+    val c = clickBuckets(s, dir)
       .localCheckpoint(true) // pair join + marginals + universe reuse it
     val universe = c.agg(countDistinct("b").as("n_buckets"))
     val marg = c.groupBy("user_id").agg(count(lit(1)).as("n_u"))

@@ -73,8 +73,12 @@ object MultimodalQueries extends QueryPack {
       .select(col("vec_id").as("doc_id"), col("label"))
     quality.join(emb, "doc_id")
       .groupBy("label", "quality_ok")
+      // exact decimal sum then one double division: a double running
+      // sum of the 4-decimal ratios would flap the 4th decimal with
+      // partition order (the dsum rule)
       .agg(count(lit(1)).as("n_docs"),
-        round(avg("alpha_ratio"), 4).as("avg_alpha"))
+        round(sum(col("alpha_ratio").cast("decimal(14,4)")).cast("double") /
+          count(lit(1)), 4).as("avg_alpha"))
       .orderBy("label", "quality_ok")
   }
 
@@ -90,23 +94,10 @@ object MultimodalQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "m05_modality_join" ->
-      """WITH q AS (
-        |  SELECT doc_id,
-        |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-        |      / greatest(length(text), 1)::DOUBLE, 4) AS alpha_ratio,
-        |    (length(text) >= 50
-        |     AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-        |         / greatest(length(text), 1)::DOUBLE >= 0.5
-        |     AND len([x for x in string_split_regex(lower(trim(text)), '\s+')
-        |              if x IN ('the','a','of','and','to','in','is')])
-        |         / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE
-        |         >= 0.01
-        |     AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-        |         / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE
-        |         BETWEEN 2.0 AND 12.0) AS quality_ok
-        |  FROM documents)
+      s"""WITH ${TextQueries.qualityCte}
         |SELECT e.label, q.quality_ok, CAST(count(*) AS BIGINT) AS n_docs,
-        |  round(avg(q.alpha_ratio), 4) AS avg_alpha
+        |  round(CAST(sum(CAST(q.alpha_ratio AS DECIMAL(14,4))) AS DOUBLE)
+        |    / count(*), 4) AS avg_alpha
         |FROM q JOIN embeddings e ON q.doc_id = e.vec_id
         |GROUP BY e.label, q.quality_ok ORDER BY label, quality_ok""".stripMargin,
     "m01_decode_features" ->

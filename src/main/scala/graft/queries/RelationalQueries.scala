@@ -1076,8 +1076,12 @@ object RelationalQueries extends QueryPack {
     * contract) runs to prove "re-run changed nothing" or to quantify a
     * delta. The synthetic next-snapshot drops every 97th key, bumps
     * every 7th balance, and re-keys every 89th row as an insert.
-    * Doubles are compared, never rendered (a string form of a double
-    * is engine-dependent; the values themselves are exact). */
+    * Classification keys on JOIN-SIDE PRESENCE (a literal marker per
+    * side), never on the compared column's nullability — a key present
+    * in both snapshots with a NULL balance is unchanged, not added —
+    * and 'changed' uses null-safe equality. Doubles are compared,
+    * never rendered (a string form of a double is engine-dependent;
+    * the values themselves are exact). */
   def q61TableDiff(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
     val next = base.filter(col("c_custkey") % 97 =!= 0)
@@ -1085,13 +1089,13 @@ object RelationalQueries extends QueryPack {
         when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1).otherwise(col("c_acctbal")))
       .unionByName(base.filter(col("c_custkey") % 89 === 0)
         .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_acctbal")))
-    base.select(col("c_custkey"), col("c_acctbal").as("bal_a"))
-      .join(next.select(col("c_custkey"), col("c_acctbal").as("bal_b")),
-        Seq("c_custkey"), "full_outer")
+    base.select(col("c_custkey"), col("c_acctbal").as("bal_a"), lit(true).as("in_a"))
+      .join(next.select(col("c_custkey"), col("c_acctbal").as("bal_b"),
+        lit(true).as("in_b")), Seq("c_custkey"), "full_outer")
       .select(
-        when(col("bal_a").isNull, "added")
-          .when(col("bal_b").isNull, "removed")
-          .when(col("bal_a") =!= col("bal_b"), "changed")
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(!(col("bal_a") <=> col("bal_b")), "changed")
           .otherwise("unchanged").as("diff_class"))
       .groupBy("diff_class").agg(count(lit(1)).as("cnt"))
       .orderBy("diff_class")
@@ -1099,19 +1103,27 @@ object RelationalQueries extends QueryPack {
 
   /** q62 — order-independent table fingerprint: per-row 60-bit hash
     * (top 15 hex chars of md5 over the concatenated row — the simhash
-    * hex-fold, engine-identical) folded with the commutative
-    * `bit_xor`, plus the row count. XOR makes the checksum independent
-    * of row order AND partitioning — the only aggregation shape that
-    * lets two clusters compare 100 TB tables without a sort: one scan,
-    * one 8-byte value per table. Only int/string columns feed the hash
-    * (a rendered double is engine-dependent). */
+    * hex-fold, engine-identical) folded two commutative ways — `bit_xor`
+    * and sum mod 2^60 — plus the row count. Commutative folds make the
+    * checksum independent of row order AND partitioning, so two
+    * clusters can compare 100 TB tables with one scan and a few 8-byte
+    * values each. Neither fold alone suffices: XOR cancels any row
+    * with even multiplicity ({X,X,Y} and {Z,Z,Y} XOR-collide), which
+    * the sum fold catches; the pair plus the count is a multiset
+    * check over the HASHED columns only — int/string columns feed the
+    * hash (a rendered double is engine-dependent), so a column left
+    * out of the list is invisible to the fingerprint. */
   def q62TableChecksum(s: SparkSession, dir: String): DataFrame = {
     def fp(df: DataFrame, tbl: String, cols: Seq[String]): DataFrame =
       df.select(expr(
         s"CAST(conv(substring(md5(concat_ws('|', ${cols.mkString(", ")})), 1, 15), 16, 10) AS BIGINT)")
         .as("h"))
-        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_hash"))
-        .select(lit(tbl).as("tbl"), col("n_rows"), col("xor_hash"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_hash"),
+          // decimal-exact sum of 60-bit values, wrapped to 60 bits: the
+          // even-multiplicity backstop XOR lacks
+          expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
+            .as("sum_hash"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("xor_hash"), col("sum_hash"))
     fp(Tables.nation(s, dir), "nation", Seq("n_nationkey", "n_name", "n_regionkey"))
       .unionByName(fp(Tables.region(s, dir), "region", Seq("r_regionkey", "r_name")))
       .unionByName(fp(Tables.supplier(s, dir), "supplier",
@@ -1123,10 +1135,15 @@ object RelationalQueries extends QueryPack {
     * and inserts into a base snapshot in ONE full-outer join — the
     * general form of the MERGE contract (q09 applies upserts only;
     * real feeds also delete). Conflicting ops on one key resolve
-    * deterministically (delete wins — `row_number` over op). At scale
-    * this is the nightly compaction every CDC-ingesting lake runs: the
-    * feed is usually small enough to broadcast, the base never
-    * shuffles more than once. Doubles compared/coalesced, never
+    * deterministically: delete wins via an EXPLICIT priority column
+    * (not the lexicographic accident 'D' < 'U' — adding an op code
+    * that sorts before 'D' must not silently flip the resolution).
+    * Known limit of the coalesce encoding: an update cannot SET a
+    * column to NULL (NULL in the feed means "keep the base value");
+    * a feed needing that carries per-column change masks instead. At
+    * scale this is the nightly compaction every CDC-ingesting lake
+    * runs: the feed is usually small enough to broadcast, the base
+    * never shuffles more than once. Doubles compared/coalesced, never
     * rendered. */
   def q63ApplyChanges(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1143,7 +1160,8 @@ object RelationalQueries extends QueryPack {
           col("c_acctbal"), lit("U").as("op")))
     val latest = changes
       .withColumn("rn", row_number().over(
-        Window.partitionBy("c_custkey").orderBy("op")))
+        Window.partitionBy("c_custkey")
+          .orderBy(when(col("op") === "D", 0).otherwise(1), col("op"))))
       .filter(col("rn") === 1)
       .drop("rn")
     base.as("b")
@@ -1236,7 +1254,8 @@ object RelationalQueries extends QueryPack {
         |  FROM base WHERE c_custkey % 83 = 0),
         |latest AS (
         |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY op) AS rn
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY CASE WHEN op = 'D' THEN 0 ELSE 1 END, op) AS rn
         |    FROM chg) WHERE rn = 1)
         |SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
         |  coalesce(c.c_name, b.c_name) AS c_name,
@@ -1256,7 +1275,7 @@ object RelationalQueries extends QueryPack {
         |j AS (
         |  SELECT CASE WHEN b.c_custkey IS NULL THEN 'added'
         |              WHEN n.c_custkey IS NULL THEN 'removed'
-        |              WHEN b.c_acctbal <> n.c_acctbal THEN 'changed'
+        |              WHEN b.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'changed'
         |              ELSE 'unchanged' END AS diff_class
         |  FROM base b FULL OUTER JOIN nxt n ON b.c_custkey = n.c_custkey)
         |SELECT diff_class, CAST(count(*) AS BIGINT) AS cnt
@@ -1273,7 +1292,8 @@ object RelationalQueries extends QueryPack {
         |    i -> (strpos('0123456789abcdef', substr(md5(r), i, 1)) - 1)::HUGEINT
         |         * (1::HUGEINT << (4 * (15 - i))))) AS BIGINT) AS hv
         |  FROM h)
-        |SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(hv) AS xor_hash
+        |SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(hv) AS xor_hash,
+        |  CAST(sum(hv::HUGEINT) % 1152921504606846976 AS BIGINT) AS sum_hash
         |FROM hashed GROUP BY tbl ORDER BY tbl""".stripMargin,
     "q60_consume_extract" ->
       """WITH pats(prio, nm) AS (VALUES

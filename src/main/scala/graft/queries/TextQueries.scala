@@ -669,6 +669,33 @@ object TextQueries extends QueryPack {
     "d07_minhash_lsh"   -> (d07MinhashLsh _),
     "d15_dedup_clusters" -> (d15DedupClusters _))
 
+  /** DuckDB quality CTE shared by d04 and m05 (MultimodalQueries):
+    * emits `q(doc_id, n_chars_actual, alpha_ratio, stopword_ratio,
+    * mean_word_len, quality_ok)`. quality_ok thresholds the SAME
+    * ROUNDED ratios the Spark side compares (`d04Quality` thresholds
+    * its rounded output columns) — thresholding the unrounded values
+    * would diverge from the engine on a boundary value like a raw
+    * alpha_ratio of 0.49996. */
+  private[queries] val qualityCte: String =
+    """quality AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS INT) AS n_chars_actual,
+      |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+      |      / greatest(length(text), 1)::DOUBLE, 4) AS alpha_ratio,
+      |    round(len([x for x in string_split_regex(lower(trim(text)), '\s+')
+      |               if x IN ('the','a','of','and','to','in','is')])
+      |      / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE, 4)
+      |      AS stopword_ratio,
+      |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+      |      / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE, 4)
+      |      AS mean_word_len
+      |  FROM documents),
+      |q AS (
+      |  SELECT *, (n_chars_actual >= 50 AND alpha_ratio >= 0.5
+      |    AND stopword_ratio >= 0.01
+      |    AND mean_word_len BETWEEN 2.0 AND 12.0) AS quality_ok
+      |  FROM quality)""".stripMargin
+
   private val shingleCte =
     """words AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
@@ -970,27 +997,10 @@ object TextQueries extends QueryPack {
         |       ELSE 'es' END AS predicted_lang
         |FROM scored ORDER BY doc_id""".stripMargin,
     "d04_quality" ->
-      """SELECT doc_id,
-        | CAST(length(text) AS INT) AS n_chars_actual,
-        | round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-        |   / greatest(length(text), 1)::DOUBLE, 4) AS alpha_ratio,
-        | round(len([x for x in string_split_regex(lower(trim(text)), '\s+')
-        |            if x IN ('the','a','of','and','to','in','is')])
-        |   / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE, 4)
-        |   AS stopword_ratio,
-        | round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-        |   / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE, 4)
-        |   AS mean_word_len,
-        | (length(text) >= 50
-        |  AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-        |      / greatest(length(text), 1)::DOUBLE >= 0.5
-        |  AND len([x for x in string_split_regex(lower(trim(text)), '\s+')
-        |           if x IN ('the','a','of','and','to','in','is')])
-        |      / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE >= 0.01
-        |  AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-        |      / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE
-        |      BETWEEN 2.0 AND 12.0) AS quality_ok
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCte
+        |SELECT doc_id, n_chars_actual, alpha_ratio, stopword_ratio,
+        |  mean_word_len, quality_ok
+        |FROM q ORDER BY doc_id""".stripMargin,
     "d05_fingerprint" ->
       """WITH n AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
