@@ -293,6 +293,50 @@ class PlanQualitySpec extends SparkSpec {
       s"checksum planned a join in:\n$plan")
   }
 
+  test("q61: the snapshot diff is ONE full-outer join feeding a map-side-folded agg") {
+    val df = RelationalQueries.q61TableDiff(spark, dir)
+    val plan = planOf(df)
+    // added/removed/changed/unchanged all fall out of a single join of
+    // the two snapshots — a per-class formulation (anti + anti + inner)
+    // would triple the scans at 100 TB
+    assert("\\bJoin FullOuter\\b|FullOuter".r.findAllIn(plan).size >= 1,
+      s"no full-outer join in:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).size == 1,
+      s"expected exactly one join in:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial count in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"diff planned a cross product in:\n$plan")
+  }
+
+  test("q63: CDC apply is one conflict window + one full-outer join") {
+    val df = RelationalQueries.q63ApplyChanges(spark, dir)
+    val plan = planOf(df)
+    // conflict resolution is a single row_number window over the feed;
+    // the apply is a single join against the base
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"expected one conflict-resolution Window in:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).size == 1,
+      s"expected exactly one apply join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"CDC apply crossed in:\n$plan")
+  }
+
+  test("g20: lift joins stay equi; only the 1-row universe rides a nested loop") {
+    val plan = planOf(GraphQueries.g20CooccurrenceLift(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"lift planned an unbroadcast cross product in:\n$plan")
+    // the bucket pair join and both marginal joins must be hash equi
+    // joins; the only nested-loop allowed is the broadcast of the
+    // single-row bucket-universe scalar
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"more than the universe scalar nested-loops in:\n$plan")
+  }
+
+  test("m05: the cross-modal join is hash equi on doc_id with a map-side-folded agg") {
+    val plan = planOf(MultimodalQueries.m05ModalityJoin(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"modality join crossed in:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial agg in:\n$plan")
+  }
+
   test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
     val df = RelationalQueries.q01PricingSummary(spark, dir)
     // one exchange for the groupBy, one for the final orderBy — no more
