@@ -1173,7 +1173,48 @@ object RelationalQueries extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  /** q64 — dynamic partition pruning through the gate: the fact table
+    * re-laid-out as a parquet store PARTITIONED BY the join key, the
+    * dimension filtered on a NON-key attribute, one equi-join on the
+    * partition key. Catalyst must reuse the dimension's broadcast as a
+    * runtime partition filter on the fact scan (star-schema pruning,
+    * SURVEY §4) — at 100 TB the selective predicate lives on the
+    * dimension, so without DPP the fact store is scanned in full even
+    * though only 2 of 5 partitions can survive the join. The value gate
+    * hashes the surviving rows; PlanQualitySpec asserts the
+    * dynamicpruning expression actually reaches the scan. */
+  /** The q64 pipeline pre-checkpoint, against a caller-owned scratch dir
+    * — split out so PlanQualitySpec can inspect the executed plan (the
+    * gated entry localCheckpoints, which truncates the plan to a scan of
+    * the checkpoint RDD). */
+  private[queries] def dppPipeline(s: SparkSession, dir: String,
+      tmp: java.nio.file.Path): DataFrame = {
+    Tables.orders(s, dir)
+      .write.mode("overwrite").partitionBy("o_orderpriority")
+      .parquet(tmp.resolve("orders_part").toString)
+    Tables.orders(s, dir).select("o_orderpriority").distinct()
+      .withColumn("urgency_class",
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite")
+          .otherwise("standard"))
+      .write.mode("overwrite").parquet(tmp.resolve("prio_dim").toString)
+    val fact = s.read.parquet(tmp.resolve("orders_part").toString)
+    val dim = s.read.parquet(tmp.resolve("prio_dim").toString)
+      .filter(col("urgency_class") === "expedite")
+    fact.join(broadcast(dim), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  def q64PartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q64-dpp")
+    try dppPipeline(s, dir, tmp).localCheckpoint(true)
+    finally rmTree(tmp)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q64_partition_prune" -> (q64PartitionPrune _),
     "q63_apply_changes"   -> (q63ApplyChanges _),
     "q62_table_checksum"  -> (q62TableChecksum _),
     "q61_table_diff"      -> (q61TableDiff _),
@@ -1240,6 +1281,12 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q64_partition_prune" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q63_apply_changes" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |chg AS (

@@ -337,6 +337,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no map-side partial agg in:\n$plan")
   }
 
+  test("q64: the dimension filter prunes fact partitions at runtime (DPP)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q64-spec")
+    try {
+      val plan = planOf(RelationalQueries.dppPipeline(spark, dir, tmp))
+      // the broadcast of the filtered dimension must come back as a
+      // runtime partition filter on the fact scan — without it a 100 TB
+      // store is scanned in full for a 2-of-5-partition join
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the fact scan in:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"priority dimension not broadcast in:\n$plan")
+    } finally graft.core.TempDirs.deleteQuietly(tmp, "spec")
+  }
+
   test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
     val df = RelationalQueries.q01PricingSummary(spark, dir)
     // one exchange for the groupBy, one for the final orderBy — no more
