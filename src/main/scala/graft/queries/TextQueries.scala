@@ -643,7 +643,41 @@ object TextQueries extends QueryPack {
       .orderBy("lang", "batch_id")
   }
 
+  /** d25 — cross-document span dedup (C4/RefinedWeb line-dedup at span
+    * granularity): each document sliced into consecutive 10-word
+    * segments, exact segments deduped ACROSS the corpus first-wins by
+    * (doc_id, seg_idx), then per-document retention stats. Unlike d01
+    * (whole-doc identity) or d09 (near-dup), this targets boilerplate
+    * that repeats INSIDE otherwise-unique documents. The dedup window
+    * partitions by segment hash — cardinality ~the corpus itself, so
+    * partitions stay tiny and the shuffle is a uniform hash spread at
+    * 100 TB; no single key can exceed one span's duplicate
+    * multiplicity. keep_ratio is an integer ratio → engine-exact after
+    * round. */
+  def d25SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segLen = 10
+    docs(s, dir)
+      .repartition(parallelism(s)) // same single-file hazard as shingled()
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("w")) - 1) / segLen).cast("int")),
+          i => concat_ws(" ", slice(col("w"), i * segLen + 1, lit(segLen)))))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), md5(col("seg")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "seg_idx")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        round(col("n_kept") / col("n_segs").cast("double"), 4).as("keep_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d25_span_dedup"    -> (d25SpanDedup _),
     "d24_seq_pack"      -> (d24SeqPack _),
     "d23_perplexity"    -> (d23Perplexity _),
     "d22_domain_mix"    -> (d22DomainMix _),
@@ -781,6 +815,22 @@ object TextQueries extends QueryPack {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_hash
         |FROM t ORDER BY doc_id""".stripMargin,
+    "d25_span_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        |    md5(array_to_string(w[i*10+1 : i*10+10], ' ')) AS h
+        |  FROM words, unnest(range(0, (len(w) - 1) // 10 + 1)) AS t(i)),
+        |r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4)
+        |    AS keep_ratio
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d21_chunk_overlap" ->
       """WITH words AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),

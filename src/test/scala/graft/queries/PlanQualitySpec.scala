@@ -351,6 +351,22 @@ class PlanQualitySpec extends SparkSpec {
     } finally graft.core.TempDirs.deleteQuietly(tmp, "spec")
   }
 
+  test("d25: span fan-out is a generator; one hash-partitioned dedup window") {
+    val df = TextQueries.d25SpanDedup(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("Generate posexplode"),
+      s"span fan-out not a generator in:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"expected one dedup Window node in:\n$plan")
+    // partitioned by the segment hash — an empty spec would serialize
+    // the whole corpus through one task
+    assert("windowspecdefinition\\(h".r.findFirstIn(plan).isDefined,
+      s"dedup window lost its hash partition in:\n$plan")
+    // spread (1) + window on h (1) + doc_id re-agg (1) + final sort (1)
+    val n = exchangeCount(df)
+    assert(n <= 4, s"d25 shuffles $n times")
+  }
+
   test("shuffle count: q01 shuffles exactly once (agg), not per stage") {
     val df = RelationalQueries.q01PricingSummary(spark, dir)
     // one exchange for the groupBy, one for the final orderBy — no more
