@@ -317,7 +317,7 @@ object GraphQueries extends QueryPack {
       .select(col("user_id"), expr("unix_timestamp(ts) div 300").as("b"))
       .distinct()
 
-  private def coClickPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def coClickPairs(s: SparkSession, dir: String): DataFrame = {
     val c = clickBuckets(s, dir)
     c.select(col("b"), col("user_id").as("u1"))
       .join(c.select(col("b"), col("user_id").as("u2")), "b")
@@ -450,7 +450,83 @@ object GraphQueries extends QueryPack {
       .orderBy("user_a", "user_b")
   }
 
+  /** Bounded k-core peeling: drop nodes of induced degree < k, re-induce
+    * the edge set, repeat `iters` times. Split from g21 so the spec can
+    * assert convergence (one more round changes nothing at test scale —
+    * making the bounded unroll THE fixpoint, the same contract as g13's
+    * fixed-iteration PageRank). Each round is one degree aggregate plus
+    * two semi-join-shaped inner joins against the checkpointed survivor
+    * set; lineage resets per round so the plan never grows with the
+    * iteration count. */
+  private[queries] def kCoreEdges(pairs: DataFrame, k: Int, iters: Int): DataFrame = {
+    var edges = pairs
+    for (_ <- 1 to iters) {
+      val alive = edges.select(col("u1").as("u"))
+        .unionAll(edges.select(col("u2").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+        .localCheckpoint(true)
+      edges = pairs.join(alive.select(col("u").as("u1")), "u1")
+        .join(alive.select(col("u").as("u2")), "u2")
+        .select("u1", "u2")
+    }
+    edges
+  }
+
+  /** g21 — k-core decomposition (k=2, the densest-subgraph peeling every
+    * community/spam pipeline runs before expensive per-node scoring):
+    * iteratively strip nodes with fewer than k neighbors in the induced
+    * co-click subgraph until stable, then report each survivor's
+    * in-core degree. Deterministic fixed-iteration form (8 rounds,
+    * convergence pinned by KCoreSpec) so the DuckDB oracle is the same
+    * peeling unrolled — the g13 technique for iterative algorithms the
+    * oracle can't express as one query. */
+  def g21KCore(s: SparkSession, dir: String): DataFrame =
+    kCoreEdges(coClickPairs(s, dir), k = 2, iters = kCoreIters)
+      .select(explode(array(col("u1"), col("u2"))).as("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("core_deg"))
+      .orderBy("user_id")
+
+  private val kCoreIters = 8
+
+  /** The same bounded peeling unrolled as a DuckDB CTE chain — a{i} is
+    * the survivor set after round i, e{i} the edges induced on a{i-1}.
+    * Every stage is AS MATERIALIZED: DuckDB inlines plain CTEs, and
+    * since each a{i} expands e{i} twice and each e{i} expands a{i-1}
+    * twice, inlining makes the unroll EXPONENTIAL in `iters` (it
+    * exhausted file handles re-opening the parquet scan before it ever
+    * finished planning). Materialization keeps it linear. */
+  private def kCoreOracle(k: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH c AS MATERIALIZED (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |p AS MATERIALIZED (
+        |  SELECT DISTINCT a.user_id AS u1, b2.user_id AS u2
+        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id),
+        |a0 AS MATERIALIZED (SELECT u1 AS u FROM p UNION SELECT u2 FROM p)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        |e$i AS MATERIALIZED (SELECT u1, u2 FROM p
+        |  WHERE u1 IN (SELECT u FROM a${i - 1})
+        |    AND u2 IN (SELECT u FROM a${i - 1})),
+        |a$i AS MATERIALIZED (SELECT u FROM (
+        |    SELECT u, count(*) AS deg FROM (
+        |      SELECT u1 AS u FROM e$i UNION ALL SELECT u2 FROM e$i) GROUP BY u)
+        |  WHERE deg >= $k)""".stripMargin
+    }
+    sb ++= s""",
+      |ef AS MATERIALIZED (SELECT u1, u2 FROM p
+      |  WHERE u1 IN (SELECT u FROM a$iters)
+      |    AND u2 IN (SELECT u FROM a$iters))
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+      |  SELECT u1 AS user_id FROM ef UNION ALL SELECT u2 FROM ef)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g21_kcore"          -> (g21KCore _),
     "g20_cooccurrence_lift" -> (g20CooccurrenceLift _),
     "g19_dsl_optional"   -> (g19DslOptional _),
     "g18_adamic_adar"    -> (g18AdamicAdar _),
@@ -473,6 +549,7 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g21_kcore" -> kCoreOracle(k = 2, iters = kCoreIters),
     "g20_cooccurrence_lift" ->
       """WITH c AS (
         |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
