@@ -82,7 +82,29 @@ object MultimodalQueries extends QueryPack {
       .orderBy("label", "quality_ok")
   }
 
+  /** m06 — exact blob dedup: content-hash every media blob, first id
+    * per hash wins, per-format dedup stats (blob count, uniques, bytes
+    * freeable). The universal first pass of a media ingest pipeline —
+    * a content-addressed store is format-agnostic, so the dedup window
+    * spans formats while the stats roll up per format. Only (hash,
+    * length) shuffle; the blob itself never leaves its scan (the
+    * d01/d25 law at binary granularity, and the same
+    * hash-partitioned-window scale argument). */
+  def m06BlobDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Multimodal.mediaMixed(s, dir).toDF()
+      .select(col("id"), col("format"),
+        length(col("media")).as("n_bytes"), md5(col("media")).as("h"))
+      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("id")))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("rn") > 1, col("n_bytes")).otherwise(0L)).as("freed_bytes"))
+      .orderBy("format")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "m06_blob_dedup"      -> (m06BlobDedup _),
     "m05_modality_join"   -> (m05ModalityJoin _),
     "m02_resize"          -> (m02Resize _),
     "m03_media_stats"     -> (m03MediaStats _),
@@ -93,6 +115,18 @@ object MultimodalQueries extends QueryPack {
     "CASE WHEN doc_id % 3 = 0 THEN 'txt' WHEN doc_id % 3 = 1 THEN 'img' ELSE 'aud' END"
 
   val oracles: Map[String, String] = Map(
+    "m06_blob_dedup" ->
+      s"""WITH m AS (
+        |  SELECT doc_id AS id, $mixedFormat AS format,
+        |    CAST(length(text) AS INT) AS n_bytes, md5(text) AS h
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY id) AS rn
+        |      FROM m)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n_blobs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN rn > 1 THEN n_bytes ELSE 0 END) AS BIGINT)
+        |    AS freed_bytes
+        |FROM r GROUP BY format ORDER BY format""".stripMargin,
     "m05_modality_join" ->
       s"""WITH ${TextQueries.qualityCte}
         |SELECT e.label, q.quality_ok, CAST(count(*) AS BIGINT) AS n_docs,
