@@ -392,7 +392,31 @@ object StreamQueries extends QueryPack {
       }
   }
 
+  /** s09 — bounded-state streaming dedup, the scale-correct variant s03's
+    * note promises: `dropDuplicatesWithinWatermark` holds a key's state
+    * only until the watermark passes its event time + delay, so state is
+    * bounded by the dedup HORIZON (48h here), not by the all-time key
+    * cardinality s03 accumulates. The operational contract: the result
+    * equals exact distinct iff every duplicate of a key arrives within
+    * the delay of its first occurrence — true here by construction (a
+    * key's duplicates span < 24h of event time and the staged replay
+    * delivers in event-time order), so the exact-distinct oracle is the
+    * honest check, and at 100 TB/day the state store carries two days,
+    * not forever. Keys project AFTER the dedup: the first-seen winner
+    * within a micro-batch is arrival-order-dependent, but its key
+    * columns are not. */
+  def s09StreamDedupBounded(s: SparkSession, dir: String): DataFrame =
+    runStaged(s, dir, "s09", "append") { src =>
+      src().filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"),
+          to_date(col("ts")).as("d"))
+        .withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "d")
+        .select("user_id", "event_type", "d")
+    }.orderBy("user_id", "event_type", "d")
+
   val queries: Map[String, QueryFn] = Map(
+    "s09_stream_dedup_bounded" -> (s09StreamDedupBounded _),
     "s08_stream_rollup" -> (s08StreamRollup _),
     "s07_stream_outer_join" -> (s07StreamOuterJoin _),
     "s06_stream_enrich" -> (s06StreamEnrich _),
@@ -403,6 +427,10 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "s09_stream_dedup_bounded" ->
+      """SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d
+        |FROM events WHERE event_type IN ('view', 'purchase')
+        |ORDER BY user_id, event_type, d""".stripMargin,
     "s08_stream_rollup" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
         |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
