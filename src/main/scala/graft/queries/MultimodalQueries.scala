@@ -103,7 +103,46 @@ object MultimodalQueries extends QueryPack {
       .orderBy("format")
   }
 
+  /** m07 — the `binaryFile` ingest source through the gate: blobs
+    * staged one file per record (the object-store layout a real media
+    * lake lands in), ingested with Spark's built-in binaryFile format,
+    * identity recovered from the file path, content verified by hash
+    * against the table the blobs came from. The staging write runs
+    * executor-side (foreachPartition), not through a driver collect.
+    *
+    * Scale: binaryFile packs many small files per task (bin-packing by
+    * `spark.sql.files.maxPartitionBytes` / openCostInBytes), listing is
+    * distributed, and `pathGlobFilter` prunes non-media files at
+    * discovery time — the standard way a 100 TB blob store enters
+    * Spark without a per-file driver loop. Project metadata + hash
+    * immediately (as here) so the payload bytes never reach a shuffle.
+    */
+  def m07BinarySource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-m07-bin")
+    val tmpStr = tmp.toString
+    try {
+      Multimodal.mediaFromDocuments(s, dir).foreachPartition {
+        (it: Iterator[Multimodal.MediaRecord]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmpStr, f"${r.id}%08d.bin"), r.media)
+          }
+      }
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(tmpStr)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long")
+            .as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("h"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally graft.core.TempDirs.deleteQuietly(tmp, "m07")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "m07_binary_source"   -> (m07BinarySource _),
     "m06_blob_dedup"      -> (m06BlobDedup _),
     "m05_modality_join"   -> (m05ModalityJoin _),
     "m02_resize"          -> (m02Resize _),
@@ -115,6 +154,10 @@ object MultimodalQueries extends QueryPack {
     "CASE WHEN doc_id % 3 = 0 THEN 'txt' WHEN doc_id % 3 = 1 THEN 'img' ELSE 'aud' END"
 
   val oracles: Map[String, String] = Map(
+    "m07_binary_source" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        | md5(text) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m06_blob_dedup" ->
       s"""WITH m AS (
         |  SELECT doc_id AS id, $mixedFormat AS format,
