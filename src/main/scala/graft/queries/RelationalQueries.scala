@@ -1213,7 +1213,62 @@ object RelationalQueries extends QueryPack {
     finally rmTree(tmp)
   }
 
+  /** q65 — scalar subqueries, correlated and uncorrelated: each order
+    * kept iff it IS its customer's single most expensive order
+    * (correlated `= (SELECT max ...)`), with the peak scaled against
+    * the global max (uncorrelated scalar). Catalyst decorrelates the
+    * per-customer max into one aggregate + join
+    * (RewriteCorrelatedScalarSubquery) — ONE shuffle over orders, not a
+    * re-executed subquery per row — and the global max becomes a
+    * broadcast single-row plan. max-equality keeps the gate exact:
+    * both engines take max over identical doubles, so the comparison
+    * never sits on a rounding boundary the way an avg threshold would.
+    */
+  def q65ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v65")
+    s.sql("""
+      SELECT o.o_custkey,
+        CAST(count(*) AS BIGINT) AS n_peak_orders,
+        CAST(round(max(o.o_totalprice) /
+          (SELECT max(o_totalprice) FROM orders_v65), 6) AS DOUBLE)
+          AS peak_vs_global
+      FROM orders_v65 o
+      WHERE o.o_totalprice = (SELECT max(o2.o_totalprice)
+                              FROM orders_v65 o2
+                              WHERE o2.o_custkey = o.o_custkey)
+      GROUP BY o.o_custkey
+      ORDER BY o.o_custkey""")
+  }
+
+  /** q66 — lateral join (top-k per group as a correlated table
+    * subquery): for every region, its two most customer-heavy nations.
+    * Catalyst plans the correlated LIMIT as a decorrelated
+    * window/row_number over one shuffle — the lateral form is the
+    * declarative spelling, not a nested loop; at 100 TB the per-group
+    * top-k never materializes the full per-group sort. Ties broken by
+    * name so both engines elect the same rows. */
+  def q66LateralJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("region_v66")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v66")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v66")
+    s.sql("""
+      SELECT r.r_name, t.n_name, t.n_customers
+      FROM region_v66 r
+      JOIN LATERAL (
+        SELECT n.n_name, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+        FROM nation_v66 n
+        JOIN customer_v66 c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name
+        LIMIT 2
+      ) t
+      ORDER BY r.r_name, t.n_customers DESC, t.n_name""")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q66_lateral_join"    -> (q66LateralJoin _),
+    "q65_scalar_subquery" -> (q65ScalarSubquery _),
     "q64_partition_prune" -> (q64PartitionPrune _),
     "q63_apply_changes"   -> (q63ApplyChanges _),
     "q62_table_checksum"  -> (q62TableChecksum _),
@@ -1281,6 +1336,31 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q66_lateral_join" ->
+      """SELECT r.r_name, t.n_name, t.n_customers
+        |FROM region r
+        |JOIN LATERAL (
+        |  SELECT n.n_name, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+        |  FROM nation n
+        |  JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_customers DESC, n.n_name
+        |  LIMIT 2
+        |) t ON true
+        |ORDER BY r.r_name, t.n_customers DESC, t.n_name""".stripMargin,
+    "q65_scalar_subquery" ->
+      """SELECT o.o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_peak_orders,
+        |  CAST(round(max(o.o_totalprice) /
+        |    (SELECT max(o_totalprice) FROM orders), 6) AS DOUBLE)
+        |    AS peak_vs_global
+        |FROM orders o
+        |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice)
+        |                        FROM orders o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o.o_custkey
+        |ORDER BY o.o_custkey""".stripMargin,
     "q64_partition_prune" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
