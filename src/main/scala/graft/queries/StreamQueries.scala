@@ -415,7 +415,34 @@ object StreamQueries extends QueryPack {
         .select("user_id", "event_type", "d")
     }.orderBy("user_id", "event_type", "d")
 
+  /** s10 — native `session_window` aggregation under streaming (q52's
+    * incremental twin, and the built-in-operator counterpart of s04's
+    * hand-rolled transformWithState sessionizer): merging session state
+    * per user, append-mode emission when the watermark passes a
+    * session's end. The sentinel heartbeats drive the watermark past
+    * every real session (a click session's windows all end well before
+    * sentinel ts − 1h), so the emitted set equals the batch
+    * sessionization the oracle computes. Session-window state is
+    * gap-bounded by construction — closed sessions leave the store at
+    * watermark pass, so state carries only OPEN sessions regardless of
+    * history length. Sentinel rows form their own user −1 session,
+    * filtered after the sink. */
+  def s10StreamSessionWindow(s: SparkSession, dir: String): DataFrame =
+    runStagedSentinels(s, dir, "s10", "append") { src =>
+      src().filter(col("event_type").isin("click", "sentinel"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+            .as("total_value"))
+        .select(col("user_id"),
+          expr("unix_micros(sw.start)").as("sess_start_us"),
+          expr("unix_micros(sw.end)").as("sess_end_us"),
+          col("n_events"), col("total_value"))
+    }.filter(col("user_id") >= 0).orderBy("user_id", "sess_start_us")
+
   val queries: Map[String, QueryFn] = Map(
+    "s10_stream_session_window" -> (s10StreamSessionWindow _),
     "s09_stream_dedup_bounded" -> (s09StreamDedupBounded _),
     "s08_stream_rollup" -> (s08StreamRollup _),
     "s07_stream_outer_join" -> (s07StreamOuterJoin _),
@@ -427,6 +454,26 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "s10_stream_session_window" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |  WHERE event_type = 'click'),
+        |marked AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sn
+        |  FROM marked)
+        |SELECT user_id, min(us) AS sess_start_us,
+        |  max(us) + 1800000000 AS sess_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sn
+        |ORDER BY user_id, sess_start_us""".stripMargin,
     "s09_stream_dedup_bounded" ->
       """SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d
         |FROM events WHERE event_type IN ('view', 'purchase')
