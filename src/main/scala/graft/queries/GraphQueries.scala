@@ -525,7 +525,85 @@ object GraphQueries extends QueryPack {
     sb.toString
   }
 
+  /** g22 — synchronous label propagation (community detection), made
+    * deterministic: every node starts labeled with its own uid; each
+    * round every node adopts the most frequent label among its
+    * undirected neighbors, ties broken by MIN label (classic async LPA
+    * breaks ties randomly and is irreproducible — useless for a gated
+    * engine). Three unrolled rounds, then community sizes.
+    *
+    * Scale: each round is one shuffle-join (edges × labels on dst) +
+    * one (node, label) count agg + one per-node top-1 window — all
+    * keyed on uid, so a uid-bucketed edge table co-locates every
+    * round. The undirected edge table is staged once (localCheckpoint,
+    * same discipline as g13's weighted-edge table), and each round's
+    * label frame enters the next round's plan exactly once (the
+    * isolated-node fallback coalesces to the uid column, not to the
+    * previous label frame), so the unrolled plan grows LINEARLY in
+    * rounds. Neighbor counts, not neighbor lists, cross the wire: the
+    * window top-1 reads (node, label, cnt), never an adjacency list. */
+  def g22LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges(s, dir).select(col("src_uid").as("src"), col("dst_uid").as("dst"))
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val n = nodes(s, dir).select("uid")
+    var lab = n.select(col("uid"), col("uid").as("label"))
+    for (_ <- 1 to 3) {
+      val counts = und
+        .join(lab.select(col("uid").as("dst"), col("label").as("nl")), "dst")
+        .groupBy("src", "nl").agg(count(lit(1)).as("cnt"))
+      val pick = counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(desc("cnt"), asc("nl"))))
+        .filter(col("rn") === 1)
+        .select(col("src").as("uid"), col("nl").as("newlab"))
+      // isolated nodes keep their initial self-label (= uid), so the
+      // left-join + coalesce to uid is exact, and `lab` appears in the
+      // next round's plan exactly once
+      lab = n.join(pick, Seq("uid"), "left")
+        .select(col("uid"), coalesce(col("newlab"), col("uid")).as("label"))
+    }
+    lab.groupBy("label").agg(count(lit(1)).as("size"))
+      .orderBy(desc("size"), asc("label"))
+  }
+
+  private def lpaOracle(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH nodes AS MATERIALIZED (
+        |  SELECT 'Customer:' || c_custkey AS uid FROM customer
+        |  UNION ALL SELECT 'Supplier:' || s_suppkey FROM supplier
+        |  UNION ALL SELECT 'Nation:' || n_nationkey FROM nation
+        |  UNION ALL SELECT 'Region:' || r_regionkey FROM region),
+        |dedges AS MATERIALIZED (
+        |  SELECT 'Customer:' || c_custkey AS src, 'Nation:' || c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 'Supplier:' || s_suppkey, 'Nation:' || s_nationkey FROM supplier
+        |  UNION ALL SELECT 'Nation:' || n_nationkey, 'Region:' || n_regionkey FROM nation),
+        |und AS MATERIALIZED (
+        |  SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges),
+        |l0 AS MATERIALIZED (SELECT uid, uid AS label FROM nodes)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |c$i AS MATERIALIZED (
+        |  SELECT u.src, l.label, count(*) AS cnt
+        |  FROM und u JOIN l${i - 1} l ON u.dst = l.uid GROUP BY u.src, l.label),
+        |p$i AS MATERIALIZED (
+        |  SELECT src AS uid, label AS newlab FROM (
+        |    SELECT src, label,
+        |      row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label) AS rn
+        |    FROM c$i) t WHERE rn = 1),
+        |l$i AS MATERIALIZED (
+        |  SELECT n.uid, COALESCE(p.newlab, n.uid) AS label
+        |  FROM nodes n LEFT JOIN p$i p ON n.uid = p.uid)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT label, CAST(count(*) AS BIGINT) AS size FROM l$rounds
+      |GROUP BY label ORDER BY size DESC, label""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g22_label_propagation" -> (g22LabelPropagation _),
     "g21_kcore"          -> (g21KCore _),
     "g20_cooccurrence_lift" -> (g20CooccurrenceLift _),
     "g19_dsl_optional"   -> (g19DslOptional _),
@@ -549,6 +627,7 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g22_label_propagation" -> lpaOracle(rounds = 3),
     "g21_kcore" -> kCoreOracle(k = 2, iters = kCoreIters),
     "g20_cooccurrence_lift" ->
       """WITH c AS (
