@@ -676,7 +676,36 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** d26 — n-gram novelty scoring: per document, the fraction of its
+    * distinct 3-gram shingles that no earlier document (by ingest
+    * order = doc_id) contains — the cheap signal a crawl pipeline uses
+    * to prioritize genuinely new text over recombinations of
+    * already-seen content, and the quantitative form of "how much does
+    * this batch add". First-occurrence is computed as min(doc_id) per
+    * shingle — the same global-first-seen law as d01/d25 — then each
+    * doc counts how many of its shingles it owns the first sight of.
+    *
+    * Scale: two shuffles total — one agg keyed by shingle (the
+    * min-reduce combines map-side, so the wire carries distinct
+    * (shingle, min_id), not occurrences), one join back on shingle
+    * that reuses that partitioning, then a doc-keyed agg. No window
+    * over the full occurrence list, no per-doc re-scan of history. */
+  def d26NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val rows = shingleRowsOf(shingled(s, dir)).select("doc_id", "s")
+    val firstSeen = rows.groupBy("s").agg(min("doc_id").as("first_doc"))
+    rows.join(firstSeen, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d26_ngram_novelty" -> (d26NgramNovelty _),
     "d25_span_dedup"    -> (d25SpanDedup _),
     "d24_seq_pack"      -> (d24SeqPack _),
     "d23_perplexity"    -> (d23Perplexity _),
@@ -757,6 +786,16 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d26_ngram_novelty" ->
+      s"""WITH $shingleCte,
+        |fs AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS novelty
+        |FROM ex e JOIN fs f ON e.s = f.s
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
     "d24_seq_pack" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
