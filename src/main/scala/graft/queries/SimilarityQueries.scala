@@ -293,7 +293,33 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** e09 — embedding near-dup dedup closed end-to-end: e04's
+    * sign-bucket-blocked cosine pairs promoted to CANONICAL CLUSTERS
+    * via GraphX connected components (min-id elects the keeper), the
+    * embedding-space twin of d15's MinHash cluster canonicalization.
+    * A pair list alone under-deduplicates: A~B and B~C with A≁C must
+    * still collapse to one keeper, which only the transitive closure
+    * delivers. Output is the dedup verdict table a curation pipeline
+    * joins against: (vec_id, keeper_id, is_dup).
+    *
+    * Scale: candidate generation never leaves the LSH buckets (no
+    * all-pairs), the closure runs on the sparse near-dup pair graph —
+    * orders of magnitude smaller than the corpus — and Pregel CC is
+    * iteration-bounded by cluster diameter, which for near-dup graphs
+    * is small (dup clusters are cliques-ish, diameter ~2). */
+  def e09NeardupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = e04CosineNeardup(s, dir).select(col("vec_a"), col("vec_b"))
+    val verts = pairs.select(col("vec_a").as("vid"))
+      .unionByName(pairs.select(col("vec_b").as("vid"))).distinct()
+    val edges = pairs.select(col("vec_a").as("src_vid"), col("vec_b").as("dst_vid"))
+    graft.graph.Traversal.connectedComponents(verts, edges, s)
+      .select(col("vid").as("vec_id"), col("component").as("keeper_id"),
+        (col("vid") =!= col("component")).cast("int").as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e09_neardup_clusters" -> (e09NeardupClusters _),
     "e08_pq_adc"          -> (e08PqAdc _),
     "e07_kmeans_step"     -> (e07KmeansStep _),
     "e05_ivf_topk"        -> (e05IvfTopk _),
@@ -317,6 +343,25 @@ object SimilarityQueries extends QueryPack {
        |  j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e09_neardup_clusters" ->
+      s"""WITH RECURSIVE b AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+        |       + CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END
+        |       + CASE WHEN embedding[22] > 0 THEN 1 ELSE 0 END AS INT) AS bucket
+        |  FROM embeddings),
+        |nd AS (
+        |  SELECT a.vec_id AS va, c.vec_id AS vb
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |  WHERE round(${sqlCos("a.embedding", "c.embedding")}, 6) >= 0.4),
+        |und AS (SELECT va AS u, vb AS v FROM nd UNION SELECT vb, va FROM nd),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u)
+        |SELECT u AS vec_id, least(u, min(v)) AS keeper_id,
+        |  CAST(least(u, min(v)) <> u AS INT) AS is_dup
+        |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
     "e08_pq_adc" ->
       s"""WITH cent AS (
         |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (
