@@ -1266,7 +1266,80 @@ object RelationalQueries extends QueryPack {
       ORDER BY r.r_name, t.n_customers DESC, t.n_name""")
   }
 
+  /** q67 — ordered string aggregation (LISTAGG, SQL:2016): the
+    * serialize-a-group-to-text op every report/export layer needs.
+    * WITHIN GROUP ordering makes the result deterministic — an
+    * unordered listagg is partition-order-dependent and could never
+    * hash-match (same law as the dsum rule, at string granularity).
+    * DISTINCT + ordering compose in the second column. Agg buffers
+    * grow with group size, so at scale the groups must be bounded
+    * (here: nations per region, statuses per priority) — unbounded
+    * listagg over a 100 TB fact table is a design error, not a
+    * tuning problem. */
+  def q67Listagg(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("region_v67")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v67")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v67")
+    val nations = s.sql("""
+      SELECT r.r_name AS grp,
+        listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS members
+      FROM region_v67 r JOIN nation_v67 n ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name""")
+    val statuses = s.sql("""
+      SELECT o_orderpriority AS grp,
+        listagg(DISTINCT o_orderstatus, '|')
+          WITHIN GROUP (ORDER BY o_orderstatus) AS members
+      FROM orders_v67 GROUP BY o_orderpriority""")
+    nations.unionByName(statuses).orderBy("grp")
+  }
+
+  /** q68 — dynamic partition overwrite (the lakehouse correction-batch
+    * sink): a fact table written partitioned by priority, then a
+    * reprice batch for ONE priority overwritten in place with
+    * `partitionOverwriteMode=dynamic` — only the partitions present in
+    * the incoming batch are replaced; every other partition's files
+    * survive untouched. Static overwrite mode would have wiped the
+    * other four partitions, and the oracle (full corpus with the
+    * repriced partition) would catch exactly that — the gate checks
+    * the SINK SEMANTICS, not arithmetic (the reprice is an exact
+    * +100.0 so both engines agree bit-for-bit).
+    *
+    * Scale: this is how a 100 TB partitioned store takes daily
+    * corrections — rewrite touched partitions only, no read-modify-
+    * write of the table, no truncate window where readers see an empty
+    * table; commit granularity is the partition directory. */
+  def q68DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q68-dpo")
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      orders.write.partitionBy("o_orderpriority").mode("overwrite")
+        .parquet(tmp.toString)
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .write.partitionBy("o_orderpriority").mode("overwrite")
+        .parquet(tmp.toString)
+      s.read.parquet(tmp.toString)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+        .localCheckpoint(true)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      rmTree(tmp)
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q68_dynamic_overwrite" -> (q68DynamicOverwrite _),
+    "q67_listagg"         -> (q67Listagg _),
     "q66_lateral_join"    -> (q66LateralJoin _),
     "q65_scalar_subquery" -> (q65ScalarSubquery _),
     "q64_partition_prune" -> (q64PartitionPrune _),
@@ -1336,6 +1409,23 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q68_dynamic_overwrite" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(round(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN o_totalprice + 100.0 ELSE o_totalprice END
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q67_listagg" ->
+      """SELECT grp, members FROM (
+        |  SELECT r.r_name AS grp,
+        |    string_agg(n.n_name, ',' ORDER BY n.n_name) AS members
+        |  FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name
+        |  UNION ALL
+        |  SELECT o_orderpriority,
+        |    string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+        |  FROM orders GROUP BY o_orderpriority) t
+        |ORDER BY grp""".stripMargin,
     "q66_lateral_join" ->
       """SELECT r.r_name, t.n_name, t.n_customers
         |FROM region r
