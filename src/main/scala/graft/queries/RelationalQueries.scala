@@ -1337,7 +1337,40 @@ object RelationalQueries extends QueryPack {
     }
   }
 
+  /** q69 — schema evolution at the parquet source (`mergeSchema`): an
+    * old batch written before a column existed and a new batch carrying
+    * it are read as ONE table, the missing column null-filled for
+    * legacy files — the additive-column migration every long-lived
+    * store goes through (q43 is the same contract at the DataFrame
+    * level; this gates it at the FILE level, where the footers
+    * disagree).
+    *
+    * Scale: schema merge reads footers, not data, and spark infers
+    * from a sample of files unless mergeSchema is on — for a 100 TB
+    * store the right design is a table format / catalog carrying the
+    * schema so neither footer-sweep nor inference runs per query; the
+    * mergeSchema path is the migration-window tool, not steady state. */
+  def q69MergeSchema(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q69-ms")
+    try {
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.parquet(s"$tmp/b1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.parquet(s"$tmp/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/b1", s"$tmp/b2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>")).as("prio"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("prio")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q69_merge_schema"    -> (q69MergeSchema _),
     "q68_dynamic_overwrite" -> (q68DynamicOverwrite _),
     "q67_listagg"         -> (q67Listagg _),
     "q66_lateral_join"    -> (q66LateralJoin _),
@@ -1409,6 +1442,13 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q69_merge_schema" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |    ELSE '<legacy>' END AS prio,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     "q68_dynamic_overwrite" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(round(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
