@@ -373,4 +373,42 @@ class PlanQualitySpec extends SparkSpec {
     val n = exchangeCount(df)
     assert(n <= 2, s"q01 shuffles $n times")
   }
+
+  test("q65: the correlated scalar subquery decorrelates to one agg+join") {
+    val df = RelationalQueries.q65ScalarSubquery(spark, dir)
+    val plan = planOf(df)
+    // decorrelation = the per-customer max appears as a plain aggregate
+    // joined back, never a per-row re-executed subquery plan
+    assert(plan.contains("max(o_totalprice"), s"no hoisted max agg in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"subquery fell back to a nested loop in:\n$plan")
+  }
+
+  test("q66: the lateral top-k plans as WindowGroupLimit rank pushdown") {
+    val df = RelationalQueries.q66LateralJoin(spark, dir)
+    val plan = planOf(df)
+    // partial (pre-shuffle) + final (post-shuffle) group-limit: per-group
+    // top-k is bounded on BOTH sides of the exchange, so no executor
+    // ever sorts a full group's history
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"lateral LIMIT not pushed as WindowGroupLimit in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral join planned as a nested loop in:\n$plan")
+  }
+
+  test("d26: novelty is two keyed shuffles + the spread, no window") {
+    val df = TextQueries.d26NgramNovelty(spark, dir)
+    val plan = planOf(df)
+    // first-occurrence rides min-agg + join, not a global window over
+    // occurrence history
+    assert(!"\\bWindow\\b".r.findFirstIn(plan).isDefined,
+      s"novelty planned a window in:\n$plan")
+    // explicit spread repartition (1) + shingle agg (1) + join reusing
+    // the shingle partitioning (≤1 for the doc-id agg) + final sort (1);
+    // AQE may elide the join-side exchange
+    val n = exchangeCount(df)
+    assert(n <= 5, s"d26 shuffles $n times")
+  }
 }
