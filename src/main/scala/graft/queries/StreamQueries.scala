@@ -441,7 +441,64 @@ object StreamQueries extends QueryPack {
           col("n_events"), col("total_value"))
     }.filter(col("user_id") >= 0).orderBy("user_id", "sess_start_us")
 
+  /** s11 — streaming EDGE ingest (S5's relationship MERGE under
+    * incremental delivery, completing s05's node side): events become
+    * (User)-[:DID]->(Type) edges, each micro-batch folded into a
+    * parquet edge store by the min/max monotone merge
+    * (`StreamingIngest.upsertEdgeBatch`) — first_seen preserved across
+    * re-delivery exactly like the reference's `created_at` MERGE
+    * contract, last_seen advancing monotonically. The FINAL STORE
+    * STATE is the gated result; the oracle is the batch group-by the
+    * incremental merge must converge to regardless of how the stream
+    * was batched. Watermarked dedup bounds in-flight state; the
+    * merge's idempotency covers replays beyond the watermark. */
+  def s11StreamEdgeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingIngest
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = Files.createTempDirectory("graft-s11-in")
+    val ckpt = Files.createTempDirectory("graft-s11-ckpt")
+    val storeRoot = Files.createTempDirectory("graft-s11-store")
+    val store = storeRoot.resolve("edges").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val raw = graft.core.Tables.withEventTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString))
+      val edges = raw.select(
+        concat(lit("User:"), col("user_id")).as("src_uid"),
+        concat(lit("Type:"), col("event_type")).as("dst_uid"),
+        lit("DID").as("rel_type"),
+        expr("unix_micros(ts)").as("first_us"),
+        expr("unix_micros(ts)").as("last_us"),
+        col("ts"))
+      val deduped = edges.withWatermark("ts", "1 hour")
+        .dropDuplicates("src_uid", "dst_uid", "ts").drop("ts")
+      val q = deduped.writeStream
+        .foreachBatch(StreamingIngest.upsertEdgeBatch(store) _)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("s11: stream did not finish within 300s")
+      } finally q.stop()
+      s.read.parquet(store)
+        .localCheckpoint(true)
+        .orderBy("src_uid", "dst_uid")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.core.TempDirs.deleteQuietly(streamDir, "s11")
+      graft.core.TempDirs.deleteQuietly(ckpt, "s11")
+      graft.core.TempDirs.deleteQuietly(storeRoot, "s11")
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s11_stream_edge_upsert" -> (s11StreamEdgeUpsert _),
     "s10_stream_session_window" -> (s10StreamSessionWindow _),
     "s09_stream_dedup_bounded" -> (s09StreamDedupBounded _),
     "s08_stream_rollup" -> (s08StreamRollup _),
@@ -454,6 +511,12 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "s11_stream_edge_upsert" ->
+      """SELECT 'User:' || user_id AS src_uid,
+        |  'Type:' || event_type AS dst_uid, 'DID' AS rel_type,
+        |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY src_uid, dst_uid""".stripMargin,
     "s10_stream_session_window" ->
       """WITH c AS (
         |  SELECT user_id, epoch_us(ts) AS us, value FROM events

@@ -52,4 +52,26 @@ object StreamingIngest {
       current_timestamp(), propCols).localCheckpoint(true)
     merged.write.mode("overwrite").parquet(storePath)
   }
+
+  /** The edge-side microbatch sink (S5's relationship MERGE under
+    * streaming delivery): edges keyed (src_uid, dst_uid, rel_type)
+    * carrying first/last-seen stats, merged by per-column MIN/MAX.
+    * Unlike a count, min/max merges are idempotent AND associative —
+    * replaying a batch or splitting it differently leaves the store
+    * byte-identical, which is the only property that makes a
+    * checkpoint-retried sink safe. Same existence-check discipline as
+    * [[upsertBatch]]: a transient store-read failure must fail the
+    * batch, not masquerade as an empty store. */
+  def upsertEdgeBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(p)) spark.read.parquet(storePath) else batch.limit(0)
+    val merged = existing.unionByName(batch)
+      .groupBy("src_uid", "dst_uid", "rel_type")
+      .agg(min("first_us").as("first_us"), max("last_us").as("last_us"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(storePath)
+  }
 }
