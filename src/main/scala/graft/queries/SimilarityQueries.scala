@@ -318,7 +318,37 @@ object SimilarityQueries extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** e10 — maximum-inner-product search (MIPS), exact: top-5 by raw
+    * dot product — the retrieval objective where vector MAGNITUDE
+    * carries signal (recommendation scores, unnormalized rerankers),
+    * deliberately distinct from e01's cosine (same direction, larger
+    * norm → larger score). The dot rides the built-in
+    * aggregate(zip_with(...)) sequential fold — same summation order
+    * as DuckDB's list_sum, so the rounded score is engine-exact. At
+    * scale MIPS reduces to cosine ANN by norm augmentation (append
+    * sqrt(M²−‖x‖²) to each vector), so the e03/e05 bucketed paths
+    * carry it without a new index structure; the brute-force form here
+    * is the ground truth that recall would be measured against. */
+  def e10MipsBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 3)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val dot = expr(
+      "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("cand_id"), round(dot, 6).as("ip"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(desc("ip"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "cand_id", "ip")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e10_mips_brute"      -> (e10MipsBrute _),
     "e09_neardup_clusters" -> (e09NeardupClusters _),
     "e08_pq_adc"          -> (e08PqAdc _),
     "e07_kmeans_step"     -> (e07KmeansStep _),
@@ -343,6 +373,18 @@ object SimilarityQueries extends QueryPack {
        |  j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e10_mips_brute" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), 6) AS ip
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 3 AND c.vec_id >= 3),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ip DESC, cand_id) AS INT) AS rank FROM scored)
+        |SELECT query_id, rank, cand_id, ip FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e09_neardup_clusters" ->
       s"""WITH RECURSIVE b AS (
         |  SELECT vec_id, embedding,
