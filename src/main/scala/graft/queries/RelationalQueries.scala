@@ -1369,7 +1369,34 @@ object RelationalQueries extends QueryPack {
     } finally rmTree(tmp)
   }
 
+  /** q70 — conditional aggregation via the SQL:2003 FILTER clause (and
+    * GROUP BY ALL): one pass over orders computes per-status metrics
+    * restricted to different predicates — the idiomatic replacement
+    * for N filtered self-aggregations or CASE-WHEN-NULL pyramids.
+    * Catalyst folds every FILTER into the same partial+final hash agg:
+    * one scan, one shuffle, regardless of how many conditions.
+    * Count/min/max only under the filters (order-insensitive); the
+    * one value sum rides decimal per the dsum rule. */
+  def q70FilterAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v70")
+    s.sql("""
+      SELECT o_orderstatus,
+        CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+          AS n_urgent,
+        CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+          AS n_big,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+          FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS DOUBLE)
+          AS urgent_price,
+        max(o_orderdate) FILTER (WHERE o_totalprice <= 150000)
+          AS last_small_date
+      FROM orders_v70
+      GROUP BY ALL
+      ORDER BY o_orderstatus""")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q70_filter_agg"      -> (q70FilterAgg _),
     "q69_merge_schema"    -> (q69MergeSchema _),
     "q68_dynamic_overwrite" -> (q68DynamicOverwrite _),
     "q67_listagg"         -> (q67Listagg _),
@@ -1442,6 +1469,18 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q70_filter_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+        |    AS n_urgent,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+        |    AS n_big,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS DOUBLE)
+        |    AS urgent_price,
+        |  max(o_orderdate) FILTER (WHERE o_totalprice <= 150000)
+        |    AS last_small_date
+        |FROM orders GROUP BY ALL ORDER BY o_orderstatus""".stripMargin,
     "q69_merge_schema" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
         |    ELSE '<legacy>' END AS prio,
