@@ -704,7 +704,34 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** d27 — cross-source leakage matrix: every MinHash near-dup pair
+    * (d07) labeled with its two documents' sources, folded into an
+    * unordered source×source count — the governance table that answers
+    * "which sources duplicate which" (mirror detection, eval-set
+    * leakage across providers, license contamination) before any
+    * train/test split trusts source boundaries. Unordered (least,
+    * greatest) labeling keeps one cell per source pair; the diagonal
+    * counts intra-source duplication.
+    *
+    * Scale: the expensive part IS d07 (banded LSH — no all-pairs);
+    * labeling is two joins against the (doc_id, source) projection and
+    * the matrix is at most |sources|² rows — a broadcast-sized result
+    * regardless of corpus size. */
+  def d27SourceLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d07MinhashLsh(s, dir).select("doc_a", "doc_b")
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(desc("n_pairs"), asc("source_x"), asc("source_y"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d27_source_leakage" -> (d27SourceLeakage _),
     "d26_ngram_novelty" -> (d26NgramNovelty _),
     "d25_span_dedup"    -> (d25SpanDedup _),
     "d24_seq_pack"      -> (d24SeqPack _),
@@ -786,6 +813,32 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d27_source_leakage" ->
+      s"""WITH $shingleCte, mh AS (
+        |  SELECT doc_id, j, min(md5(j || ':' || s)) AS mh
+        |  FROM ex, range(16) t(j) GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, '|' ORDER BY j)) AS bh
+        |  FROM mh GROUP BY doc_id, j // 4
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+        |         any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), nd AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  WHERE common/(na+nb-common)::DOUBLE >= 0.8)
+        |SELECT least(da.source, db.source) AS source_x,
+        |  greatest(da.source, db.source) AS source_y,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM nd JOIN documents da ON nd.doc_a = da.doc_id
+        |        JOIN documents db ON nd.doc_b = db.doc_id
+        |GROUP BY 1, 2 ORDER BY n_pairs DESC, source_x, source_y""".stripMargin,
     "d26_ngram_novelty" ->
       s"""WITH $shingleCte,
         |fs AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s)
