@@ -602,7 +602,50 @@ object GraphQueries extends QueryPack {
     sb.toString
   }
 
+  /** g23 — personalized PageRank (random walk with restart): g13's
+    * integer fixed-point iteration with the teleport mass restricted
+    * to a SEED SET (customers of nation 0) instead of uniform — the
+    * node-similarity / recommendation primitive ("rank everything by
+    * proximity to THESE nodes"). Non-seed nodes receive mass only
+    * through in-edges, so rank decays with distance from the seeds;
+    * all arithmetic is integer fixed-point (decimal(38,0) contribution
+    * sums, `div` flooring) so every iteration is bit-reproducible at
+    * any parallelism — same determinism law as g13, different teleport
+    * vector. Three unrolled iterations, top 30.
+    *
+    * Scale: identical plan shape to g13 (staged weighted edges, one
+    * contribution join + agg per round, linear unrolled lineage); the
+    * seed vector rides a broadcast-joined flag column, never a
+    * filter-and-union of two rank frames. */
+  def g23PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val scale = 1000000000L
+    val e = edges(s, dir).select(col("src_uid").as("src"), col("dst_uid").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val weighted = e.join(deg, "src").localCheckpoint(true)
+    val seeds = Tables.customer(s, dir).filter(col("c_nationkey") === 0)
+      .select(concat(lit("Customer:"), col("c_custkey")).as("uid"),
+        lit(scale).as("seed_mass"))
+    val base = nodes(s, dir).select("uid")
+      .join(seeds, Seq("uid"), "left")
+      .select(col("uid"), coalesce(col("seed_mass"), lit(0L)).as("seed_mass"))
+      .localCheckpoint(true)
+    var pr = base.select(col("uid"), col("seed_mass").as("pr"))
+    for (_ <- 1 to 3) {
+      val contribs = weighted
+        .join(pr.withColumnRenamed("uid", "src"), "src")
+        .select(col("dst").as("uid"), expr("pr div outdeg").as("c"))
+        .groupBy("uid").agg(sum(col("c").cast("decimal(38,0)")).as("contrib"))
+      pr = base.join(contribs, Seq("uid"), "left")
+        .select(col("uid"),
+          (expr("(15 * seed_mass) div 100") +
+            expr("(85 * coalesce(contrib, CAST(0 AS DECIMAL(38,0)))) div 100"))
+            .as("pr"))
+    }
+    pr.filter(col("pr") > 0).orderBy(desc("pr"), asc("uid")).limit(30)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g23_personalized_pagerank" -> (g23PersonalizedPagerank _),
     "g22_label_propagation" -> (g22LabelPropagation _),
     "g21_kcore"          -> (g21KCore _),
     "g20_cooccurrence_lift" -> (g20CooccurrenceLift _),
@@ -627,6 +670,46 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g23_personalized_pagerank" ->
+      """WITH nodes AS MATERIALIZED (
+        |  SELECT 'Customer:' || c_custkey AS uid FROM customer
+        |  UNION ALL SELECT 'Supplier:' || s_suppkey FROM supplier
+        |  UNION ALL SELECT 'Nation:' || n_nationkey FROM nation
+        |  UNION ALL SELECT 'Region:' || r_regionkey FROM region),
+        |edges AS MATERIALIZED (
+        |  SELECT 'Customer:' || c_custkey AS src, 'Nation:' || c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 'Supplier:' || s_suppkey, 'Nation:' || s_nationkey FROM supplier
+        |  UNION ALL SELECT 'Nation:' || n_nationkey, 'Region:' || n_regionkey FROM nation),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |base AS MATERIALIZED (
+        |  SELECT uid, CASE WHEN uid IN (
+        |      SELECT 'Customer:' || c_custkey FROM customer WHERE c_nationkey = 0)
+        |    THEN CAST(1000000000 AS BIGINT) ELSE 0 END AS seed_mass
+        |  FROM nodes),
+        |pr0 AS (SELECT uid, seed_mass AS pr FROM base),
+        |it1 AS MATERIALIZED (
+        |  SELECT b.uid, b.seed_mass,
+        |    (15 * b.seed_mass) // 100 + (85 * COALESCE(c.contrib, 0)) // 100 AS pr
+        |  FROM base b LEFT JOIN (
+        |    SELECT e.dst AS uid, sum(p.pr // d.outdeg) AS contrib
+        |    FROM edges e JOIN pr0 p ON e.src = p.uid JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON b.uid = c.uid),
+        |it2 AS MATERIALIZED (
+        |  SELECT b.uid, b.seed_mass,
+        |    (15 * b.seed_mass) // 100 + (85 * COALESCE(c.contrib, 0)) // 100 AS pr
+        |  FROM it1 b LEFT JOIN (
+        |    SELECT e.dst AS uid, sum(p.pr // d.outdeg) AS contrib
+        |    FROM edges e JOIN it1 p ON e.src = p.uid JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON b.uid = c.uid),
+        |it3 AS MATERIALIZED (
+        |  SELECT b.uid,
+        |    (15 * b.seed_mass) // 100 + (85 * COALESCE(c.contrib, 0)) // 100 AS pr
+        |  FROM it2 b LEFT JOIN (
+        |    SELECT e.dst AS uid, sum(p.pr // d.outdeg) AS contrib
+        |    FROM edges e JOIN it2 p ON e.src = p.uid JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON b.uid = c.uid)
+        |SELECT uid, CAST(pr AS BIGINT) AS pr FROM it3 WHERE pr > 0
+        |ORDER BY pr DESC, uid LIMIT 30""".stripMargin,
     "g22_label_propagation" -> lpaOracle(rounds = 3),
     "g21_kcore" -> kCoreOracle(k = 2, iters = kCoreIters),
     "g20_cooccurrence_lift" ->
