@@ -730,7 +730,36 @@ object TextQueries extends QueryPack {
       .orderBy(desc("n_pairs"), asc("source_x"), asc("source_y"))
   }
 
+  /** d28 — quality-aware dedup: within each near-dup cluster (d15's
+    * transitive closure over the MinHash pairs) the KEEPER is the
+    * highest-quality member (alpha_ratio desc, doc_id tie-break), not
+    * the arbitrary min-id — the policy real pipelines want, since the
+    * canonical copy should be the cleanest one, not the first-crawled
+    * one. Composes three gated operators (d07 pairs → d15 clusters →
+    * d04 scores) into the final dedup verdict table.
+    *
+    * Determinism: the election ranks the ROUNDED alpha_ratio (both
+    * engines compare identical 4-decimal values) with doc_id breaking
+    * ties — ranking raw doubles would flap on ulp differences.
+    * Scale: the window partitions by cluster id over cluster MEMBERS
+    * only (near-dups, not the corpus), after the d07/d15 stages whose
+    * no-all-pairs arguments already hold. */
+  def d28QualityDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = d15DedupClusters(s, dir).select(
+      col("doc_id"), col("keeper_id").as("cluster_id"))
+    val quality = d04Quality(s, dir).select("doc_id", "alpha_ratio")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("alpha_ratio"), asc("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("alpha_ratio"),
+        (col("rn") > 1).cast("int").as("is_dropped"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d28_quality_dedup" -> (d28QualityDedup _),
     "d27_source_leakage" -> (d27SourceLeakage _),
     "d26_ngram_novelty" -> (d26NgramNovelty _),
     "d25_span_dedup"    -> (d25SpanDedup _),
@@ -813,6 +842,41 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d28_quality_dedup" ->
+      s"""WITH RECURSIVE $shingleCte, mh AS (
+        |  SELECT doc_id, j, min(md5(j || ':' || s)) AS mh
+        |  FROM ex, range(16) t(j) GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, '|' ORDER BY j)) AS bh
+        |  FROM mh GROUP BY doc_id, j // 4
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+        |         any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), nd AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  WHERE common/(na+nb-common)::DOUBLE >= 0.8
+        |), und AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM nd UNION SELECT doc_b, doc_a FROM nd
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u
+        |), cl AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |  FROM reach GROUP BY u
+        |), $qualityCte
+        |SELECT c.doc_id, c.cluster_id, q.alpha_ratio,
+        |  CAST(row_number() OVER (PARTITION BY c.cluster_id
+        |    ORDER BY q.alpha_ratio DESC, c.doc_id) > 1 AS INT) AS is_dropped
+        |FROM cl c JOIN q ON c.doc_id = q.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     "d27_source_leakage" ->
       s"""WITH $shingleCte, mh AS (
         |  SELECT doc_id, j, min(md5(j || ':' || s)) AS mh
