@@ -1395,7 +1395,89 @@ object RelationalQueries extends QueryPack {
       ORDER BY o_orderstatus""")
   }
 
+  /** q71 — recursive CTE (Spark 4): root-walk over the node/edge graph
+    * as a TRUE SQL fixpoint — each node climbs its out-edges until the
+    * sink (its region), accumulating hop count; the recursion depth is
+    * data-driven, not unrolled by the author (contrast g13/g21/g23,
+    * which unroll a FIXED iteration count). The per-(label, root,
+    * hops) histogram is the gated result. Both engines run the SAME
+    * recursive SQL text — the operator under test is the recursion
+    * itself.
+    *
+    * Scale: each recursion step is one equi-join of the frontier with
+    * the edge table (the same plan an iterative-join fixpoint library
+    * makes by hand — Traversal.reachFixpoint); frontier size is
+    * bounded by live paths, and Spark executes the step under the
+    * recursion operator without driver-side looping. */
+  def q71RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    GraphQueries.nodes(s, dir).createOrReplaceTempView("nodes_v71")
+    GraphQueries.edges(s, dir).createOrReplaceTempView("edges_v71")
+    s.sql("""
+      WITH RECURSIVE walk(uid, label, cur, hops) AS (
+        SELECT uid, label, uid, 0 FROM nodes_v71
+        UNION ALL
+        SELECT w.uid, w.label, e.dst_uid, w.hops + 1
+        FROM walk w JOIN edges_v71 e ON w.cur = e.src_uid
+      )
+      SELECT label, cur AS root, hops, CAST(count(*) AS BIGINT) AS n
+      FROM walk
+      WHERE cur LIKE 'Region:%'
+      GROUP BY label, cur, hops
+      ORDER BY label, root, hops""")
+  }
+
+  /** q72 — the VARIANT semi-structured type (Spark 4): JSON props
+    * parsed ONCE into the binary variant encoding, fields then
+    * extracted with typed `variant_get` paths — the open-schema column
+    * a lake keeps when ingest can't predict fields. Versus q22's
+    * per-access `get_json_object` string re-parse: at 100 TB the
+    * variant parse is paid once at ingest, every downstream access is
+    * a binary path read, and shredded-variant storage pushes field
+    * pruning into the scan.
+    */
+  def q72Variant(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** q73 — the XML source through the gate (Spark 4 native XML): the
+    * remaining file format of the source matrix (q54 CSV / q55 JSON /
+    * q56 ORC / m07 binary), write→schema'd-read→aggregate round-trip
+    * hashed against the parquet ground truth — including an embedded
+    * newline in the payload (XML element text preserves it). Only the
+    * nation dimension rides the round-trip; the oracle reads the same
+    * rows from parquet. */
+  def q73XmlSource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q73-xml")
+    try {
+      Tables.nation(s, dir).select(
+        col("n_nationkey"), col("n_regionkey"), col("n_name"),
+        concat(col("n_name"), lit("\nnote: rk="), col("n_regionkey")).as("note"))
+        .write.format("xml")
+        .option("rootTag", "nations").option("rowTag", "nation")
+        .mode("overwrite").save(s"$tmp/t")
+      s.read.format("xml").option("rowTag", "nation")
+        .schema("n_nationkey INT, n_regionkey INT, n_name STRING, note STRING")
+        .load(s"$tmp/t")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          sum(length(col("note"))).as("sum_note_len"),
+          min("n_name").as("first_name"),
+          max("n_name").as("last_name"))
+        .orderBy("n_regionkey")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q73_xml_source"      -> (q73XmlSource _),
+    "q72_variant"         -> (q72Variant _),
+    "q71_recursive_cte"   -> (q71RecursiveCte _),
     "q70_filter_agg"      -> (q70FilterAgg _),
     "q69_merge_schema"    -> (q69MergeSchema _),
     "q68_dynamic_overwrite" -> (q68DynamicOverwrite _),
@@ -1469,6 +1551,40 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q73_xml_source" ->
+      """WITH src AS (
+        |  SELECT n_regionkey, n_name,
+        |    n_name || chr(10) || 'note: rk=' || n_regionkey AS note
+        |  FROM nation)
+        |SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(length(note)) AS BIGINT) AS sum_note_len,
+        |  min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM src GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q72_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q71_recursive_cte" ->
+      """WITH RECURSIVE gnodes AS (
+        |  SELECT 'Customer:' || c_custkey AS uid, 'Customer' AS label FROM customer
+        |  UNION ALL SELECT 'Supplier:' || s_suppkey, 'Supplier' FROM supplier
+        |  UNION ALL SELECT 'Nation:' || n_nationkey, 'Nation' FROM nation
+        |  UNION ALL SELECT 'Region:' || r_regionkey, 'Region' FROM region),
+        |gedges AS (
+        |  SELECT 'Customer:' || c_custkey AS src, 'Nation:' || c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 'Supplier:' || s_suppkey, 'Nation:' || s_nationkey FROM supplier
+        |  UNION ALL SELECT 'Nation:' || n_nationkey, 'Region:' || n_regionkey FROM nation),
+        |walk(uid, label, cur, hops) AS (
+        |  SELECT uid, label, uid, 0 FROM gnodes
+        |  UNION ALL
+        |  SELECT w.uid, w.label, e.dst, w.hops + 1
+        |  FROM walk w JOIN gedges e ON w.cur = e.src)
+        |SELECT label, cur AS root, hops, CAST(count(*) AS BIGINT) AS n
+        |FROM walk WHERE cur LIKE 'Region:%'
+        |GROUP BY label, cur, hops ORDER BY label, root, hops""".stripMargin,
     "q70_filter_agg" ->
       """SELECT o_orderstatus,
         |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
