@@ -88,6 +88,47 @@ object Multimodal {
     }
   }
 
+  case class MediaPhash(id: Long, lo: Long, hi: Long)
+
+  /** TLSH-family fuzzy hash over the raw blob: byte-4-gram bucket
+    * counts (64 buckets) thresholded against the mean bucket fill, one
+    * bit per bucket, emitted as two 32-bit halves (so downstream SQL and
+    * the DuckDB oracle stay in non-overflowing BIGINT math). Content
+    * n-grams make the signature discriminative across unrelated blobs
+    * while insertion/deletion edits only perturb the buckets their
+    * n-grams touch — the shift-invariance positional hashes lack, and
+    * the public design (ssdeep/TLSH) used for binary/media near-dup in
+    * practice. Runs inside the per-partition decoder like every stub
+    * kernel; a real deployment would swap in DCT-pHash pixels with the
+    * identical downstream plan. */
+  def phashOf(r: MediaRecord): MediaPhash = {
+    val b = r.media
+    val n = b.length - 3
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = ((b(i) & 0xff) * 131 + (b(i + 1) & 0xff) * 137 +
+        (b(i + 2) & 0xff) * 139 + (b(i + 3) & 0xff) * 149) % 64
+      counts(h) += 1
+      i += 1
+    }
+    val m = if (n > 0) n / 64 else 0
+    var lo = 0L
+    var hi = 0L
+    var k = 0
+    while (k < 32) { if (counts(k) > m) lo |= 1L << k; k += 1 }
+    while (k < 64) { if (counts(k) > m) hi |= 1L << (k - 32); k += 1 }
+    MediaPhash(r.id, lo, hi)
+  }
+
+  /** Per-partition fuzzy-hash pass (same mapPartitions contract as
+    * [[decodeFeatures]]); blobs shorter than one 4-gram carry no
+    * signal and are dropped, mirrored by the oracle's length guard. */
+  def phash(media: Dataset[MediaRecord]): Dataset[MediaPhash] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.media.length >= 4).mapPartitions(_.map(phashOf))
+  }
+
   /** Documents recast as a media table: utf-8 bytes as the opaque blob
     * (the corpus has no real image column; the plumbing is identical). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

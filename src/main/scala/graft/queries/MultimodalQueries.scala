@@ -141,7 +141,41 @@ object MultimodalQueries extends QueryPack {
     } finally graft.core.TempDirs.deleteQuietly(tmp, "m07")
   }
 
+  /** m08 — fuzzy-hash near-dup over media blobs: the multimodal twin
+    * of MinHash-LSH (d07). Each blob is stub-"decoded" to a TLSH-style
+    * 64-bit byte-4-gram signature ([[Multimodal.phashOf]] — two 32-bit
+    * halves so the oracle's BIGINT math never overflows), banded into
+    * 4×16-bit bands, and candidate pairs come from a band equi-join —
+    * only pairs agreeing on ≥1 band are ever compared — then verified
+    * by full Hamming distance ≤ 6.
+    *
+    * Scale: candidate generation, not pairwise comparison (§SCALE.md 4)
+    * — the only shuffle is the band-key join; the blob never leaves its
+    * scan (hash halves are 16 bytes/row); a real deployment swaps the
+    * stub signature for DCT-pHash pixels with the identical plan. */
+  def m08PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Multimodal.phash(Multimodal.mediaFromDocuments(s, dir))
+      .toDF()
+    val bands = hashed.select(col("id"), col("lo"), col("hi"),
+      explode(expr("""array(
+          struct(0 AS band, lo & 65535L AS bv),
+          struct(1 AS band, shiftright(lo, 16) AS bv),
+          struct(2 AS band, hi & 65535L AS bv),
+          struct(3 AS band, shiftright(hi, 16) AS bv))""")).as("b"))
+      .select(col("id"), col("lo"), col("hi"), col("b.band"), col("b.bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (expr("bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)"))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "m08_phash_neardup"   -> (m08PhashNeardup _),
     "m07_binary_source"   -> (m07BinarySource _),
     "m06_blob_dedup"      -> (m06BlobDedup _),
     "m05_modality_join"   -> (m05ModalityJoin _),
@@ -154,6 +188,42 @@ object MultimodalQueries extends QueryPack {
     "CASE WHEN doc_id % 3 = 0 THEN 'txt' WHEN doc_id % 3 = 1 THEN 'img' ELSE 'aud' END"
 
   val oracles: Map[String, String] = Map(
+    // m08: the oracle recomputes the TLSH-style signature — byte-4-gram
+    // bucket counts over the same utf-8 bytes, mean-threshold bits as
+    // two 32-bit halves — and checks ALL pairs (O(n²) is fine for an
+    // oracle) under the same ≥1-band-agrees candidate rule + Hamming
+    // ≤ 6 verify.
+    "m08_phash_neardup" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id, length(text) - 3 AS n,
+        |    list_transform(range(1, length(text) - 2),
+        |      i -> (ascii(substr(text, CAST(i AS INT), 1)) * 131
+        |          + ascii(substr(text, CAST(i AS INT) + 1, 1)) * 137
+        |          + ascii(substr(text, CAST(i AS INT) + 2, 1)) * 139
+        |          + ascii(substr(text, CAST(i AS INT) + 3, 1)) * 149) % 64)
+        |      AS bins
+        |  FROM documents WHERE length(text) >= 4),
+        |h AS (
+        |  SELECT id,
+        |    CAST(list_sum(list_transform(range(0, 32),
+        |      k -> CASE WHEN len(list_filter(bins, x -> x = k)) > n // 64
+        |           THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(32, 64),
+        |      k -> CASE WHEN len(list_filter(bins, x -> x = k)) > n // 64
+        |           THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INT)
+        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+        |  FROM b)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+        |    AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE ((a.lo & 65535) = (b.lo & 65535)
+        |    OR (a.lo >> 16) = (b.lo >> 16)
+        |    OR (a.hi & 65535) = (b.hi & 65535)
+        |    OR (a.hi >> 16) = (b.hi >> 16))
+        |  AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+        |ORDER BY id1, id2""".stripMargin,
     "m07_binary_source" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         | md5(text) AS h

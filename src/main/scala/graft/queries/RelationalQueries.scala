@@ -585,19 +585,66 @@ object RelationalQueries extends QueryPack {
 
   /** a01 — approximate profile: HyperLogLog distinct users and
     * interpolated-histogram percentiles per event type. Sketches are
-    * the only way to profile 100 TB in one pass, and their outputs are
-    * implementation-defined — no cross-engine oracle exists, so this
-    * entry takes the driver's rows-only check; ApproxSpec pins the
-    * error bounds against exact answers instead. */
+    * the only way to profile 100 TB in one pass, but their raw outputs
+    * are implementation-defined — no cross-engine value oracle exists.
+    * So the query emits the sketch's CONTRACT instead of its raw value:
+    * exact counts plus booleans asserting each sketch answer lies
+    * within its published tolerance of the exact answer computed in the
+    * same pass. The DuckDB oracle recomputes the exact columns and
+    * expects every contract boolean TRUE — a full hash gate (round 2
+    * ran this as the weaker rows-only check). ApproxSpec additionally
+    * pins the bounds on other corpus columns. */
   def a01ApproxProfile(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n_events"),
-        round(expr("approx_percentile(value, 0.5, 1000)"), 2).as("p50_value"),
-        round(expr("approx_percentile(value, 0.99, 1000)"), 2).as("p99_value"))
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("hll_users"),
+        expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(value, 0.99, 10000)").as("ap99"),
+        expr("percentile(value, 0.495)").as("lo50"),
+        expr("percentile(value, 0.505)").as("hi50"),
+        expr("percentile(value, 0.985)").as("lo99"),
+        expr("percentile(value, 0.995)").as("hi99"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("hll_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("hll_ok"),
+        // approx_percentile returns an element whose RANK is within
+        // n/accuracy of the target (Greenwald-Khanna contract), so the
+        // check is rank-based, not value-based: the returned element
+        // must lie between the exact ±0.5-percentile neighbors. Holds
+        // for any n: rank error n/10000 ≪ the 0.005·n band.
+        col("ap50").between(col("lo50"), col("hi50")).as("p50_ok"),
+        col("ap99").between(col("lo99"), col("hi99")).as("p99_ok"))
       .orderBy("event_type")
+
+  /** a02 — mergeable-sketch profile (DataSketches HLL): one sketch per
+    * (event_type, day) partition, then `hll_union_agg` merges the
+    * partials into the per-type estimate. Mergeability is THE property
+    * that makes one-pass 100 TB profiling possible — partials build
+    * where the data lives (map-side, per partition/day/cluster), and
+    * only fixed-size sketch bytes cross the wire, never re-scanning
+    * history when a day is added. a01's contract-boolean gating applies:
+    * the oracle recomputes the exact distinct and expects the merged
+    * estimate within the published tolerance (lgK=14 ⇒ ~0.8% RSE; 5%
+    * band). */
+  def a02SketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.05)
+          .as("merge_ok"))
+      .orderBy("event_type")
+  }
 
   /** q41 — time-series gap filling: a generated per-user date spine
     * (min..max activity day via `sequence` + `explode` — no driver
@@ -1510,6 +1557,7 @@ object RelationalQueries extends QueryPack {
     "q41_gap_fill"        -> (q41GapFill _),
     "q40_trailing_window" -> (q40TrailingWindow _),
     "a01_approx_profile"  -> (a01ApproxProfile _),
+    "a02_sketch_merge"    -> (a02SketchMerge _),
     "q38_bloom_prune"     -> (q38BloomPrune _),
     "q39_skew_join"       -> (q39SkewJoin _),
     "q37_date_funcs"      -> (q37DateFuncs _),
@@ -1551,6 +1599,20 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    // a01 emits exact aggregates plus sketch-contract booleans; the
+    // oracle recomputes the exact columns and expects every contract
+    // TRUE, turning an un-oracle-able sketch into a hash-gated one.
+    "a01_approx_profile" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a02_sketch_merge" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS merge_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q73_xml_source" ->
       """WITH src AS (
         |  SELECT n_regionkey, n_name,

@@ -23,6 +23,22 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("a01/a02 sketch contracts hold at the smallest SF too") {
+    // the gate runs at sf0.01; tiny groups are where rank-band and HLL
+    // tolerances are most fragile, so pin them at sf0.001 as well
+    for (sf <- Seq("/root/testdata/sf0.001", dir)) {
+      val a1 = RelationalQueries.a01ApproxProfile(spark, sf).collect()
+      assert(a1.nonEmpty)
+      a1.foreach { r =>
+        assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+          s"a01 contract broken at $sf: $r")
+      }
+      val a2 = RelationalQueries.a02SketchMerge(spark, sf).collect()
+      assert(a2.nonEmpty)
+      a2.foreach(r => assert(r.getBoolean(3), s"a02 merge contract broken at $sf: $r"))
+    }
+  }
+
   test("approx percentile brackets the exact median") {
     val df = Tables(spark, dir, "orders")
     val Array(p25, p50, p75) = df
