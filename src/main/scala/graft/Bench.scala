@@ -62,9 +62,10 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val headline = Seq(
       "q01_pricing_summary", "q03_topk_revenue", "q04_join_broadcast",
-      "q21_sessionize", "q26_range_join", "d07_minhash_lsh",
-      "d10_clean_corpus", "d13_tfidf", "e01_knn_brute", "e05_ivf_topk",
-      "g08_graph_components", "g13_pagerank", "m04_frame_explode",
+      "q21_sessionize", "q26_range_join", "a02_sketch_merge",
+      "d07_minhash_lsh", "d10_clean_corpus", "d13_tfidf",
+      "e01_knn_brute", "e05_ivf_topk", "g08_graph_components",
+      "g13_pagerank", "m04_frame_explode", "m08_phash_neardup",
       "s01_stream_window", "s02_stream_join")
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -644,7 +644,55 @@ object GraphQueries extends QueryPack {
     pr.filter(col("pr") > 0).orderBy(desc("pr"), asc("uid")).limit(30)
   }
 
+  /** g24 — HITS hubs & authorities (Kleinberg) in integer fixed-point:
+    * two rounds of the mutual recursion a = Eᵀh, h = Ea over the
+    * containment graph, each score vector max-normalized back to scale
+    * 1e9. Max-norm instead of the textbook L2 keeps every operation
+    * rational (no sqrt) — normalization choice doesn't change the
+    * ranking for any positive-homogeneous norm — so every round is
+    * bit-reproducible at any parallelism AND SQL-expressible, the
+    * g13/g23 determinism law applied to a two-vector recursion.
+    * Customers/suppliers act as pure hubs, nations as both, regions as
+    * pure authorities. Top 30 by (authority desc, uid).
+    *
+    * Scale: per round one edge×score join + agg per direction, over a
+    * localCheckpointed loop-invariant edge list; the normalizer is a
+    * 1-row broadcast, not a window over all nodes. Same bucketing
+    * co-location argument as g13 at 100 TB. */
+  def g24Hits(s: SparkSession, dir: String): DataFrame = {
+    val scale = 1000000000L
+    val e = edges(s, dir).select(col("src_uid").as("src"), col("dst_uid").as("dst"))
+      .localCheckpoint(true)
+    val n = nodes(s, dir).select("uid")
+    var hub = n.withColumn("h", lit(scale))
+    var auth = n.withColumn("a", lit(0L))
+    for (_ <- 1 to 2) {
+      // authority from current hubs: sum over in-edges, then max-norm.
+      // decimal(38,0) sums for the same wrap-safety reason as g13.
+      val araw = e.join(hub.withColumnRenamed("uid", "src"), "src")
+        .groupBy(col("dst").as("uid"))
+        .agg(sum(col("h").cast("decimal(38,0)")).as("araw"))
+      val amax = araw.agg(max("araw").as("amax"))
+      auth = n.join(araw, Seq("uid"), "left").crossJoin(broadcast(amax))
+        .select(col("uid"),
+          expr("(coalesce(araw, CAST(0 AS DECIMAL(38,0))) * 1000000000) div amax")
+            .as("a"))
+      val hraw = e.join(auth.withColumnRenamed("uid", "dst"), "dst")
+        .groupBy(col("src").as("uid"))
+        .agg(sum(col("a").cast("decimal(38,0)")).as("hraw"))
+      val hmax = hraw.agg(max("hraw").as("hmax"))
+      hub = n.join(hraw, Seq("uid"), "left").crossJoin(broadcast(hmax))
+        .select(col("uid"),
+          expr("(coalesce(hraw, CAST(0 AS DECIMAL(38,0))) * 1000000000) div hmax")
+            .as("h"))
+    }
+    auth.join(hub, "uid")
+      .select(col("uid"), col("a").as("authority"), col("h").as("hub"))
+      .orderBy(desc("authority"), asc("uid")).limit(30)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g24_hits"           -> (g24Hits _),
     "g23_personalized_pagerank" -> (g23PersonalizedPagerank _),
     "g22_label_propagation" -> (g22LabelPropagation _),
     "g21_kcore"          -> (g21KCore _),
@@ -670,6 +718,47 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    // g24: the two HITS rounds unrolled as CTEs with the identical
+    // integer max-norm; DuckDB's HUGEINT sums make the wrap-safety
+    // mirror explicit (the Spark side rides decimal(38,0)).
+    "g24_hits" ->
+      """WITH nodes AS MATERIALIZED (
+        |  SELECT 'Customer:' || c_custkey AS uid FROM customer
+        |  UNION ALL SELECT 'Supplier:' || s_suppkey FROM supplier
+        |  UNION ALL SELECT 'Nation:' || n_nationkey FROM nation
+        |  UNION ALL SELECT 'Region:' || r_regionkey FROM region),
+        |edges AS MATERIALIZED (
+        |  SELECT 'Customer:' || c_custkey AS src, 'Nation:' || c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 'Supplier:' || s_suppkey, 'Nation:' || s_nationkey FROM supplier
+        |  UNION ALL SELECT 'Nation:' || n_nationkey, 'Region:' || n_regionkey FROM nation),
+        |h0 AS (SELECT uid, CAST(1000000000 AS BIGINT) AS h FROM nodes),
+        |a1r AS (SELECT e.dst AS uid, sum(p.h) AS araw
+        |        FROM edges e JOIN h0 p ON e.src = p.uid GROUP BY e.dst),
+        |a1 AS (SELECT n.uid,
+        |         CAST(COALESCE(c.araw, 0) * 1000000000
+        |              // (SELECT max(araw) FROM a1r) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN a1r c ON n.uid = c.uid),
+        |h1r AS (SELECT e.src AS uid, sum(p.a) AS hraw
+        |        FROM edges e JOIN a1 p ON e.dst = p.uid GROUP BY e.src),
+        |h1 AS (SELECT n.uid,
+        |         CAST(COALESCE(c.hraw, 0) * 1000000000
+        |              // (SELECT max(hraw) FROM h1r) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN h1r c ON n.uid = c.uid),
+        |a2r AS (SELECT e.dst AS uid, sum(p.h) AS araw
+        |        FROM edges e JOIN h1 p ON e.src = p.uid GROUP BY e.dst),
+        |a2 AS (SELECT n.uid,
+        |         CAST(COALESCE(c.araw, 0) * 1000000000
+        |              // (SELECT max(araw) FROM a2r) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN a2r c ON n.uid = c.uid),
+        |h2r AS (SELECT e.src AS uid, sum(p.a) AS hraw
+        |        FROM edges e JOIN a2 p ON e.dst = p.uid GROUP BY e.src),
+        |h2 AS (SELECT n.uid,
+        |         CAST(COALESCE(c.hraw, 0) * 1000000000
+        |              // (SELECT max(hraw) FROM h2r) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN h2r c ON n.uid = c.uid)
+        |SELECT a2.uid, a2.a AS authority, h2.h AS hub
+        |FROM a2 JOIN h2 ON a2.uid = h2.uid
+        |ORDER BY authority DESC, a2.uid LIMIT 30""".stripMargin,
     "g23_personalized_pagerank" ->
       """WITH nodes AS MATERIALIZED (
         |  SELECT 'Customer:' || c_custkey AS uid FROM customer

@@ -350,7 +350,11 @@ object TextQueries extends QueryPack {
     val toks = docs(s, dir).select(col("doc_id"), explode(words).as("term"))
       .filter(!col("term").isin(stop: _*) && col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // df from tf, not from the raw token stream: tf already holds one
+    // row per (doc, term), so count-per-term IS countDistinct(doc) —
+    // this spares a second explode+filter scan of the whole corpus and
+    // feeds the term shuffle ~tf-rows instead of ~token-rows.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs(s, dir).count()
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
@@ -758,7 +762,34 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** d29 — asymmetric containment near-dup: C(A→B) = |A∩B| / |A| over
+    * the word-3-gram shingle sets. Jaccard (d06) is symmetric and
+    * misses subset duplicates — a short doc wholly quoted inside a
+    * longer one (boilerplate wrappers, quoted replies, chunk re-crawls)
+    * scores low Jaccard but containment ≈ 1. The standard second pass
+    * of a dedup stack, and the measure eval-decontamination actually
+    * wants (is the BENCHMARK contained, not is it similar).
+    *
+    * Scale: same candidate law as d06/d07 — only pairs sharing ≥1
+    * shingle can have containment > 0, so the shingle equi-join IS the
+    * candidate generator; no all-pairs compare, and the denominator
+    * rides along as a per-src constant instead of a second join. */
+  def d29Containment(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingleRowsOf(shingled(s, dir))
+    val a = ex.select(col("doc_id").as("src_doc"), col("n").as("na"), col("s"))
+    val b = ex.select(col("doc_id").as("dst_doc"), col("s"))
+    a.join(b, Seq("s")).filter(col("src_doc") =!= col("dst_doc"))
+      .groupBy("src_doc", "dst_doc")
+      .agg(count(lit(1)).as("common"), first("na").as("na"))
+      .withColumn("containment",
+        round(col("common") / col("na").cast("double"), 4))
+      .filter(col("containment") >= 0.9)
+      .select("src_doc", "dst_doc", "containment")
+      .orderBy("src_doc", "dst_doc")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d29_containment"   -> (d29Containment _),
     "d28_quality_dedup" -> (d28QualityDedup _),
     "d27_source_leakage" -> (d27SourceLeakage _),
     "d26_ngram_novelty" -> (d26NgramNovelty _),
@@ -842,6 +873,14 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d29_containment" ->
+      s"""WITH $shingleCte
+        |SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+        |  round(CAST(count(*) AS DOUBLE) / min(a.n), 4) AS containment
+        |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING round(CAST(count(*) AS DOUBLE) / min(a.n), 4) >= 0.9
+        |ORDER BY src_doc, dst_doc""".stripMargin,
     "d28_quality_dedup" ->
       s"""WITH RECURSIVE $shingleCte, mh AS (
         |  SELECT doc_id, j, min(md5(j || ':' || s)) AS mh
