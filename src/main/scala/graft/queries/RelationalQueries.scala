@@ -1521,7 +1521,83 @@ object RelationalQueries extends QueryPack {
     } finally rmTree(tmp)
   }
 
+  /** q74 — incremental aggregate maintenance: a monthly rollup kept
+    * current by MERGING partial aggregates — agg(base) ⊕ agg(delta) —
+    * instead of re-scanning the base when a late batch lands. count and
+    * sum add, min/max take least/greatest, and avg is re-derived from
+    * the merged sums (algebraic, not distributive — it can't be merged
+    * directly, which is exactly what the decomposition shows). The gate
+    * proves the merge algebra exact: the oracle computes the same
+    * rollup over base ∪ delta in one pass and the hashes must agree.
+    *
+    * Scale: THE pattern behind every incremental materialized view and
+    * partial-aggregate pushdown at 100 TB — the base table is touched
+    * zero times per refresh; only the delta (a day against years) is
+    * scanned, and the merge joins two rollup-sized tables. Spark's own
+    * partial/final split does this inside one job; this operator does
+    * it ACROSS jobs, with the persisted rollup as the reusable state. */
+  def q74IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1997-01-01"
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderstatus").as("status"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("total"),
+        min(to_date(col("o_orderdate"))).as("first_day"),
+        max(to_date(col("o_orderdate"))).as("last_day"))
+    val o = Tables.orders(s, dir)
+    val base = rollup(o.filter(col("o_orderdate") < lit(cutoff)))
+    val delta = rollup(o.filter(col("o_orderdate") >= lit(cutoff)))
+    base.as("b").join(delta.as("d"), Seq("status", "month"), "full_outer")
+      .select(col("status"), col("month"),
+        (coalesce(col("b.cnt"), lit(0L)) + coalesce(col("d.cnt"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("b.total"), lit(0).cast("decimal(18,6)")) +
+          coalesce(col("d.total"), lit(0).cast("decimal(18,6)"))).as("mtotal"),
+        least(coalesce(col("b.first_day"), col("d.first_day")),
+          coalesce(col("d.first_day"), col("b.first_day"))).as("first_day"),
+        greatest(coalesce(col("b.last_day"), col("d.last_day")),
+          coalesce(col("d.last_day"), col("b.last_day"))).as("last_day"))
+      .select(col("status"), col("month"), col("cnt"),
+        round(col("mtotal"), 2).cast("double").as("total"),
+        round(col("mtotal").cast("double") / col("cnt"), 4).as("avg_price"),
+        col("first_day"), col("last_day"))
+      .orderBy("status", "month")
+  }
+
+  /** q75 — Z-order (Morton) clustering key + per-bucket zone map: the
+    * two pruning dimensions (customer mod 256, order day mod 256) are
+    * bit-interleaved into one 16-bit z-value, rows bucket by z-range
+    * (64 buckets ≙ files), and the output is each bucket's zone map —
+    * count plus min/max of BOTH dims. Interleaving is what makes the
+    * zone map tight on both axes at once: a z-contiguous bucket spans
+    * ≤¼ of each dim's range, so a point/range predicate on EITHER
+    * column prunes most buckets, where single-column sort gives tight
+    * bounds on one axis and the full range on the other. This is the
+    * public Delta/Iceberg OPTIMIZE ZORDER layout, expressed as a
+    * deterministic integer query the oracle can recompute bit-for-bit.
+    *
+    * Scale: the z-value is a per-row codegen'd expression (no shuffle);
+    * the layout write would be repartitionByRange(z) — one range
+    * shuffle at write time buying file-skipping on every later read. */
+  def q75Zorder(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select((col("o_custkey") % 256).cast("int").as("a"),
+        (datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          % 256).cast("int").as("b"))
+      .withColumn("z", expr(
+        """aggregate(sequence(0, 7), 0, (acc, i) ->
+           acc + ((shiftright(a, i) & 1) << (2 * i))
+               + ((shiftright(b, i) & 1) << (2 * i + 1)))"""))
+      .groupBy(expr("z div 1024").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("a").as("min_a"), max("a").as("max_a"),
+        min("b").as("min_b"), max("b").as("max_b"))
+      .orderBy("bucket")
+
   val queries: Map[String, QueryFn] = Map(
+    "q75_zorder"          -> (q75Zorder _),
+    "q74_incremental_agg" -> (q74IncrementalAgg _),
     "q73_xml_source"      -> (q73XmlSource _),
     "q72_variant"         -> (q72Variant _),
     "q71_recursive_cte"   -> (q71RecursiveCte _),
@@ -1613,6 +1689,35 @@ object RelationalQueries extends QueryPack {
         | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         | TRUE AS merge_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q74: the oracle is the single-pass rollup over base ∪ delta —
+    // hash equality proves the partial-aggregate merge algebra exact.
+    "q74_incremental_agg" ->
+      """SELECT o_orderstatus AS status,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |   AS total,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   / count(*), 4) AS avg_price,
+        | min(CAST(o_orderdate AS DATE)) AS first_day,
+        | max(CAST(o_orderdate AS DATE)) AS last_day
+        |FROM orders GROUP BY 1, 2 ORDER BY status, month""".stripMargin,
+    "q75_zorder" ->
+      """WITH d AS (
+        |  SELECT CAST(o_custkey % 256 AS INT) AS a,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      % 256 AS INT) AS b
+        |  FROM orders),
+        |z AS (
+        |  SELECT a, b, CAST(list_sum(list_transform(range(0, 8), i ->
+        |    (((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))))
+        |    AS INT) AS z
+        |  FROM d)
+        |SELECT CAST(z // 1024 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(a) AS min_a, max(a) AS max_a,
+        |  min(b) AS min_b, max(b) AS max_b
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q73_xml_source" ->
       """WITH src AS (
         |  SELECT n_regionkey, n_name,

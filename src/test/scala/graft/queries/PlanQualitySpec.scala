@@ -398,6 +398,39 @@ class PlanQualitySpec extends SparkSpec {
       s"lateral join planned as a nested loop in:\n$plan")
   }
 
+  test("q75: the z-value is computed in codegen at the scan — no extra shuffle") {
+    val df = RelationalQueries.q75Zorder(spark, dir)
+    val plan = planOf(df)
+    // one agg shuffle on bucket + the final sort; the interleave itself
+    // must be a per-row expression, never a join or window
+    assert(!plan.contains("Join") && !"\\bWindow\\b".r.findFirstIn(plan).isDefined,
+      s"z-order planned a join/window in:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial agg in:\n$plan")
+    val n = exchangeCount(df)
+    assert(n <= 2, s"q75 shuffles $n times")
+  }
+
+  test("m08: candidates come from an equi-join on band keys, not a product") {
+    val df = MultimodalQueries.m08PhashNeardup(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to a product in:\n$plan")
+    // the join keys must include the band value, not just the band index
+    assert(plan.contains("bv"), s"band-value key missing from:\n$plan")
+  }
+
+  test("q74: the merge is one rollup-sized join over two partial aggs") {
+    val df = RelationalQueries.q74IncrementalAgg(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("partial_"), s"no map-side partial agg in:\n$plan")
+    // base agg (1) + delta agg (1) + merge join alignment (≤2, AQE may
+    // elide) + final sort (1) — anything more means a re-aggregation of
+    // the merged result snuck in
+    val n = exchangeCount(df)
+    assert(n <= 5, s"q74 shuffles $n times")
+  }
+
   test("d26: novelty is two keyed shuffles + the spread, no window") {
     val df = TextQueries.d26NgramNovelty(spark, dir)
     val plan = planOf(df)
