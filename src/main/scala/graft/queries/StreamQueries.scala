@@ -497,7 +497,67 @@ object StreamQueries extends QueryPack {
     }
   }
 
+  /** s12 — streaming incremental rollup (q74's merge algebra across
+    * micro-batches): the events table staged as FOUR files so
+    * AvailableNow + maxFilesPerTrigger=1 delivers four batches; each
+    * batch writes its own partial (event_type, day) rollup partition
+    * ([[graft.streaming.StreamingIngest.rollupBatch]] — idempotent
+    * under checkpoint replay because a batch overwrites only its own
+    * `batch=<id>` partition), and the result is the merge-on-read of
+    * all partials: counts and decimal sums add, min/max fold. The
+    * result hash-equals the one-pass batch rollup precisely because
+    * the merge algebra is associative — the row→batch split cannot
+    * matter, which is also why the repartition(4) staging needs no
+    * determinism of its own.
+    *
+    * Scale: the 100 TB/day ingest shape — per-batch partials sized by
+    * the rollup key-space, an append-only store, zero base rescans;
+    * compaction (a re-merge rewrite) bounds the partition count. */
+  def s12StreamRollupMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingIngest
+    val streamDir = Files.createTempDirectory("graft-s12-in")
+    val ckpt = Files.createTempDirectory("graft-s12-ckpt")
+    val storeRoot = Files.createTempDirectory("graft-s12-store")
+    val store = storeRoot.resolve("rollup").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      s.read.parquet(s"$dir/events.parquet").repartition(4)
+        .write.mode("overwrite").parquet(streamDir.toString)
+      val schema = s.read.parquet(streamDir.toString).schema
+      val raw = graft.core.Tables.withEventTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(streamDir.toString))
+      val q = raw.writeStream
+        .foreachBatch(StreamingIngest.rollupBatch(store) _)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("s12: stream did not finish within 300s")
+      } finally q.stop()
+      s.read.parquet(store)
+        .groupBy("event_type", "d")
+        .agg(sum("cnt").as("cnt"), sum("total").as("mtotal"),
+          min("vmin").as("vmin"), max("vmax").as("vmax"))
+        .select(col("event_type"), col("d"), col("cnt"),
+          round(col("mtotal"), 2).cast("double").as("total"),
+          col("vmin"), col("vmax"))
+        .localCheckpoint(true)
+        .orderBy("event_type", "d")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.core.TempDirs.deleteQuietly(streamDir, "s12")
+      graft.core.TempDirs.deleteQuietly(ckpt, "s12")
+      graft.core.TempDirs.deleteQuietly(storeRoot, "s12")
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s12_stream_rollup_merge" -> (s12StreamRollupMerge _),
     "s11_stream_edge_upsert" -> (s11StreamEdgeUpsert _),
     "s10_stream_session_window" -> (s10StreamSessionWindow _),
     "s09_stream_dedup_bounded" -> (s09StreamDedupBounded _),
@@ -511,6 +571,16 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // s12: the oracle is the one-pass batch rollup — hash equality
+    // proves the cross-batch partial merge exact (q74's gate, under
+    // streaming delivery).
+    "s12_stream_rollup_merge" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |   AS total,
+        | min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, d""".stripMargin,
     "s11_stream_edge_upsert" ->
       """SELECT 'User:' || user_id AS src_uid,
         |  'Type:' || event_type AS dst_uid, 'DID' AS rel_type,

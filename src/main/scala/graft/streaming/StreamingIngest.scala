@@ -62,6 +62,23 @@ object StreamingIngest {
     * checkpoint-retried sink safe. Same existence-check discipline as
     * [[upsertBatch]]: a transient store-read failure must fail the
     * batch, not masquerade as an empty store. */
+  /** The aggregate-state microbatch sink (q74's partial-merge algebra
+    * under streaming delivery), in the idempotent-under-replay form:
+    * each batch OVERWRITES its own partial-rollup partition
+    * (`store/batch=<id>`), so a checkpoint-retried batch rewrites the
+    * same bytes instead of double-counting — additive folds are NOT
+    * idempotent (unlike the edge sink's min/max), and per-batch
+    * partition isolation is what restores exactly-once on top of them.
+    * Reading the store then merges the partials by key: the
+    * append-deltas, compact-on-read shape of production incremental
+    * views. */
+  def rollupBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).as("total"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+
   def upsertEdgeBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val p = new org.apache.hadoop.fs.Path(storePath)

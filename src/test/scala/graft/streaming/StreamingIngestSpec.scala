@@ -49,4 +49,31 @@ class StreamingIngestSpec extends SparkSpec {
       assert(u3.getAs[String]("segment") === "")
     } finally q.stop()
   }
+
+  test("rollup sink: cross-batch partial merge equals one-pass; replay is idempotent") {
+    val store = Files.createTempDirectory("graft-rollup").toString + "/rollup"
+    def ev(t: String, day: String, v: Double) =
+      (t, ts(s"$day 10:00:00"), v)
+    val b0 = Seq(ev("click", "2026-01-01", 1.5), ev("click", "2026-01-01", 2.5),
+      ev("view", "2026-01-02", 4.0)).toDF("event_type", "ts", "value")
+    val b1 = Seq(ev("click", "2026-01-01", 3.0), ev("view", "2026-01-03", 0.5))
+      .toDF("event_type", "ts", "value")
+    StreamingIngest.rollupBatch(store)(b0, 0L)
+    StreamingIngest.rollupBatch(store)(b1, 1L)
+    // a checkpoint retry re-delivers batch 1: the overwrite of its own
+    // partition must leave the store unchanged
+    StreamingIngest.rollupBatch(store)(b1, 1L)
+    val merged = spark.read.parquet(store)
+      .groupBy("event_type", "d")
+      .agg(sum("cnt").as("cnt"), sum("total").as("total"),
+        min("vmin").as("vmin"), max("vmax").as("vmax"))
+    val onePass = b0.unionByName(b1)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).as("total"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val m = merged.collect().map(_.toString).sorted.toSeq
+    val o = onePass.collect().map(_.toString).sorted.toSeq
+    assert(m === o)
+  }
 }
