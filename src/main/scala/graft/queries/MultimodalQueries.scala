@@ -154,8 +154,12 @@ object MultimodalQueries extends QueryPack {
     * scan (hash halves are 16 bytes/row); a real deployment swaps the
     * stub signature for DCT-pHash pixels with the identical plan. */
   def m08PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    // materialized: the band table self-joins, and without this the
+    // scan + phash kernel + explode would run once per join arm (the
+    // shingled() lesson from TextQueries)
     val hashed = Multimodal.phash(Multimodal.mediaFromDocuments(s, dir))
       .toDF()
+      .localCheckpoint(true)
     val bands = hashed.select(col("id"), col("lo"), col("hi"),
       explode(expr("""array(
           struct(0 AS band, lo & 65535L AS bv),
@@ -192,7 +196,10 @@ object MultimodalQueries extends QueryPack {
     // bucket counts over the same utf-8 bytes, mean-threshold bits as
     // two 32-bit halves — and checks ALL pairs (O(n²) is fine for an
     // oracle) under the same ≥1-band-agrees candidate rule + Hamming
-    // ≤ 6 verify.
+    // ≤ 6 verify. PRECONDITION shared with the m01-m04 oracles:
+    // ascii()/substr()/length() are codepoint-based in DuckDB while the
+    // Spark kernel reads utf-8 BYTES, so byte≡codepoint only holds on
+    // an ASCII corpus — PhashSpec asserts the fixture stays ASCII.
     "m08_phash_neardup" ->
       """WITH b AS (
         |  SELECT doc_id AS id, length(text) - 3 AS n,

@@ -40,6 +40,22 @@ class PhashSpec extends SparkSpec {
     assert(hamming(h, other) > 6, s"unrelated only ${hamming(h, other)} bits apart")
   }
 
+  test("corpus stays ASCII — the byte≡codepoint precondition of the m oracles") {
+    // DuckDB's ascii/substr/length are codepoint-based; the Spark stub
+    // kernels read utf-8 bytes. They agree only while every document is
+    // pure ASCII — if the fixture ever gains multibyte text, this must
+    // fail before the hash gate does, with a readable reason.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val nonAscii = graft.core.Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")) !==
+          org.apache.spark.sql.functions.octet_length(
+            org.apache.spark.sql.functions.col("text")))
+        .count()
+      assert(nonAscii == 0, s"$sf has $nonAscii non-ASCII documents")
+    }
+  }
+
   test("query output is canonical pairs within the verify threshold") {
     val rows = MultimodalQueries
       .m08PhashNeardup(spark, "/root/testdata/sf0.001").collect()
