@@ -66,6 +66,12 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftExtensions.register(spark) // engine SQL functions always on
+    // MV/aggregate-navigation rewrite, through the public end-of-optimizer
+    // hook; a no-op while MvRegistry is empty
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.MvRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    }
     spark
   }
 }

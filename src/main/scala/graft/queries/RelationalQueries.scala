@@ -603,18 +603,22 @@ object RelationalQueries extends QueryPack {
         approx_count_distinct(col("user_id"), 0.02).as("hll_users"),
         expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
         expr("approx_percentile(value, 0.99, 10000)").as("ap99"),
-        expr("percentile(value, 0.495)").as("lo50"),
-        expr("percentile(value, 0.505)").as("hi50"),
-        expr("percentile(value, 0.985)").as("lo99"),
-        expr("percentile(value, 0.995)").as("hi99"))
+        expr("percentile(value, 0.475)").as("lo50"),
+        expr("percentile(value, 0.525)").as("hi50"),
+        expr("percentile(value, 0.965)").as("lo99"),
+        expr("percentile(value, 1.0)").as("hi99"))
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("hll_users") - col("exact_users")) <=
           col("exact_users") * 0.05).as("hll_ok"),
-        // approx_percentile returns an element whose RANK is within
-        // n/accuracy of the target (Greenwald-Khanna contract), so the
-        // check is rank-based, not value-based: the returned element
-        // must lie between the exact ±0.5-percentile neighbors. Holds
-        // for any n: rank error n/10000 ≪ the 0.005·n band.
+        // approx_percentile returns a data ELEMENT whose RANK is within
+        // n/accuracy of the target (Greenwald-Khanna contract), while
+        // percentile() interpolates BETWEEN elements — so the band must
+        // be wide enough in rank space to bracket the element's two
+        // possible neighbors: ±2.5 percentile ≙ ±0.025·(n−1) ranks ≥ 1
+        // full rank step once n ≥ ~41 (hi99 rides max, the p=1.0
+        // element). Precondition, not universal: the smallest gated
+        // groups (sf0.001 event types) hold ~190 rows; ApproxSpec pins
+        // the contract at both sf0.001 and sf0.01.
         col("ap50").between(col("lo50"), col("hi50")).as("p50_ok"),
         col("ap99").between(col("lo99"), col("hi99")).as("p99_ok"))
       .orderBy("event_type")
@@ -1537,7 +1541,12 @@ object RelationalQueries extends QueryPack {
     * partial/final split does this inside one job; this operator does
     * it ACROSS jobs, with the persisted rollup as the reusable state. */
   def q74IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
-    val cutoff = "1997-01-01"
+    // MID-month cutoff on purpose: June 1997 exists in BOTH partials,
+    // so the both-present merge arms (cnt addition, least/greatest
+    // folds) are actually exercised — a month-boundary cutoff would
+    // give disjoint keys and the gate would pass even with broken
+    // merge arms (every row degenerating to the one-sided identity).
+    val cutoff = "1997-06-15"
     def rollup(df: DataFrame): DataFrame = df
       .groupBy(col("o_orderstatus").as("status"),
         to_date(date_trunc("month", col("o_orderdate"))).as("month"))
@@ -1570,8 +1579,9 @@ object RelationalQueries extends QueryPack {
     * bit-interleaved into one 16-bit z-value, rows bucket by z-range
     * (64 buckets ≙ files), and the output is each bucket's zone map —
     * count plus min/max of BOTH dims. Interleaving is what makes the
-    * zone map tight on both axes at once: a z-contiguous bucket spans
-    * ≤¼ of each dim's range, so a point/range predicate on EITHER
+    * zone map tight on both axes at once: with 64 buckets each bucket
+    * pins the top 3 bits of BOTH dims, so it spans ≤⅛ of each dim's
+    * range, and a point/range predicate on EITHER
     * column prunes most buckets, where single-column sort gives tight
     * bounds on one axis and the full range on the other. This is the
     * public Delta/Iceberg OPTIMIZE ZORDER layout, expressed as a
@@ -1595,7 +1605,123 @@ object RelationalQueries extends QueryPack {
         min("b").as("min_b"), max("b").as("max_b"))
       .orderBy("bucket")
 
+  /** q76 — materialized-view rewrite (aggregate navigation): the query
+    * is written against the governed BASE table — group by status,
+    * count/sum/min/max over every order — but the optimizer answers it
+    * from the registered monthly rollup, re-aggregating the partials
+    * (count re-sums, sum re-sums, min/max re-fold) without touching the
+    * base. `plans.MvRewrite` does the swap as a catalyst rule at the
+    * public `experimental.extraOptimizations` hook, preserving output
+    * names, exprIds, and types; MvRewriteSpec pins that the executed
+    * plan scans ONLY the rollup. The hash gate proves the rewrite
+    * law: the oracle recomputes from the base table in DuckDB, so any
+    * partial the rule mis-maps flips the hash.
+    *
+    * This is q74's read-side complement — q74 maintains the rollup
+    * incrementally, q76 makes queries USE it transparently. At 100 TB
+    * the rewritten aggregate reads KB of partials instead of the full
+    * fact table; the rule's conservative matcher (bare scan, key-subset
+    * grouping, recognized partials only) is what makes it safe to leave
+    * on for every query in the session. */
+  def q76MvRewrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q76-mv")
+    try mvRewriteScenario(s, dir, tmp.toString).localCheckpoint(true)
+    finally {
+      graft.plans.MvRegistry.unregister(s"$tmp/base")
+      rmTree(tmp)
+    }
+  }
+
+  /** Builds the q76 scenario without materializing (spec-visible): a
+    * governed copy of orders, its monthly rollup MV, registration, and
+    * the user query against the base path. The caller owns cleanup
+    * (unregister + delete) AFTER forcing execution. */
+  private[graft] def mvRewriteScenario(s: SparkSession, dir: String,
+                                       tmp: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.write.mode("overwrite").parquet(s"$tmp/base")
+    // the MV: keyed FINER than the query (status × month) so the
+    // rewrite exercises real re-aggregation, not a 1:1 column rename
+    o.groupBy(col("o_orderstatus").as("status"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("total"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .write.mode("overwrite").parquet(s"$tmp/mv")
+    graft.plans.MvRegistry.register(graft.plans.MvRegistry.MvDef(
+      basePath = s"$tmp/base",
+      mvPlan = s.read.parquet(s"$tmp/mv").queryExecution.analyzed,
+      keyCols = Map("o_orderstatus" -> "status"),
+      countCol = "cnt",
+      sumCols = Map("o_totalprice" -> "total"),
+      minCols = Map("o_totalprice" -> "lo"),
+      maxCols = Map("o_totalprice" -> "hi")))
+    s.read.parquet(s"$tmp/base")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("dsum"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .select(col("o_orderstatus").as("status"), col("n_orders"),
+        round(col("dsum"), 2).cast("double").as("total_price"),
+        col("min_price"), col("max_price"))
+      .orderBy("status")
+  }
+
+  /** a03 — mergeable QUANTILE partials, the deterministic member of the
+    * sketch family: a fixed 4096-bucket equi-width histogram over the
+    * global [min, max] value range, built as per-(type, day) partial
+    * bucket counts and merged by plain addition — the same
+    * build-where-the-data-lives / merge-fixed-size-state law as a02's
+    * HLL, but with nothing randomized, so the merged estimate is
+    * bit-reproducible and the oracle recomputes it EXACTLY (KLL and
+    * t-digest obey the same merge algebra but their compaction draws
+    * random bits — a hash gate would flap). The estimate is the upper
+    * bound of the first bucket whose cumulative count reaches
+    * ceil(q·n): its rank error is zero and its value error is bounded
+    * by one bucket width, (max−min)/4096. Both engines compute bucket
+    * indexes from the identical double expression, so floor() agrees
+    * bit-for-bit. */
+  def a03HistQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val bounds = ev.agg(min("value").as("vmin"), max("value").as("vmax"))
+    // partial histograms: one row per (type, day, bucket) — at scale
+    // these build map-side where each day's files live and only
+    // fixed-size bucket counts cross the wire
+    val partials = ev.crossJoin(broadcast(bounds))
+      .withColumn("w", (col("vmax") - col("vmin")) / lit(4096))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"),
+        least(floor((col("value") - col("vmin")) / col("w")), lit(4095L))
+          .as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // the merge: additive, associative, commutative — day partials
+    // collapse to the per-type histogram no matter the merge order
+    val hist = partials.groupBy("event_type", "bucket")
+      .agg(sum("cnt").as("cnt"), count(lit(1)).as("n_parts"))
+    val byType = Window.partitionBy("event_type")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(byType.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("cnt").over(byType))
+      .withColumn("n_partials", sum("n_parts").over(byType))
+    def est(q: Double) = min(when(col("cum") >= ceil(lit(q) * col("n")),
+      col("bucket"))).as(s"b${(q * 100).toInt}")
+    cum.groupBy("event_type")
+      .agg(max("n").as("n"), max("n_partials").as("n_partials"),
+        est(0.5), est(0.99))
+      .crossJoin(broadcast(bounds))
+      .withColumn("w", (col("vmax") - col("vmin")) / lit(4096))
+      .select(col("event_type"), col("n"), col("n_partials"),
+        round(col("vmin") + (col("b50") + 1) * col("w"), 6).as("hist_p50"),
+        round(col("vmin") + (col("b99") + 1) * col("w"), 6).as("hist_p99"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q76_mv_rewrite"      -> (q76MvRewrite _),
+    "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
     "q74_incremental_agg" -> (q74IncrementalAgg _),
     "q73_xml_source"      -> (q73XmlSource _),
@@ -1675,6 +1801,48 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    // q76: the oracle recomputes from the BASE table — the rewritten
+    // plan never scans it (MvRewriteSpec pins that), so hash equality
+    // proves the partial re-aggregation maps every aggregate right.
+    "q76_mv_rewrite" ->
+      """SELECT o_orderstatus AS status,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |   AS total_price,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // a03: fully deterministic sketch — the oracle recomputes the same
+    // histogram (identical double expressions, so floor() and the
+    // bucket bounds agree bit-for-bit) in one pass; hash equality
+    // proves the per-day partial build + additive merge exact.
+    "a03_hist_quantile" ->
+      """WITH b AS (
+        |  SELECT min(value) AS vmin, max(value) AS vmax,
+        |         (max(value) - min(value)) / 4096 AS w FROM events),
+        |h AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    least(CAST(floor((value - vmin) / w) AS BIGINT), 4095) AS bucket,
+        |    count(*) AS cnt
+        |  FROM events, b GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT event_type, bucket, sum(cnt) AS cnt, count(*) AS n_parts
+        |  FROM h GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n,
+        |    sum(n_parts) OVER (PARTITION BY event_type) AS n_partials
+        |  FROM m)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(n_partials) AS BIGINT) AS n_partials,
+        |  round(max(vmin) +
+        |    (min(CASE WHEN cum >= ceil(0.5 * n) THEN bucket END) + 1)
+        |    * max(w), 6) AS hist_p50,
+        |  round(max(vmin) +
+        |    (min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END) + 1)
+        |    * max(w), 6) AS hist_p99
+        |FROM c, b GROUP BY event_type ORDER BY event_type""".stripMargin,
     // a01 emits exact aggregates plus sketch-contract booleans; the
     // oracle recomputes the exact columns and expects every contract
     // TRUE, turning an un-oracle-able sketch into a hash-gated one.
