@@ -326,8 +326,11 @@ object GraphQueries extends QueryPack {
       .localCheckpoint(true)
   }
 
-  def g16Triangles(s: SparkSession, dir: String): DataFrame = {
-    val pairs = coClickPairs(s, dir)
+  /** Per-node triangle counts over a canonical (u1<u2) edge list: the
+    * two-path + closing-edge join on ordered vertices, each triangle
+    * found exactly once, then exploded to its three corners. Shared by
+    * g16 (the counts themselves) and g25 (clustering coefficient). */
+  private def triangleCounts(pairs: DataFrame): DataFrame = {
     val tri = pairs.as("e1")
       .join(pairs.as("e2"),
         col("e2.u1") === col("e1.u1") && col("e1.u2") < col("e2.u2"))
@@ -336,6 +339,29 @@ object GraphQueries extends QueryPack {
       .select(col("e1.u1").as("a"), col("e1.u2").as("bb"), col("e2.u2").as("cc"))
     tri.select(explode(array(col("a"), col("bb"), col("cc"))).as("user_id"))
       .groupBy("user_id").agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  def g16Triangles(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(coClickPairs(s, dir)).orderBy("user_id")
+
+  /** g25 — local clustering coefficient: for every node of degree ≥ 2,
+    * 2·tri / (deg·(deg−1)) — the fraction of its neighbor pairs that
+    * are themselves connected, the standard local-density feature for
+    * community/bot detection. Reuses g16's one-per-triangle join (the
+    * scalable formulation — never materializing per-node neighbor
+    * pairs, which blow up quadratically on hubs) plus g17's degree
+    * view; nodes in no triangle coalesce to 0. Integer 2·tri and
+    * deg·(deg−1) divide once as doubles and round, so both engines
+    * agree bit-for-bit. */
+  def g25ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coClickPairs(s, dir)
+    val (_, deg) = adjAndDeg(pairs)
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(pairs), col("u1") === col("user_id"), "left")
+      .select(col("u1").as("user_id"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        round((coalesce(col("tri_cnt"), lit(0L)) * 2) /
+          (col("deg") * (col("deg") - 1)).cast("double"), 4).as("lcc"))
       .orderBy("user_id")
   }
 
@@ -664,16 +690,16 @@ object GraphQueries extends QueryPack {
     val e = edges(s, dir).select(col("src_uid").as("src"), col("dst_uid").as("dst"))
       .localCheckpoint(true)
     val n = nodes(s, dir).select("uid")
-    var hub = n.withColumn("h", lit(scale))
-    var auth = n.withColumn("a", lit(0L))
-    for (_ <- 1 to 2) {
-      // authority from current hubs: sum over in-edges, then max-norm.
-      // decimal(38,0) sums for the same wrap-safety reason as g13.
+    // one half-round each direction: authority from the incoming hub
+    // vector, then hubs from that fresh authority vector (a_k = Eᵀh_{k-1},
+    // h_k = E a_k). decimal(38,0) sums for the same wrap-safety reason
+    // as g13.
+    def round(hub: DataFrame): (DataFrame, DataFrame) = {
       val araw = e.join(hub.withColumnRenamed("uid", "src"), "src")
         .groupBy(col("dst").as("uid"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("araw"))
       val amax = araw.agg(max("araw").as("amax"))
-      auth = n.join(araw, Seq("uid"), "left").crossJoin(broadcast(amax))
+      val auth = n.join(araw, Seq("uid"), "left").crossJoin(broadcast(amax))
         .select(col("uid"),
           expr("(coalesce(araw, CAST(0 AS DECIMAL(38,0))) * 1000000000) div amax")
             .as("a"))
@@ -681,17 +707,21 @@ object GraphQueries extends QueryPack {
         .groupBy(col("src").as("uid"))
         .agg(sum(col("a").cast("decimal(38,0)")).as("hraw"))
       val hmax = hraw.agg(max("hraw").as("hmax"))
-      hub = n.join(hraw, Seq("uid"), "left").crossJoin(broadcast(hmax))
+      val nextHub = n.join(hraw, Seq("uid"), "left").crossJoin(broadcast(hmax))
         .select(col("uid"),
           expr("(coalesce(hraw, CAST(0 AS DECIMAL(38,0))) * 1000000000) div hmax")
             .as("h"))
+      (auth, nextHub)
     }
-    auth.join(hub, "uid")
+    val (_, h1) = round(n.withColumn("h", lit(scale)))
+    val (a2, h2) = round(h1)
+    a2.join(h2, "uid")
       .select(col("uid"), col("a").as("authority"), col("h").as("hub"))
       .orderBy(desc("authority"), asc("uid")).limit(30)
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g25_clustering_coeff" -> (g25ClusteringCoeff _),
     "g24_hits"           -> (g24Hits _),
     "g23_personalized_pagerank" -> (g23PersonalizedPagerank _),
     "g22_label_propagation" -> (g22LabelPropagation _),
@@ -877,6 +907,37 @@ object GraphQueries extends QueryPack {
         |JOIN deg da ON da.u1 = c.a
         |JOIN deg db ON db.u1 = c.bb
         |ORDER BY user_a, user_b""".stripMargin,
+    // g25: g16's triangle CTEs + g17's degree view, closed with the
+    // textbook 2T/(d(d-1)) ratio on identically-shaped double math.
+    "g25_clustering_coeff" ->
+      """WITH c AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT DISTINCT a.user_id AS u1, b2.user_id AS u2
+        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id),
+        |adj AS (
+        |  SELECT u1, u2 FROM p UNION ALL SELECT u2, u1 FROM p),
+        |deg AS (
+        |  SELECT u1, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u1),
+        |t AS (
+        |  SELECT e1.u1 AS a, e1.u2 AS bb, e2.u2 AS cc
+        |  FROM p e1
+        |  JOIN p e2 ON e2.u1 = e1.u1 AND e1.u2 < e2.u2
+        |  JOIN p e3 ON e3.u1 = e1.u2 AND e3.u2 = e2.u2),
+        |tri AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS tri_cnt
+        |  FROM (SELECT a AS user_id FROM t
+        |        UNION ALL SELECT bb FROM t
+        |        UNION ALL SELECT cc FROM t)
+        |  GROUP BY user_id)
+        |SELECT d.u1 AS user_id, d.deg,
+        |  COALESCE(tr.tri_cnt, 0) AS tri_cnt,
+        |  round((COALESCE(tr.tri_cnt, 0) * 2)
+        |    / CAST(d.deg * (d.deg - 1) AS DOUBLE), 4) AS lcc
+        |FROM deg d LEFT JOIN tri tr ON tr.user_id = d.u1
+        |WHERE d.deg >= 2
+        |ORDER BY user_id""".stripMargin,
     "g16_triangles" ->
       """WITH c AS (
         |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
