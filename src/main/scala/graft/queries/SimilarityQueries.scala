@@ -347,7 +347,59 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** e11 — int8 scalar-quantization (SQ8) ANN, asymmetric: candidates
+    * compress to one uint8 code per dimension against global per-dim
+    * [lo, hi] bounds (4× less index memory and scan IO than float32 —
+    * at 100 TB of embeddings that IS the working-set budget); queries
+    * stay full-precision and score against the DEQUANTIZED candidate
+    * (asymmetric distance — half the quantization noise of
+    * code-vs-code). Top-3 per query by quantized inner product, with
+    * the exact product and |error| alongside — the accuracy contract a
+    * pipeline monitors when it turns SQ8 on.
+    *
+    * Scale shape: the bounds table is 2×64 doubles (broadcast); codes
+    * build in one pass; scoring is the same broadcast-join top-k as
+    * e01. Determinism: code = round((x−lo)/span·255) on identical
+    * double expressions both engines (HALF_UP positive ≡ away-from-
+    * zero), ranking by ROUNDED score with id tie-break. Precondition:
+    * every dimension has span > 0 (holds for the corpus; a constant
+    * dim would put 0/0 in both engines' formulas). */
+  def e11Sq8Topk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val dims = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    val bounds = dims
+      .agg(collect_list(struct(col("pos"), col("lo"))).as("pl"),
+        collect_list(struct(col("pos"), col("hi"))).as("ph"))
+      .select(transform(array_sort(col("pl")), t => t.getField("lo")).as("lo"),
+        transform(array_sort(col("ph")), t => t.getField("hi")).as("hi"))
+    val span = zip_with(col("hi"), col("lo"), (h, l) => h - l)
+    val code = zip_with(zip_with(col("v"), col("lo"), (x, l) => x - l),
+      span, (d, sp) => round(d / sp * 255).cast("int"))
+    val dq = zip_with(zip_with(code, span, (cd, sp) => cd / 255 * sp),
+      col("lo"), (t, l) => t + l)
+    val c = e.crossJoin(broadcast(bounds)).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), dq.as("dq"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def dot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(desc("sq_ip"), asc("cand_id"))
+    c.join(broadcast(q))
+      .select(col("query_id"), col("cand_id"),
+        round(dot("qv", "dq"), 6).as("sq_ip"),
+        round(dot("qv", "cv"), 6).as("exact_ip"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sq_ip"),
+        col("exact_ip"),
+        round(abs(col("sq_ip") - col("exact_ip")), 6).as("abs_err"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e11_sq8_topk"        -> (e11Sq8Topk _),
     "e10_mips_brute"      -> (e10MipsBrute _),
     "e09_neardup_clusters" -> (e09NeardupClusters _),
     "e08_pq_adc"          -> (e08PqAdc _),
@@ -373,6 +425,32 @@ object SimilarityQueries extends QueryPack {
        |  j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // e11: per-dim bounds → uint8 encode → asymmetric dequantized dot,
+    // every double expression shaped exactly as the Spark fold.
+    "e11_sq8_topk" ->
+      """WITH dims AS (
+        |  SELECT i AS pos, min(embedding[i]::DOUBLE) AS lo,
+        |         max(embedding[i]::DOUBLE) AS hi
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY i),
+        |b AS (SELECT list(lo ORDER BY pos) AS lo,
+        |             list(hi ORDER BY pos) AS hi FROM dims),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, 65), i ->
+        |      q.embedding[i]::DOUBLE *
+        |        (b.lo[i] + CAST(round((c.embedding[i]::DOUBLE - b.lo[i])
+        |           / (b.hi[i] - b.lo[i]) * 255) AS INT) / 255
+        |           * (b.hi[i] - b.lo[i])))), 6) AS sq_ip,
+        |    round(list_sum(list_transform(range(1, 65), i ->
+        |      q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), 6) AS exact_ip
+        |  FROM embeddings q, embeddings c, b
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sq_ip DESC, cand_id) AS INT) AS rank FROM scored)
+        |SELECT query_id, rank, cand_id, sq_ip, exact_ip,
+        |  round(abs(sq_ip - exact_ip), 6) AS abs_err
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "e10_mips_brute" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
