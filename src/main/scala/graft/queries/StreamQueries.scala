@@ -556,7 +556,91 @@ object StreamQueries extends QueryPack {
     }
   }
 
+  /** s13 — streaming CDC apply (q63's incremental twin): a change feed
+    * of full-row updates/deletes with a per-change sequence number,
+    * delivered file-by-file as micro-batches, folded into a
+    * base-snapshot store by `StreamingIngest.cdcBatch`. The store keeps
+    * seq-stamped TOMBSTONES for deletes, and a change applies only when
+    * its seq ≥ the stored seq — which makes the final state independent
+    * of batch arrival order AND of foreachBatch replay (a late older
+    * update loses to the tombstone instead of resurrecting the key).
+    * The feed is written partitioned by seq so AvailableNow +
+    * maxFilesPerTrigger=1 delivers each seq level as its own batch, in
+    * whatever order the source lists them.
+    *
+    * The oracle recomputes the final visible state in one pass
+    * (latest change per key by seq, delete-wins, else apply over base)
+    * — hash equality proves the incremental fold ≡ the batch CDC apply.
+    * Scale: per batch the store rewrite is one full-outer join on the
+    * key — the same MERGE every minutes-latency lakehouse feed runs;
+    * at 100 TB the store would be key-partitioned so each batch
+    * rewrites only the partitions its keys touch (the q68 dynamic-
+    * overwrite law composed with this one). */
+  def s13StreamCdcApply(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingIngest
+    val feedDir = Files.createTempDirectory("graft-s13-in")
+    val ckpt = Files.createTempDirectory("graft-s13-ckpt")
+    val storeRoot = Files.createTempDirectory("graft-s13-store")
+    val store = storeRoot.resolve("state").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      val base = graft.core.Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      // seed the store with the base snapshot at seq 0, nothing deleted
+      base.withColumn("seq", lit(0))
+        .withColumn("deleted", lit(false))
+        .write.mode("overwrite").parquet(store)
+      // the change feed: deletes at seq 2, first updates at seq 1, a
+      // second update wave at seq 3 (%33 ⊂ %11 — exercises the seq
+      // gate), inserts as updates on unseen keys. %50∩%33 keys see
+      // delete-then-higher-seq-update; %50∩%11 see update-then-delete.
+      val changes = base.filter(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+          lit(null).cast("double").as("c_acctbal"), lit("D").as("op"),
+          lit(2).as("seq"))
+        .unionByName(base.filter(col("c_custkey") % 11 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 10).as("c_acctbal"), lit("U").as("op"),
+            lit(1).as("seq")))
+        .unionByName(base.filter(col("c_custkey") % 33 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 20).as("c_acctbal"), lit("U").as("op"),
+            lit(3).as("seq")))
+        .unionByName(base.filter(col("c_custkey") % 83 === 0)
+          .select((col("c_custkey") + 2000000).as("c_custkey"), col("c_name"),
+            col("c_acctbal"), lit("U").as("op"), lit(1).as("seq")))
+      changes.repartition(1).write.partitionBy("seq")
+        .mode("overwrite").parquet(feedDir.toString)
+      val schema = s.read.parquet(feedDir.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(feedDir.toString)
+        .writeStream
+        .foreachBatch(StreamingIngest.cdcBatch(store) _)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("s13: stream did not finish within 300s")
+      } finally q.stop()
+      s.read.parquet(store)
+        .filter(!col("deleted"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .localCheckpoint(true)
+        .orderBy("c_custkey")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.core.TempDirs.deleteQuietly(feedDir, "s13")
+      graft.core.TempDirs.deleteQuietly(ckpt, "s13")
+      graft.core.TempDirs.deleteQuietly(storeRoot, "s13")
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s13_stream_cdc_apply" -> (s13StreamCdcApply _),
     "s12_stream_rollup_merge" -> (s12StreamRollupMerge _),
     "s11_stream_edge_upsert" -> (s11StreamEdgeUpsert _),
     "s10_stream_session_window" -> (s10StreamSessionWindow _),
@@ -571,6 +655,38 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // s13: the oracle is the one-pass batch CDC apply over base ∪ feed
+    // — latest change per key by seq, delete-wins, else apply — so hash
+    // equality proves the per-batch seq-gated tombstone fold reaches
+    // the same state from incremental delivery.
+    "s13_stream_cdc_apply" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+        |         CAST(NULL AS DOUBLE) AS c_acctbal, 'D' AS op, 2 AS seq
+        |  FROM customer WHERE c_custkey % 50 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 10, 'U', 1
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 20, 'U', 3
+        |  FROM customer WHERE c_custkey % 33 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, c_acctbal, 'U', 1
+        |  FROM customer WHERE c_custkey % 83 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY seq DESC) AS rn FROM changes)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(l.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN l.c_custkey IS NOT NULL THEN l.c_name
+        |       ELSE b.c_name END AS c_name,
+        |  CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+        |       ELSE b.c_acctbal END AS c_acctbal
+        |FROM customer b FULL OUTER JOIN latest l
+        |  ON b.c_custkey = l.c_custkey
+        |WHERE COALESCE(l.op, '') <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     // s12: the oracle is the one-pass batch rollup — hash equality
     // proves the cross-batch partial merge exact (q74's gate, under
     // streaming delivery).

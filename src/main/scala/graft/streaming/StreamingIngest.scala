@@ -79,6 +79,45 @@ object StreamingIngest {
         min(col("value")).as("vmin"), max(col("value")).as("vmax"))
       .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
 
+  /** CDC micro-batch apply (q63's general MERGE, incrementally): each
+    * change row carries (key, full new values, op ∈ U/D, seq). The
+    * store keeps per-key (values, seq, deleted) where `deleted` is a
+    * TOMBSTONE, not a dropped row — with the seq gate (a change applies
+    * only when its seq ≥ the stored seq) that makes the final state
+    * independent of both batch ARRIVAL ORDER and REPLAY: a late-arriving
+    * older update loses to the tombstone's seq instead of resurrecting
+    * a deleted key, and re-applying any batch is a no-op. Dropping
+    * deleted rows instead would be replay-safe but arrival-order-
+    * dependent; the tombstone is what buys commutativity.
+    */
+  def cdcBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // the store is seeded with the base snapshot before the stream
+    // starts — a missing store is a bug, not an empty state
+    val existing = spark.read.parquet(storePath)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_custkey").orderBy(col("seq").desc)
+    val latest = batch.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val applied = col("c.seq").isNotNull &&
+      (col("b.seq").isNull || col("c.seq") >= col("b.seq"))
+    val merged = existing.as("b")
+      .join(latest.as("c"), Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"),
+        when(applied && col("c.op") === "D", lit(null).cast("string"))
+          .when(applied, col("c.c_name")).otherwise(col("b.c_name"))
+          .as("c_name"),
+        when(applied && col("c.op") === "D", lit(null).cast("double"))
+          .when(applied, col("c.c_acctbal")).otherwise(col("b.c_acctbal"))
+          .as("c_acctbal"),
+        when(applied, col("c.seq").cast("int")).otherwise(col("b.seq"))
+          .as("seq"),
+        when(applied, col("c.op") === "D")
+          .otherwise(coalesce(col("b.deleted"), lit(false))).as("deleted"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(storePath)
+  }
+
   def upsertEdgeBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val p = new org.apache.hadoop.fs.Path(storePath)
