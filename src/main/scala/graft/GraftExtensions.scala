@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ConsumeOnceExtract, CosineSim, MinHash16, SimHash60}
+import graft.functions.{ConsumeOnceExtract, CosineSim, MinHash16, NfcNormalize, SimHash60, StripAccents}
 
 /** Engine extension point (SURVEY.md §7): registers graft's native
   * Catalyst expressions so they are callable from SQL. Install with
@@ -42,7 +42,13 @@ object GraftExtensions {
       arity("cosine_sim", 2)(c => CosineSim(c.head, c(1)))),
     (new FunctionIdentifier("minhash16"),
       new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
-      arity("minhash16", 1)(c => MinHash16(c.head))))
+      arity("minhash16", 1)(c => MinHash16(c.head))),
+    (new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      arity("nfc_normalize", 1)(c => NfcNormalize(c.head))),
+    (new FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      arity("strip_accents", 1)(c => StripAccents(c.head))))
 
   /** Register on a live session (extensions only apply at build time).
     * Idempotent — already-registered names are left alone, so the hot

@@ -689,33 +689,42 @@ object GraphQueries extends QueryPack {
     val scale = 1000000000L
     val e = edges(s, dir).select(col("src_uid").as("src"), col("dst_uid").as("dst"))
       .localCheckpoint(true)
-    val n = nodes(s, dir).select("uid")
+    // the node list is read five times (h0 + both normalizing joins per
+    // direction) — materialize the 4-way union once like the edge list
+    val n = nodes(s, dir).select("uid").localCheckpoint(true)
     // one half-round each direction: authority from the incoming hub
     // vector, then hubs from that fresh authority vector (a_k = Eᵀh_{k-1},
     // h_k = E a_k). decimal(38,0) sums for the same wrap-safety reason
     // as g13.
-    def round(hub: DataFrame): (DataFrame, DataFrame) = {
+    def authFrom(hub: DataFrame): DataFrame = {
       val araw = e.join(hub.withColumnRenamed("uid", "src"), "src")
         .groupBy(col("dst").as("uid"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("araw"))
       val amax = araw.agg(max("araw").as("amax"))
-      val auth = n.join(araw, Seq("uid"), "left").crossJoin(broadcast(amax))
+      n.join(araw, Seq("uid"), "left").crossJoin(broadcast(amax))
         .select(col("uid"),
           expr("(coalesce(araw, CAST(0 AS DECIMAL(38,0))) * 1000000000) div amax")
             .as("a"))
+    }
+    def hubFrom(auth: DataFrame): DataFrame = {
       val hraw = e.join(auth.withColumnRenamed("uid", "dst"), "dst")
         .groupBy(col("src").as("uid"))
         .agg(sum(col("a").cast("decimal(38,0)")).as("hraw"))
       val hmax = hraw.agg(max("hraw").as("hmax"))
-      val nextHub = n.join(hraw, Seq("uid"), "left").crossJoin(broadcast(hmax))
+      n.join(hraw, Seq("uid"), "left").crossJoin(broadcast(hmax))
         .select(col("uid"),
           expr("(coalesce(hraw, CAST(0 AS DECIMAL(38,0))) * 1000000000) div hmax")
             .as("h"))
-      (auth, nextHub)
     }
-    val (_, h1) = round(n.withColumn("h", lit(scale)))
-    val (a2, h2) = round(h1)
-    a2.join(h2, "uid")
+    // materialize the two reused vectors: h1 feeds a2, and a2 feeds
+    // BOTH h2 and the final join — without the checkpoints the a2
+    // subtree (and h1's inside it) re-executes per consumer, which
+    // profiled at ~2× the whole query's work. Iteration state is tiny
+    // (|V| rows of two columns); the same move g13/g21 make per round.
+    val h1 = hubFrom(authFrom(n.withColumn("h", lit(scale))))
+      .localCheckpoint(true)
+    val a2 = authFrom(h1).localCheckpoint(true)
+    a2.join(hubFrom(a2), "uid")
       .select(col("uid"), col("a").as("authority"), col("h").as("hub"))
       .orderBy(desc("authority"), asc("uid")).limit(30)
   }

@@ -1461,8 +1461,12 @@ object RelationalQueries extends QueryPack {
     * bounded by live paths, and Spark executes the step under the
     * recursion operator without driver-side looping. */
   def q71RecursiveCte(s: SparkSession, dir: String): DataFrame = {
-    GraphQueries.nodes(s, dir).createOrReplaceTempView("nodes_v71")
-    GraphQueries.edges(s, dir).createOrReplaceTempView("edges_v71")
+    // materialized: the recursive step re-reads its base views per
+    // level, and each is a 3-4-way union of dimension scans
+    GraphQueries.nodes(s, dir).localCheckpoint(true)
+      .createOrReplaceTempView("nodes_v71")
+    GraphQueries.edges(s, dir).localCheckpoint(true)
+      .createOrReplaceTempView("edges_v71")
     s.sql("""
       WITH RECURSIVE walk(uid, label, cur, hops) AS (
         SELECT uid, label, uid, 0 FROM nodes_v71

@@ -788,7 +788,38 @@ object TextQueries extends QueryPack {
       .orderBy("src_doc", "dst_doc")
   }
 
+  /** d30 — Unicode canonicalization through the gate: the same visible
+    * text arrives COMPOSED (é = U+00E9) from one source and DECOMPOSED
+    * (e + combining U+0301) from another; every byte-level fingerprint
+    * (d01 hash, d05/d14 fingerprints, d06/d07 shingles) sees them as
+    * different documents until NFC makes the bytes identical. Spark has
+    * no normalization builtin, so `nfc_normalize` / `strip_accents` are
+    * graft native codegen expressions ([[graft.functions.NfcNormalize]])
+    * over java.text.Normalizer; DuckDB's utf8proc implementations of
+    * the same Unicode algorithms recompute them for the hash gate.
+    * The decomposed inputs are constructed in-query (the parquet corpus
+    * is pinned ASCII by PhashSpec — real normalization behavior needs
+    * non-ASCII, so the query builds it from nation names + combining
+    * marks on both engines identically). char-length before/after shows
+    * the composition actually happened. */
+  def d30Normalize(s: SparkSession, dir: String): DataFrame = {
+    // "<name>é" spelled two ways: decomposed e+U+0301 vs composed U+00E9
+    val decomposed = concat(col("n_name"), lit("e\u0301"))
+    val composed = concat(col("n_name"), lit("\u00e9"))
+    Tables.nation(s, dir)
+      .select(col("n_name"), decomposed.as("dec"), composed.as("comp"))
+      .select(col("n_name"),
+        length(col("dec")).as("dec_len"),
+        call_function("nfc_normalize", col("dec")).as("nfc_form"),
+        length(call_function("nfc_normalize", col("dec"))).as("nfc_len"),
+        (call_function("nfc_normalize", col("dec")) === col("comp"))
+          .as("nfc_eq_composed"),
+        call_function("strip_accents", col("comp")).as("stripped"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d30_normalize"     -> (d30Normalize _),
     "d29_containment"   -> (d29Containment _),
     "d28_quality_dedup" -> (d28QualityDedup _),
     "d27_source_leakage" -> (d27SourceLeakage _),
@@ -873,6 +904,20 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d30: DuckDB's utf8proc nfc_normalize/strip_accents recompute the
+    // same Unicode algorithms as the graft native expressions; the
+    // decomposed/composed inputs are built from chr() codepoints so
+    // both engines see identical pre-normalization bytes.
+    "d30_normalize" ->
+      """SELECT n_name,
+        |  CAST(length(n_name || chr(101) || chr(769)) AS INT) AS dec_len,
+        |  nfc_normalize(n_name || chr(101) || chr(769)) AS nfc_form,
+        |  CAST(length(nfc_normalize(n_name || chr(101) || chr(769)))
+        |    AS INT) AS nfc_len,
+        |  nfc_normalize(n_name || chr(101) || chr(769)) = (n_name || chr(233))
+        |    AS nfc_eq_composed,
+        |  strip_accents(n_name || chr(233)) AS stripped
+        |FROM nation ORDER BY n_name""".stripMargin,
     "d29_containment" ->
       s"""WITH $shingleCte
         |SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
