@@ -1723,7 +1723,29 @@ object RelationalQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q77 — equal-frequency bucketing via ntile: per order priority,
+    * decile membership over a TOTAL order (price, then key — ties
+    * broken or ntile assignment is arrival-order nondeterminism), then
+    * per-decile stats. The standard feature-binning / SLA-band
+    * operator; at scale one window shuffle per partition key, and the
+    * decile bounds double as an equi-depth histogram of the measure. */
+  def q77Ntile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("total"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q77_ntile"           -> (q77Ntile _),
     "q76_mv_rewrite"      -> (q76MvRewrite _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
@@ -1805,6 +1827,18 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q77_ntile" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(decile AS INT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS total
+        |FROM t GROUP BY 1, 2 ORDER BY o_orderpriority, decile""".stripMargin,
     // q76: the oracle recomputes from the BASE table — the rewritten
     // plan never scans it (MvRewriteSpec pins that), so hash equality
     // proves the partial re-aggregation maps every aggregate right.

@@ -818,7 +818,38 @@ object TextQueries extends QueryPack {
       .orderBy("n_name")
   }
 
+  /** d31 — weighted sampling without RNG (Efraimidis–Spirakis A-ES):
+    * each document draws key u^(1/w) with u a content-hash-derived
+    * uniform (top 60 md5 bits / 2^60) and weight w = its char length;
+    * the top-k keys per language ARE a weighted sample without
+    * replacement — P(selected) ∝ w — chosen entirely by per-row math +
+    * one top-k window. The pipeline use: quality/length-weighted corpus
+    * subsampling that is REPRODUCIBLE — re-runs, resumes, and
+    * cross-cluster runs pick identical documents (the d12/d16 law:
+    * sampling keys on content hashes, never rand()).
+    *
+    * Determinism: u is bit-exact in both engines (integer hash /
+    * exact power of two); pow() may differ in the last ulp across
+    * libms, so the key is ROUNDED to 6 decimals before ranking with
+    * doc_id tie-break — the d13 idf rule. Scale: no shuffle before the
+    * per-language top-k window, which WindowGroupLimit cuts to
+    * partial top-k before the exchange. */
+  def d31WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+    val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+      length(col("text")).as("w"),
+      round(pow(h / lit(1152921504606846976.0),
+        lit(1.0) / length(col("text"))), 6).as("es_key"))
+    val win = Window.partitionBy("lang").orderBy(desc("es_key"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "doc_id", "es_key", "w")
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d31_weighted_sample" -> (d31WeightedSample _),
     "d30_normalize"     -> (d30Normalize _),
     "d29_containment"   -> (d29Containment _),
     "d28_quality_dedup" -> (d28QualityDedup _),
@@ -904,6 +935,23 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d31: same A-ES keys from the strpos md5 fold; pow ulp noise is
+    // absorbed by ranking on the 6-decimal rounded key (d13's rule).
+    "d31_weighted_sample" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS INT) AS w,
+        |    round(power(
+        |      CAST(list_sum(list_transform(range(1, 16),
+        |        i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)::HUGEINT
+        |             * (1::HUGEINT << (4 * (15 - i))))) AS BIGINT)
+        |        / 1152921504606846976.0,
+        |      1.0 / length(text)), 6) AS es_key
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY es_key DESC, doc_id) AS INT) AS rank FROM scored)
+        |SELECT lang, rank, doc_id, es_key, w FROM ranked
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     // d30: DuckDB's utf8proc nfc_normalize/strip_accents recompute the
     // same Unicode algorithms as the graft native expressions; the
     // decomposed/composed inputs are built from chr() codepoints so
