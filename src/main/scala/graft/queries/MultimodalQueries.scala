@@ -178,7 +178,34 @@ object MultimodalQueries extends QueryPack {
       .orderBy("id1", "id2")
   }
 
+  /** m09 — shot/scene-cut detection over the sampled frame table: the
+    * per-media frame sequence (m04's stub-decoded samples) runs through
+    * one lag window ordered by frame index, and a cut is a
+    * frame-to-frame delta ≥ 64 (quarter of the byte range). Output per
+    * media: frame count, cut count, first cut position — the shot table
+    * a video-curation pipeline joins against to pick per-shot
+    * keyframes. The real-decoder swap keeps this plan verbatim (frame
+    * histogram deltas instead of sampled bytes); the window-over-
+    * sequence shape, not the pixel math, is the operator. Scale: one
+    * shuffle on media id; frames-per-row stays bounded by the sampling
+    * rate, never the media duration. */
+  def m09SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, dir))
+      .toDF()
+      .select(col("id"), posexplode(col("frames")).as(Seq("frame_idx", "frame_val")))
+    val w = Window.partitionBy("id").orderBy("frame_idx")
+    frames
+      .withColumn("delta", abs(col("frame_val") - lag("frame_val", 1).over(w)))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") >= 64, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("delta") >= 64, col("frame_idx"))).as("first_cut_idx"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "m09_scene_cuts"      -> (m09SceneCuts _),
     "m08_phash_neardup"   -> (m08PhashNeardup _),
     "m07_binary_source"   -> (m07BinarySource _),
     "m06_blob_dedup"      -> (m06BlobDedup _),
@@ -192,6 +219,28 @@ object MultimodalQueries extends QueryPack {
     "CASE WHEN doc_id % 3 = 0 THEN 'txt' WHEN doc_id % 3 = 1 THEN 'img' ELSE 'aud' END"
 
   val oracles: Map[String, String] = Map(
+    // m09: m04's frame construction + one lag window; the ELSE 0 arm
+    // matches Spark's otherwise() on the first frame's null delta.
+    "m09_scene_cuts" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS id, CAST(t.f.frame_idx AS INT) AS frame_idx,
+        |    CAST(t.f.frame_val AS INT) AS frame_val FROM (
+        |    SELECT doc_id,
+        |      unnest([{'frame_idx': k,
+        |               'frame_val': CAST(ascii(substr(text,
+        |                 least(length(text) - 1, k * length(text) // 4) + 1, 1)) AS INT)}
+        |              for k in range(0, 4)]) AS f
+        |    FROM documents) t),
+        |d AS (
+        |  SELECT id, frame_idx, abs(frame_val - lag(frame_val) OVER (
+        |    PARTITION BY id ORDER BY frame_idx)) AS delta
+        |  FROM fr)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN delta >= 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts,
+        |  CAST(min(CASE WHEN delta >= 64 THEN frame_idx END) AS INT)
+        |    AS first_cut_idx
+        |FROM d GROUP BY id ORDER BY id""".stripMargin,
     // m08: the oracle recomputes the TLSH-style signature — byte-4-gram
     // bucket counts over the same utf-8 bytes, mean-threshold bits as
     // two 32-bit halves — and checks ALL pairs (O(n²) is fine for an

@@ -848,7 +848,33 @@ object TextQueries extends QueryPack {
       .orderBy("lang", "rank")
   }
 
+  /** d32 — the BPE tokenizer-training step: count adjacent CHARACTER
+    * pairs inside every word occurrence (the statistic each
+    * byte-pair-encoding merge iteration argmaxes over), top-40 merges
+    * by count under a total order. d17 counts WORD bigrams for LM
+    * estimation; this is the sub-word sibling that decides a
+    * tokenizer's merge table — run over the corpus, not a sample,
+    * which is exactly what needs distributing at 100 TB. Per-row
+    * fan-out is an in-row generator (the d21 law: rows × positions,
+    * no join, no pre-shuffle); one (l, r) shuffle aggregates the
+    * counts, and TakeOrderedAndProject caps the result. */
+  def d32BpePairs(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .select(col("text"))
+      .repartition(parallelism(s)) // same single-file hazard as shingled()
+      .select(explode(words).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => struct(col("w").substr(i, lit(1)).as("l"),
+          col("w").substr(i + 1, lit(1)).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("l"), asc("r"))
+      .limit(40)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d32_bpe_pairs"     -> (d32BpePairs _),
     "d31_weighted_sample" -> (d31WeightedSample _),
     "d30_normalize"     -> (d30Normalize _),
     "d29_containment"   -> (d29Containment _),
@@ -935,6 +961,20 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d32: per-word char pairs via list comprehension (m04's indexed
+    // construction), counted per OCCURRENCE like the Spark generator.
+    "d32_bpe_pairs" ->
+      """WITH ws AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT t.p.l AS l, t.p.r AS r FROM (
+        |    SELECT unnest([{'l': substr(w, i, 1), 'r': substr(w, i + 1, 1)}
+        |                   for i in range(1, length(w))]) AS p
+        |    FROM ws WHERE length(w) >= 2) t)
+        |SELECT l, r, CAST(count(*) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY l, r
+        |ORDER BY cnt DESC, l, r LIMIT 40""".stripMargin,
     // d31: same A-ES keys from the strpos md5 fold; pow ulp noise is
     // absorbed by ranking on the 6-decimal rounded key (d13's rule).
     "d31_weighted_sample" ->
