@@ -1744,7 +1744,33 @@ object RelationalQueries extends QueryPack {
       .orderBy("o_orderpriority", "decile")
   }
 
+  /** q78 — multiset set operations (EXCEPT ALL / INTERSECT ALL): the
+    * ALL forms keep MULTIPLICITY — |A∖B| per row = max(0, m_A − m_B),
+    * |A∩B| = min(m_A, m_B) — where q10/q35's DISTINCT forms collapse
+    * it. Exercised on two OVERLAPPING ship-date windows of lineitem
+    * status rows (the overlap year is what makes the multiset
+    * difference differ from the distinct difference), then aggregated
+    * per status pair. Catalyst plans both as hash aggregates over a
+    * count comparison — one shuffle each, no join explosion — which is
+    * the shape that survives duplicate-heavy 100 TB inputs. */
+  def q78ExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    val a = li.filter(col("l_shipdate") < lit("2000-01-01"))
+      .select("l_returnflag", "l_linestatus")
+    val b = li.filter(col("l_shipdate") >= lit("1998-01-01"))
+      .select("l_returnflag", "l_linestatus")
+    val ex = a.exceptAll(b).groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt")).withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt")).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in)
+      .select("op", "l_returnflag", "l_linestatus", "cnt")
+      .orderBy("op", "l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q78_except_all"      -> (q78ExceptAll _),
     "q77_ntile"           -> (q77Ntile _),
     "q76_mv_rewrite"      -> (q76MvRewrite _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
@@ -1827,6 +1853,24 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q78_except_all" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, l_linestatus FROM lineitem
+        |  WHERE l_shipdate < '2000-01-01'),
+        |b AS (
+        |  SELECT l_returnflag, l_linestatus FROM lineitem
+        |  WHERE l_shipdate >= '1998-01-01'),
+        |ex AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |  GROUP BY 1, 2),
+        |inx AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |  GROUP BY 1, 2)
+        |SELECT 'except_all' AS op, * FROM ex
+        |UNION ALL SELECT 'intersect_all', * FROM inx
+        |ORDER BY op, l_returnflag, l_linestatus""".stripMargin,
     "q77_ntile" ->
       """WITH t AS (
         |  SELECT o_orderpriority, o_totalprice,
