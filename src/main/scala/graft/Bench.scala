@@ -62,11 +62,14 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val headline = Seq(
       "q01_pricing_summary", "q03_topk_revenue", "q04_join_broadcast",
-      "q21_sessionize", "q26_range_join", "a02_sketch_merge",
+      "q21_sessionize", "q26_range_join", "q76_mv_rewrite",
+      "a02_sketch_merge", "a03_hist_quantile",
       "d07_minhash_lsh", "d10_clean_corpus", "d13_tfidf",
-      "e01_knn_brute", "e05_ivf_topk", "g08_graph_components",
-      "g13_pagerank", "m04_frame_explode", "m08_phash_neardup",
-      "s01_stream_window", "s02_stream_join")
+      "d31_weighted_sample",
+      "e01_knn_brute", "e05_ivf_topk", "e11_sq8_topk",
+      "g08_graph_components", "g13_pagerank",
+      "m04_frame_explode", "m08_phash_neardup",
+      "s01_stream_window", "s02_stream_join", "s13_stream_cdc_apply")
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = jsonMap(results.toSeq.sortBy(_._1))

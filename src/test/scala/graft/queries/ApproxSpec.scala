@@ -49,4 +49,30 @@ class ApproxSpec extends SparkSpec {
     val exactMedian = df.stat.approxQuantile("o_totalprice", Array(0.5), 0.001).head
     assert(math.abs(p50 - exactMedian) / exactMedian < 0.02)
   }
+
+  test("a03 histogram quantiles: rank-exact within one bucket width of the exact percentile") {
+    // the accuracy law the scaladoc claims: the bucket upper bound is
+    // within (max-min)/4096 of the ceil(q*n)-ranked element. Pinned at
+    // both SFs (the gate only runs sf0.01).
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = Tables.events(spark, sf)
+      val Array(vmin, vmax) = ev.agg(min("value"), max("value"))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      val width = (vmax - vmin) / 4096
+      val hist = RelationalQueries.a03HistQuantile(spark, sf).collect()
+      assert(hist.nonEmpty)
+      hist.foreach { r =>
+        val et = r.getString(0)
+        val n = r.getLong(1)
+        for ((q, est) <- Seq((0.5, r.getDouble(3)), (0.99, r.getDouble(4)))) {
+          val rank = math.ceil(q * n).toLong
+          val elem = ev.filter(col("event_type") === et)
+            .orderBy("value").limit(rank.toInt).agg(max("value"))
+            .head().getDouble(0)
+          assert(math.abs(est - elem) <= width + 1e-6,
+            s"$sf $et q=$q est=$est elem=$elem width=$width")
+        }
+      }
+    }
+  }
 }

@@ -431,6 +431,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(n <= 5, s"q74 shuffles $n times")
   }
 
+  test("q77: ntile + the per-decile agg share one priority exchange") {
+    val df = RelationalQueries.q77Ntile(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("ntile(10)"), s"no ntile window in:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"expected exactly one Window node in:\n$plan")
+    // one exchange on o_orderpriority feeds the window; the groupBy
+    // keys (priority, decile) need their own shuffle only because
+    // decile is window-derived; final sort (1)
+    val n = exchangeCount(df)
+    assert(n <= 3, s"q77 shuffles $n times")
+  }
+
+  test("d31: the per-language top-k is WindowGroupLimit-pushed, keys computed in-scan") {
+    val df = TextQueries.d31WeightedSample(spark, dir)
+    val plan = planOf(df)
+    // rank<=5 must prune groups BEFORE the full sort of each language
+    // partition materializes
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k rank not pushed as WindowGroupLimit in:\n$plan")
+    // the A-ES key is a scalar projection over the scan — one window
+    // exchange on lang + the final sort, nothing else
+    val n = exchangeCount(df)
+    assert(n <= 2, s"d31 shuffles $n times")
+  }
+
+  test("d32: the merge-pair top-40 plans as TakeOrderedAndProject") {
+    val df = TextQueries.d32BpePairs(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pair top-k planned as global sort in:\n$plan")
+    // spread repartition (1) + pair agg (1); the limit adds no shuffle
+    val n = exchangeCount(df)
+    assert(n <= 2, s"d32 shuffles $n times")
+  }
+
   test("d26: novelty is two keyed shuffles + the spread, no window") {
     val df = TextQueries.d26NgramNovelty(spark, dir)
     val plan = planOf(df)
