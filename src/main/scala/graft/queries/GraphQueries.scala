@@ -573,7 +573,9 @@ object GraphQueries extends QueryPack {
     val e = edges(s, dir).select(col("src_uid").as("src"), col("dst_uid").as("dst"))
     val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    val n = nodes(s, dir).select("uid")
+    // the node list feeds the init + one isolated-node join per round —
+    // materialize the 4-way union once, like the edge list
+    val n = nodes(s, dir).select("uid").localCheckpoint(true)
     var lab = n.select(col("uid"), col("uid").as("label"))
     for (_ <- 1 to 3) {
       val counts = und
@@ -587,8 +589,12 @@ object GraphQueries extends QueryPack {
       // isolated nodes keep their initial self-label (= uid), so the
       // left-join + coalesce to uid is exact, and `lab` appears in the
       // next round's plan exactly once
+      // per-round materialization: label state is |V| rows of two
+      // columns, and cutting lineage here keeps round k's stage graph
+      // the size of ONE round instead of k chained rounds (g13/g21 law)
       lab = n.join(pick, Seq("uid"), "left")
         .select(col("uid"), coalesce(col("newlab"), col("uid")).as("label"))
+        .localCheckpoint(true)
     }
     lab.groupBy("label").agg(count(lit(1)).as("size"))
       .orderBy(desc("size"), asc("label"))
