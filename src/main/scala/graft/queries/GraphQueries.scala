@@ -735,7 +735,31 @@ object GraphQueries extends QueryPack {
       .orderBy(desc("authority"), asc("uid")).limit(30)
   }
 
+  /** g26 — butterfly counting (bipartite 4-cycles): for user pairs
+    * sharing ≥2 click buckets, C(common, 2) butterflies — THE cohesion
+    * motif of bipartite graphs (user×item, user×time-bucket), where
+    * triangles cannot exist by construction. Counted at the wedge
+    * midpoint: one self-equi-join of the incidence table on the bucket
+    * key + one pair aggregate — 4-cycles are never enumerated
+    * (C(common,2) is per-pair arithmetic), the same law as g17's
+    * common-neighbor join. Integer binomial via `div`, engine-exact.
+    * Top-20 under a total order. */
+  def g26Butterflies(s: SparkSession, dir: String): DataFrame = {
+    val c = clickBuckets(s, dir)
+    c.select(col("b"), col("user_id").as("u1"))
+      .join(c.select(col("b"), col("user_id").as("u2")), "b")
+      .filter(col("u1") < col("u2"))
+      .groupBy("u1", "u2").agg(count(lit(1)).as("common_buckets"))
+      .filter(col("common_buckets") >= 2)
+      .select(col("u1").as("user_a"), col("u2").as("user_b"),
+        col("common_buckets"),
+        expr("common_buckets * (common_buckets - 1) div 2").as("butterflies"))
+      .orderBy(desc("butterflies"), asc("user_a"), asc("user_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g26_butterflies"    -> (g26Butterflies _),
     "g25_clustering_coeff" -> (g25ClusteringCoeff _),
     "g24_hits"           -> (g24Hits _),
     "g23_personalized_pagerank" -> (g23PersonalizedPagerank _),
@@ -922,6 +946,21 @@ object GraphQueries extends QueryPack {
         |JOIN deg da ON da.u1 = c.a
         |JOIN deg db ON db.u1 = c.bb
         |ORDER BY user_a, user_b""".stripMargin,
+    // g26: the same incidence self-join at the bucket midpoint;
+    // C(common,2) via integer division on both engines.
+    "g26_butterflies" ->
+      """WITH c AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT a.user_id AS u1, b2.user_id AS u2,
+        |    CAST(count(*) AS BIGINT) AS common_buckets
+        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT u1 AS user_a, u2 AS user_b, common_buckets,
+        |  common_buckets * (common_buckets - 1) // 2 AS butterflies
+        |FROM pairs
+        |ORDER BY butterflies DESC, user_a, user_b LIMIT 20""".stripMargin,
     // g25: g16's triangle CTEs + g17's degree view, closed with the
     // textbook 2T/(d(d-1)) ratio on identically-shaped double math.
     "g25_clustering_coeff" ->

@@ -1769,7 +1769,26 @@ object RelationalQueries extends QueryPack {
       .orderBy("op", "l_returnflag", "l_linestatus")
   }
 
+  /** q79 — relational division ("for all"): customers whose orders span
+    * EVERY priority class. Implemented as the count-comparison form —
+    * per-customer countDistinct(priority) equal to the global distinct
+    * count (a one-row broadcast) — which is the shape that scales: the
+    * textbook double-NOT-EXISTS / EXCEPT formulation materializes
+    * customer × divisor pairs, this one is a single customer-keyed
+    * aggregate. The divisor cardinality rides a scalar subquery both
+    * engines fold to a literal. */
+  def q79Division(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val total = o.agg(countDistinct(col("o_orderpriority"))).head().getLong(0)
+    o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .filter(col("n_priorities") === total)
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q79_division"        -> (q79Division _),
     "q78_except_all"      -> (q78ExceptAll _),
     "q77_ntile"           -> (q77Ntile _),
     "q76_mv_rewrite"      -> (q76MvRewrite _),
@@ -1853,6 +1872,13 @@ object RelationalQueries extends QueryPack {
     "q20_stats_labels"    -> (q20StatsLabels _))
 
   val oracles: Map[String, String] = Map(
+    "q79_division" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(DISTINCT o_orderpriority) =
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY o_custkey""".stripMargin,
     "q78_except_all" ->
       """WITH a AS (
         |  SELECT l_returnflag, l_linestatus FROM lineitem
