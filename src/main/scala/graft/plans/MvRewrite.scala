@@ -115,11 +115,14 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     // count(*) over the base = sum of count partials; a rollup row
     // exists for every group, so the sum is never null — but coalesce
-    // keeps the replacement non-nullable like Count itself.
+    // keeps the replacement non-nullable like Count itself. The literal
+    // must be NON-NULL: count(NULL) is legal SQL that always returns 0,
+    // and rewriting it to the partial sum would return the group's row
+    // count instead.
     def reAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
       ae.aggregateFunction match {
-        case Count(Seq(Literal(_, _))) =>
+        case Count(Seq(Literal(v, _))) if v != null =>
           Some(Coalesce(Seq(
             Sum(mvAttr(mv.countCol)).toAggregateExpression(), Literal(0L))))
         case Sum(Cast(a: AttributeReference, _: DecimalType, _, _), _)

@@ -409,24 +409,35 @@ object GraphQueries extends QueryPack {
     * joined in as an aggregate dimension BEFORE the pair group-by, so
     * the discount weight rides the same shuffle as the count. A common
     * neighbor has degree ≥ 2 by construction, so ln never hits zero.
-    * Top-20 shortlist ordered by the rounded score — deterministic
-    * through the limit because the order key is (rounded score, pair).
+    * Determinism (the g17/m05 integer-ratio law): a raw double
+    * Σ 1/ln(deg) is order-dependent — partition order could flap the
+    * 4th decimal and with it top-20 membership. Each term is therefore
+    * FIXED-POINT: round(1e6/ln(deg)) as a BIGINT micro-unit, so the
+    * sum is exact integer math in any order and the ORDER BY + LIMIT
+    * ranks on the exact micro sum; aa_score is the micro sum scaled
+    * back, identical in both engines because int/int division is
+    * correctly rounded. Only ln(deg) itself touches libm, on a handful
+    * of distinct small-integer degrees.
     */
   def g18AdamicAdar(s: SparkSession, dir: String): DataFrame = {
     val pairs = coClickPairs(s, dir)
     val (adj, deg) = adjAndDeg(pairs)
+    val termMicro =
+      round(lit(1000000.0) / log(col("deg_n").cast("double"))).cast("long")
     adj.select(col("u1").as("a"), col("u2").as("n"))
       .join(adj.select(col("u1").as("bb"), col("u2").as("n")), "n")
       .filter(col("a") < col("bb"))
       .join(deg.select(col("u1").as("n"), col("deg").as("deg_n")), "n")
       .groupBy("a", "bb")
       .agg(count(lit(1)).as("common"),
-        round(sum(lit(1.0) / log(col("deg_n").cast("double"))), 4).as("aa_score"))
+        sum(termMicro).as("aa_micro"))
       .filter(col("common") >= 2)
-      .select(col("a").as("user_a"), col("bb").as("user_b"),
-        col("common"), col("aa_score"))
-      .orderBy(desc("aa_score"), col("user_a"), col("user_b"))
+      .select(col("a").as("user_a"), col("bb").as("user_b"), col("common"),
+        round(col("aa_micro").cast("double") / lit(1000000.0), 4)
+          .as("aa_score"), col("aa_micro"))
+      .orderBy(desc("aa_micro"), col("user_a"), col("user_b"))
       .limit(20)
+      .drop("aa_micro")
   }
 
   /** g19 — OPTIONAL MATCH through the DSL (`Cypher OPTIONAL MATCH
