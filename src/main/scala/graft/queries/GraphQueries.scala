@@ -929,12 +929,14 @@ object GraphQueries extends QueryPack {
         |  SELECT u1, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u1),
         |scored AS (
         |  SELECT x.u1 AS a, y.u1 AS bb, CAST(count(*) AS BIGINT) AS common,
-        |    round(sum(1.0 / ln(d.deg)), 4) AS aa_score
+        |    CAST(sum(CAST(round(1000000.0 / ln(d.deg)) AS BIGINT)) AS BIGINT)
+        |      AS aa_micro
         |  FROM adj x JOIN adj y ON x.u2 = y.u2 AND x.u1 < y.u1
         |  JOIN deg d ON d.u1 = x.u2
         |  GROUP BY x.u1, y.u1 HAVING count(*) >= 2)
-        |SELECT a AS user_a, bb AS user_b, common, aa_score
-        |FROM scored ORDER BY aa_score DESC, user_a, user_b LIMIT 20""".stripMargin,
+        |SELECT a AS user_a, bb AS user_b, common,
+        |  round(aa_micro / 1000000.0, 4) AS aa_score
+        |FROM scored ORDER BY aa_micro DESC, user_a, user_b LIMIT 20""".stripMargin,
     "g17_neighbor_jaccard" ->
       """WITH c AS (
         |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
