@@ -25,6 +25,12 @@ object MvRegistry {
     * query's grouping (extra keys re-aggregate away); a query grouping
     * on anything outside `keyCols` is not rewritten.
     *
+    * `sumCols` also records the EXACT decimal type the partial was
+    * built with — sum(CAST(col AS that-type)) — because a query casting
+    * to any other precision/scale (e.g. decimal(18,0), which rounds
+    * per-row before summing) is a numerically different aggregate that
+    * the partial cannot answer.
+    *
     * Registration asserts a contract the rule cannot check: each MV
     * partial column really holds count(*) / sum(CAST(col AS
     * DECIMAL(p,s))) / min(col) / max(col) grouped by the key columns.
@@ -34,7 +40,7 @@ object MvRegistry {
       mvPlan: LogicalPlan,
       keyCols: Map[String, String],
       countCol: String,
-      sumCols: Map[String, String],
+      sumCols: Map[String, (String, DecimalType)],
       minCols: Map[String, String],
       maxCols: Map[String, String])
 
@@ -104,7 +110,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     // MvDef names must exist in the MV scan, or the def is malformed —
     // bail (never throw from an optimizer rule on registry typos).
     val wanted = mv.keyCols.values ++ Seq(mv.countCol) ++
-      mv.sumCols.values ++ mv.minCols.values ++ mv.maxCols.values
+      mv.sumCols.values.map(_._1) ++ mv.minCols.values ++ mv.maxCols.values
     if (!wanted.forall(mvAttr.contains)) return None
 
     val groupOk = agg.groupingExpressions.forall {
@@ -125,11 +131,14 @@ object MvRewrite extends Rule[LogicalPlan] {
         case Count(Seq(Literal(v, _))) if v != null =>
           Some(Coalesce(Seq(
             Sum(mvAttr(mv.countCol)).toAggregateExpression(), Literal(0L))))
-        case Sum(Cast(a: AttributeReference, _: DecimalType, _, _), _)
-            if mv.sumCols.contains(a.name) =>
+        case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
+            if mv.sumCols.get(a.name).exists(_._2 == dt) =>
+          // the cast type must EQUAL the one the partial was built with:
+          // a different scale rounds per-row before summing, so the
+          // partial re-sum would be a numerically different answer.
           // re-summing widens decimal precision; cast back to the
           // original sum's type so downstream exprIds keep their type
-          Some(Cast(Sum(mvAttr(mv.sumCols(a.name))).toAggregateExpression(),
+          Some(Cast(Sum(mvAttr(mv.sumCols(a.name)._1)).toAggregateExpression(),
             ae.dataType))
         case Min(a: AttributeReference) if mv.minCols.contains(a.name) =>
           Some(Min(mvAttr(mv.minCols(a.name))).toAggregateExpression())

@@ -1658,7 +1658,8 @@ object RelationalQueries extends QueryPack {
       mvPlan = s.read.parquet(s"$tmp/mv").queryExecution.analyzed,
       keyCols = Map("o_orderstatus" -> "status"),
       countCol = "cnt",
-      sumCols = Map("o_totalprice" -> "total"),
+      sumCols = Map("o_totalprice" ->
+        ("total", org.apache.spark.sql.types.DecimalType(18, 6))),
       minCols = Map("o_totalprice" -> "lo"),
       maxCols = Map("o_totalprice" -> "hi")))
     s.read.parquet(s"$tmp/base")

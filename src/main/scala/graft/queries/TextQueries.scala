@@ -579,9 +579,12 @@ object TextQueries extends QueryPack {
     * a one-row broadcast. The tail ntile window partitions by language
     * over one row per doc — the only all-doc ordering, same cost class
     * as the final ORDER BY. Determinism: counts are exact integers, the
-    * per-bigram NLL is a double ln of an exact ratio, and the per-doc
-    * mean is rounded to 4 decimals before exp/ntile so summation-order
-    * noise cannot flip a bucket.
+    * per-bigram NLL is a double ln of an exact ratio QUANTIZED to a
+    * BIGINT micro-unit (round(1e6·nll), the g18 fixed-point law), so
+    * the per-doc sum is exact integer math in any partition order and
+    * the mean divides once — summation-order noise cannot exist, and
+    * the only cross-engine surface left is ln's libm ulp on exact
+    * rational arguments landing precisely on a .5 micro boundary.
     */
   def d23Perplexity(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -609,10 +612,14 @@ object TextQueries extends QueryPack {
       .join(lm, Seq("w1", "w2"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        (-log((col("cnt") + 1).cast("double") /
-          (col("w1_cnt") + col("v")).cast("double"))).as("nll"))
+        round(lit(1000000.0) * -log((col("cnt") + 1).cast("double") /
+          (col("w1_cnt") + col("v")).cast("double"))).cast("long")
+          .as("nll_micro"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 4).as("avg_nll"))
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll_micro").as("nll_micro_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll_micro_sum").cast("double") / lit(1000000.0) /
+          col("n_bigrams").cast("double"), 4).as("avg_nll"))
     val wLang = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
     scored.join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll"),
@@ -1115,12 +1122,15 @@ object TextQueries extends QueryPack {
         |vocab AS (SELECT count(DISTINCT tok) AS v FROM
         |  (SELECT w1 AS tok FROM pairs UNION SELECT w2 FROM pairs)),
         |scored AS (
-        |  SELECT p.doc_id, -ln((b.cnt + 1) / CAST(l.w1_cnt + vocab.v AS DOUBLE)) AS nll
+        |  SELECT p.doc_id, CAST(round(1000000.0 *
+        |    -ln((b.cnt + 1) / CAST(l.w1_cnt + vocab.v AS DOUBLE))) AS BIGINT)
+        |    AS nll_micro
         |  FROM pairs p JOIN bigrams b USING (w1, w2) JOIN lefts l USING (w1)
         |  CROSS JOIN vocab),
         |agg AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    round(avg(nll), 4) AS avg_nll
+        |    round(CAST(sum(nll_micro) AS BIGINT) / 1000000.0 /
+        |      CAST(count(*) AS DOUBLE), 4) AS avg_nll
         |  FROM scored GROUP BY doc_id)
         |SELECT a.doc_id, d.lang, a.n_bigrams, a.avg_nll,
         |  round(exp(a.avg_nll), 2) AS ppl,

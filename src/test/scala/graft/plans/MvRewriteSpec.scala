@@ -102,4 +102,22 @@ class MvRewriteSpec extends SparkSpec {
         "double sum must not be answered from decimal partials")
     }
   }
+
+  test("a mismatched-scale decimal cast is NOT rewritten") {
+    withScenario { (tmp, _) =>
+      // decimal(18,0) rounds each row before summing — numerically a
+      // different aggregate than the registered decimal(18,6) partial
+      val coarse = spark.read.parquet(s"$tmp/base")
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,0)")).as("s"))
+      assert(scanPaths(coarse).forall(_.endsWith("/base")),
+        "mismatched-scale sum must not be answered from the partials")
+      // and the matching cast still rewrites (guard isn't over-strict)
+      val exact = spark.read.parquet(s"$tmp/base")
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("s"))
+      assert(scanPaths(exact).forall(_.endsWith("/mv")),
+        "exact-type sum should still rewrite to the rollup")
+    }
+  }
 }
