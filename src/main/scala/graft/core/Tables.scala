@@ -22,12 +22,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark has no native type for. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as
-    * nano-epoch LongType; we convert to TimestampType (micros) here —
-    * integral `div`, not float division: nano epochs (~1.7e18) exceed
-    * double's exact-integer range.
+  /** The events table's `ts` arrives as TimestampType directly for a
+    * micros-precision corpus. Older corpus generations stored parquet
+    * TIMESTAMP(NANOS), which Spark has no native type for; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so that variant arrives
+    * as nano-epoch LongType and is converted to micros here — integral
+    * `div`, not float division: nano epochs (~1.7e18) exceed double's
+    * exact-integer range.
     */
   def events(s: SparkSession, d: String): DataFrame =
     withEventTs(apply(s, d, "events"))
@@ -62,6 +63,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Corpus timestamps are naive parquet micros; read them as the
+      // session-UTC instant type (LTZ) so event-time semantics
+      // (watermarks, unix_micros, window()) apply. NTZ inference would
+      // make the same columns TIMESTAMP_NTZ, which Structured Streaming
+      // rejects as an event-time column.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
