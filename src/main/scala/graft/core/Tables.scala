@@ -33,13 +33,20 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     withEventTs(apply(s, d, "events"))
 
-  /** The nanos→micros `ts` normalization, shared by every reader of the
-    * events table (batch above, streaming in queries.StreamQueries) so
-    * the two paths can never drift apart. */
+  /** The `ts` normalization, shared by every reader of the events table
+    * (batch above, streaming in queries.StreamQueries and the streaming
+    * specs) so the paths can never drift apart. Handles every variant the
+    * corpus can arrive as: nano-epoch LongType (legacy nanosAsLong),
+    * TIMESTAMP_NTZ (sessions without inferTimestampNTZ=false — Structured
+    * Streaming rejects NTZ event-time columns), and native TimestampType
+    * (pass-through). */
   def withEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          raw.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

@@ -27,8 +27,8 @@ class FileStreamSpec extends SparkSpec {
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
-    // same nanos→micros conversion Tables.events applies
-    val streamEv = streamIn.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same `ts` normalization Tables.events applies, via the shared helper
+    val streamEv = graft.core.Tables.withEventTs(streamIn)
 
     def windowed(df: org.apache.spark.sql.DataFrame) =
       df.groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -16,17 +16,16 @@ class StreamingWindowSpec extends SparkSpec {
   test("streaming tumbling window over events == batch groupBy window") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = Tables.events(spark, dir)
-    // stream with the RAW on-disk schema (ts = nano-epoch long under
-    // nanosAsLong), then apply the same conversion Tables.events does
+    // stream with the RAW on-disk schema, then normalize `ts` through the
+    // same shared helper Tables.events uses — never a hardcoded conversion
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file stream source requires a directory — stage the file into one
     val streamDir = Files.createTempDirectory("graft-events")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val src = spark.readStream.schema(rawSchema)
+    val src = Tables.withEventTs(spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(streamDir.toString))
 
     val ckpt = Files.createTempDirectory("graft-win").toString
     val agg = src
