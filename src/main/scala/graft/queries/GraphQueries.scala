@@ -317,14 +317,46 @@ object GraphQueries extends QueryPack {
       .select(col("user_id"), expr("unix_timestamp(ts) div 300").as("b"))
       .distinct()
 
-  private[queries] def coClickPairs(s: SparkSession, dir: String): DataFrame = {
-    val c = clickBuckets(s, dir)
+  /** Hot-bucket cap (SCALE.md §4b): every bucket self-join below is
+    * quadratic in the hottest bucket's membership, and AQE skew-split
+    * only re-partitions that output — it cannot shrink it. Before any
+    * self-join, per-bucket membership is capped at
+    * `graft.coclick.bucketCap` members (default 1000), chosen
+    * deterministically (smallest xxhash64, user_id tiebreak) so re-runs
+    * and the oracle agree. A celebrity bucket at 100× then contributes
+    * at most cap·(cap−1)/2 pairs instead of ~10¹⁰; buckets at or under
+    * the cap pass through untouched (the driver corpus maxes at 10
+    * members/bucket, so the gates see identical results). The
+    * row_number window hash-partitions on the same bucket key the
+    * self-join shuffles on, so the exchange is reused — net extra cost
+    * is one per-bucket sort, linear in bucket size. */
+  private[queries] def capBuckets(buckets: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    buckets
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("b").orderBy(xxhash64(col("user_id")), col("user_id"))))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+  }
+
+  private[queries] def bucketCap(s: SparkSession): Int =
+    s.conf.get("graft.coclick.bucketCap", "1000").toInt
+
+  /** Canonical u1<u2 co-click pair list from a capped incidence table;
+    * the shared pair kernel behind g16/g17/g18/g21/g25. Exposed on a
+    * caller-supplied buckets DF so HotBucketSpec can drive it with a
+    * synthetic celebrity bucket. */
+  private[queries] def coClickPairsOf(buckets: DataFrame, cap: Int): DataFrame = {
+    val c = capBuckets(buckets, cap)
     c.select(col("b"), col("user_id").as("u1"))
       .join(c.select(col("b"), col("user_id").as("u2")), "b")
       .filter(col("u1") < col("u2"))
       .select("u1", "u2").distinct()
       .localCheckpoint(true)
   }
+
+  private[queries] def coClickPairs(s: SparkSession, dir: String): DataFrame =
+    coClickPairsOf(clickBuckets(s, dir), bucketCap(s))
 
   /** Per-node triangle counts over a canonical (u1<u2) edge list: the
     * two-path + closing-edge join on ordered vertices, each triangle
@@ -472,8 +504,11 @@ object GraphQueries extends QueryPack {
       .localCheckpoint(true) // pair join + marginals + universe reuse it
     val universe = c.agg(countDistinct("b").as("n_buckets"))
     val marg = c.groupBy("user_id").agg(count(lit(1)).as("n_u"))
-    val pairCnt = c.select(col("b"), col("user_id").as("u1"))
-      .join(c.select(col("b"), col("user_id").as("u2")), "b")
+    // marginals/universe stay on the FULL incidence (they are linear);
+    // only the quadratic pair-generation leg gets the hot-bucket cap
+    val cc = capBuckets(c, bucketCap(s))
+    val pairCnt = cc.select(col("b"), col("user_id").as("u1"))
+      .join(cc.select(col("b"), col("user_id").as("u2")), "b")
       .filter(col("u1") < col("u2"))
       .groupBy("u1", "u2").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
@@ -756,7 +791,7 @@ object GraphQueries extends QueryPack {
     * common-neighbor join. Integer binomial via `div`, engine-exact.
     * Top-20 under a total order. */
   def g26Butterflies(s: SparkSession, dir: String): DataFrame = {
-    val c = clickBuckets(s, dir)
+    val c = capBuckets(clickBuckets(s, dir), bucketCap(s))
     c.select(col("b"), col("user_id").as("u1"))
       .join(c.select(col("b"), col("user_id").as("u2")), "b")
       .filter(col("u1") < col("u2"))
