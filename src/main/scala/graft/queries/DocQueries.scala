@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.sources.DocExtract
+
+/** Document-extraction surface (SURVEY §2.1 sources; the reference's
+  * planned extraction path `etl_implementation.md:155-175, 262-273`)
+  * driven through the DuckDB gate on REAL bytes: the documents corpus is
+  * re-encoded to binary, extracted by the zero-egress
+  * [[DocExtract.PlainTextExtractor]], and lands as Source nodes with
+  * per-chunk DERIVED_FROM provenance edges — the extraction → node →
+  * edge flow checked end-to-end against SQL oracles.
+  *
+  * Scale notes: extraction is `mapPartitions` with per-partition
+  * extractor init, no shuffle; edges are projection + index-range
+  * explode (the chunk list itself never moves); at 100 TB the binary
+  * payload is dropped immediately after extraction so only text-sized
+  * rows reach any wide operator.
+  */
+object DocQueries extends QueryPack {
+
+  /** The documents table as raw extraction input: real UTF-8 bytes. */
+  private def rawDocs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        lit("txt").as("source_type"),
+        concat(lit("doc_"), col("doc_id")).as("name"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[DocExtract.RawDoc]
+  }
+
+  /** q80 — extraction → Source-node projection: decode + normalize +
+    * paragraph-packed chunking on real bytes, engine-wide uid scheme,
+    * non-stub provenance. */
+  def q80DocExtract(s: SparkSession, dir: String): DataFrame =
+    DocExtract.extractAll(rawDocs(s, dir)).toDF()
+      .select(col("doc_id"), col("name"),
+        graft.core.Uid.uid(col("name")).as("uid"),
+        col("source_type").as("type"),
+        col("title"),
+        length(col("text")).cast("long").as("text_len"),
+        col("n_chunks"),
+        col("provenance"))
+      .orderBy("doc_id")
+
+  /** q81 — per-chunk DERIVED_FROM provenance edges for the extracted
+    * corpus, joinable to q80's Source uids. */
+  def q81DerivedEdges(s: SparkSession, dir: String): DataFrame =
+    DocExtract.toDerivedFromEdges(DocExtract.extractAll(rawDocs(s, dir)))
+      .select("chunk_uid", "rel_type", "src_uid", "name", "chunk_idx")
+      .orderBy("name", "chunk_idx")
+
+  val queries: Map[String, QueryFn] = Map(
+    "q80_doc_extract"   -> (q80DocExtract _),
+    "q81_derived_edges" -> (q81DerivedEdges _))
+
+  /** The corpus is single-paragraph (no newlines — TESTDATA.md), so the
+    * extractor's normalize is trim, the title is the capped first line,
+    * and greedy packing of one paragraph is exactly ceil(len/500)
+    * chunks; the SQL states those laws directly. Multi-paragraph and
+    * markdown behavior is pinned by DocExtractSpec fixtures instead. */
+  val oracles: Map[String, String] = Map(
+    "q80_doc_extract" ->
+      """SELECT doc_id, 'doc_' || doc_id AS name,
+        | substr(sha256('doc_' || doc_id), 1, 16) AS uid,
+        | 'txt' AS type,
+        | substr(trim(text), 1, 120) AS title,
+        | length(trim(text)) AS text_len,
+        | CAST(ceil(length(trim(text)) / 500.0) AS INT) AS n_chunks,
+        | 'text:1p' AS provenance
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q81_derived_edges" ->
+      """SELECT substr(sha256(name || '#' || i), 1, 16) AS chunk_uid,
+        | 'DERIVED_FROM' AS rel_type,
+        | substr(sha256(name), 1, 16) AS src_uid,
+        | name, i AS chunk_idx
+        |FROM (
+        | SELECT 'doc_' || doc_id AS name,
+        |  unnest(range(0, CAST(ceil(length(trim(text)) / 500.0) AS BIGINT))) AS i
+        | FROM documents)
+        |ORDER BY name, chunk_idx""".stripMargin)
+}

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.sources.DocExtract._
 
-/** The stubbed PDF/DOCX extraction source: deterministic extraction,
+/** The document-extraction source: real plain-text/markdown extraction
+  * on actual file bytes, the stub seam for PDF/DOCX/LLM codecs,
   * per-partition extractor init, Source-node projection with enum
-  * validation and the engine-wide uid scheme. */
+  * validation, the engine-wide uid scheme, and per-chunk DERIVED_FROM
+  * provenance edges. */
 class DocExtractSpec extends SparkSpec {
   import spark.implicits._
 
@@ -17,13 +19,14 @@ class DocExtractSpec extends SparkSpec {
     RawDoc(3, "floppy", "Altbestand", "legacy".getBytes("UTF-8")))
 
   test("stub extraction is deterministic and chunk-counted") {
-    val out = extractAll(docs.toDS()).collect().sortBy(_.doc_id)
+    def run() = extractAll(docs.toDS(), () => new StubExtractor())
+      .collect().sortBy(_.doc_id)
+    val out = run()
     assert(out.map(_.n_chunks).toSeq === Seq(3, 1, 1))
     assert(out(1).text === "kurzer text")
     assert(out(0).provenance === "stub:pdf")
     // re-run → identical (idempotent-ingest contract)
-    val again = extractAll(docs.toDS()).collect().sortBy(_.doc_id)
-    assert(out.toSeq === again.toSeq)
+    assert(out.toSeq === run().toSeq)
   }
 
   test("source nodes: enum-validated, deterministic uids") {
@@ -38,6 +41,59 @@ class DocExtractSpec extends SparkSpec {
       .digest("Schema_Doku.pdf".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     assert(uid === expected)
+  }
+
+  private def fileDoc(id: Long, tpe: String, res: String): RawDoc = {
+    val p = java.nio.file.Paths.get(fixture(s"docs/$res"))
+    RawDoc(id, tpe, res, java.nio.file.Files.readAllBytes(p))
+  }
+
+  test("markdown extraction on real file bytes: markup stripped, heading title, non-stub provenance") {
+    val ds = Seq(fileDoc(10, "md", "leitfaden.md")).toDS()
+    val out = extractAll(ds, () => new MarkdownExtractor()).collect().head
+    assert(out.title === "Entsorgungsleitfaden Campus")
+    assert(out.provenance.startsWith("md:") && !out.provenance.contains("stub"))
+    // prose survives; markup and fenced code do not
+    assert(out.text.contains("korrekte Trennung"))
+    assert(out.text.contains("städtische Satzung")) // link → anchor text
+    assert(out.text.contains("Piktogramm"))         // image → alt text
+    assert(out.text.contains("Hygieneartikel"))     // bullet text kept
+    for (tok <- Seq("#", "**", "](", "```", "Codebeispiele", "---"))
+      assert(!out.text.contains(tok), s"markup '$tok' leaked into extracted text")
+    assert(out.n_chunks >= 1)
+  }
+
+  test("plain-text extraction on real file bytes: BOM/CRLF normalized, paragraphs counted") {
+    val ds = Seq(fileDoc(11, "txt", "notes.txt")).toDS()
+    val out = extractAll(ds, () => new PlainTextExtractor()).collect().head
+    assert(out.title === "Lagerhinweise Chemikalien")
+    assert(!out.text.contains("﻿") && !out.text.contains("\r"))
+    assert(out.provenance === "text:3p")
+    assert(out.text.endsWith("Raum sperren.")) // trailing newline trimmed
+  }
+
+  test("extraction -> Source nodes -> DERIVED_FROM edges on real content") {
+    val ds = Seq(fileDoc(10, "md", "leitfaden.md"),
+                 fileDoc(11, "txt", "notes.txt")).toDS()
+    val ex = extractAll(ds, () => new MarkdownExtractor(chunkChars = 200))
+    val nodes = toSourceNodes(ex)
+    val edges = toDerivedFromEdges(ex)
+    assert(nodes.count() === 2)
+    assert(nodes.filter(col("provenance").contains("stub")).count() === 0)
+    // every edge's dst resolves to a Source node; one edge per chunk
+    val joined = edges.join(nodes, edges("src_uid") === nodes("uid"))
+    assert(joined.count() === edges.count())
+    val nChunks = ex.collect().map(_.n_chunks.toLong).sum
+    assert(edges.count() === nChunks && nChunks >= 3) // 200-char budget → real chunking
+    assert(edges.select("chunk_uid").distinct().count() === edges.count())
+  }
+
+  test("packChunks: over-long paragraph slices to ceil(len/budget); short paragraphs pack") {
+    val one = packChunks(Seq("x" * 1234), 500)
+    assert(one.size === 3 && one.map(_.length).sum === 1234)
+    val packed = packChunks(Seq("a" * 100, "b" * 100, "c" * 400), 500)
+    assert(packed.size === 2) // 100+2+100 packs; 400 starts a new chunk
+    assert(packed.head === "a" * 100 + "\n\n" + "b" * 100)
   }
 
   test("extractor is constructed once per partition, not per row") {
