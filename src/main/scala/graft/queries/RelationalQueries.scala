@@ -1065,27 +1065,42 @@ object RelationalQueries extends QueryPack {
 
   /** q59 — statistical moment aggregates (the profiling family a data
     * pipeline runs before modeling): per-flag stddev, correlation,
-    * covariance, and regression slope in ONE partial+final pass —
-    * Catalyst's co-moment buffers merge associatively, so this is a
-    * single shuffle at any scale, never a two-pass mean-then-deviation
-    * job. Rounding is sized to the FP merge-order noise of each
-    * statistic (stddev/covar to 2 at magnitude 1e4, corr to 6 at
-    * magnitude 1, slope to 4): sums of squared deviations differ
-    * between engines in the last bits, and the variance itself
-    * (magnitude ~1e9, absolute noise ~1) is deliberately NOT emitted —
-    * its sqrt is, where the noise compresses below any rounding edge.
-    */
-  def q59StatsMoments(s: SparkSession, dir: String): DataFrame =
+    * covariance, and regression slope in ONE partial+final pass.
+    *
+    * Determinism (the d23/g18 fixed-point law, applied to moments):
+    * prices are exact 2-decimal values and quantities integral, so the
+    * inputs quantize losslessly to integer cents/units and the five
+    * power sums Σx, Σy, Σx², Σy², Σxy accumulate as EXACT decimals —
+    * associative, mergeable, partition-order-free, one shuffle at any
+    * scale. The textbook co-moment forms n·Σxy − Σx·Σy, catastrophically
+    * unstable in floating point, are exact in integers; each statistic
+    * then touches doubles once, in the same operation order the oracle
+    * replays, so both engines agree bit-for-bit BEFORE rounding —
+    * rounding is presentation, not a noise blanket. */
+  def q59StatsMoments(s: SparkSession, dir: String): DataFrame = {
+    val n = col("cnt")
+    def d(c: Column) = c.cast("double")
+    val m2x = n * col("sxx") - col("sx") * col("sx") // n²·Var(x), exact
+    val m2y = n * col("syy") - col("sy") * col("sy")
+    val m1 = n * col("sxy") - col("sx") * col("sy") // n²·Cov(x,y), exact
     Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("decimal(18,0)").as("x"),
+        round(col("l_quantity")).cast("decimal(18,0)").as("y"))
       .groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).as("cnt"),
-        round(avg("l_extendedprice"), 2).as("avg_price"),
-        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
-        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("price_per_qty"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("cnt"),
+        round(d(col("sx")) / n / 100, 2).as("avg_price"),
+        round(sqrt(d(m2x) / d(n * (n - 1))) / 100, 2).as("sd_price"),
+        round(d(m1) / sqrt(d(m2x) * d(m2y)), 6).as("corr_qty_price"),
+        round(d(m1) / d(n * (n - 1)) / 100, 2).as("covar_qty_price"),
+        round(d(m1) / d(m2y) / 100, 4).as("price_per_qty"))
       .orderBy("l_returnflag")
+  }
 
   /** Names used by q60, a subset of `WasteParse.knownFacilityNames` in
     * the SAME relative (longest-first) order, none rewritten by the
@@ -2169,13 +2184,28 @@ object RelationalQueries extends QueryPack {
         |  CAST(row_number() OVER (PARTITION BY n_nationkey ORDER BY prio) AS INT) AS pos
         |FROM chosen ORDER BY n_nationkey, pos""".stripMargin,
     "q59_stats_moments" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
-        |  round(avg(l_extendedprice), 2) AS avg_price,
-        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS x,
+        |    CAST(round(l_quantity) AS HUGEINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM t GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS cnt,
+        |  round(sx::DOUBLE / n / 100, 2) AS avg_price,
+        |  round(sqrt((n*sxx - sx*sx)::DOUBLE / (n*(n-1))::DOUBLE) / 100, 2)
+        |    AS sd_price,
+        |  round((n*sxy - sx*sy)::DOUBLE
+        |    / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6)
+        |    AS corr_qty_price,
+        |  round((n*sxy - sx*sy)::DOUBLE / (n*(n-1))::DOUBLE / 100, 2)
+        |    AS covar_qty_price,
+        |  round((n*sxy - sx*sy)::DOUBLE / (n*syy - sy*sy)::DOUBLE / 100, 4)
+        |    AS price_per_qty
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "q58_dedup_merge" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, c_mktsegment,

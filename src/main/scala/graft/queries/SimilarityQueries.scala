@@ -252,9 +252,11 @@ object SimilarityQueries extends QueryPack {
     * never ship their float vectors to the scoring join — at 100 TB the
     * fact side carries 8 bytes of codes per vector, which is the whole
     * point of PQ. No cross join anywhere; the final top-k is one
-    * per-query window. Determinism: code assignment and ranking order
-    * by ROUNDED distances with id tie-breaks, so engine ulp noise
-    * cannot flip an argmin. */
+    * per-query window. Determinism: code assignment orders by ROUNDED
+    * distances with id tie-breaks, and the ADC sum itself is the
+    * d23/g18 fixed-point law — BIGINT micro-unit terms summed exactly —
+    * so neither engine ulp noise nor partition order can flip an
+    * argmin or the 6th decimal. */
   def e08PqAdc(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     import org.apache.spark.sql.expressions.Window
@@ -286,7 +288,11 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id").as("cand_id"), col("blk"), col("code"))
       .join(broadcast(lut), Seq("blk", "code"))
       .groupBy("query_id", "cand_id")
-      .agg(round(sum("d2"), 6).as("adc"))
+      // the d23/g18 fixed-point law: each LUT term quantizes to BIGINT
+      // micro-units (terms are bit-identical across engines — fixed-order
+      // folds), the 8-term sum is exact integer math in any partition
+      // order, and the rank below orders on that exact sum
+      .agg((sum(round(col("d2") * 1e6).cast("long")) / 1e6).as("adc"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "cand_id", "adc")
@@ -506,7 +512,8 @@ object SimilarityQueries extends QueryPack {
         |    ${sqlL2sq("v.vbv", "c.cbv")} AS d2
         |  FROM vb v JOIN cb c USING (blk) WHERE v.vec_id < 5),
         |adc AS (
-        |  SELECT l.query_id, e2.vec_id AS cand_id, round(sum(l.d2), 6) AS adc
+        |  SELECT l.query_id, e2.vec_id AS cand_id,
+        |    sum(CAST(round(l.d2 * 1000000) AS BIGINT)) / 1000000.0 AS adc
         |  FROM enc e2 JOIN lut l ON e2.blk = l.blk AND e2.code = l.code
         |  WHERE e2.vec_id >= 5
         |  GROUP BY l.query_id, e2.vec_id),
