@@ -1,0 +1,543 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cypher-string front-end over node/edge DataFrames — the reference's
+  * arbitrary-Cypher query API (`neo4j_db.py:93-106`) for its READ
+  * surface, parsed and compiled to the same DataFrame plans the typed
+  * [[GraphDSL]] builds, so Catalyst optimizes the whole chain (label
+  * filters push into the node scan, hops are uid equi-joins, implicit
+  * Cypher grouping is one hash aggregate).
+  *
+  * Supported subset = every read query shape the reference issues or
+  * documents (`etl_implementation.md:229-257`, `neo4j_db.py:29-157`):
+  * `MATCH` chains with labels, property maps and directed relationships
+  * (incl. `|` type alternation and comma-separated chains joined on
+  * shared variables), `WHERE` with comparisons / boolean ops / string
+  * predicates / `IS [NOT] NULL` / `[NOT] (n)-[:R]->()` pattern
+  * predicates, `RETURN [DISTINCT]` with `AS` aliases, `count(*)` /
+  * `count([DISTINCT] n)` / `min` / `max` / `sum` / `avg`,
+  * `labels(n)[0]`, `type(r)`, property access, `$param` substitution,
+  * `ORDER BY ... [ASC|DESC]`, `SKIP`, `LIMIT`. Writes (`MERGE`, `SET`,
+  * `DELETE`) are the ETL sinks' job ([[GraphStore]]) and are rejected
+  * here with a pointer.
+  *
+  * Node tables are `(label, uid, <props...>)`, edge tables
+  * `(src_uid, rel_type, dst_uid, <props...>)` — the engine-wide graph
+  * shape. Aggregation follows Cypher semantics: the presence of any
+  * aggregate in RETURN groups by all non-aggregated return items.
+  */
+object CypherFrontend {
+
+  // ---------------------------------------------------------------- AST
+
+  private sealed trait Expr
+  private case class EVar(name: String) extends Expr
+  private case class EProp(v: String, key: String) extends Expr
+  private case class ELit(v: Any) extends Expr
+  private case class EParam(name: String) extends Expr
+  private case class EAgg(fn: String, arg: Option[Expr], distinct: Boolean) extends Expr
+  private case class ELabels0(v: String) extends Expr
+  private case class EType(v: String) extends Expr
+
+  private sealed trait Pred
+  private case class PCmp(op: String, l: Expr, r: Expr) extends Pred
+  private case class PStr(op: String, l: Expr, r: Expr) extends Pred
+  private case class PAnd(l: Pred, r: Pred) extends Pred
+  private case class POr(l: Pred, r: Pred) extends Pred
+  private case class PNot(p: Pred) extends Pred
+  private case class PIsNull(e: Expr, negated: Boolean) extends Pred
+  /** (v)-[:T1|T2]->() / ()<-[:T]-(v) existence predicate. */
+  private case class PPattern(v: String, types: Seq[String], forward: Boolean,
+                              targetLabel: Option[String]) extends Pred
+
+  private case class NodePat(v: Option[String], label: Option[String],
+                             props: Map[String, Expr])
+  private case class RelPat(v: Option[String], types: Seq[String], forward: Boolean)
+  private case class Chain(head: NodePat, hops: Seq[(RelPat, NodePat)])
+  private case class RetItem(expr: Expr, alias: Option[String], text: String)
+  private case class OrderKey(ref: String, asc: Boolean)
+  private case class Query(chains: Seq[Chain], where: Option[Pred],
+                           distinct: Boolean, items: Seq[RetItem],
+                           orderBy: Seq[OrderKey], skip: Option[Long],
+                           limit: Option[Long])
+
+  // ---------------------------------------------------------- tokenizer
+
+  private sealed trait Tok { def text: String }
+  private case class TId(text: String) extends Tok    // identifier (incl. backticked)
+  private case class TKw(text: String) extends Tok    // uppercased keyword form
+  private case class TStr(text: String) extends Tok
+  private case class TNum(text: String) extends Tok
+  private case class TSym(text: String) extends Tok
+
+  private val keywords = Set("MATCH", "WHERE", "RETURN", "ORDER", "BY", "ASC",
+    "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT", "XOR", "DISTINCT", "AS",
+    "CONTAINS", "STARTS", "ENDS", "WITH", "IS", "NULL", "TRUE", "FALSE",
+    "IN", "MERGE", "SET", "DELETE", "DETACH", "CREATE", "REMOVE", "EXISTS")
+
+  private def tokenize(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/' && i + 1 < n && src(i + 1) == '/') {
+        while (i < n && src(i) != '\n') i += 1
+      } else if (c == '`') {
+        val j = src.indexOf('`', i + 1)
+        require(j > 0, s"unterminated backtick identifier at $i")
+        out += TId(src.substring(i + 1, j)); i = j + 1
+      } else if (c == '\'' || c == '"') {
+        val sb = new StringBuilder; i += 1
+        while (i < n && src(i) != c) {
+          if (src(i) == '\\' && i + 1 < n) { sb.append(src(i + 1)); i += 2 }
+          else { sb.append(src(i)); i += 1 }
+        }
+        require(i < n, "unterminated string literal")
+        out += TStr(sb.toString); i += 1
+      } else if (c.isDigit) {
+        val j0 = i
+        while (i < n && (src(i).isDigit || src(i) == '.')) i += 1
+        out += TNum(src.substring(j0, i))
+      } else if (c.isLetter || c == '_') {
+        val j0 = i
+        while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+        val w = src.substring(j0, i)
+        if (keywords(w.toUpperCase)) out += TKw(w.toUpperCase) else out += TId(w)
+      } else {
+        val two = if (i + 1 < n) src.substring(i, i + 2) else ""
+        if (Set("<>", "<=", ">=", "->", "<-").contains(two)) { out += TSym(two); i += 2 }
+        else { out += TSym(c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------- parser
+
+  private final class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Option[Tok] = toks.lift(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def atKw(kw: String): Boolean = peek.exists { case TKw(k) => k == kw; case _ => false }
+    private def atSym(s: String): Boolean = peek.exists { case TSym(x) => x == s; case _ => false }
+    private def eatKw(kw: String): Unit =
+      require(atKw(kw) && { pos += 1; true }, s"expected $kw at token $pos (${peek.map(_.text)})")
+    private def eatSym(s: String): Unit =
+      require(atSym(s) && { pos += 1; true }, s"expected '$s' at token $pos (${peek.map(_.text)})")
+    private def ident(): String = next() match {
+      case TId(t) => t
+      case t => sys.error(s"expected identifier, got '${t.text}'")
+    }
+
+    def query(): Query = {
+      for (w <- Seq("MERGE", "SET", "DELETE", "DETACH", "CREATE", "REMOVE"))
+        require(!toks.exists { case TKw(k) => k == w; case _ => false },
+          s"$w is a write clause: use graft.graph.GraphStore sinks for writes")
+      val chains = Seq.newBuilder[Chain]
+      eatKw("MATCH")
+      chains += chain()
+      while (atSym(",") || atKw("MATCH")) { // comma patterns and extra MATCH
+        if (atSym(",")) eatSym(",") else eatKw("MATCH")
+        chains += chain()
+      }
+      val where = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
+      eatKw("RETURN")
+      val distinct = if (atKw("DISTINCT")) { eatKw("DISTINCT"); true } else false
+      val items = Seq.newBuilder[RetItem]
+      items += retItem()
+      while (atSym(",")) { eatSym(","); items += retItem() }
+      val order = Seq.newBuilder[OrderKey]
+      if (atKw("ORDER")) {
+        eatKw("ORDER"); eatKw("BY")
+        order += orderKey()
+        while (atSym(",")) { eatSym(","); order += orderKey() }
+      }
+      val skip = if (atKw("SKIP")) { eatKw("SKIP"); Some(num()) } else None
+      val limit = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(num()) } else None
+      require(pos == toks.length, s"trailing tokens from '${peek.map(_.text).getOrElse("")}'")
+      Query(chains.result(), where, distinct, items.result(), order.result(), skip, limit)
+    }
+
+    private def num(): Long = next() match {
+      case TNum(t) => t.toLong
+      case t => sys.error(s"expected number, got '${t.text}'")
+    }
+
+    private def chain(): Chain = {
+      val head = nodePat()
+      val hops = Seq.newBuilder[(RelPat, NodePat)]
+      while (atSym("-") || atSym("<-")) hops += hopPat()
+      Chain(head, hops.result())
+    }
+
+    private def nodePat(): NodePat = {
+      eatSym("(")
+      val v = peek match { case Some(TId(_)) => Some(ident()); case _ => None }
+      val label = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
+      val props =
+        if (atSym("{")) {
+          eatSym("{")
+          val m = Map.newBuilder[String, Expr]
+          while (!atSym("}")) {
+            val k = ident(); eatSym(":"); m += (k -> atom())
+            if (atSym(",")) eatSym(",")
+          }
+          eatSym("}")
+          m.result()
+        } else Map.empty[String, Expr]
+      eatSym(")")
+      NodePat(v, label, props)
+    }
+
+    /** -[r:T1|T2]->(m) or <-[:T]-(m) or -[r]->(m); undirected rejected. */
+    private def hopPat(): (RelPat, NodePat) = {
+      val back0 = atSym("<-")
+      if (back0) eatSym("<-") else eatSym("-")
+      var v: Option[String] = None
+      var types: Seq[String] = Nil
+      if (atSym("[")) {
+        eatSym("[")
+        peek match { case Some(TId(_)) => v = Some(ident()); case _ => }
+        if (atSym(":")) {
+          eatSym(":")
+          val ts = Seq.newBuilder[String]
+          ts += ident()
+          while (atSym("|")) { eatSym("|"); if (atSym(":")) eatSym(":"); ts += ident() }
+          types = ts.result()
+        }
+        eatSym("]")
+      }
+      val fwd = atSym("->")
+      if (fwd) eatSym("->") else eatSym("-")
+      require(fwd ^ back0, "undirected relationships are not in the reference surface; write -> or <-")
+      (RelPat(v, types, forward = fwd), nodePat())
+    }
+
+    private def retItem(): RetItem = {
+      val p0 = pos
+      val e = expr()
+      val text = toks.slice(p0, pos).map(_.text).mkString
+      val alias = if (atKw("AS")) { eatKw("AS"); Some(ident()) } else None
+      RetItem(e, alias, text)
+    }
+
+    private def orderKey(): OrderKey = {
+      val p0 = pos
+      expr() // validate shape; referenced by text against output columns
+      val text = toks.slice(p0, pos).map(_.text).mkString
+      val asc =
+        if (atKw("DESC")) { eatKw("DESC"); false }
+        else { if (atKw("ASC")) eatKw("ASC"); true }
+      OrderKey(text, asc)
+    }
+
+    // expression grammar: atom | fn(...) | var.prop | labels(v)[0] | type(v)
+    private def expr(): Expr = peek match {
+      case Some(TId("labels")) if toks.lift(pos + 1).exists(_.text == "(") =>
+        pos += 1; eatSym("("); val v = ident(); eatSym(")")
+        eatSym("["); require(num() == 0L, "only labels(n)[0] is supported"); eatSym("]")
+        ELabels0(v)
+      case Some(TId("type")) if toks.lift(pos + 1).exists(_.text == "(") =>
+        pos += 1; eatSym("("); val v = ident(); eatSym(")"); EType(v)
+      case Some(TId(fn)) if Set("count", "sum", "min", "max", "avg", "collect")(fn.toLowerCase)
+          && toks.lift(pos + 1).exists(_.text == "(") =>
+        pos += 1; eatSym("(")
+        val distinct = if (atKw("DISTINCT")) { eatKw("DISTINCT"); true } else false
+        val arg = if (atSym("*")) { eatSym("*"); None } else Some(expr())
+        eatSym(")")
+        EAgg(fn.toLowerCase, arg, distinct)
+      case _ => atom()
+    }
+
+    private def atom(): Expr = next() match {
+      case TSym("$") => EParam(ident())
+      case TStr(sv) => ELit(sv)
+      case TNum(t) => if (t.contains('.')) ELit(t.toDouble) else ELit(t.toLong)
+      case TKw("TRUE") => ELit(true)
+      case TKw("FALSE") => ELit(false)
+      case TKw("NULL") => ELit(null)
+      case TId(v) =>
+        if (atSym(".")) { eatSym("."); EProp(v, ident()) } else EVar(v)
+      case t => sys.error(s"unexpected token '${t.text}' in expression")
+    }
+
+    // predicate grammar with standard precedence: OR < AND < NOT < cmp
+    private def pred(): Pred = {
+      var l = andPred()
+      while (atKw("OR")) { eatKw("OR"); l = POr(l, andPred()) }
+      l
+    }
+    private def andPred(): Pred = {
+      var l = notPred()
+      while (atKw("AND")) { eatKw("AND"); l = PAnd(l, notPred()) }
+      l
+    }
+    private def notPred(): Pred =
+      if (atKw("NOT")) { eatKw("NOT"); PNot(notPred()) }
+      else basePred()
+
+    private def basePred(): Pred = {
+      // parenthesized: either (pred) or a pattern predicate (v)-[:T]->()
+      if (atSym("(")) {
+        val save = pos
+        patternPredOpt() match {
+          case Some(p) => return p
+          case None => pos = save
+        }
+        eatSym("(")
+        val p = pred()
+        eatSym(")")
+        return p
+      }
+      val l = expr()
+      peek match {
+        case Some(TKw("IS")) =>
+          eatKw("IS")
+          val neg = if (atKw("NOT")) { eatKw("NOT"); true } else false
+          eatKw("NULL")
+          PIsNull(l, neg)
+        case Some(TKw("CONTAINS")) => eatKw("CONTAINS"); PStr("contains", l, atom())
+        case Some(TKw("STARTS")) => eatKw("STARTS"); eatKw("WITH"); PStr("starts", l, atom())
+        case Some(TKw("ENDS")) => eatKw("ENDS"); eatKw("WITH"); PStr("ends", l, atom())
+        case Some(TSym(op)) if Set("=", "<>", "<", "<=", ">", ">=")(op) =>
+          eatSym(op); PCmp(op, l, expr())
+        case t => sys.error(s"expected comparison after expression, got '${t.map(_.text)}'")
+      }
+    }
+
+    /** Try `(v)-[:T1|T2]->()` / `(v)<-[:T]-(:Label)`; None if not that shape. */
+    private def patternPredOpt(): Option[Pred] =
+      try {
+        eatSym("(")
+        val v = ident()
+        eatSym(")")
+        val back = atSym("<-")
+        if (back) eatSym("<-") else eatSym("-")
+        var types: Seq[String] = Nil
+        if (atSym("[")) {
+          eatSym("[")
+          if (atSym(":")) {
+            eatSym(":")
+            val ts = Seq.newBuilder[String]
+            ts += ident()
+            while (atSym("|")) { eatSym("|"); if (atSym(":")) eatSym(":"); ts += ident() }
+            types = ts.result()
+          }
+          eatSym("]")
+        }
+        val fwd = atSym("->")
+        if (fwd) eatSym("->") else eatSym("-")
+        require(fwd ^ back, "undirected pattern predicate")
+        eatSym("(")
+        val tl = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
+        eatSym(")")
+        Some(PPattern(v, types, forward = fwd, targetLabel = tl))
+      } catch { case _: Throwable => None }
+  }
+
+  // ----------------------------------------------------------- compiler
+
+  /** Column namespace for a pattern variable: `v$uid`, `v$label`,
+    * `v$<prop>` — keeps every bound variable's fields side by side in
+    * one flat row without struct overhead. */
+  private def ns(v: String, c: String) = s"$v$$$c"
+
+  private final class Compiler(nodes: DataFrame, edges: DataFrame,
+                               params: Map[String, Any]) {
+    private val nodeProps = nodes.columns.filterNot(Set("uid", "label")).toSeq
+    private val edgeProps =
+      edges.columns.filterNot(Set("src_uid", "dst_uid", "rel_type", "src_label", "dst_label")).toSeq
+    private var anon = 0
+    private def freshVar(): String = { anon += 1; s"_anon$anon" }
+    /** Variables bound to relationships (vs nodes) — they carry
+      * rel_type/src_uid/dst_uid instead of uid/label. */
+    private var relVars = Set.empty[String]
+
+    /** One variable's node table, all columns namespaced. */
+    private def nodeSide(p: NodePat, v: String): DataFrame = {
+      var df = nodes
+      p.label.foreach(l => df = df.filter(col("label") === l))
+      p.props.foreach { case (k, e) => df = df.filter(col(k) === exprCol(e)) }
+      df.select((Seq("uid", "label") ++ nodeProps).map(c => col(c).as(ns(v, c))): _*)
+    }
+
+    private def edgeSide(r: RelPat, rv: String): DataFrame = {
+      var df = edges
+      if (r.types.nonEmpty) df = df.filter(col("rel_type").isin(r.types: _*))
+      df.select((Seq("src_uid", "dst_uid", "rel_type") ++ edgeProps)
+        .map(c => col(c).as(ns(rv, c))): _*)
+    }
+
+    /** Compile one chain to a DataFrame of namespaced columns; returns
+      * (df, boundVars). */
+    private def compileChain(ch: Chain): (DataFrame, Set[String]) = {
+      val headVar = ch.head.v.getOrElse(freshVar())
+      var df = nodeSide(ch.head, headVar)
+      var bound = Set(headVar)
+      var cur = headVar
+      ch.hops.foreach { case (rel, nodePat) =>
+        val rv = rel.v.getOrElse(freshVar())
+        relVars += rv
+        val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
+        df = df.join(edgeSide(rel, rv), col(ns(cur, "uid")) === col(ns(rv, fromC)))
+        val nv = nodePat.v.getOrElse(freshVar())
+        if (bound(nv)) { // cycle back to an already-bound variable
+          df = df.filter(col(ns(rv, toC)) === col(ns(nv, "uid")))
+        } else {
+          df = df.join(nodeSide(nodePat, nv), col(ns(rv, toC)) === col(ns(nv, "uid")))
+          bound += nv
+        }
+        bound += rv
+        cur = nv
+      }
+      (df, bound)
+    }
+
+    def compile(q: Query): DataFrame = {
+      // chains join on shared node variables (Cypher comma semantics)
+      var (df, bound) = compileChain(q.chains.head)
+      q.chains.tail.foreach { ch =>
+        val (cdf, cbound) = compileChain(ch)
+        val shared = (bound & cbound).toSeq.sorted
+        require(shared.nonEmpty,
+          "disconnected MATCH patterns would be a cross product; share a variable")
+        val renamed = cdf.columns.foldLeft(cdf) { (d, c) =>
+          if (shared.exists(v => c.startsWith(v + "$"))) d.withColumnRenamed(c, c + "_r") else d
+        }
+        val cond = shared.map(v => df(ns(v, "uid")) === renamed(ns(v, "uid") + "_r"))
+          .reduce(_ && _)
+        df = df.join(renamed, cond).drop(renamed.columns.filter(_.endsWith("_r")): _*)
+        bound ++= cbound
+      }
+      q.where.foreach { p => df = applyPred(df, p, negated = false) }
+
+      val aggs = q.items.filter(i => isAgg(i.expr))
+      val outName = (i: RetItem) => i.alias.getOrElse(i.text)
+      val result =
+        if (aggs.isEmpty) {
+          val cols = q.items.map(i => exprCol(i.expr).as(outName(i)))
+          val base = df.select(cols: _*)
+          if (q.distinct) base.distinct() else base
+        } else {
+          // Cypher implicit grouping: group by all non-aggregate items
+          val keys = q.items.filterNot(i => isAgg(i.expr))
+          val keyCols = keys.map(i => exprCol(i.expr).as(outName(i)))
+          val aggCols = aggs.map(i => aggCol(i.expr).as(outName(i)))
+          val grouped =
+            if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+            else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          // restore RETURN item order (backticks: names may contain dots)
+          grouped.select(q.items.map(i => col("`" + outName(i) + "`")): _*)
+        }
+      val ordered =
+        if (q.orderBy.isEmpty) result
+        else result.orderBy(q.orderBy.map { k =>
+          val alias = q.items.find(i => i.text == k.ref || i.alias.contains(k.ref))
+            .map(outName).getOrElse(k.ref)
+          if (k.asc) col("`" + alias + "`").asc else col("`" + alias + "`").desc
+        }: _*)
+      val skipped = q.skip.fold(ordered)(n => ordered.offset(n.toInt))
+      q.limit.fold(skipped)(n => skipped.limit(n.toInt))
+    }
+
+    /** WHERE compilation. Pattern predicates become semi/anti joins on
+      * the variable's uid; everything else is a Column filter. NOT
+      * distributes into pattern predicates (anti join), else negates
+      * the Column. */
+    private def applyPred(df: DataFrame, p: Pred, negated: Boolean): DataFrame = p match {
+      case PNot(inner) => applyPred(df, inner, !negated)
+      case PAnd(l, r) if !negated => applyPred(applyPred(df, l, false), r, false)
+      case PPattern(v, types, fwd, tl) =>
+        val probeCol = if (fwd) "src_uid" else "dst_uid"
+        val otherCol = if (fwd) "dst_uid" else "src_uid"
+        var e = edges
+        if (types.nonEmpty) e = e.filter(col("rel_type").isin(types: _*))
+        val probe = tl match {
+          case Some(l) =>
+            e.join(nodes.filter(col("label") === l).select(col("uid").as(otherCol)), otherCol)
+              .select(col(probeCol).as("_probe"))
+          case None => e.select(col(probeCol).as("_probe"))
+        }
+        val joinType = if (negated) "left_anti" else "left_semi"
+        df.join(probe, df(ns(v, "uid")) === probe("_probe"), joinType)
+      case other =>
+        val c = predCol(other)
+        df.filter(if (negated) !c else c)
+    }
+
+    private def predCol(p: Pred): Column = p match {
+      case PCmp("=", l, r) => exprCol(l) === exprCol(r)
+      case PCmp("<>", l, r) => exprCol(l) =!= exprCol(r)
+      case PCmp("<", l, r) => exprCol(l) < exprCol(r)
+      case PCmp("<=", l, r) => exprCol(l) <= exprCol(r)
+      case PCmp(">", l, r) => exprCol(l) > exprCol(r)
+      case PCmp(">=", l, r) => exprCol(l) >= exprCol(r)
+      case PCmp(op, _, _) => sys.error(s"unknown comparison $op")
+      case PStr("contains", l, r) => exprCol(l).contains(exprCol(r))
+      case PStr("starts", l, r) => exprCol(l).startsWith(exprCol(r))
+      case PStr("ends", l, r) => exprCol(l).endsWith(exprCol(r))
+      case PStr(op, _, _) => sys.error(s"unknown string predicate $op")
+      case PIsNull(e, neg) =>
+        if (neg) exprCol(e).isNotNull else exprCol(e).isNull
+      case PAnd(l, r) => predCol(l) && predCol(r)
+      case POr(l, r) => predCol(l) || predCol(r)
+      case PNot(i) => !predCol(i)
+      case PPattern(_, _, _, _) =>
+        sys.error("pattern predicates under OR are not supported; rewrite as separate queries")
+    }
+
+    private def exprCol(e: Expr): Column = e match {
+      case EVar(v) => // a bare node/rel variable projects its identity
+        if (relVars(v))
+          struct(col(ns(v, "rel_type")), col(ns(v, "src_uid")), col(ns(v, "dst_uid")))
+        else struct(col(ns(v, "label")), col(ns(v, "uid")))
+      case EProp(v, k) => col(ns(v, k))
+      case ELit(null) => lit(null)
+      case ELit(x) => lit(x)
+      case EParam(n) => lit(params.getOrElse(n,
+        sys.error(s"missing parameter $$${n}")))
+      case ELabels0(v) => col(ns(v, "label"))
+      case EType(v) => col(ns(v, "rel_type"))
+      case EAgg(_, _, _) => sys.error("aggregate in scalar position")
+    }
+
+    private def isAgg(e: Expr): Boolean = e.isInstanceOf[EAgg]
+
+    private def aggCol(e: Expr): Column = e match {
+      case EAgg("count", None, _) => count(lit(1))
+      case EAgg("count", Some(a), true) => countDistinct(countableCol(a))
+      case EAgg("count", Some(a), false) => count(countableCol(a))
+      case EAgg("collect", Some(a), d) =>
+        val c = exprCol(a)
+        if (d) collect_set(c) else collect_list(c)
+      case EAgg(fn, Some(a), _) =>
+        val c = exprCol(a)
+        fn match {
+          case "sum" => sum(c); case "min" => min(c); case "max" => max(c)
+          case "avg" => avg(c)
+          case other => sys.error(s"unsupported aggregate $other")
+        }
+      case other => sys.error(s"not an aggregate: $other")
+    }
+
+    /** count(n) counts bindings (nulls impossible for bound vars) —
+      * count the uid, not a struct, so codegen stays simple. */
+    private def countableCol(a: Expr): Column = a match {
+      case EVar(v) => col(ns(v, if (relVars(v)) "src_uid" else "uid"))
+      case other => exprCol(other)
+    }
+  }
+
+  /** Parse + compile a read-only Cypher query over `(nodes, edges)`.
+    * `params` substitutes `$name` references (the neo4j driver's params
+    * dict, `neo4j_db.py:93-106`). */
+  def run(cypher: String, nodes: DataFrame, edges: DataFrame,
+          params: Map[String, Any] = Map.empty): DataFrame = {
+    val q = new Parser(tokenize(cypher)).query()
+    new Compiler(nodes, edges, params).compile(q)
+  }
+}

@@ -804,7 +804,39 @@ object GraphQueries extends QueryPack {
       .limit(20)
   }
 
+  /** g27–g29 — the Cypher STRING front-end (`graph.CypherFrontend`, the
+    * reference's arbitrary-Cypher query API `neo4j_db.py:93-106`) gated
+    * end-to-end: actual Cypher text in, parsed + compiled onto the same
+    * node/edge tables, hash-matched against SQL oracles. g27 is the
+    * reference's label-histogram validation query, g28 its
+    * grouped-hop shape, g29 a filtered two-hop with string predicate.
+    * The compiled plans are the DSL's: label filters push into the node
+    * scan, hops are uid equi-joins, the implicit Cypher grouping is one
+    * hash aggregate. */
+  def g27CypherLabels(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      "MATCH (n) RETURN labels(n)[0] AS label, count(*) AS cnt ORDER BY cnt DESC, label",
+      nodes(s, dir), edges(s, dir))
+
+  def g28CypherTopNations(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        |RETURN n.name AS nation, count(c) AS customers
+        |ORDER BY customers DESC, nation LIMIT 10""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
+  def g29CypherTwoHop(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |WHERE r.name = $region AND c.name CONTAINS '1'
+        |RETURN c.name AS customer, n.name AS nation
+        |ORDER BY customer, nation""".stripMargin,
+      nodes(s, dir), edges(s, dir), Map("region" -> "EUROPE"))
+
   val queries: Map[String, QueryFn] = Map(
+    "g29_cypher_twohop"  -> (g29CypherTwoHop _),
+    "g28_cypher_top_nations" -> (g28CypherTopNations _),
+    "g27_cypher_labels"  -> (g27CypherLabels _),
     "g26_butterflies"    -> (g26Butterflies _),
     "g25_clustering_coeff" -> (g25ClusteringCoeff _),
     "g24_hits"           -> (g24Hits _),
@@ -833,6 +865,25 @@ object GraphQueries extends QueryPack {
     "g06_graph_twohop"  -> (g06TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "g27_cypher_labels" ->
+      """WITH n AS (
+        |  SELECT 'Customer' AS label FROM customer
+        |  UNION ALL SELECT 'Supplier' FROM supplier
+        |  UNION ALL SELECT 'Nation' FROM nation
+        |  UNION ALL SELECT 'Region' FROM region)
+        |SELECT label, count(*) AS cnt FROM n
+        |GROUP BY label ORDER BY cnt DESC, label""".stripMargin,
+    "g28_cypher_top_nations" ->
+      """SELECT n_name AS nation, count(*) AS customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY customers DESC, nation LIMIT 10""".stripMargin,
+    "g29_cypher_twohop" ->
+      """SELECT c_name AS customer, n_name AS nation
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND c_name LIKE '%1%'
+        |ORDER BY customer, nation""".stripMargin,
     // g24: the two HITS rounds unrolled as CTEs with the identical
     // integer max-norm; DuckDB's HUGEINT sums make the wrap-safety
     // mirror explicit (the Spark side rides decimal(38,0)).

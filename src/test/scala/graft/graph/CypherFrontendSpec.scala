@@ -1,0 +1,144 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The Cypher front-end against the reference's OWN validation queries
+  * (`etl_implementation.md:235-255`, `neo4j_db.py:29-157`), run over an
+  * in-memory waste graph whose expected answers are hand-checkable, and
+  * cross-checked against the typed operators (GraphStore.orphans) they
+  * compile to the same plans as.
+  */
+class CypherFrontendSpec extends SparkSpec {
+  import spark.implicits._
+
+  // WasteItem w1 -> DISPOSED_IN -> Restmuell; w1 -> DISPOSED_AT -> Hof A
+  // WasteItem w2 -> DISPOSED_IN -> Restmuell
+  // WasteItem w3 -> DISPOSED_IN -> Biomuell
+  // WasteItem w4 (orphan: no disposal edge)
+  private lazy val nodes: DataFrame = Seq(
+    ("WasteItem", "u:w1", "Bauschutt", null.asInstanceOf[String]),
+    ("WasteItem", "u:w2", "Asche", null.asInstanceOf[String]),
+    ("WasteItem", "u:w3", "Laub", null.asInstanceOf[String]),
+    ("WasteItem", "u:w4", "Altlack", null.asInstanceOf[String]),
+    ("WasteStream", "u:s1", "Restmuell", null.asInstanceOf[String]),
+    ("WasteStream", "u:s2", "Biomuell", null.asInstanceOf[String]),
+    ("Facility", "u:f1", "Wertstoffhof A", "Campusallee 1"),
+    ("Facility", "u:f2", "Wertstoffhof B", "Nordring 7"))
+    .toDF("label", "uid", "name", "address")
+
+  private lazy val edges: DataFrame = Seq(
+    ("u:w1", "DISPOSED_IN", "u:s1"),
+    ("u:w2", "DISPOSED_IN", "u:s1"),
+    ("u:w3", "DISPOSED_IN", "u:s2"),
+    ("u:w1", "DISPOSED_AT", "u:f1"))
+    .toDF("src_uid", "rel_type", "dst_uid")
+
+  private def run(cypher: String, params: Map[String, Any] = Map.empty) =
+    CypherFrontend.run(cypher, nodes, edges, params)
+
+  test("label histogram: MATCH (n) RETURN labels(n)[0], count(*) (etl_implementation.md:235)") {
+    val got = run(
+      "MATCH (n) RETURN labels(n)[0] AS label, count(*) AS count ORDER BY count DESC, label")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("WasteItem", 4L), ("Facility", 2L), ("WasteStream", 2L)))
+  }
+
+  test("orphan anti-join: WHERE NOT (w)-[:DISPOSED_IN|DISPOSED_AT]->() (line 238)") {
+    val got = run(
+      "MATCH (w:WasteItem) WHERE NOT (w)-[:DISPOSED_IN|DISPOSED_AT]->() RETURN w.name")
+      .as[String].collect().toSeq
+    assert(got === Seq("Altlack"))
+    // same rows as the typed operator it shadows
+    val typed = GraphStore.orphans(nodes.filter($"label" === "WasteItem"), edges,
+        Seq("DISPOSED_IN", "DISPOSED_AT"))
+      .select("name").as[String].collect().toSeq
+    assert(got.sorted === typed.sorted)
+  }
+
+  test("projection + LIMIT: MATCH (f:Facility) RETURN f.name, f.address LIMIT 20 (line 241)") {
+    val df = run("MATCH (f:Facility) RETURN f.name, f.address ORDER BY f.name LIMIT 20")
+    assert(df.columns.toSeq === Seq("f.name", "f.address")) // Cypher text naming
+    assert(df.collect().map(_.toSeq).toSeq ===
+      Seq(Seq("Wertstoffhof A", "Campusallee 1"), Seq("Wertstoffhof B", "Nordring 7")))
+  }
+
+  test("untyped rel + type(r)/labels(target)[0]: the line-244 audit query") {
+    val got = run(
+      """MATCH (w:WasteItem)-[r]->(target)
+        |RETURN w.name, type(r), labels(target)[0], target.name
+        |ORDER BY w.name, type(r), target.name""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(got === Seq(
+      Seq("Asche", "DISPOSED_IN", "WasteStream", "Restmuell"),
+      Seq("Bauschutt", "DISPOSED_AT", "Facility", "Wertstoffhof A"),
+      Seq("Bauschutt", "DISPOSED_IN", "WasteStream", "Restmuell"),
+      Seq("Laub", "DISPOSED_IN", "WasteStream", "Biomuell")))
+  }
+
+  test("grouped hop: items per stream DESC (line 249) and backward hop (line 254)") {
+    val streams = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |RETURN s.name AS stream, count(w) AS items ORDER BY items DESC, stream""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(streams === Seq(("Restmuell", 2L), ("Biomuell", 1L)))
+    val fac = run(
+      """MATCH (f:Facility)<-[:DISPOSED_AT]-(w:WasteItem)
+        |RETURN f.name AS facility, count(w) AS items ORDER BY items DESC LIMIT 10""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(fac === Seq(("Wertstoffhof A", 1L)))
+  }
+
+  test("node/edge counts: the neo4j_db.py stats queries (lines 33/137/142)") {
+    assert(run("MATCH (n) RETURN count(n)").as[Long].head() === 8L)
+    assert(run("MATCH (n:`WasteItem`) RETURN count(n) as count").as[Long].head() === 4L)
+    assert(run("MATCH ()-[r]->() RETURN count(r) as count").as[Long].head() === 4L)
+  }
+
+  test("property map + $param substitution (neo4j_db.py params dict)") {
+    val got = run(
+      "MATCH (w:WasteItem {name: $name})-[:DISPOSED_IN]->(s) RETURN s.name AS stream",
+      Map("name" -> "Laub")).as[String].collect().toSeq
+    assert(got === Seq("Biomuell"))
+  }
+
+  test("comma patterns join on shared variables") {
+    val got = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream),
+        |      (w)-[:DISPOSED_AT]->(f:Facility)
+        |RETURN w.name AS item, s.name AS stream, f.name AS facility""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(got === Seq(Seq("Bauschutt", "Restmuell", "Wertstoffhof A")))
+  }
+
+  test("WHERE battery: comparison, CONTAINS, boolean ops, IS NULL, DISTINCT") {
+    assert(run(
+      "MATCH (n) WHERE n.name CONTAINS 'hof' AND n.address IS NOT NULL RETURN count(*)")
+      .as[Long].head() === 2L)
+    assert(run(
+      "MATCH (w:WasteItem) WHERE w.name STARTS WITH 'A' OR w.name = 'Laub' RETURN count(*)")
+      .as[Long].head() === 3L)
+    assert(run(
+      "MATCH (w:WasteItem)-[:DISPOSED_IN]->(s) RETURN DISTINCT labels(s)[0] AS l")
+      .as[String].collect().toSeq === Seq("WasteStream"))
+  }
+
+  test("positive pattern predicate is a semi join") {
+    val got = run(
+      "MATCH (w:WasteItem) WHERE (w)-[:DISPOSED_AT]->(:Facility) RETURN w.name")
+      .as[String].collect().toSeq
+    assert(got === Seq("Bauschutt"))
+  }
+
+  test("writes are rejected with a pointer to the sinks") {
+    val e = intercept[IllegalArgumentException] {
+      run("MATCH (n) DETACH DELETE n")
+    }
+    assert(e.getMessage.contains("GraphStore"))
+    intercept[IllegalArgumentException] {
+      run("MERGE (c:Container {uid: 'x'}) RETURN c")
+    }
+  }
+}
