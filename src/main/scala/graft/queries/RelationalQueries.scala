@@ -1004,6 +1004,34 @@ object RelationalQueries extends QueryPack {
     } finally rmTree(tmp)
   }
 
+  /** q82 — the zero-egress XLSX source through the gate (the
+    * reference's `Abfall_ABC.xlsx`/`AVV_Katalog.xlsx` catalog inputs,
+    * `README.md:122-127`): the nation dim exports to real OOXML bytes
+    * via `XlsxSource.writeBytes` (driver-side — dim-sized by contract),
+    * reads back through the distributed binaryFile+StAX path, and
+    * aggregates against the parquet ground truth. Cells surface as
+    * strings (the xlsx contract), so the group key casts back. */
+  def q82XlsxSource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q82-xlsx")
+    try {
+      val nation = Tables.nation(s, dir)
+        .select("n_nationkey", "n_regionkey", "n_name").orderBy("n_nationkey")
+      val header = Seq("n_nationkey", "n_regionkey", "n_name")
+      val rows = header +: nation.collect().toSeq.map(r =>
+        Seq(r.get(0).toString, r.get(1).toString, r.getString(2)))
+      java.nio.file.Files.write(tmp.resolve("nation.xlsx"),
+        graft.sources.XlsxSource.writeBytes(rows, "Nation"))
+      graft.sources.XlsxSource.read(s, tmp.toString + "/*.xlsx")
+        .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          min("n_name").as("first_name"),
+          max("n_name").as("last_name"),
+          sum(length(col("n_name"))).as("sum_name_len"))
+        .orderBy("n_regionkey")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
   /** q57 — the six-table regional-revenue join (TPC-H Q5's shape): the
     * local-supplier condition (supplier in the customer's own nation)
     * makes lineitem join BOTH orders and supplier before the dimension
@@ -1829,6 +1857,7 @@ object RelationalQueries extends QueryPack {
     "q58_dedup_merge"     -> (q58DedupMerge _),
     "q57_regional_revenue" -> (q57RegionalRevenue _),
     "q56_orc_source"      -> (q56OrcSource _),
+    "q82_xlsx_source"     -> (q82XlsxSource _),
     "q55_json_source"     -> (q55JsonSource _),
     "q54_csv_source"      -> (q54CsvSource _),
     "q53_null_anti"       -> (q53NullAntiJoin _),
@@ -2250,6 +2279,11 @@ object RelationalQueries extends QueryPack {
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
         |  string_agg(n_name, '|' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q82_xlsx_source" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+        |  min(n_name) AS first_name, max(n_name) AS last_name,
+        |  CAST(sum(length(n_name)) AS BIGINT) AS sum_name_len
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q56_orc_source" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,

@@ -1,0 +1,277 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Zero-egress XLSX source — the reference's `Abfall_ABC.xlsx` /
+  * `AVV_Katalog.xlsx` catalog inputs (`/root/reference/README.md:122-127`)
+  * read natively instead of via CSV export: an .xlsx is a ZIP of XML
+  * parts, so JDK-builtin `java.util.zip` + StAX (`javax.xml.stream`)
+  * parse it with no added dependency.
+  *
+  * Spark shape: files load through the `binaryFile` source (Catalyst
+  * handles listing/pruning/bin-packing), each file parses inside one
+  * task (`flatMap` over file rows — the per-partition imperative case
+  * RDDs exist for), and only string cells flow on; the ZIP bytes never
+  * shuffle. Catalog workbooks are dimension-sized, so the driver peeks
+  * ONE file for the header and broadcasts nothing else.
+  *
+  * Cell semantics: shared strings (incl. multi-run rich text,
+  * concatenated), inline strings, cached formula strings, booleans
+  * ("true"/"false"), numbers as their raw stored form (no float
+  * reformatting), sparse rows padded with nulls from the `r="B3"` cell
+  * references. Values surface as nullable strings; typing is the
+  * caller's schema contract, same as the CSV sources.
+  */
+object XlsxSource {
+
+  /** "BC23" → 0-based column index 54. */
+  private[sources] def colIndex(ref: String): Int = {
+    var i = 0; var acc = 0
+    while (i < ref.length && ref(i).isLetter) { acc = acc * 26 + (ref(i).toUpper - 'A' + 1); i += 1 }
+    math.max(acc - 1, 0)
+  }
+
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = Map.newBuilder[String, Array[Byte]]
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out += (e.getName -> zin.readAllBytes())
+      e = zin.getNextEntry
+    }
+    zin.close()
+    out.result()
+  }
+
+  private def stax(bytes: Array[Byte]) = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    // no DTDs/external entities: parsing untrusted workbook XML
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+  }
+
+  /** sharedStrings.xml → indexed strings; rich-text runs concatenate. */
+  private def sharedStrings(bytes: Array[Byte]): Vector[String] = {
+    val r = stax(bytes)
+    val out = Vector.newBuilder[String]
+    var cur: StringBuilder = null
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => cur = new StringBuilder
+            case "t" if cur != null => inT = true
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
+          cur.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => out += cur.toString; cur = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    out.result()
+  }
+
+  /** workbook.xml + its rels → ordered (sheetName, partPath). */
+  private def sheetTable(parts: Map[String, Array[Byte]]): Seq[(String, String)] = {
+    val rels: Map[String, String] = parts.get("xl/_rels/workbook.xml.rels").map { b =>
+      val r = stax(b)
+      val m = Map.newBuilder[String, String]
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship") {
+          val id = r.getAttributeValue(null, "Id")
+          val target = r.getAttributeValue(null, "Target")
+          val norm =
+            if (target.startsWith("/")) target.stripPrefix("/")
+            else "xl/" + target
+          m += (id -> norm)
+        }
+      }
+      r.close(); m.result()
+    }.getOrElse(Map.empty)
+    val wb = parts.getOrElse("xl/workbook.xml", sys.error("xl/workbook.xml missing: not an xlsx"))
+    val r = stax(wb)
+    val out = Seq.newBuilder[(String, String)]
+    while (r.hasNext) {
+      if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "sheet") {
+        val name = r.getAttributeValue(null, "name")
+        var rid: String = null
+        var i = 0
+        while (i < r.getAttributeCount) { // r:id is namespaced; match local name
+          if (r.getAttributeLocalName(i) == "id") rid = r.getAttributeValue(i)
+          i += 1
+        }
+        rels.get(rid).foreach(p => out += (name -> p))
+      }
+    }
+    r.close()
+    out.result()
+  }
+
+  /** One worksheet part → rows of sparse-padded Option[String] cells. */
+  private def parseWorksheet(bytes: Array[Byte], shared: Vector[String]): Seq[Seq[Option[String]]] = {
+    val r = stax(bytes)
+    val rows = Seq.newBuilder[Seq[Option[String]]]
+    var cells: mutable.ArrayBuffer[Option[String]] = null
+    var cellCol = -1
+    var cellType = ""
+    var inV = false
+    var inIs = false
+    var buf: StringBuilder = null
+    def put(idx: Int, v: Option[String]): Unit = {
+      while (cells.length <= idx) cells += None
+      cells(idx) = v
+    }
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => cells = mutable.ArrayBuffer.empty
+            case "c" =>
+              val ref = r.getAttributeValue(null, "r")
+              cellCol = if (ref != null) colIndex(ref) else cells.length
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              buf = new StringBuilder
+            case "v" => inV = true
+            case "is" => inIs = true
+            case "t" if inIs => inV = true // inline-string text runs
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV =>
+          buf.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" => inV = false
+            case "t" if inIs => inV = false
+            case "is" => inIs = false
+            case "c" =>
+              val raw = buf.toString
+              val value = cellType match {
+                case "s" => shared.lift(raw.trim.toInt)
+                case "b" => Some(if (raw.trim == "1") "true" else "false")
+                case _ => if (raw.isEmpty) None else Some(raw)
+              }
+              put(cellCol, value)
+            case "row" => rows += cells.toSeq; cells = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    rows.result()
+  }
+
+  /** All rows of one sheet of one workbook's bytes. `sheet` empty =
+    * first sheet; otherwise matched by name. */
+  def parseSheet(bytes: Array[Byte], sheet: String = ""): Seq[Seq[Option[String]]] = {
+    val parts = zipEntries(bytes)
+    val shared = parts.get("xl/sharedStrings.xml").map(sharedStrings).getOrElse(Vector.empty)
+    val sheets = sheetTable(parts)
+    require(sheets.nonEmpty, "workbook declares no sheets")
+    val part = (if (sheet.isEmpty) sheets.headOption
+                else sheets.find(_._1 == sheet))
+      .map(_._2)
+      .getOrElse(sys.error(
+        s"sheet '$sheet' not found; workbook has ${sheets.map(_._1).mkString(", ")}"))
+    parseWorksheet(parts.getOrElse(part, sys.error(s"missing worksheet part $part")), shared)
+  }
+
+  /** Sheet names of one workbook, in workbook order. */
+  def sheetNames(bytes: Array[Byte]): Seq[String] =
+    sheetTable(zipEntries(bytes)).map(_._1)
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+
+  /** Minimal single-sheet xlsx writer (inline-string cells): the
+    * dimension-table export complement of the reader and the write side
+    * of the q82 round-trip gate. Builds bytes on the driver — use for
+    * dim-sized tables; big tables belong in parquet. Null cells are
+    * skipped (sparse), so a read-back reproduces them as nulls. */
+  def writeBytes(rows: Seq[Seq[String]], sheetName: String = "Sheet1"): Array[Byte] = {
+    def colRef(i: Int): String = {
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    val sheetXml = new StringBuilder
+    sheetXml.append("""<?xml version="1.0" encoding="UTF-8"?>""")
+      .append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    rows.zipWithIndex.foreach { case (cells, ri) =>
+      sheetXml.append(s"""<row r="${ri + 1}">""")
+      cells.zipWithIndex.foreach { case (v, ci) =>
+        if (v != null)
+          sheetXml.append(s"""<c r="${colRef(ci)}${ri + 1}" t="inlineStr"><is><t>""")
+            .append(xmlEscape(v)).append("</t></is></c>")
+      }
+      sheetXml.append("</row>")
+    }
+    sheetXml.append("</sheetData></worksheet>")
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/workbook.xml",
+      s"""<?xml version="1.0" encoding="UTF-8"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/worksheets/sheet1.xml", sheetXml.toString)
+    z.close()
+    bos.toByteArray
+  }
+
+  /** Read every .xlsx under `path` (glob ok) as one DataFrame of the
+    * named sheet. Header row of the first file (by path order) names
+    * the all-string nullable columns; each file's own header row is
+    * dropped when `header`. */
+  def read(spark: SparkSession, path: String, sheet: String = "",
+           header: Boolean = true): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content")).orderBy("path")
+    val first = bin.limit(1).collect()
+    require(first.nonEmpty, s"no files at $path")
+    val firstRows = parseSheet(first(0).getAs[Array[Byte]]("content"), sheet)
+    require(firstRows.nonEmpty, "empty worksheet")
+    val width = firstRows.map(_.length).max
+    val names: Seq[String] =
+      if (header) firstRows.head.zipWithIndex.map {
+        case (c, i) => c.map(_.trim).filter(_.nonEmpty).getOrElse(s"_c$i")
+      }.padTo(width, "").zipWithIndex.map { case (n, i) => if (n.isEmpty) s"_c$i" else n }
+      else (0 until width).map(i => s"_c$i")
+    val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
+    val n = names.length
+    val drop = if (header) 1 else 0
+    val rows = bin.rdd.flatMap { r =>
+      parseSheet(r.getAs[Array[Byte]]("content"), sheet).drop(drop).map { cs =>
+        Row.fromSeq(cs.padTo(n, None).take(n).map(_.orNull))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}
