@@ -55,7 +55,8 @@ object CypherFrontend {
   private case class NodePat(v: Option[String], label: Option[String],
                              props: Map[String, Expr])
   private case class RelPat(v: Option[String], types: Seq[String], forward: Boolean)
-  private case class Chain(head: NodePat, hops: Seq[(RelPat, NodePat)])
+  private case class Chain(head: NodePat, hops: Seq[(RelPat, NodePat)],
+                           optional: Boolean = false)
   private case class RetItem(expr: Expr, alias: Option[String], text: String)
   private case class OrderKey(ref: String, asc: Boolean)
   private case class Query(chains: Seq[Chain], where: Option[Pred],
@@ -75,7 +76,8 @@ object CypherFrontend {
   private val keywords = Set("MATCH", "WHERE", "RETURN", "ORDER", "BY", "ASC",
     "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT", "XOR", "DISTINCT", "AS",
     "CONTAINS", "STARTS", "ENDS", "WITH", "IS", "NULL", "TRUE", "FALSE",
-    "IN", "MERGE", "SET", "DELETE", "DETACH", "CREATE", "REMOVE", "EXISTS")
+    "IN", "MERGE", "SET", "DELETE", "DETACH", "CREATE", "REMOVE", "EXISTS",
+    "OPTIONAL")
 
   private def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -140,9 +142,12 @@ object CypherFrontend {
       val chains = Seq.newBuilder[Chain]
       eatKw("MATCH")
       chains += chain()
-      while (atSym(",") || atKw("MATCH")) { // comma patterns and extra MATCH
-        if (atSym(",")) eatSym(",") else eatKw("MATCH")
-        chains += chain()
+      while (atSym(",") || atKw("MATCH") || atKw("OPTIONAL")) {
+        // comma patterns, extra MATCH, and OPTIONAL MATCH (left join)
+        val opt = atKw("OPTIONAL")
+        if (opt) { eatKw("OPTIONAL"); eatKw("MATCH") }
+        else if (atSym(",")) eatSym(",") else eatKw("MATCH")
+        chains += chain().copy(optional = opt)
       }
       val where = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
       eatKw("RETURN")
@@ -410,7 +415,10 @@ object CypherFrontend {
         }
         val cond = shared.map(v => df(ns(v, "uid")) === renamed(ns(v, "uid") + "_r"))
           .reduce(_ && _)
-        df = df.join(renamed, cond).drop(renamed.columns.filter(_.endsWith("_r")): _*)
+        // OPTIONAL MATCH: Cypher's null-padded left join (DSL outOptional)
+        val joinType = if (ch.optional) "left_outer" else "inner"
+        df = df.join(renamed, cond, joinType)
+          .drop(renamed.columns.filter(_.endsWith("_r")): _*)
         bound ++= cbound
       }
       q.where.foreach { p => df = applyPred(df, p, negated = false) }

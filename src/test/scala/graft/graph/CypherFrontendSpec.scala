@@ -132,6 +132,26 @@ class CypherFrontendSpec extends SparkSpec {
     assert(got === Seq("Bauschutt"))
   }
 
+  test("OPTIONAL MATCH: null-padded left join, count skips unmatched (DSL outOptional twin)") {
+    val got = run(
+      """MATCH (s:WasteStream)
+        |OPTIONAL MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |RETURN s.name AS stream, count(w) AS items ORDER BY stream""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("Biomuell", 1L), ("Restmuell", 2L)))
+    // a stream nobody uses still appears, with items = 0
+    val extraNodes = nodes.unionByName(
+      Seq(("WasteStream", "u:s3", "Sondermuell", null.asInstanceOf[String]))
+        .toDF("label", "uid", "name", "address"))
+    val padded = CypherFrontend.run(
+      """MATCH (s:WasteStream)
+        |OPTIONAL MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |RETURN s.name AS stream, count(w) AS items ORDER BY stream""".stripMargin,
+      extraNodes, edges)
+      .as[(String, Long)].collect().toSeq
+    assert(padded === Seq(("Biomuell", 1L), ("Restmuell", 2L), ("Sondermuell", 0L)))
+  }
+
   test("writes are rejected with a pointer to the sinks") {
     val e = intercept[IllegalArgumentException] {
       run("MATCH (n) DETACH DELETE n")
