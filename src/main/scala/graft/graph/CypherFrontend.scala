@@ -260,6 +260,11 @@ object CypherFrontend {
 
     private def atom(): Expr = next() match {
       case TSym("$") => EParam(ident())
+      case TSym("-") => atom() match { // negative literal (write `< -1` spaced)
+        case ELit(v: Long) => ELit(-v)
+        case ELit(v: Double) => ELit(-v)
+        case other => sys.error(s"'-' before non-numeric $other")
+      }
       case TStr(sv) => ELit(sv)
       case TNum(t) => if (t.contains('.')) ELit(t.toDouble) else ELit(t.toLong)
       case TKw("TRUE") => ELit(true)

@@ -804,7 +804,7 @@ object GraphQueries extends QueryPack {
       .limit(20)
   }
 
-  /** g27–g29 — the Cypher STRING front-end (`graph.CypherFrontend`, the
+  /** g27–g30 — the Cypher STRING front-end (`graph.CypherFrontend`, the
     * reference's arbitrary-Cypher query API `neo4j_db.py:93-106`) gated
     * end-to-end: actual Cypher text in, parsed + compiled onto the same
     * node/edge tables, hash-matched against SQL oracles. g27 is the
@@ -833,7 +833,15 @@ object GraphQueries extends QueryPack {
         |ORDER BY customer, nation""".stripMargin,
       nodes(s, dir), edges(s, dir), Map("region" -> "EUROPE"))
 
+  def g30CypherOptional(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)
+        |OPTIONAL MATCH (c:Customer)-[:IN_NATION]->(n)
+        |RETURN n.name AS nation, count(c) AS customers ORDER BY nation""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "g30_cypher_optional" -> (g30CypherOptional _),
     "g29_cypher_twohop"  -> (g29CypherTwoHop _),
     "g28_cypher_top_nations" -> (g28CypherTopNations _),
     "g27_cypher_labels"  -> (g27CypherLabels _),
@@ -884,6 +892,10 @@ object GraphQueries extends QueryPack {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'EUROPE' AND c_name LIKE '%1%'
         |ORDER BY customer, nation""".stripMargin,
+    "g30_cypher_optional" ->
+      """SELECT n_name AS nation, count(c_custkey) AS customers
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
     // g24: the two HITS rounds unrolled as CTEs with the identical
     // integer max-norm; DuckDB's HUGEINT sums make the wrap-safety
     // mirror explicit (the Spark side rides decimal(38,0)).
