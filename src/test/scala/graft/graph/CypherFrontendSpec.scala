@@ -152,6 +152,43 @@ class CypherFrontendSpec extends SparkSpec {
     assert(padded === Seq(("Biomuell", 1L), ("Restmuell", 2L), ("Sondermuell", 0L)))
   }
 
+  test("randomized equivalence: front-end == typed operators on seeded graphs") {
+    val rng = new scala.util.Random(42)
+    (1 to 6).foreach { _ =>
+      val nNodes = 4 + rng.nextInt(8)
+      val ns = (0 until nNodes).map { i =>
+        val label = if (rng.nextBoolean()) "A" else "B"
+        (label, s"u$i", s"n$i", null.asInstanceOf[String])
+      }
+      val nodesDf = ns.toDF("label", "uid", "name", "address")
+      val es = (0 until nNodes * 2).flatMap { _ =>
+        val a = rng.nextInt(nNodes); val b = rng.nextInt(nNodes)
+        if (a != b) Some((s"u$a", if (rng.nextBoolean()) "R" else "S", s"u$b")) else None
+      }.distinct
+      val edgesDf = es.toDF("src_uid", "rel_type", "dst_uid")
+
+      // orphan anti-join == GraphStore.orphans
+      val cy = CypherFrontend.run(
+        "MATCH (w:A) WHERE NOT (w)-[:R]->() RETURN w.name", nodesDf, edgesDf)
+        .as[String].collect().sorted.toSeq
+      val typed = GraphStore.orphans(nodesDf.filter($"label" === "A"), edgesDf, Seq("R"))
+        .select("name").as[String].collect().sorted.toSeq
+      assert(cy === typed, s"orphans diverged on graph: $ns / $es")
+
+      // grouped hop == direct DataFrame aggregation
+      val cyG = CypherFrontend.run(
+        """MATCH (a:A)-[:R]->(b)
+          |RETURN b.name AS target, count(a) AS n ORDER BY target""".stripMargin,
+        nodesDf, edgesDf).as[(String, Long)].collect().toSeq
+      val direct = nodesDf.filter($"label" === "A")
+        .join(edgesDf.filter($"rel_type" === "R"), $"uid" === $"src_uid")
+        .join(nodesDf.select($"uid".as("dst_uid"), $"name".as("target")), "dst_uid")
+        .groupBy("target").agg(count(lit(1)).as("n"))
+        .orderBy("target").as[(String, Long)].collect().toSeq
+      assert(cyG === direct, s"grouped hop diverged on graph: $ns / $es")
+    }
+  }
+
   test("writes are rejected with a pointer to the sinks") {
     val e = intercept[IllegalArgumentException] {
       run("MATCH (n) DETACH DELETE n")
