@@ -55,11 +55,16 @@ object CypherFrontend {
   private case class NodePat(v: Option[String], label: Option[String],
                              props: Map[String, Expr])
   private case class RelPat(v: Option[String], types: Seq[String], forward: Boolean)
-  private case class Chain(head: NodePat, hops: Seq[(RelPat, NodePat)],
-                           optional: Boolean = false)
+  private case class Chain(head: NodePat, hops: Seq[(RelPat, NodePat)])
+  /** One MATCH / OPTIONAL MATCH clause: comma chains + its own WHERE —
+    * Cypher scopes a WHERE to the clause it follows, which matters for
+    * OPTIONAL MATCH (the predicate filters the MATCHES, it must not
+    * drop null-padded rows post-join). */
+  private case class MatchClause(chains: Seq[Chain], optional: Boolean,
+                                 where: Option[Pred])
   private case class RetItem(expr: Expr, alias: Option[String], text: String)
   private case class OrderKey(ref: String, asc: Boolean)
-  private case class Query(chains: Seq[Chain], where: Option[Pred],
+  private case class Query(clauses: Seq[MatchClause],
                            distinct: Boolean, items: Seq[RetItem],
                            orderBy: Seq[OrderKey], skip: Option[Long],
                            limit: Option[Long])
@@ -139,17 +144,21 @@ object CypherFrontend {
       for (w <- Seq("MERGE", "SET", "DELETE", "DETACH", "CREATE", "REMOVE"))
         require(!toks.exists { case TKw(k) => k == w; case _ => false },
           s"$w is a write clause: use graft.graph.GraphStore sinks for writes")
-      val chains = Seq.newBuilder[Chain]
-      eatKw("MATCH")
-      chains += chain()
-      while (atSym(",") || atKw("MATCH") || atKw("OPTIONAL")) {
-        // comma patterns, extra MATCH, and OPTIONAL MATCH (left join)
-        val opt = atKw("OPTIONAL")
-        if (opt) { eatKw("OPTIONAL"); eatKw("MATCH") }
-        else if (atSym(",")) eatSym(",") else eatKw("MATCH")
-        chains += chain().copy(optional = opt)
+      def matchClause(optional: Boolean): MatchClause = {
+        eatKw("MATCH")
+        val cs = Seq.newBuilder[Chain]
+        cs += chain()
+        while (atSym(",")) { eatSym(","); cs += chain() }
+        val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
+        MatchClause(cs.result(), optional, w)
       }
-      val where = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
+      val clauses = Seq.newBuilder[MatchClause]
+      clauses += matchClause(optional = false)
+      while (atKw("MATCH") || atKw("OPTIONAL")) {
+        val opt = atKw("OPTIONAL")
+        if (opt) eatKw("OPTIONAL")
+        clauses += matchClause(opt)
+      }
       eatKw("RETURN")
       val distinct = if (atKw("DISTINCT")) { eatKw("DISTINCT"); true } else false
       val items = Seq.newBuilder[RetItem]
@@ -164,7 +173,7 @@ object CypherFrontend {
       val skip = if (atKw("SKIP")) { eatKw("SKIP"); Some(num()) } else None
       val limit = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(num()) } else None
       require(pos == toks.length, s"trailing tokens from '${peek.map(_.text).getOrElse("")}'")
-      Query(chains.result(), where, distinct, items.result(), order.result(), skip, limit)
+      Query(clauses.result(), distinct, items.result(), order.result(), skip, limit)
     }
 
     private def num(): Long = next() match {
@@ -407,26 +416,62 @@ object CypherFrontend {
       (df, bound)
     }
 
+    /** Join `right` (a clause's frame) to `left` on shared variable
+      * uids; duplicated shared-var columns are renamed with an exact
+      * marker set (never a suffix heuristic — user property names may
+      * end in any suffix) and dropped after the join. `extraCond`
+      * rides the join condition itself (the OPTIONAL WHERE). */
+    private def joinOnShared(left: DataFrame, right: DataFrame,
+                             shared: Seq[String], joinType: String,
+                             extraCond: Option[DataFrame => Column]): DataFrame = {
+      val dupCols = right.columns.filter(c => shared.exists(v => c.startsWith(v + "$")))
+      val renamed = dupCols.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "#dup"))
+      var cond = shared.map(v => left(ns(v, "uid")) === renamed(ns(v, "uid") + "#dup"))
+        .reduce(_ && _)
+      extraCond.foreach(f => cond = cond && f(renamed))
+      left.join(renamed, cond, joinType).drop(dupCols.map(_ + "#dup").toSeq: _*)
+    }
+
     def compile(q: Query): DataFrame = {
-      // chains join on shared node variables (Cypher comma semantics)
-      var (df, bound) = compileChain(q.chains.head)
-      q.chains.tail.foreach { ch =>
-        val (cdf, cbound) = compileChain(ch)
-        val shared = (bound & cbound).toSeq.sorted
-        require(shared.nonEmpty,
-          "disconnected MATCH patterns would be a cross product; share a variable")
-        val renamed = cdf.columns.foldLeft(cdf) { (d, c) =>
-          if (shared.exists(v => c.startsWith(v + "$"))) d.withColumnRenamed(c, c + "_r") else d
+      var df: DataFrame = null
+      var bound = Set.empty[String]
+      q.clauses.foreach { cl =>
+        // a clause's comma chains join on shared vars (inner, one pattern)
+        var (cdf, cbound) = compileChain(cl.chains.head)
+        cl.chains.tail.foreach { ch =>
+          val (chDf, chBound) = compileChain(ch)
+          val shared = (cbound & chBound).toSeq.sorted
+          require(shared.nonEmpty,
+            "disconnected comma patterns would be a cross product; share a variable")
+          cdf = joinOnShared(cdf, chDf, shared, "inner", None)
+          cbound ++= chBound
         }
-        val cond = shared.map(v => df(ns(v, "uid")) === renamed(ns(v, "uid") + "_r"))
-          .reduce(_ && _)
-        // OPTIONAL MATCH: Cypher's null-padded left join (DSL outOptional)
-        val joinType = if (ch.optional) "left_outer" else "inner"
-        df = df.join(renamed, cond, joinType)
-          .drop(renamed.columns.filter(_.endsWith("_r")): _*)
+        if (df == null) {
+          df = cdf
+          cl.where.foreach(p => df = applyPred(df, p, negated = false))
+        } else {
+          val shared = (bound & cbound).toSeq.sorted
+          require(shared.nonEmpty,
+            "disconnected MATCH patterns would be a cross product; share a variable")
+          if (cl.optional) {
+            // Cypher scoping: OPTIONAL MATCH's WHERE filters the
+            // matches INSIDE the left join — unmatched rows stay
+            // null-padded instead of being dropped post-join
+            val extra = cl.where.map { p => (_: DataFrame) =>
+              p match {
+                case PPattern(_, _, _, _) | PNot(PPattern(_, _, _, _)) =>
+                  sys.error("pattern predicates in an OPTIONAL MATCH WHERE are not supported")
+                case other => predCol(other)
+              }
+            }
+            df = joinOnShared(df, cdf, shared, "left_outer", extra)
+          } else {
+            df = joinOnShared(df, cdf, shared, "inner", None)
+            cl.where.foreach(p => df = applyPred(df, p, negated = false))
+          }
+        }
         bound ++= cbound
       }
-      q.where.foreach { p => df = applyPred(df, p, negated = false) }
 
       val aggs = q.items.filter(i => isAgg(i.expr))
       val outName = (i: RetItem) => i.alias.getOrElse(i.text)
@@ -494,6 +539,11 @@ object CypherFrontend {
       case PStr("starts", l, r) => exprCol(l).startsWith(exprCol(r))
       case PStr("ends", l, r) => exprCol(l).endsWith(exprCol(r))
       case PStr(op, _, _) => sys.error(s"unknown string predicate $op")
+      case PIsNull(EVar(v), neg) =>
+        // a variable's null-ness is its binding's (left-join padding),
+        // never the identity struct's (structs are never null)
+        val c = col(ns(v, if (relVars(v)) "src_uid" else "uid"))
+        if (neg) c.isNotNull else c.isNull
       case PIsNull(e, neg) =>
         if (neg) exprCol(e).isNotNull else exprCol(e).isNull
       case PAnd(l, r) => predCol(l) && predCol(r)
@@ -522,6 +572,10 @@ object CypherFrontend {
 
     private def aggCol(e: Expr): Column = e match {
       case EAgg("count", None, _) => count(lit(1))
+      case EAgg("count", Some(EVar(v)), true) if relVars(v) =>
+        // a relationship's identity is the full (src, type, dst) edge —
+        // distinct on src alone would merge parallel edges
+        countDistinct(col(ns(v, "src_uid")), col(ns(v, "rel_type")), col(ns(v, "dst_uid")))
       case EAgg("count", Some(a), true) => countDistinct(countableCol(a))
       case EAgg("count", Some(a), false) => count(countableCol(a))
       case EAgg("collect", Some(a), d) =>

@@ -164,7 +164,8 @@ object XlsxSource {
             case "c" =>
               val raw = buf.toString
               val value = cellType match {
-                case "s" => shared.lift(raw.trim.toInt)
+                case "s" => // writers emit empty styled cells as <c t="s"/>
+                  if (raw.trim.isEmpty) None else shared.lift(raw.trim.toInt)
                 case "b" => Some(if (raw.trim == "1") "true" else "false")
                 case _ => if (raw.isEmpty) None else Some(raw)
               }
@@ -235,12 +236,16 @@ object XlsxSource {
       z.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       z.closeEntry()
     }
+    // valid OOXML for external consumers (Excel/LibreOffice/openpyxl):
+    // declared content types, root package rels, real relationship type
     entry("[Content_Types].xml",
-      """<?xml version="1.0" encoding="UTF-8"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      """<?xml version="1.0" encoding="UTF-8"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    entry("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
     entry("xl/workbook.xml",
       s"""<?xml version="1.0" encoding="UTF-8"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>""")
     entry("xl/_rels/workbook.xml.rels",
-      """<?xml version="1.0" encoding="UTF-8"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+      """<?xml version="1.0" encoding="UTF-8"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
     entry("xl/worksheets/sheet1.xml", sheetXml.toString)
     z.close()
     bos.toByteArray
@@ -253,10 +258,15 @@ object XlsxSource {
   def read(spark: SparkSession, path: String, sheet: String = "",
            header: Boolean = true): DataFrame = {
     val bin = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content")).orderBy("path")
-    val first = bin.limit(1).collect()
-    require(first.nonEmpty, s"no files at $path")
-    val firstRows = parseSheet(first(0).getAs[Array[Byte]]("content"), sheet)
+      .select(col("path"), col("content"))
+    // header file chosen by sorting PATHS only — sorting `bin` itself
+    // would range-shuffle every workbook's raw bytes for no reason
+    val firstPath = bin.select("path").orderBy("path").limit(1)
+      .collect().headOption.map(_.getString(0))
+      .getOrElse(sys.error(s"no files at $path"))
+    val firstRows = parseSheet(
+      bin.filter(col("path") === firstPath).select("content")
+        .head().getAs[Array[Byte]](0), sheet)
     require(firstRows.nonEmpty, "empty worksheet")
     val width = firstRows.map(_.length).max
     val names: Seq[String] =

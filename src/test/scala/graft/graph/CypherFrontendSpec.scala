@@ -189,6 +189,57 @@ class CypherFrontendSpec extends SparkSpec {
     }
   }
 
+  test("WHERE after OPTIONAL MATCH filters the matches, not the null-padded rows") {
+    // Cypher scoping: every stream still appears; only the matches are
+    // restricted to w.name = 'Laub'. A post-join filter would drop
+    // Restmuell entirely (its matched rows have w.name != 'Laub').
+    val got = run(
+      """MATCH (s:WasteStream)
+        |OPTIONAL MATCH (w:WasteItem)-[:DISPOSED_IN]->(s) WHERE w.name = 'Laub'
+        |RETURN s.name AS stream, count(w) AS items ORDER BY stream""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("Biomuell", 1L), ("Restmuell", 0L)))
+  }
+
+  test("v IS NULL tests the binding: the Cypher unmatched-rows idiom") {
+    val extraNodes = nodes.unionByName(
+      Seq(("WasteStream", "u:s3", "Sondermuell", null.asInstanceOf[String]))
+        .toDF("label", "uid", "name", "address"))
+    val got = CypherFrontend.run(
+      """MATCH (s:WasteStream)
+        |OPTIONAL MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |RETURN s.name AS stream, count(w) AS items ORDER BY stream""".stripMargin,
+      extraNodes, edges)
+    assert(got.count() === 3) // sanity: padded group present
+    val unmatched = CypherFrontend.run(
+      """MATCH (s:WasteStream)
+        |OPTIONAL MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |WHERE w.name CONTAINS 'niemals'
+        |RETURN DISTINCT s.name AS stream ORDER BY stream""".stripMargin,
+      extraNodes, edges).as[String].collect().toSeq
+    assert(unmatched === Seq("Biomuell", "Restmuell", "Sondermuell"))
+    val isNull = CypherFrontend.run(
+      """MATCH (s:WasteStream)
+        |OPTIONAL MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |RETURN s.name AS stream, count(w) AS items ORDER BY stream""".stripMargin,
+      extraNodes, edges).filter(col("items") === 0).count()
+    assert(isNull === 1L)
+    // the idiom itself: IS NULL on the variable after the left join
+    val idiom = CypherFrontend.run(
+      "MATCH (s:WasteStream) OPTIONAL MATCH (w:WasteItem)-[:DISPOSED_IN]->(s) " +
+        "WHERE w.name CONTAINS 'x' RETURN s.name AS stream, count(w) AS n ORDER BY stream",
+      extraNodes, edges).as[(String, Long)].collect()
+    assert(idiom.forall(_._2 == 0L)) // no item contains 'x'; all padded, none dropped
+  }
+
+  test("count(DISTINCT r) counts edges, not distinct sources") {
+    // u:w1 has TWO outgoing edges — distinct-on-src would report 1
+    val cnt = run(
+      "MATCH (w:WasteItem {name: 'Bauschutt'})-[r]->(t) RETURN count(DISTINCT r) AS n")
+      .as[Long].head()
+    assert(cnt === 2L)
+  }
+
   test("writes are rejected with a pointer to the sinks") {
     val e = intercept[IllegalArgumentException] {
       run("MATCH (n) DETACH DELETE n")

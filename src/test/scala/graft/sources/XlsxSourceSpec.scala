@@ -78,6 +78,7 @@ class XlsxSourceSpec extends SparkSpec {
         |  <row r="4">
         |   <c r="A4"><v>170904</v></c>
         |   <c r="B4" t="b"><v>1</v></c>
+        |   <c r="C4" t="s"/>
         |  </row>
         | </sheetData>
         |</worksheet>""".stripMargin)
@@ -103,7 +104,8 @@ class XlsxSourceSpec extends SparkSpec {
     assert(rows(0) === Seq(Some("Abfallart"), Some("Entsorgungsweg"), Some("Hinweis")))
     assert(rows(1) === Seq(Some("Sperrmüll"), Some("Wertstoffhof"), Some("max 2m³")))
     assert(rows(2) === Seq(Some("Altöl"), None, Some("nur mit Termin"))) // B3 absent → null
-    assert(rows(3) === Seq(Some("170904"), Some("true"))) // raw numeric, bool
+    // raw numeric, bool; empty styled shared-string cell <c t="s"/> → null
+    assert(rows(3) === Seq(Some("170904"), Some("true"), None))
   }
 
   test("sheet selection by name; unknown sheet errors with the available names") {
