@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Supported subset = every read query shape the reference issues or
   * documents (`etl_implementation.md:229-257`, `neo4j_db.py:29-157`):
-  * `MATCH` chains with labels, property maps and directed relationships
-  * (incl. `|` type alternation and comma-separated chains joined on
-  * shared variables), `WHERE` with comparisons / boolean ops / string
+  * `MATCH` / `OPTIONAL MATCH` chains with labels, property maps and
+  * directed relationships (incl. `|` type alternation and
+  * comma-separated chains joined on shared variables), per-clause
+  * `WHERE` with Cypher scoping (an OPTIONAL MATCH's predicate filters
+  * its matches inside the left join, never the null-padded rows) over
+  * comparisons / boolean ops / string
   * predicates / `IS [NOT] NULL` / `[NOT] (n)-[:R]->()` pattern
   * predicates, `RETURN [DISTINCT]` with `AS` aliases, `count(*)` /
   * `count([DISTINCT] n)` / `min` / `max` / `sum` / `avg`,
