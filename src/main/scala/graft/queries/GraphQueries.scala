@@ -804,7 +804,7 @@ object GraphQueries extends QueryPack {
       .limit(20)
   }
 
-  /** g27–g30 — the Cypher STRING front-end (`graph.CypherFrontend`, the
+  /** g27–g31 — the Cypher STRING front-end (`graph.CypherFrontend`, the
     * reference's arbitrary-Cypher query API `neo4j_db.py:93-106`) gated
     * end-to-end: actual Cypher text in, parsed + compiled onto the same
     * node/edge tables, hash-matched against SQL oracles. g27 is the
@@ -840,7 +840,15 @@ object GraphQueries extends QueryPack {
         |RETURN n.name AS nation, count(c) AS customers ORDER BY nation""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  def g31CypherPaging(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN n.name AS nation, r.name AS region
+        |ORDER BY nation SKIP 5 LIMIT 10""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "g31_cypher_paging"  -> (g31CypherPaging _),
     "g30_cypher_optional" -> (g30CypherOptional _),
     "g29_cypher_twohop"  -> (g29CypherTwoHop _),
     "g28_cypher_top_nations" -> (g28CypherTopNations _),
@@ -896,6 +904,10 @@ object GraphQueries extends QueryPack {
       """SELECT n_name AS nation, count(c_custkey) AS customers
         |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "g31_cypher_paging" ->
+      """SELECT n_name AS nation, r_name AS region
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY nation OFFSET 5 LIMIT 10""".stripMargin,
     // g24: the two HITS rounds unrolled as CTEs with the identical
     // integer max-norm; DuckDB's HUGEINT sums make the wrap-safety
     // mirror explicit (the Spark side rides decimal(38,0)).
