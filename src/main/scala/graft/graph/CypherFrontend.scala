@@ -577,7 +577,12 @@ object CypherFrontend {
       case EAgg("count", None, _) => count(lit(1))
       case EAgg("count", Some(EVar(v)), true) if relVars(v) =>
         // a relationship's identity is the full (src, type, dst) edge —
-        // distinct on src alone would merge parallel edges
+        // distinct on src alone would merge parallel edges. This is the
+        // ENGINE's edge-identity contract (GraphStore.edgeCols: upserts
+        // key on exactly this triple, so duplicate triples cannot exist
+        // in a stored graph); it diverges from Neo4j only for ad-hoc
+        // edge frames that carry duplicate (src, type, dst) rows, where
+        // Neo4j's per-relationship element ids would count each copy
         countDistinct(col(ns(v, "src_uid")), col(ns(v, "rel_type")), col(ns(v, "dst_uid")))
       case EAgg("count", Some(a), true) => countDistinct(countableCol(a))
       case EAgg("count", Some(a), false) => count(countableCol(a))

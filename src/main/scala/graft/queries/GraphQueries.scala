@@ -329,7 +329,15 @@ object GraphQueries extends QueryPack {
     * members/bucket, so the gates see identical results). The
     * row_number window hash-partitions on the same bucket key the
     * self-join shuffles on, so the exchange is reused — net extra cost
-    * is one per-bucket sort, linear in bucket size. */
+    * is one per-bucket sort, linear in bucket size.
+    *
+    * Oracle-validity contract: the g16–g26 DuckDB oracles model the
+    * UNCAPPED graph, so the gates are exact iff every bucket is at or
+    * under the cap (true for the driver corpus by two orders of
+    * magnitude; HotBucketSpec pins the capped behavior separately).
+    * Above the cap, the deterministically-subsampled co-click graph IS
+    * the defined semantics — a documented estimator, not silent
+    * truncation. */
   private[queries] def capBuckets(buckets: DataFrame, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     buckets
@@ -384,7 +392,11 @@ object GraphQueries extends QueryPack {
     * pairs, which blow up quadratically on hubs) plus g17's degree
     * view; nodes in no triangle coalesce to 0. Integer 2·tri and
     * deg·(deg−1) divide once as doubles and round, so both engines
-    * agree bit-for-bit. */
+    * agree bit-for-bit. Both the degree and triangle legs derive from
+    * the SAME capped pair graph (coClickPairs), so the coefficient is
+    * internally consistent at any cap — it is the exact lcc of the
+    * capped graph, which equals the true graph's below the cap (see
+    * capBuckets' oracle-validity contract). */
   def g25ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
     val pairs = coClickPairs(s, dir)
     val (_, deg) = adjAndDeg(pairs)
@@ -505,7 +517,13 @@ object GraphQueries extends QueryPack {
     val universe = c.agg(countDistinct("b").as("n_buckets"))
     val marg = c.groupBy("user_id").agg(count(lit(1)).as("n_u"))
     // marginals/universe stay on the FULL incidence (they are linear);
-    // only the quadratic pair-generation leg gets the hot-bucket cap
+    // only the quadratic pair-generation leg gets the hot-bucket cap.
+    // Deliberate asymmetry: above the cap, n_ab is subsampled while
+    // n_a/n_b stay exact, so a celebrity pair's lift is a DOWNWARD-
+    // biased estimate — conservative for association mining (capping
+    // the marginals too would instead inflate P(a)·P(b) accuracy loss
+    // into every pair that touches a hot user). Below the cap (all
+    // gated data) the estimator is exact; see capBuckets' contract.
     val cc = capBuckets(c, bucketCap(s))
     val pairCnt = cc.select(col("b"), col("user_id").as("u1"))
       .join(cc.select(col("b"), col("user_id").as("u2")), "b")

@@ -1107,6 +1107,10 @@ object RelationalQueries extends QueryPack {
     * rounding is presentation, not a noise blanket. */
   def q59StatsMoments(s: SparkSession, dir: String): DataFrame = {
     val n = col("cnt")
+    // n·(n−1) in decimal, not LongType: a group past ~3e9 rows would
+    // silently wrap the Long product (non-ANSI), corrupting sd/covar —
+    // decimal mirrors the oracle's HUGEINT arithmetic exactly
+    val nn1 = n.cast("decimal(38,0)") * (n.cast("decimal(38,0)") - 1)
     def d(c: Column) = c.cast("double")
     val m2x = n * col("sxx") - col("sx") * col("sx") // n²·Var(x), exact
     val m2y = n * col("syy") - col("sy") * col("sy")
@@ -1123,9 +1127,9 @@ object RelationalQueries extends QueryPack {
         sum(col("x") * col("y")).as("sxy"))
       .select(col("l_returnflag"), col("cnt"),
         round(d(col("sx")) / n / 100, 2).as("avg_price"),
-        round(sqrt(d(m2x) / d(n * (n - 1))) / 100, 2).as("sd_price"),
+        round(sqrt(d(m2x) / d(nn1)) / 100, 2).as("sd_price"),
         round(d(m1) / sqrt(d(m2x) * d(m2y)), 6).as("corr_qty_price"),
-        round(d(m1) / d(n * (n - 1)) / 100, 2).as("covar_qty_price"),
+        round(d(m1) / d(nn1) / 100, 2).as("covar_qty_price"),
         round(d(m1) / d(m2y) / 100, 4).as("price_per_qty"))
       .orderBy("l_returnflag")
   }

@@ -78,14 +78,16 @@ object DocExtract {
 
   /** Real plain-text extraction: decode, normalize, paragraph-packed
     * chunking, first-line title. Provenance records the extractor and
-    * the paragraph count it saw — never "stub". */
+    * the paragraph count it saw — never "stub". An empty or
+    * whitespace-only document yields 0 chunks (and so 0 DERIVED_FROM
+    * edges), matching the oracle's ceil(len/500) law exactly. */
   class PlainTextExtractor(chunkChars: Int = 500) extends Extractor {
     def extract(d: RawDoc): Extracted = {
       val text = normalize(new String(d.content, StandardCharsets.UTF_8))
       val paras = paragraphs(text)
       val chunks = packChunks(paras, chunkChars)
       Extracted(d.doc_id, d.source_type, d.name, text, titleOf(text),
-        math.max(1, chunks.size), s"text:${paras.size}p")
+        chunks.size, s"text:${paras.size}p")
     }
   }
 
@@ -105,7 +107,7 @@ object DocExtract {
       val chunks = packChunks(paras, chunkChars)
       Extracted(d.doc_id, d.source_type, d.name, text,
         heading.getOrElse(titleOf(text)).take(120),
-        math.max(1, chunks.size), s"md:${paras.size}p")
+        chunks.size, s"md:${paras.size}p")
     }
   }
 
@@ -174,6 +176,9 @@ object DocExtract {
   def toDerivedFromEdges(extracted: Dataset[Extracted]): DataFrame =
     extracted.toDF()
       .filter(col("source_type").isin(SourceTypes.toSeq: _*))
+      // 0-chunk (empty) docs emit no edges — without this guard,
+      // sequence(0, -1) would produce a DESCENDING [0, -1] range
+      .filter(col("n_chunks") > 0)
       .select(col("name"),
         explode(sequence(lit(0L), col("n_chunks").cast("long") - 1)).as("chunk_idx"))
       .select(

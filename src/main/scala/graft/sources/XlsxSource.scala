@@ -38,12 +38,35 @@ object XlsxSource {
     math.max(acc - 1, 0)
   }
 
+  /** Decompression bounds for untrusted workbooks: a crafted ZIP can
+    * declare tiny compressed entries that inflate without limit (zip
+    * bomb) and OOM the executor mid-task. Any real catalog workbook's
+    * XML parts sit far below these; a hostile one fails with a clear
+    * error instead of taking the JVM down. */
+  private[sources] val MaxEntryBytes: Long = 256L * 1024 * 1024
+  private[sources] val MaxTotalBytes: Long = 1024L * 1024 * 1024
+
   private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
+    var total = 0L
+    val buf = new Array[Byte](64 * 1024)
     var e = zin.getNextEntry
     while (e != null) {
-      if (!e.isDirectory) out += (e.getName -> zin.readAllBytes())
+      if (!e.isDirectory) {
+        val bos = new java.io.ByteArrayOutputStream()
+        var n = zin.read(buf)
+        while (n >= 0) {
+          bos.write(buf, 0, n)
+          total += n
+          require(bos.size() <= MaxEntryBytes,
+            s"zip entry '${e.getName}' inflates past $MaxEntryBytes bytes: refusing (zip bomb?)")
+          require(total <= MaxTotalBytes,
+            s"workbook inflates past $MaxTotalBytes bytes total: refusing (zip bomb?)")
+          n = zin.read(buf)
+        }
+        out += (e.getName -> bos.toByteArray)
+      }
       e = zin.getNextEntry
     }
     zin.close()
@@ -58,24 +81,33 @@ object XlsxSource {
     f.createXMLStreamReader(new ByteArrayInputStream(bytes))
   }
 
-  /** sharedStrings.xml → indexed strings; rich-text runs concatenate. */
+  /** sharedStrings.xml → indexed strings; rich-text runs concatenate.
+    * Phonetic guide subtrees (`<rPh>`/`<phoneticPr>` — furigana
+    * annotations Excel stores NEXT to the cell text) are skipped, so a
+    * Japanese workbook's cell values don't get their reading glosses
+    * concatenated in. */
   private def sharedStrings(bytes: Array[Byte]): Vector[String] = {
     val r = stax(bytes)
     val out = Vector.newBuilder[String]
     var cur: StringBuilder = null
     var inT = false
+    var phoneticDepth = 0
     while (r.hasNext) {
       r.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
+            case "rPh" | "phoneticPr" => phoneticDepth += 1
+            case _ if phoneticDepth > 0 =>
             case "si" => cur = new StringBuilder
             case "t" if cur != null => inT = true
             case _ =>
           }
-        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT && phoneticDepth == 0 =>
           cur.append(r.getText)
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
+            case "rPh" | "phoneticPr" => phoneticDepth -= 1
+            case _ if phoneticDepth > 0 =>
             case "t" => inT = false
             case "si" => out += cur.toString; cur = null
             case _ =>

@@ -88,6 +88,20 @@ class DocExtractSpec extends SparkSpec {
     assert(edges.select("chunk_uid").distinct().count() === edges.count())
   }
 
+  test("empty and whitespace-only docs yield 0 chunks and 0 DERIVED_FROM edges") {
+    val ds = Seq(
+      RawDoc(20, "txt", "empty.txt", Array.emptyByteArray),
+      RawDoc(21, "txt", "blank.txt", "  \n\n\t \r\n".getBytes("UTF-8")),
+      RawDoc(22, "txt", "real.txt", "inhalt".getBytes("UTF-8"))).toDS()
+    val ex = extractAll(ds, () => new PlainTextExtractor())
+    val byId = ex.collect().map(e => e.doc_id -> e.n_chunks).toMap
+    // the oracle's law is ceil(len/500): empty → 0, matching exactly
+    assert(byId === Map(20L -> 0, 21L -> 0, 22L -> 1))
+    val edges = toDerivedFromEdges(ex)
+    assert(edges.count() === 1)
+    assert(edges.select("name").as[String].collect().toSeq === Seq("real.txt"))
+  }
+
   test("packChunks: over-long paragraph slices to ceil(len/budget); short paragraphs pack") {
     val one = packChunks(Seq("x" * 1234), 500)
     assert(one.size === 3 && one.map(_.length).sum === 1234)

@@ -117,6 +117,50 @@ class XlsxSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("Abfall_ABC"))
   }
 
+  test("phonetic guide runs (rPh/phoneticPr) are excluded from shared-string values") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entry(z, "xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        | <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    entry(z, "xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        | <Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    // Excel stores the furigana reading NEXT to the text; only 東京 is the value
+    entry(z, "xl/sharedStrings.xml",
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1">
+        | <si><t>東京</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si>
+        |</sst>""".stripMargin)
+    entry(z, "xl/worksheets/sheet1.xml",
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        | <sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row></sheetData>
+        |</worksheet>""".stripMargin)
+    z.close()
+    val rows = XlsxSource.parseSheet(bos.toByteArray)
+    assert(rows === Seq(Seq(Some("東京"))))
+  }
+
+  test("zip-bomb guard: an entry inflating past the bound fails fast instead of OOMing") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    // highly compressible payload just over the per-entry bound
+    val chunk = new Array[Byte](1024 * 1024) // zeros
+    z.putNextEntry(new ZipEntry("xl/workbook.xml"))
+    var written = 0L
+    while (written <= XlsxSource.MaxEntryBytes) { z.write(chunk); written += chunk.length }
+    z.closeEntry()
+    z.close()
+    val e = intercept[IllegalArgumentException](XlsxSource.parseSheet(bos.toByteArray))
+    assert(e.getMessage.contains("zip bomb"))
+  }
+
   test("distributed read: binaryFile -> header-named all-string DataFrame") {
     val dir = Files.createTempDirectory("graft-xlsx")
     Files.write(dir.resolve("abfall_abc.xlsx"), fixtureBytes)
