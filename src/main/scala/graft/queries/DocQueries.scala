@@ -54,9 +54,42 @@ object DocQueries extends QueryPack {
       .select("chunk_uid", "rel_type", "src_uid", "name", "chunk_idx")
       .orderBy("name", "chunk_idx")
 
+  /** The documents corpus re-packaged as REAL .docx files (one plain
+    * paragraph each), built per-row with the zero-egress OOXML writer.
+    * Packaging runs in the same task that will extract — docx bytes
+    * never shuffle, exactly like the binary-source path. */
+  private def rawDocxDocs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        DocExtract.RawDoc(id, "docx", s"docx_$id", DocExtract.docxBytes(text)) }
+  }
+
+  /** q83 — the real DOCX extractor end-to-end: corpus text → OOXML
+    * package → bounded unzip + StAX paragraph extraction → Source-node
+    * projection. The round trip pins the writer AND the extractor to
+    * the oracle's laws (trimmed text round-trips byte-exactly through
+    * XML escaping, ceil(len/500) chunking, 120-char title); heading
+    * styles and multi-run/tab/break bodies are pinned by
+    * DocExtractSpec fixtures instead (not SQL-expressible from the
+    * corpus). */
+  def q83DocxExtract(s: SparkSession, dir: String): DataFrame =
+    DocExtract.extractAll(rawDocxDocs(s, dir),
+        () => new DocExtract.DocxExtractor()).toDF()
+      .select(col("doc_id"), col("name"),
+        graft.core.Uid.uid(col("name")).as("uid"),
+        col("source_type").as("type"),
+        col("title"),
+        length(col("text")).cast("long").as("text_len"),
+        col("n_chunks"),
+        col("provenance"))
+      .orderBy("doc_id")
+
   val queries: Map[String, QueryFn] = Map(
     "q80_doc_extract"   -> (q80DocExtract _),
-    "q81_derived_edges" -> (q81DerivedEdges _))
+    "q81_derived_edges" -> (q81DerivedEdges _),
+    "q83_docx_extract"  -> (q83DocxExtract _))
 
   /** The corpus is single-paragraph (no newlines — TESTDATA.md), so the
     * extractor's normalize is trim, the title is the capped first line,
@@ -82,5 +115,14 @@ object DocQueries extends QueryPack {
         | SELECT 'doc_' || doc_id AS name,
         |  unnest(range(0, CAST(ceil(length(trim(text)) / 500.0) AS BIGINT))) AS i
         | FROM documents)
-        |ORDER BY name, chunk_idx""".stripMargin)
+        |ORDER BY name, chunk_idx""".stripMargin,
+    "q83_docx_extract" ->
+      """SELECT doc_id, 'docx_' || doc_id AS name,
+        | substr(sha256('docx_' || doc_id), 1, 16) AS uid,
+        | 'docx' AS type,
+        | substr(trim(text), 1, 120) AS title,
+        | length(trim(text)) AS text_len,
+        | CAST(ceil(length(trim(text)) / 500.0) AS INT) AS n_chunks,
+        | 'docx:1p' AS provenance
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * provenance out, flowing into the graph as `Source` nodes
   * (`schema.cql:96-98`) with per-chunk `DERIVED_FROM` edges (§1.1).
   *
-  * Two REAL zero-egress extractors run on actual bytes:
+  * Three REAL zero-egress extractors run on actual bytes:
   * [[PlainTextExtractor]] (UTF-8 decode, BOM strip, newline
-  * normalization, paragraph-packed chunking) and [[MarkdownExtractor]]
-  * (the same plus markup stripping and heading-derived titles). The
-  * PDF/DOCX/LLM codecs this container lacks stay behind the same
+  * normalization, paragraph-packed chunking), [[MarkdownExtractor]]
+  * (the same plus markup stripping and heading-derived titles), and
+  * [[DocxExtractor]] (OOXML `word/document.xml` paragraph runs via the
+  * bounded ZIP + StAX machinery shared with [[XlsxSource]]). Only the
+  * PDF and LLM codecs this container lacks stay behind the same
   * [[Extractor]] interface ([[StubExtractor]] marks that seam).
   *
   * The Spark side is identical for every extractor: partition-batched
@@ -133,6 +135,125 @@ object DocExtract {
       .trim
   }
 
+  /** Real DOCX extraction — the reference's planned Word-document
+    * ingestion (`etl_implementation.md:262-273`, `README.md:122-127`)
+    * with no added dependency: a .docx is a ZIP of XML (the same OOXML
+    * family [[XlsxSource]] reads), so [[Ooxml]]'s bounded unzip + StAX
+    * parse `word/document.xml` directly.
+    *
+    * Paragraph model: each `w:p` is one paragraph; `w:t` runs
+    * concatenate (multi-run text — Word splits runs on any formatting
+    * boundary); `w:tab` → tab, `w:br`/`w:cr` → newline. Heading-styled
+    * paragraphs (`w:pStyle w:val="Heading*"|"Title"`) stay in the text
+    * AND the first one becomes the document title — the same
+    * heading-derived-title contract as [[MarkdownExtractor]]. Table
+    * cell paragraphs (`w:p` inside `w:tbl`) are captured in document
+    * order. Chunking and empty-doc laws are identical to the other
+    * extractors (0 chunks for an empty body).
+    */
+  class DocxExtractor(chunkChars: Int = 500) extends Extractor {
+    def extract(d: RawDoc): Extracted = {
+      val (paras, heading) = docxParagraphs(d.content)
+      val text = normalize(paras.mkString("\n\n"))
+      val packed = packChunks(paragraphs(text), chunkChars)
+      Extracted(d.doc_id, d.source_type, d.name, text,
+        heading.getOrElse(titleOf(text)).take(120),
+        packed.size, s"docx:${paras.size}p")
+    }
+  }
+
+  /** word/document.xml → (non-empty paragraphs in document order,
+    * first heading text). Exposed for the spec. */
+  private[sources] def docxParagraphs(bytes: Array[Byte]): (Seq[String], Option[String]) = {
+    val parts = Ooxml.zipEntries(bytes)
+    val doc = parts.getOrElse("word/document.xml",
+      sys.error("word/document.xml missing: not a .docx package"))
+    val r = Ooxml.stax(doc)
+    val paras = Seq.newBuilder[String]
+    var heading: Option[String] = None
+    var cur: StringBuilder = null
+    var curIsHeading = false
+    var inT = false
+    var inR = false // literal tab/br live in runs; w:pPr/w:tabs declares tab STOPS
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "p" => cur = new StringBuilder; curIsHeading = false
+            case "r" => inR = true
+            case "pStyle" if cur != null =>
+              val style = Option(r.getAttributeValue(null, "val"))
+                .orElse {
+                  // w:val is namespaced; fall back to local-name match
+                  (0 until r.getAttributeCount)
+                    .find(i => r.getAttributeLocalName(i) == "val")
+                    .map(r.getAttributeValue)
+                }
+              if (style.exists(s => s.startsWith("Heading") || s == "Title"))
+                curIsHeading = true
+            case "t" if cur != null && inR => inT = true
+            case "tab" if cur != null && inR => cur.append('\t')
+            case "br" | "cr" if cur != null && inR => cur.append('\n')
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
+          cur.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "r" => inR = false
+            case "p" =>
+              val text = cur.toString.trim
+              if (text.nonEmpty) {
+                paras += text
+                if (curIsHeading && heading.isEmpty) heading = Some(text)
+              }
+              cur = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    (paras.result(), heading)
+  }
+
+  /** Minimal valid single-part .docx writer: the round-trip complement
+    * of [[DocxExtractor]] (and the q83 gate's input builder), mirroring
+    * [[XlsxSource.writeBytes]]. Each (style, text) pair becomes one
+    * `w:p`; a `Some("Heading1")`-style paragraph gets a `w:pStyle`. */
+  def docxBytes(paras: Seq[(Option[String], String)]): Array[Byte] = {
+    val body = new StringBuilder
+    body.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      .append("""<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""")
+    paras.foreach { case (style, text) =>
+      body.append("<w:p>")
+      style.foreach(s =>
+        body.append(s"""<w:pPr><w:pStyle w:val="${Ooxml.xmlEscape(s)}"/></w:pPr>"""))
+      body.append("""<w:r><w:t xml:space="preserve">""")
+        .append(Ooxml.xmlEscape(text))
+        .append("</w:t></w:r></w:p>")
+    }
+    body.append("</w:body></w:document>")
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/></Types>""")
+    entry("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/></Relationships>""")
+    entry("word/document.xml", body.toString)
+    z.close()
+    bos.toByteArray
+  }
+
+  /** Single plain paragraph convenience (the q83 corpus shape). */
+  def docxBytes(text: String): Array[Byte] = docxBytes(Seq((None, text)))
+
   /** Extract every document, one extractor instance per partition. */
   def extractAll(docs: Dataset[RawDoc],
                  mk: () => Extractor = () => new PlainTextExtractor()): Dataset[Extracted] = {
@@ -143,8 +264,8 @@ object DocExtract {
     }
   }
 
-  /** Deterministic stand-in marking the seam where a real PDF/DOCX
-    * parser or LLM client would sit. */
+  /** Deterministic stand-in marking the seam where a real PDF parser
+    * or LLM client would sit (txt/md/docx all have real extractors). */
   class StubExtractor(chunkChars: Int = 500) extends Extractor {
     def extract(d: RawDoc): Extracted = {
       val text = new String(d.content, StandardCharsets.UTF_8)

@@ -1,8 +1,5 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
-import java.util.zip.ZipInputStream
-
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -38,48 +35,15 @@ object XlsxSource {
     math.max(acc - 1, 0)
   }
 
-  /** Decompression bounds for untrusted workbooks: a crafted ZIP can
-    * declare tiny compressed entries that inflate without limit (zip
-    * bomb) and OOM the executor mid-task. Any real catalog workbook's
-    * XML parts sit far below these; a hostile one fails with a clear
-    * error instead of taking the JVM down. */
-  private[sources] val MaxEntryBytes: Long = 256L * 1024 * 1024
-  private[sources] val MaxTotalBytes: Long = 1024L * 1024 * 1024
+  /** Decompression bounds (zip-bomb guard) — see [[Ooxml]], shared with
+    * the DOCX extractor. Re-exported for the specs. */
+  private[sources] def MaxEntryBytes: Long = Ooxml.MaxEntryBytes
+  private[sources] def MaxTotalBytes: Long = Ooxml.MaxTotalBytes
 
-  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
-    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
-    val out = Map.newBuilder[String, Array[Byte]]
-    var total = 0L
-    val buf = new Array[Byte](64 * 1024)
-    var e = zin.getNextEntry
-    while (e != null) {
-      if (!e.isDirectory) {
-        val bos = new java.io.ByteArrayOutputStream()
-        var n = zin.read(buf)
-        while (n >= 0) {
-          bos.write(buf, 0, n)
-          total += n
-          require(bos.size() <= MaxEntryBytes,
-            s"zip entry '${e.getName}' inflates past $MaxEntryBytes bytes: refusing (zip bomb?)")
-          require(total <= MaxTotalBytes,
-            s"workbook inflates past $MaxTotalBytes bytes total: refusing (zip bomb?)")
-          n = zin.read(buf)
-        }
-        out += (e.getName -> bos.toByteArray)
-      }
-      e = zin.getNextEntry
-    }
-    zin.close()
-    out.result()
-  }
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] =
+    Ooxml.zipEntries(bytes)
 
-  private def stax(bytes: Array[Byte]) = {
-    val f = javax.xml.stream.XMLInputFactory.newInstance()
-    // no DTDs/external entities: parsing untrusted workbook XML
-    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
-    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
-  }
+  private def stax(bytes: Array[Byte]) = Ooxml.stax(bytes)
 
   /** sharedStrings.xml → indexed strings; rich-text runs concatenate.
     * Phonetic guide subtrees (`<rPh>`/`<phoneticPr>` — furigana
@@ -231,11 +195,7 @@ object XlsxSource {
   def sheetNames(bytes: Array[Byte]): Seq[String] =
     sheetTable(zipEntries(bytes)).map(_._1)
 
-  private def xmlEscape(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
-      case '"' => "&quot;"; case c => c.toString
-    }
+  private def xmlEscape(s: String): String = Ooxml.xmlEscape(s)
 
   /** Minimal single-sheet xlsx writer (inline-string cells): the
     * dimension-table export complement of the reader and the write side

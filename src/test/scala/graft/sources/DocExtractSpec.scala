@@ -1,5 +1,8 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -100,6 +103,65 @@ class DocExtractSpec extends SparkSpec {
     val edges = toDerivedFromEdges(ex)
     assert(edges.count() === 1)
     assert(edges.select("name").as[String].collect().toSeq === Seq("real.txt"))
+  }
+
+  test("docx round trip: writer paragraphs -> extractor; heading style becomes the title") {
+    val bytes = docxBytes(Seq(
+      (Some("Heading1"), "Entsorgungsleitfaden Labor"),
+      (None, "Chemikalien nur in Originalbehältern lagern."),
+      (Some("Heading2"), "Säuren & Laugen"), // & pins XML escaping
+      (None, "x" * 1200)))
+    val out = extractAll(Seq(RawDoc(30, "docx", "leitfaden.docx", bytes)).toDS(),
+      () => new DocxExtractor()).collect().head
+    assert(out.title === "Entsorgungsleitfaden Labor")
+    assert(out.provenance === "docx:4p")
+    assert(out.text.contains("Säuren & Laugen"))
+    assert(out.text.contains("Originalbehältern"))
+    // 4 paragraphs, one over-long: greedy packing at the 500 budget
+    assert(out.n_chunks === packChunks(paragraphs(out.text), 500).size)
+    // re-run → identical bytes in, identical extraction out
+    assert(out === extractAll(Seq(RawDoc(30, "docx", "leitfaden.docx", bytes)).toDS(),
+      () => new DocxExtractor()).collect().head)
+  }
+
+  test("docx parsing: multi-run text, literal tabs/breaks in runs, tab STOPS ignored, empty paragraphs dropped") {
+    val documentXml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        | <w:body>
+        |  <w:p>
+        |   <w:pPr><w:tabs><w:tab w:val="left" w:pos="720"/></w:tabs></w:pPr>
+        |   <w:r><w:t>Sperr</w:t></w:r><w:r><w:t>müll</w:t></w:r>
+        |   <w:r><w:tab/><w:t>max 2m³</w:t></w:r>
+        |  </w:p>
+        |  <w:p/>
+        |  <w:p><w:r><w:t>Zeile eins</w:t><w:br/><w:t>Zeile zwei</w:t></w:r></w:p>
+        | </w:body>
+        |</w:document>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("word/document.xml"))
+    z.write(documentXml.getBytes(StandardCharsets.UTF_8))
+    z.closeEntry(); z.close()
+    val (paras, heading) = DocExtract.docxParagraphs(bos.toByteArray)
+    // runs concatenate; the run tab is literal, the pPr tab stop is not
+    assert(paras === Seq("Sperrmüll\tmax 2m³", "Zeile eins\nZeile zwei"))
+    assert(heading === None)
+  }
+
+  test("docx: non-docx zip fails with a clear error") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("unrelated.txt")); z.write(1); z.closeEntry(); z.close()
+    val e = intercept[RuntimeException](DocExtract.docxParagraphs(bos.toByteArray))
+    assert(e.getMessage.contains("not a .docx"))
+  }
+
+  test("docx: empty body yields 0 chunks (same law as the text extractors)") {
+    val out = extractAll(
+      Seq(RawDoc(31, "docx", "leer.docx", docxBytes(Seq.empty))).toDS(),
+      () => new DocxExtractor()).collect().head
+    assert(out.n_chunks === 0 && out.text === "" && out.provenance === "docx:0p")
   }
 
   test("packChunks: over-long paragraph slices to ceil(len/budget); short paragraphs pack") {
