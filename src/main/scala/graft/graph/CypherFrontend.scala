@@ -13,18 +13,25 @@ import org.apache.spark.sql.functions._
   * Supported subset = every read query shape the reference issues or
   * documents (`etl_implementation.md:229-257`, `neo4j_db.py:29-157`):
   * `MATCH` / `OPTIONAL MATCH` chains with labels, property maps and
-  * directed relationships (incl. `|` type alternation and
-  * comma-separated chains joined on shared variables), per-clause
+  * directed relationships (incl. `|` type alternation,
+  * comma-separated chains joined on shared variables, and bounded
+  * variable-length `-[:R*lo..hi]->` hops compiled to the same
+  * unrolled-join union as `GraphDSL.outVar` — walk semantics, depth
+  * capped at 10, unbounded `*` pointed at `Traversal`), per-clause
   * `WHERE` with Cypher scoping (an OPTIONAL MATCH's predicate filters
   * its matches inside the left join, never the null-padded rows) over
   * comparisons / boolean ops / string
   * predicates / `IS [NOT] NULL` / `[NOT] (n)-[:R]->()` pattern
-  * predicates, `RETURN [DISTINCT]` with `AS` aliases, `count(*)` /
+  * predicates, one `WITH items [WHERE pred]` pipeline stage
+  * (projection or implicit-grouping aggregation; the WHERE is HAVING;
+  * later MATCHes join on the carried variables), `RETURN [DISTINCT]`
+  * with `AS` aliases, `count(*)` /
   * `count([DISTINCT] n)` / `min` / `max` / `sum` / `avg`,
   * `labels(n)[0]`, `type(r)`, property access, `$param` substitution,
-  * `ORDER BY ... [ASC|DESC]`, `SKIP`, `LIMIT`. Writes (`MERGE`, `SET`,
-  * `DELETE`) are the ETL sinks' job ([[GraphStore]]) and are rejected
-  * here with a pointer.
+  * `ORDER BY ... [ASC|DESC]`, `SKIP`, `LIMIT`. Write statements
+  * (`MERGE` templates) compile through [[CypherWrite]] to the
+  * [[GraphStore]] upsert sinks; other writes (`SET`, `DELETE`) are
+  * rejected with a pointer.
   *
   * Node tables are `(label, uid, <props...>)`, edge tables
   * `(src_uid, rel_type, dst_uid, <props...>)` — the engine-wide graph
@@ -57,7 +64,10 @@ object CypherFrontend {
 
   private case class NodePat(v: Option[String], label: Option[String],
                              props: Map[String, Expr])
-  private case class RelPat(v: Option[String], types: Seq[String], forward: Boolean)
+  /** `varLen = Some((lo, hi))` for `-[:R*lo..hi]->` bounded
+    * variable-length relationships. */
+  private case class RelPat(v: Option[String], types: Seq[String], forward: Boolean,
+                            varLen: Option[(Int, Int)] = None)
   private case class Chain(head: NodePat, hops: Seq[(RelPat, NodePat)])
   /** One MATCH / OPTIONAL MATCH clause: comma chains + its own WHERE —
     * Cypher scopes a WHERE to the clause it follows, which matters for
@@ -67,7 +77,15 @@ object CypherFrontend {
                                  where: Option[Pred])
   private case class RetItem(expr: Expr, alias: Option[String], text: String)
   private case class OrderKey(ref: String, asc: Boolean)
+  /** One `WITH items [WHERE pred]` pipeline stage: projects/aggregates
+    * the rows so far, optionally filters the projected frame (the
+    * post-aggregation WHERE = SQL HAVING), then later MATCH clauses
+    * join against the carried variables. */
+  private case class WithStage(distinct: Boolean, items: Seq[RetItem],
+                               where: Option[Pred])
   private case class Query(clauses: Seq[MatchClause],
+                           withStage: Option[WithStage],
+                           postClauses: Seq[MatchClause],
                            distinct: Boolean, items: Seq[RetItem],
                            orderBy: Seq[OrderKey], skip: Option[Long],
                            limit: Option[Long])
@@ -162,6 +180,27 @@ object CypherFrontend {
         if (opt) eatKw("OPTIONAL")
         clauses += matchClause(opt)
       }
+      // one WITH pipeline stage, optionally followed by more MATCHes
+      // joining on the carried variables (a second WITH fails the
+      // RETURN expectation below with a clear position)
+      val withStage =
+        if (atKw("WITH")) {
+          eatKw("WITH")
+          val wd = if (atKw("DISTINCT")) { eatKw("DISTINCT"); true } else false
+          val wi = Seq.newBuilder[RetItem]
+          wi += retItem()
+          while (atSym(",")) { eatSym(","); wi += retItem() }
+          val ww = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
+          Some(WithStage(wd, wi.result(), ww))
+        } else None
+      val post = Seq.newBuilder[MatchClause]
+      if (withStage.isDefined) {
+        while (atKw("MATCH") || atKw("OPTIONAL")) {
+          val opt = atKw("OPTIONAL")
+          if (opt) eatKw("OPTIONAL")
+          post += matchClause(opt)
+        }
+      }
       eatKw("RETURN")
       val distinct = if (atKw("DISTINCT")) { eatKw("DISTINCT"); true } else false
       val items = Seq.newBuilder[RetItem]
@@ -176,7 +215,8 @@ object CypherFrontend {
       val skip = if (atKw("SKIP")) { eatKw("SKIP"); Some(num()) } else None
       val limit = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(num()) } else None
       require(pos == toks.length, s"trailing tokens from '${peek.map(_.text).getOrElse("")}'")
-      Query(clauses.result(), distinct, items.result(), order.result(), skip, limit)
+      Query(clauses.result(), withStage, post.result(), distinct,
+        items.result(), order.result(), skip, limit)
     }
 
     private def num(): Long = next() match {
@@ -210,12 +250,16 @@ object CypherFrontend {
       NodePat(v, label, props)
     }
 
-    /** -[r:T1|T2]->(m) or <-[:T]-(m) or -[r]->(m); undirected rejected. */
+    /** -[r:T1|T2]->(m), <-[:T]-(m), -[r]->(m), -[:T*1..3]->(m);
+      * undirected rejected. Var-length bounds: `*n` (exact), `*lo..hi`,
+      * `*..hi` (lo=1); a bare unbounded `*` is rejected with a pointer
+      * to the fixpoint operator. */
     private def hopPat(): (RelPat, NodePat) = {
       val back0 = atSym("<-")
       if (back0) eatSym("<-") else eatSym("-")
       var v: Option[String] = None
       var types: Seq[String] = Nil
+      var varLen: Option[(Int, Int)] = None
       if (atSym("[")) {
         eatSym("[")
         peek match { case Some(TId(_)) => v = Some(ident()); case _ => }
@@ -226,12 +270,35 @@ object CypherFrontend {
           while (atSym("|")) { eatSym("|"); if (atSym(":")) eatSym(":"); ts += ident() }
           types = ts.result()
         }
+        if (atSym("*")) {
+          eatSym("*")
+          varLen = peek match {
+            case Some(TNum(t)) if t.contains("..") => // "1..3" lexes as one number token
+              pos += 1
+              val parts = t.split("\\.\\.")
+              require(parts.length == 2 && parts.forall(_.nonEmpty), s"bad hop range *$t")
+              Some((parts(0).toInt, parts(1).toInt))
+            case Some(TNum(t)) => pos += 1; Some((t.toInt, t.toInt))
+            case Some(TSym(".")) => // *..hi
+              eatSym("."); eatSym(".")
+              Some((1, num().toInt))
+            case _ => sys.error(
+              "unbounded '*' is not supported: give a bound like *1..3 " +
+                "(unbounded reachability is graph.Traversal.reachFixpoint)")
+          }
+          val (lo, hi) = varLen.get
+          require(lo >= 1 && hi >= lo, s"bad hop range *$lo..$hi")
+          require(hi <= 10,
+            s"*..$hi unrolls $hi chained joins; depth > 10 belongs to graph.Traversal")
+        }
         eatSym("]")
       }
       val fwd = atSym("->")
       if (fwd) eatSym("->") else eatSym("-")
       require(fwd ^ back0, "undirected relationships are not in the reference surface; write -> or <-")
-      (RelPat(v, types, forward = fwd), nodePat())
+      require(varLen.isEmpty || v.isEmpty,
+        "binding a variable to a var-length relationship (a path list) is not supported")
+      (RelPat(v, types, forward = fwd, varLen), nodePat())
     }
 
     private def retItem(): RetItem = {
@@ -378,6 +445,9 @@ object CypherFrontend {
     /** Variables bound to relationships (vs nodes) — they carry
       * rel_type/src_uid/dst_uid instead of uid/label. */
     private var relVars = Set.empty[String]
+    /** Scalar variables bound by WITH aliases — plain columns, not
+      * namespaced node/rel bindings. */
+    private var scalarVars = Set.empty[String]
 
     /** One variable's node table, all columns namespaced. */
     private def nodeSide(p: NodePat, v: String): DataFrame = {
@@ -402,21 +472,66 @@ object CypherFrontend {
       var bound = Set(headVar)
       var cur = headVar
       ch.hops.foreach { case (rel, nodePat) =>
-        val rv = rel.v.getOrElse(freshVar())
-        relVars += rv
-        val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
-        df = df.join(edgeSide(rel, rv), col(ns(cur, "uid")) === col(ns(rv, fromC)))
-        val nv = nodePat.v.getOrElse(freshVar())
-        if (bound(nv)) { // cycle back to an already-bound variable
-          df = df.filter(col(ns(rv, toC)) === col(ns(nv, "uid")))
-        } else {
-          df = df.join(nodeSide(nodePat, nv), col(ns(rv, toC)) === col(ns(nv, "uid")))
-          bound += nv
+        rel.varLen match {
+          case Some((lo, hi)) =>
+            // bounded var-length: union of k-fold edge chains, k in
+            // lo..hi — the same unrolled-joins plan GraphDSL.outVar
+            // builds (g12), one declarative plan with no driver loop.
+            // Path-multiplicity (walk) semantics: a destination appears
+            // once per distinct walk, matching outVar's contract.
+            val endCol = freshVar() // unique reach-endpoint column per hop
+            val nv = nodePat.v.getOrElse(freshVar())
+            df = df.join(varReach(rel, lo, hi, endCol),
+              col(ns(cur, "uid")) === col(s"$endCol$$from"))
+              .drop(s"$endCol$$from")
+            if (bound(nv)) {
+              df = df.filter(col(s"$endCol$$to") === col(ns(nv, "uid")))
+                .drop(s"$endCol$$to")
+            } else {
+              df = df.join(nodeSide(nodePat, nv),
+                col(s"$endCol$$to") === col(ns(nv, "uid")))
+                .drop(s"$endCol$$to")
+              bound += nv
+            }
+            cur = nv
+          case None =>
+            val rv = rel.v.getOrElse(freshVar())
+            relVars += rv
+            val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
+            df = df.join(edgeSide(rel, rv), col(ns(cur, "uid")) === col(ns(rv, fromC)))
+            val nv = nodePat.v.getOrElse(freshVar())
+            if (bound(nv)) { // cycle back to an already-bound variable
+              df = df.filter(col(ns(rv, toC)) === col(ns(nv, "uid")))
+            } else {
+              df = df.join(nodeSide(nodePat, nv), col(ns(rv, toC)) === col(ns(nv, "uid")))
+              bound += nv
+            }
+            bound += rv
+            cur = nv
         }
-        bound += rv
-        cur = nv
       }
       (df, bound)
+    }
+
+    /** (from, to) pairs reachable by lo..hi chained hops of `rel`'s
+      * edge set: hi-1 chained equi-joins, depths >= lo unioned — path
+      * multiplicity preserved, no iteration state on the driver. */
+    private def varReach(rel: RelPat, lo: Int, hi: Int, nsCol: String): DataFrame = {
+      var e = edges
+      if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
+      val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
+      val e1 = e.select(col(fromC).as(s"$nsCol$$from"), col(toC).as(s"$nsCol$$to"))
+      var step = e1
+      var acc: Option[DataFrame] = if (lo <= 1) Some(step) else None
+      for (k <- 2 to hi) {
+        step = step
+          .select(col(s"$nsCol$$from"), col(s"$nsCol$$to").as(s"$nsCol$$mid"))
+          .join(e1.select(col(s"$nsCol$$from").as(s"$nsCol$$mid"),
+            col(s"$nsCol$$to")), s"$nsCol$$mid")
+          .select(s"$nsCol$$from", s"$nsCol$$to")
+        if (k >= lo) acc = Some(acc.fold(step)(_.unionByName(step)))
+      }
+      acc.get
     }
 
     /** Join `right` (a clause's frame) to `left` on shared variable
@@ -438,7 +553,7 @@ object CypherFrontend {
     def compile(q: Query): DataFrame = {
       var df: DataFrame = null
       var bound = Set.empty[String]
-      q.clauses.foreach { cl =>
+      def applyClause(cl: MatchClause): Unit = {
         // a clause's comma chains join on shared vars (inner, one pattern)
         var (cdf, cbound) = compileChain(cl.chains.head)
         cl.chains.tail.foreach { ch =>
@@ -475,6 +590,21 @@ object CypherFrontend {
         }
         bound ++= cbound
       }
+      q.clauses.foreach(applyClause)
+
+      q.withStage.foreach { ws =>
+        df = applyWith(ws, df, bound)
+        // carried pattern variables only — scalar aliases are plain
+        // columns, never join keys for later MATCHes
+        bound = ws.items.collect {
+          case RetItem(EVar(v), None, _) if !scalarVars(v) => v
+        }.toSet
+        // post-WITH WHERE: HAVING semantics (filters the projected
+        // frame; pattern predicates on carried node vars still compile
+        // to semi/anti joins on their uid)
+        ws.where.foreach(p => df = applyPred(df, p, negated = false))
+      }
+      q.postClauses.foreach(applyClause)
 
       val aggs = q.items.filter(i => isAgg(i.expr))
       val outName = (i: RetItem) => i.alias.getOrElse(i.text)
@@ -503,6 +633,44 @@ object CypherFrontend {
         }: _*)
       val skipped = q.skip.fold(ordered)(n => ordered.offset(n.toInt))
       q.limit.fold(skipped)(n => skipped.limit(n.toInt))
+    }
+
+    /** WITH projection/aggregation: a bare pattern variable passes
+      * through with its full namespaced column family (so later
+      * clauses and RETURN still reach `v.prop`); every other item
+      * needs an `AS` alias and becomes a plain scalar column. Any
+      * aggregate item triggers Cypher's implicit grouping by the
+      * non-aggregate items — grouping a pass-through variable groups
+      * by ALL its columns (functionally dependent on uid, so one hash
+      * aggregate, no re-join to recover properties). */
+    private def applyWith(ws: WithStage, in: DataFrame, bound: Set[String]): DataFrame = {
+      val (varItems, exprItems) = ws.items.partition {
+        i => i.expr.isInstanceOf[EVar] && i.alias.isEmpty
+      }
+      val passVars = varItems.map { i =>
+        val v = i.expr.asInstanceOf[EVar].name
+        require(bound(v) || scalarVars(v), s"WITH references unbound variable $v")
+        v
+      }
+      exprItems.foreach(i => require(i.alias.isDefined,
+        s"WITH item '${i.text}' needs an AS alias"))
+      val aggItems = exprItems.filter(i => isAgg(i.expr))
+      val keyExprItems = exprItems.filterNot(i => isAgg(i.expr))
+      def varCols(v: String): Seq[Column] =
+        if (scalarVars(v)) Seq(col(v))
+        else in.columns.filter(_.startsWith(v + "$")).toSeq.map(col)
+      val keyCols = passVars.flatMap(varCols) ++
+        keyExprItems.map(i => exprCol(i.expr).as(i.alias.get))
+      val out =
+        if (aggItems.nonEmpty) {
+          val aggCols = aggItems.map(i => aggCol(i.expr).as(i.alias.get))
+          in.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        } else {
+          val sel = in.select(keyCols: _*)
+          if (ws.distinct) sel.distinct() else sel
+        }
+      scalarVars ++= exprItems.flatMap(_.alias)
+      out
     }
 
     /** WHERE compilation. Pattern predicates become semi/anti joins on
@@ -542,7 +710,7 @@ object CypherFrontend {
       case PStr("starts", l, r) => exprCol(l).startsWith(exprCol(r))
       case PStr("ends", l, r) => exprCol(l).endsWith(exprCol(r))
       case PStr(op, _, _) => sys.error(s"unknown string predicate $op")
-      case PIsNull(EVar(v), neg) =>
+      case PIsNull(EVar(v), neg) if !scalarVars(v) =>
         // a variable's null-ness is its binding's (left-join padding),
         // never the identity struct's (structs are never null)
         val c = col(ns(v, if (relVars(v)) "src_uid" else "uid"))
@@ -557,6 +725,7 @@ object CypherFrontend {
     }
 
     private def exprCol(e: Expr): Column = e match {
+      case EVar(v) if scalarVars(v) => col(v) // WITH-bound scalar alias
       case EVar(v) => // a bare node/rel variable projects its identity
         if (relVars(v))
           struct(col(ns(v, "rel_type")), col(ns(v, "src_uid")), col(ns(v, "dst_uid")))
@@ -602,7 +771,8 @@ object CypherFrontend {
     /** count(n) counts bindings (nulls impossible for bound vars) —
       * count the uid, not a struct, so codegen stays simple. */
     private def countableCol(a: Expr): Column = a match {
-      case EVar(v) => col(ns(v, if (relVars(v)) "src_uid" else "uid"))
+      case EVar(v) if !scalarVars(v) =>
+        col(ns(v, if (relVars(v)) "src_uid" else "uid"))
       case other => exprCol(other)
     }
   }

@@ -865,7 +865,36 @@ object GraphQueries extends QueryPack {
         |ORDER BY nation SKIP 5 LIMIT 10""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g32 — bounded variable-length path in Cypher TEXT form
+    * (`-[:T1|T2*1..2]->`): depth-1 walks reach Nation (from customers/
+    * suppliers) and Region (from nations); depth-2 walks reach Region
+    * via a nation. Compiles to the same unrolled-join union as
+    * GraphDSL.outVar (g12's plan) — path multiplicity preserved, so
+    * the per-(src,dst)-label path counts are exactly checkable. */
+  def g32CypherVarLength(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (a)-[:IN_NATION|IN_REGION*1..2]->(b)
+        |RETURN labels(a)[0] AS src, labels(b)[0] AS dst, count(*) AS paths
+        |ORDER BY src, dst""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
+  /** g33 — WITH pipeline in Cypher TEXT form: aggregate per nation,
+    * HAVING-filter on the aggregate, then a SECOND MATCH joins on the
+    * carried node variable — the reference-promised free-form shape
+    * (`neo4j_db.py:93-106`) that needs a mid-query projection
+    * boundary. One hash aggregate + one broadcast-sized hop join. */
+  def g33CypherWith(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        |WITH n, count(c) AS customers WHERE customers >= 20
+        |MATCH (n)-[:IN_REGION]->(r:Region)
+        |RETURN r.name AS region, n.name AS nation, customers
+        |ORDER BY region, nation""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "g33_cypher_with"    -> (g33CypherWith _),
+    "g32_cypher_varlength" -> (g32CypherVarLength _),
     "g31_cypher_paging"  -> (g31CypherPaging _),
     "g30_cypher_optional" -> (g30CypherOptional _),
     "g29_cypher_twohop"  -> (g29CypherTwoHop _),
@@ -926,6 +955,25 @@ object GraphQueries extends QueryPack {
       """SELECT n_name AS nation, r_name AS region
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY nation OFFSET 5 LIMIT 10""".stripMargin,
+    // g32: the walk census of the typed 2-bounded expansion — every
+    // customer/supplier contributes one depth-1 walk to its nation and
+    // one depth-2 walk to its region; every nation one depth-1 walk to
+    // its region. Counts are table cardinalities.
+    "g32_cypher_varlength" ->
+      """SELECT src, dst, paths FROM (
+        |  SELECT 'Customer' AS src, 'Nation' AS dst, count(*) AS paths FROM customer
+        |  UNION ALL SELECT 'Customer', 'Region', count(*) FROM customer
+        |  UNION ALL SELECT 'Supplier', 'Nation', count(*) FROM supplier
+        |  UNION ALL SELECT 'Supplier', 'Region', count(*) FROM supplier
+        |  UNION ALL SELECT 'Nation', 'Region', count(*) FROM nation)
+        |ORDER BY src, dst""".stripMargin,
+    "g33_cypher_with" ->
+      """SELECT r_name AS region, n_name AS nation, customers FROM (
+        |  SELECT c_nationkey AS nk, count(*) AS customers
+        |  FROM customer GROUP BY c_nationkey HAVING count(*) >= 20) g
+        |JOIN nation ON n_nationkey = g.nk
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY region, nation""".stripMargin,
     // g24: the two HITS rounds unrolled as CTEs with the identical
     // integer max-norm; DuckDB's HUGEINT sums make the wrap-safety
     // mirror explicit (the Spark side rides decimal(38,0)).

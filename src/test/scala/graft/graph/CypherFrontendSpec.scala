@@ -240,6 +240,88 @@ class CypherFrontendSpec extends SparkSpec {
     assert(cnt === 2L)
   }
 
+  // AVV-style hierarchy for var-length paths: A -> B -> C -> D, plus a
+  // diamond A -> X -> C / A -> Y -> C for path multiplicity
+  private lazy val chainNodes: DataFrame = Seq(
+    ("Cat", "u:a", "A"), ("Cat", "u:b", "B"), ("Cat", "u:c", "C"),
+    ("Cat", "u:d", "D"), ("Cat", "u:x", "X"), ("Cat", "u:y", "Y"))
+    .toDF("label", "uid", "name")
+  private lazy val chainEdges: DataFrame = Seq(
+    ("u:a", "CHILD_OF", "u:b"), ("u:b", "CHILD_OF", "u:c"),
+    ("u:c", "CHILD_OF", "u:d"),
+    ("u:a", "CHILD_OF", "u:x"), ("u:x", "CHILD_OF", "u:c"),
+    ("u:a", "CHILD_OF", "u:y"), ("u:y", "CHILD_OF", "u:c"))
+    .toDF("src_uid", "rel_type", "dst_uid")
+
+  test("var-length *1..3: union of unrolled depths, walk multiplicity (GraphDSL.outVar twin)") {
+    val got = CypherFrontend.run(
+      "MATCH (a:Cat {name: 'A'})-[:CHILD_OF*1..3]->(b) RETURN b.name AS n, count(*) AS walks ORDER BY n",
+      chainNodes, chainEdges).as[(String, Long)].collect().toSeq
+    // depth1: B,X,Y; depth2: C (via B), C (via X), C (via Y); depth3: D + 2×(C->D)... D via B->C->D, X->C->D, Y->C->D
+    assert(got === Seq(("B", 1L), ("C", 3L), ("D", 3L), ("X", 1L), ("Y", 1L)))
+    // identical to the typed DSL's unrolled plan
+    val typed = GraphDSL.on(chainNodes, chainEdges)
+      .where($"name" === "A").outVar("CHILD_OF", 1, 3)
+      .df.groupBy("name").agg(count(lit(1)).as("walks"))
+      .orderBy("name").as[(String, Long)].collect().toSeq
+    assert(got === typed)
+  }
+
+  test("var-length exact *2 and *..2 bounds") {
+    val exact = CypherFrontend.run(
+      "MATCH (a:Cat {name: 'A'})-[:CHILD_OF*2]->(b) RETURN DISTINCT b.name AS n ORDER BY n",
+      chainNodes, chainEdges).as[String].collect().toSeq
+    assert(exact === Seq("C"))
+    val upTo = CypherFrontend.run(
+      "MATCH (a:Cat {name: 'A'})-[:CHILD_OF*..2]->(b) RETURN DISTINCT b.name AS n ORDER BY n",
+      chainNodes, chainEdges).as[String].collect().toSeq
+    assert(upTo === Seq("B", "C", "X", "Y"))
+  }
+
+  test("var-length guardrails: unbounded, deep unroll, and bound rel var are rejected") {
+    val e1 = intercept[RuntimeException](CypherFrontend.run(
+      "MATCH (a)-[:CHILD_OF*]->(b) RETURN b.name", chainNodes, chainEdges))
+    assert(e1.getMessage.contains("Traversal"))
+    val e2 = intercept[IllegalArgumentException](CypherFrontend.run(
+      "MATCH (a)-[:CHILD_OF*1..20]->(b) RETURN b.name", chainNodes, chainEdges))
+    assert(e2.getMessage.contains("Traversal"))
+    val e3 = intercept[IllegalArgumentException](CypherFrontend.run(
+      "MATCH (a)-[r:CHILD_OF*1..2]->(b) RETURN b.name", chainNodes, chainEdges))
+    assert(e3.getMessage.contains("not supported"))
+  }
+
+  test("WITH aggregate + WHERE (HAVING) + continuation MATCH on the carried variable") {
+    val got = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s, count(w) AS n WHERE n >= 2
+        |MATCH (w2:WasteItem)-[:DISPOSED_IN]->(s)
+        |RETURN s.name AS stream, n, count(w2) AS again""".stripMargin)
+      .as[(String, Long, Long)].collect().toSeq
+    // only Restmuell has >= 2 items; re-matching finds the same 2
+    assert(got === Seq(("Restmuell", 2L, 2L)))
+  }
+
+  test("WITH DISTINCT projection narrows the frame; scalar alias flows to RETURN/ORDER BY") {
+    val got = run(
+      """MATCH (w:WasteItem)-[r]->(t)
+        |WITH DISTINCT t
+        |RETURN labels(t)[0] AS l, count(*) AS c ORDER BY l""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("Facility", 1L), ("WasteStream", 2L)))
+    val scalar = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s.name AS stream, count(w) AS n
+        |RETURN stream, n ORDER BY n DESC, stream""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(scalar === Seq(("Restmuell", 2L), ("Biomuell", 1L)))
+  }
+
+  test("WITH items that are not bare variables require AS aliases") {
+    val e = intercept[IllegalArgumentException](run(
+      "MATCH (w:WasteItem) WITH w.name RETURN w"))
+    assert(e.getMessage.contains("AS alias"))
+  }
+
   test("writes are rejected with a pointer to the sinks") {
     val e = intercept[IllegalArgumentException] {
       run("MATCH (n) DETACH DELETE n")
