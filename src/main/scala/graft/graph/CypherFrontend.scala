@@ -92,20 +92,20 @@ object CypherFrontend {
 
   // ---------------------------------------------------------- tokenizer
 
-  private sealed trait Tok { def text: String }
-  private case class TId(text: String) extends Tok    // identifier (incl. backticked)
-  private case class TKw(text: String) extends Tok    // uppercased keyword form
-  private case class TStr(text: String) extends Tok
-  private case class TNum(text: String) extends Tok
-  private case class TSym(text: String) extends Tok
+  private[graph] sealed trait Tok { def text: String }
+  private[graph] case class TId(text: String) extends Tok // identifier (incl. backticked)
+  private[graph] case class TKw(text: String) extends Tok // uppercased keyword form
+  private[graph] case class TStr(text: String) extends Tok
+  private[graph] case class TNum(text: String) extends Tok
+  private[graph] case class TSym(text: String) extends Tok
 
   private val keywords = Set("MATCH", "WHERE", "RETURN", "ORDER", "BY", "ASC",
     "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT", "XOR", "DISTINCT", "AS",
     "CONTAINS", "STARTS", "ENDS", "WITH", "IS", "NULL", "TRUE", "FALSE",
     "IN", "MERGE", "SET", "DELETE", "DETACH", "CREATE", "REMOVE", "EXISTS",
-    "OPTIONAL")
+    "OPTIONAL", "ON", "CASE", "WHEN", "THEN", "ELSE", "END")
 
-  private def tokenize(src: String): Vector[Tok] = {
+  private[graph] def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
     val n = src.length
@@ -164,7 +164,9 @@ object CypherFrontend {
     def query(): Query = {
       for (w <- Seq("MERGE", "SET", "DELETE", "DETACH", "CREATE", "REMOVE"))
         require(!toks.exists { case TKw(k) => k == w; case _ => false },
-          s"$w is a write clause: use graft.graph.GraphStore sinks for writes")
+          s"$w is a write clause: MERGE templates compile via " +
+            "graft.graph.CypherWrite.merge; other writes are the " +
+            "graft.graph.GraphStore sinks' job")
       def matchClause(optional: Boolean): MatchClause = {
         eatKw("MATCH")
         val cs = Seq.newBuilder[Chain]

@@ -1,0 +1,291 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.graph.CypherFrontend.{TId, TKw, TNum, TStr, TSym, Tok}
+
+/** Cypher WRITE-statement front-end — the reference's ETL `MERGE`
+  * templates (`facilities.py:109-135`, `waste_items.py:366-419`)
+  * compiled to the [[GraphStore]] upsert sinks instead of rejected.
+  *
+  * The reference binds one params dict per item and round-trips the
+  * template once per row. Here the TEMPLATE compiles once and the
+  * params bind as a whole DataFrame — one distributed upsert job per
+  * statement for the entire batch (the set-oriented re-expression of
+  * the row-at-a-time driver loop). Supported statement shape = the
+  * reference's write surface:
+  *
+  *   - `MATCH (v:Label {prop: $param})` — endpoint lookup; rows whose
+  *     param finds no node produce no edge (the reference logs and
+  *     skips, `waste_items.py:412-419`)
+  *   - `MERGE (v:Label {key: $param})` with optional
+  *     `ON CREATE SET v.p = $x | datetime()` and
+  *     `ON MATCH SET v.p = CASE WHEN $x <> '' THEN $x ELSE v.p END |
+  *     $x | datetime()` — compiled to [[GraphStore.upsertNodes]],
+  *     whose contract IS this template: ON CREATE takes incoming
+  *     verbatim, ON MATCH non-empty-incoming-wins, `created_at`
+  *     preserved, `updated_at` bumped to the injected clock
+  *   - `MERGE (a)-[r:TYPE]->(b)` with optional
+  *     `ON CREATE SET r.created_at = datetime()` — compiled to
+  *     [[GraphStore.upsertEdges]] (idempotent on (src, dst, type),
+  *     earliest `created_at` kept)
+  *   - a trailing `RETURN ...` is accepted and ignored (the merge
+  *     result is the returned Graph, not a per-row cursor)
+  *
+  * Batch-order determinism: Neo4j's loop makes "first seen" well
+  * defined; a distributed batch needs an explicit order, so duplicate
+  * merge keys within one batch merge per-property by FIRST NON-EMPTY
+  * in `_seq` order when the params carry a `_seq` column (the same
+  * first-seen-wins law as `etl.Facilities.dedupMerge`), else in a
+  * deterministic xxhash64 order of the whole row.
+  *
+  * Known divergence (documented): a property set in ON CREATE but NOT
+  * in ON MATCH (other than the key/uid/created_at, which are handled
+  * structurally) still follows the engine's non-empty-wins law on
+  * match. The reference's templates pair every such property, so they
+  * compile exactly.
+  */
+object CypherWrite {
+
+  /** The node+edge tables a write statement reads and produces. */
+  final case class Graph(nodes: DataFrame, edges: DataFrame)
+
+  // ------------------------------------------------------------- AST
+  private sealed trait SetVal
+  private case object ClockVal extends SetVal              // datetime()
+  private case class ParamVal(name: String) extends SetVal // $param
+  /** CASE WHEN $p <> '' THEN $p ELSE v.prop END */
+  private case class NonEmptyWins(name: String) extends SetVal
+
+  private case class NodeMatch(v: String, label: String,
+                               keyProp: String, keyParam: String)
+  private case class NodeMerge(v: String, label: String,
+                               keyProp: String, keyParam: String,
+                               onCreate: Seq[(String, SetVal)],
+                               onMatch: Seq[(String, SetVal)])
+  private case class EdgeMerge(src: String, relType: String, dst: String)
+  private case class WriteStmt(matches: Seq[NodeMatch],
+                               nodeMerges: Seq[NodeMerge],
+                               edgeMerges: Seq[EdgeMerge])
+
+  // ---------------------------------------------------------- parser
+  private final class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Option[Tok] = toks.lift(pos)
+    private def atKw(kw: String): Boolean =
+      peek.exists { case TKw(k) => k == kw; case _ => false }
+    private def atSym(s: String): Boolean =
+      peek.exists { case TSym(x) => x == s; case _ => false }
+    private def eatKw(kw: String): Unit =
+      require(atKw(kw) && { pos += 1; true },
+        s"expected $kw at token $pos (${peek.map(_.text)})")
+    private def eatSym(s: String): Unit =
+      require(atSym(s) && { pos += 1; true },
+        s"expected '$s' at token $pos (${peek.map(_.text)})")
+    private def ident(): String = { val t = toks(pos); pos += 1; t match {
+      case TId(x) => x
+      case other => sys.error(s"expected identifier, got '${other.text}'")
+    }}
+    private def param(): String = { eatSym("$"); ident() }
+
+    /** `(v:Label {prop: $param})` — the only node form the write
+      * templates use. */
+    private def nodeKeyPat(): (String, String, String, String) = {
+      eatSym("(")
+      val v = ident()
+      eatSym(":"); val label = ident()
+      eatSym("{"); val prop = ident(); eatSym(":"); val p = param(); eatSym("}")
+      eatSym(")")
+      (v, label, prop, p)
+    }
+
+    private def setVal(owner: String, prop: String): SetVal =
+      if (atKw("CASE")) {
+        eatKw("CASE"); eatKw("WHEN")
+        val p1 = param()
+        eatSym("<>")
+        toks(pos) match {
+          case TStr("") => pos += 1
+          case t => sys.error(s"expected '' in CASE guard, got '${t.text}'")
+        }
+        eatKw("THEN")
+        val p2 = param()
+        require(p1 == p2, s"CASE guard and value differ: $$${p1} vs $$${p2}")
+        eatKw("ELSE")
+        val v = ident(); eatSym("."); val keep = ident()
+        require(v == owner && keep == prop,
+          s"CASE fallback must keep $owner.$prop, got $v.$keep")
+        eatKw("END")
+        NonEmptyWins(p1)
+      } else if (peek.exists { case TId("datetime") => true; case _ => false }) {
+        pos += 1; eatSym("("); eatSym(")")
+        ClockVal
+      } else if (atSym("$")) ParamVal(param())
+      else sys.error(s"unsupported SET value at '${peek.map(_.text)}': " +
+        "expected $param, datetime(), or the CASE non-empty-wins form")
+
+    /** `v.prop = value [, ...]` until the next clause keyword. */
+    private def assigns(owner: String): Seq[(String, SetVal)] = {
+      val out = Seq.newBuilder[(String, SetVal)]
+      var more = true
+      while (more) {
+        val v = ident(); eatSym("."); val prop = ident(); eatSym("=")
+        out += (prop -> setVal(v, prop))
+        require(v == owner, s"SET on $v inside a merge of $owner")
+        if (atSym(",")) eatSym(",") else more = false
+      }
+      out.result()
+    }
+
+    def stmt(): WriteStmt = {
+      val matches = Seq.newBuilder[NodeMatch]
+      val nodeMerges = Seq.newBuilder[NodeMerge]
+      val edgeMerges = Seq.newBuilder[EdgeMerge]
+      var done = false
+      while (!done) {
+        if (atKw("MATCH")) {
+          eatKw("MATCH")
+          val (v, l, kp, p) = nodeKeyPat()
+          matches += NodeMatch(v, l, kp, p)
+        } else if (atKw("MERGE")) {
+          eatKw("MERGE")
+          // node merge `(v:L {k: $p})` vs edge merge `(a)-[r:T]->(b)`
+          val save = pos
+          eatSym("(")
+          val v = ident()
+          if (atSym(")")) { // edge merge
+            eatSym(")")
+            eatSym("-"); eatSym("[")
+            peek match { // rel var unused: edge identity is the triple
+              case Some(TId(_)) => ident()
+              case _ =>
+            }
+            eatSym(":"); val relType = ident(); eatSym("]")
+            eatSym("->")
+            eatSym("("); val dst = ident(); eatSym(")")
+            // edge ON CREATE SET r.created_at = datetime() is the
+            // upsertEdges clock contract; parse and discard
+            if (atKw("ON")) {
+              eatKw("ON"); eatKw("CREATE"); eatKw("SET")
+              ident(); eatSym("."); ident(); eatSym("=")
+              pos += 1; eatSym("("); eatSym(")") // datetime()
+            }
+            edgeMerges += EdgeMerge(v, relType, dst)
+          } else {
+            pos = save
+            val (mv, l, kp, p) = nodeKeyPat()
+            var onCreate = Seq.empty[(String, SetVal)]
+            var onMatch = Seq.empty[(String, SetVal)]
+            while (atKw("ON")) {
+              eatKw("ON")
+              if (atKw("CREATE")) { eatKw("CREATE"); eatKw("SET"); onCreate = assigns(mv) }
+              else { eatKw("MATCH"); eatKw("SET"); onMatch = assigns(mv) }
+            }
+            nodeMerges += NodeMerge(mv, l, kp, p, onCreate, onMatch)
+          }
+        } else if (atKw("RETURN")) {
+          pos = toks.length // accepted, ignored: the batch is the result
+          done = true
+        } else if (peek.isEmpty) done = true
+        else sys.error(s"unexpected token '${peek.map(_.text).getOrElse("")}' " +
+          "in write statement (MATCH / MERGE / RETURN)")
+      }
+      WriteStmt(matches.result(), nodeMerges.result(), edgeMerges.result())
+    }
+  }
+
+  // -------------------------------------------------------- compiler
+
+  /** Apply one write template to the graph for a whole params batch.
+    *
+    * `params` columns = the template's `$names` (all strings, like the
+    * driver's params dicts), plus an optional `_seq` LONG giving the
+    * reference's loop order for in-batch duplicate-key merging.
+    * `propCols` = the property columns of the nodes table (between
+    * `name` and `created_at` in [[GraphStore.nodeCols]] order).
+    */
+  def merge(template: String, params: DataFrame, graph: Graph,
+            clock: Column, propCols: Seq[String]): Graph = {
+    val stmt = new Parser(CypherFrontend.tokenize(template)).stmt()
+    val seqCol: Column =
+      if (params.columns.contains("_seq")) col("_seq")
+      else xxhash64(params.columns.sorted.map(col): _*)
+
+    def valCol(sv: SetVal): Column = sv match {
+      case ParamVal(p) => col(p)
+      case NonEmptyWins(p) => col(p)
+      case ClockVal => clock
+    }
+
+    // uid/name of a merged node, derived from the key + ON CREATE SET:
+    // uid-keyed templates carry $uid directly; name-keyed ones either
+    // SET v.uid = $p or fall back to the engine-wide F1 hash of name.
+    def uidCol(m: NodeMerge): Column =
+      if (m.keyProp == "uid") col(m.keyParam)
+      else (m.onCreate ++ m.onMatch).collectFirst { case ("uid", sv) => valCol(sv) }
+        .getOrElse(graft.core.Uid.uid(col(m.keyParam)))
+    def nameCol(m: NodeMerge): Column =
+      if (m.keyProp == "name") col(m.keyParam)
+      else (m.onCreate ++ m.onMatch).collectFirst { case ("name", sv) => valCol(sv) }
+        .getOrElse(lit(null).cast("string"))
+
+    var nodes = graph.nodes
+    stmt.nodeMerges.foreach { m =>
+      val sets = (m.onCreate ++ m.onMatch).toMap -- Seq("uid", "name", "created_at", "updated_at")
+      val rows = params.select(
+        (seqCol.as("_seq") +:
+          uidCol(m).as("uid") +:
+          nameCol(m).as("name") +:
+          propCols.map(p => sets.get(p).map(valCol).getOrElse(lit(null))
+            .cast("string").as(p))): _*)
+      // in-batch dedup: first non-empty per property in _seq order —
+      // the sequential loop's first-seen-wins law, as one hash agg
+      def firstNonEmpty(c: String): Column =
+        min_by(col(c), when(col(c).isNotNull && trim(col(c)) =!= "", col("_seq"))).as(c)
+      val incoming = rows.groupBy("uid").agg(
+        min_by(col("name"), col("_seq")).as("name"),
+        propCols.map(firstNonEmpty): _*)
+        .select(
+          (lit(m.label).as("label") +: col("uid") +: col("name") +:
+            propCols.map(col) :+
+            clock.as("created_at") :+ clock.as("updated_at")): _*)
+      nodes = GraphStore.upsertNodes(nodes, incoming, clock, propCols)
+    }
+
+    var edges = graph.edges
+    if (stmt.edgeMerges.nonEmpty) {
+      val mergesByVar = stmt.nodeMerges.map(m => m.v -> m).toMap
+      val matchesByVar = stmt.matches.map(m => m.v -> m).toMap
+      stmt.edgeMerges.foreach { em =>
+        // resolve each endpoint to (uid column, label) on the params
+        // frame: MERGE vars carry their uid expression directly; MATCH
+        // vars equi-join the (post-merge) node table on the key prop —
+        // unmatched rows drop, the reference's skip-and-log behavior
+        var frame = params.select(params.columns.map(col): _*)
+        def resolve(v: String, side: String): (Column, String) =
+          mergesByVar.get(v) match {
+            case Some(m) => (uidCol(m), m.label)
+            case None =>
+              val nm = matchesByVar.getOrElse(v,
+                sys.error(s"edge endpoint $v is bound by no MATCH/MERGE"))
+              frame = frame.join(
+                nodes.filter(col("label") === nm.label)
+                  .select(col("uid").as(s"_${v}_uid"),
+                    col(nm.keyProp).as(s"_${v}_key")),
+                col(s"_${v}_key") === col(nm.keyParam))
+              (col(s"_${v}_uid"), nm.label)
+          }
+        val (srcUid, srcLabel) = resolve(em.src, "src")
+        val (dstUid, dstLabel) = resolve(em.dst, "dst")
+        val incoming = frame.select(
+          srcUid.as("src_uid"), dstUid.as("dst_uid"),
+          lit(em.relType).as("rel_type"),
+          lit(srcLabel).as("src_label"), lit(dstLabel).as("dst_label"),
+          clock.as("created_at"))
+        edges = GraphStore.upsertEdges(edges, incoming)
+      }
+    }
+    Graph(nodes, edges)
+  }
+}

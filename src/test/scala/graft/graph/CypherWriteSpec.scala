@@ -1,0 +1,179 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Uid
+import graft.etl.{Facilities, WasteItems}
+
+/** The write front-end against the reference's VERBATIM Cypher MERGE
+  * templates (`facilities.py:109-135`, `waste_items.py:366-419`),
+  * bound to the fixture corpus as whole-batch params frames: golden
+  * cardinalities (2 facilities, 8 items, 3 streams, 4+3 edges — the
+  * PipelineSpec numbers), equivalence with the native ETL path, and
+  * run-twice idempotency with preserved created_at.
+  */
+class CypherWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val propCols = Facilities.fieldNames
+  private val clock = lit("2026-01-01 00:00:00").cast("timestamp")
+  private val clock2 = lit("2027-06-01 00:00:00").cast("timestamp")
+
+  private def emptyGraph: CypherWrite.Graph = CypherWrite.Graph(
+    Seq.empty[(String, String, String, String, String, String, String, String,
+      java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF((Seq("label", "uid", "name") ++ propCols ++
+        Seq("created_at", "updated_at")): _*),
+    Seq.empty[(String, String, String, String, String, java.sql.Timestamp)]
+      .toDF("src_uid", "dst_uid", "rel_type", "src_label", "dst_label", "created_at"))
+
+  // facilities.py:109-135, verbatim
+  private val facilityTemplate =
+    """MERGE (f:Facility {uid: $uid})
+      |ON CREATE SET
+      |    f.name = $name,
+      |    f.address = $address,
+      |    f.opening_hours = $opening_hours,
+      |    f.contact = $contact,
+      |    f.additional_info = $additional_info,
+      |    f.link = $link,
+      |    f.created_at = datetime()
+      |ON MATCH SET
+      |    f.address = CASE WHEN $address <> '' THEN $address ELSE f.address END,
+      |    f.opening_hours = CASE WHEN $opening_hours <> '' THEN $opening_hours ELSE f.opening_hours END,
+      |    f.contact = CASE WHEN $contact <> '' THEN $contact ELSE f.contact END,
+      |    f.additional_info = CASE WHEN $additional_info <> '' THEN $additional_info ELSE f.additional_info END,
+      |    f.link = CASE WHEN $link <> '' THEN $link ELSE f.link END,
+      |    f.updated_at = datetime()
+      |RETURN f.uid AS uid, f.name AS name""".stripMargin
+
+  // waste_items.py:366-373, verbatim
+  private val itemTemplate =
+    """MERGE (w:WasteItem {name: $name})
+      |ON CREATE SET
+      |    w.uid = $uid,
+      |    w.created_at = datetime()
+      |ON MATCH SET
+      |    w.updated_at = datetime()""".stripMargin
+
+  // waste_items.py:383-396, verbatim
+  private val streamTemplate =
+    """MATCH (w:WasteItem {name: $item_name})
+      |MERGE (s:WasteStream {name: $stream_name})
+      |ON CREATE SET
+      |    s.uid = $stream_uid,
+      |    s.created_at = datetime()
+      |MERGE (w)-[r:DISPOSED_IN]->(s)
+      |ON CREATE SET r.created_at = datetime()
+      |RETURN s.name AS stream, type(r) AS rel_type""".stripMargin
+
+  // waste_items.py:404-411, verbatim
+  private val facilityEdgeTemplate =
+    """MATCH (w:WasteItem {name: $item_name})
+      |MATCH (f:Facility {name: $facility_name})
+      |MERGE (w)-[r:DISPOSED_AT]->(f)
+      |ON CREATE SET r.created_at = datetime()
+      |RETURN f.name AS facility, type(r) AS rel_type""".stripMargin
+
+  private def facParams: DataFrame =
+    Facilities.load(spark, fixture("disposal_map_db.json"))
+      .select((col("source_order").as("_seq") +:
+        Uid.uid(col("name")).as("uid") +: col("name") +:
+        propCols.map(col)): _*)
+
+  private lazy val targets =
+    WasteItems.loadTargets(spark, fixture("abfall_abc.csv")).localCheckpoint(true)
+  private lazy val cls = WasteItems.classified(targets).localCheckpoint(true)
+
+  private def itemParams: DataFrame =
+    targets.select(col("item_name").as("name")).distinct()
+      .select(col("name"), Uid.uid(col("name")).as("uid"))
+
+  private def streamParams: DataFrame =
+    cls.filter(col("kind") === "stream")
+      .select(col("item_name"), col("target").as("stream_name"),
+        Uid.uid(col("target")).as("stream_uid"))
+
+  private def facilityEdgeParams: DataFrame =
+    cls.filter(col("kind") === "facility")
+      .select(col("item_name"), col("target").as("facility_name"))
+
+  private def runAll(g0: CypherWrite.Graph, clk: org.apache.spark.sql.Column): CypherWrite.Graph = {
+    // the reference's statement order: facilities, items, then per-item
+    // stream/facility targets — each template once, whole batch bound
+    val g1 = CypherWrite.merge(facilityTemplate, facParams, g0, clk, propCols)
+    val g2 = CypherWrite.merge(itemTemplate, itemParams, g1, clk, propCols)
+    val g3 = CypherWrite.merge(streamTemplate, streamParams, g2, clk, propCols)
+    val g4 = CypherWrite.merge(facilityEdgeTemplate, facilityEdgeParams, g3, clk, propCols)
+    CypherWrite.Graph(g4.nodes.localCheckpoint(true), g4.edges.localCheckpoint(true))
+  }
+
+  test("reference MERGE templates reproduce the golden cardinalities") {
+    val g = runAll(emptyGraph, clock)
+    val byLabel = g.nodes.groupBy("label").count().as[(String, Long)].collect().toMap
+    assert(byLabel === Map("Facility" -> 2L, "WasteItem" -> 8L, "WasteStream" -> 3L))
+    val byType = g.edges.groupBy("rel_type").count().as[(String, Long)].collect().toMap
+    assert(byType === Map("DISPOSED_IN" -> 4L, "DISPOSED_AT" -> 3L))
+    // facility nodes == the native ETL path's (same dedup-merge law)
+    val viaCypher = g.nodes.filter(col("label") === "Facility")
+      .select((col("uid") +: col("name") +: propCols.map(col)): _*)
+      .collect().map(_.toSeq).toSet
+    val viaEtl = Facilities.facilityNodes(spark, fixture("disposal_map_db.json"))
+      .select((col("uid") +: col("name") +: propCols.map(col)): _*)
+      .collect().map(_.toSeq).toSet
+    assert(viaCypher === viaEtl)
+    // edges resolve: every endpoint uid exists in the node table
+    val uids = g.nodes.select("uid")
+    assert(g.edges.join(uids, g.edges("src_uid") === uids("uid"), "left_anti").count() === 0)
+    assert(g.edges.join(uids, g.edges("dst_uid") === uids("uid"), "left_anti").count() === 0)
+  }
+
+  test("run-twice idempotency: counts stable, created_at preserved, updated_at bumped") {
+    val g1 = runAll(emptyGraph, clock)
+    val g2 = runAll(g1, clock2)
+    assert(g2.nodes.count() === g1.nodes.count())
+    assert(g2.edges.count() === g1.edges.count())
+    // ON MATCH never rewrites created_at; the second clock only lands in updated_at
+    assert(g2.nodes.filter(col("created_at") =!= "2026-01-01 00:00:00").count() === 0)
+    assert(g2.edges.filter(col("created_at") =!= "2026-01-01 00:00:00").count() === 0)
+    assert(g2.nodes.filter(col("updated_at") === "2027-06-01 00:00:00").count() ===
+      g2.nodes.count())
+    // property values survive the re-run byte-identically
+    val p1 = g1.nodes.orderBy("uid").collect().map(r =>
+      r.toSeq.updated(r.fieldIndex("updated_at"), ())).toSeq
+    val p2 = g2.nodes.orderBy("uid").collect().map(r =>
+      r.toSeq.updated(r.fieldIndex("updated_at"), ())).toSeq
+    assert(p1 === p2)
+  }
+
+  test("in-batch duplicate keys merge first-non-empty in _seq order (the sequential-loop law)") {
+    val params = Seq(
+      (1L, "u:h1", "Hof Ost", "", "Mo-Fr"),
+      (2L, "u:h1", "Hof Ost", "Parkweg 9", ""),
+      (3L, "u:h1", "Hof Ost ALT", "IGNORIERT", "Sa")) // later values never beat earlier non-empty
+      .toDF("_seq", "uid", "name", "address", "opening_hours")
+    val t =
+      """MERGE (f:Facility {uid: $uid})
+        |ON CREATE SET f.name = $name, f.address = $address,
+        |    f.opening_hours = $opening_hours, f.created_at = datetime()
+        |ON MATCH SET
+        |    f.address = CASE WHEN $address <> '' THEN $address ELSE f.address END,
+        |    f.opening_hours = CASE WHEN $opening_hours <> '' THEN $opening_hours ELSE f.opening_hours END,
+        |    f.updated_at = datetime()""".stripMargin
+    val g = CypherWrite.merge(t, params, emptyGraph, clock, propCols)
+    val row = g.nodes.select("name", "address", "opening_hours").as[(String, String, String)].head()
+    assert(row === (("Hof Ost", "Parkweg 9", "Mo-Fr")))
+  }
+
+  test("unparseable write shapes fail with clear errors") {
+    val bad1 = intercept[RuntimeException](CypherWrite.merge(
+      "MERGE (f:Facility {uid: $uid}) ON MATCH SET f.x = f.y + 1",
+      facParams, emptyGraph, clock, propCols))
+    assert(bad1.getMessage.contains("SET value") || bad1.getMessage.contains("expected"))
+    val bad2 = intercept[RuntimeException](CypherWrite.merge(
+      "MATCH (a:X {name: $n}) DELETE a", facParams, emptyGraph, clock, propCols))
+    assert(bad2.getMessage.contains("unexpected"))
+  }
+}
