@@ -1006,21 +1006,19 @@ object RelationalQueries extends QueryPack {
 
   /** q82 — the zero-egress XLSX source through the gate (the
     * reference's `Abfall_ABC.xlsx`/`AVV_Katalog.xlsx` catalog inputs,
-    * `README.md:122-127`): the nation dim exports to real OOXML bytes
-    * via `XlsxSource.writeBytes` (driver-side — dim-sized by contract),
-    * reads back through the distributed binaryFile+StAX path, and
-    * aggregates against the parquet ground truth. Cells surface as
-    * strings (the xlsx contract), so the group key casts back. */
+    * `README.md:122-127`): the nation dim exports through the
+    * DISTRIBUTED partitioned writer (`XlsxSource.write` — one OOXML
+    * part per partition, nothing through the driver; the round trip
+    * crosses a real multi-file directory), reads back through the
+    * distributed binaryFile+StAX path, and aggregates against the
+    * parquet ground truth. Cells surface as strings (the xlsx
+    * contract), so the group key casts back. */
   def q82XlsxSource(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q82-xlsx")
     try {
       val nation = Tables.nation(s, dir)
-        .select("n_nationkey", "n_regionkey", "n_name").orderBy("n_nationkey")
-      val header = Seq("n_nationkey", "n_regionkey", "n_name")
-      val rows = header +: nation.collect().toSeq.map(r =>
-        Seq(r.get(0).toString, r.get(1).toString, r.getString(2)))
-      java.nio.file.Files.write(tmp.resolve("nation.xlsx"),
-        graft.sources.XlsxSource.writeBytes(rows, "Nation"))
+        .select("n_nationkey", "n_regionkey", "n_name")
+      graft.sources.XlsxSource.write(nation.repartition(2), tmp.toString, "Nation")
       graft.sources.XlsxSource.read(s, tmp.toString + "/*.xlsx")
         .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
         .agg(count(lit(1)).as("n_nations"),

@@ -243,6 +243,35 @@ object XlsxSource {
     bos.toByteArray
   }
 
+  /** Distributed sheet writer: one .xlsx part file per partition, each
+    * with its own header row ([[read]] drops one header per file), so
+    * a fact-sized export never funnels through the driver — the scale
+    * path [[writeBytes]] is not. Files land through the Hadoop
+    * FileSystem API (file:// locally, HDFS/object stores on a
+    * cluster); retried tasks overwrite their own part deterministically.
+    *
+    * XLSX remains an export format (Excel caps a sheet at ~1M rows):
+    * each task materializes its partition's rows to deflate the OOXML
+    * parts, so size partitions upstream (`repartition(n)`). All cells
+    * are written as strings (the reader's contract); nulls are sparse
+    * cells and round-trip as nulls. Empty partitions write no file. */
+  def write(df: DataFrame, dir: String, sheetName: String = "Sheet1"): Unit = {
+    val names = df.columns.toSeq
+    val strDf = df.select(names.map(c => col(c).cast("string")): _*)
+    strDf.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val rows = names +: it.map(r =>
+          names.indices.map(r.getString): Seq[String]).toSeq
+        val bytes = writeBytes(rows, sheetName)
+        val path = new org.apache.hadoop.fs.Path(dir,
+          f"part-${org.apache.spark.TaskContext.getPartitionId()}%05d.xlsx")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(path, true)
+        try out.write(bytes) finally out.close()
+      }
+    }
+  }
+
   /** Read every .xlsx under `path` (glob ok) as one DataFrame of the
     * named sheet. Header row of the first file (by path order) names
     * the all-string nullable columns; each file's own header row is

@@ -161,6 +161,24 @@ class XlsxSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("zip bomb"))
   }
 
+  test("distributed write: one part per partition, round trip through the distributed read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-xlsx-write").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"name_$i", if (i % 7 == 0) null else s"v$i"))
+      .toDF("id", "name", "opt")
+    XlsxSource.write(df.repartition(4), dir, "Export")
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+    assert(parts.length === 4, "expected one .xlsx part per partition")
+    val back = XlsxSource.read(spark, dir + "/*.xlsx", sheet = "Export")
+    assert(back.columns.toSeq === Seq("id", "name", "opt"))
+    assert(back.count() === 1000)
+    // values round-trip as strings; nulls stay null (sparse cells)
+    assert(back.filter(back("opt").isNull).count() === (1000 / 7))
+    val got = back.select("id", "name").as[(String, String)].collect()
+      .map { case (i, n) => (i.toLong, n) }.toSet
+    assert(got === (1 to 1000).map(i => (i.toLong, s"name_$i")).toSet)
+  }
+
   test("distributed read: binaryFile -> header-named all-string DataFrame") {
     val dir = Files.createTempDirectory("graft-xlsx")
     Files.write(dir.resolve("abfall_abc.xlsx"), fixtureBytes)
