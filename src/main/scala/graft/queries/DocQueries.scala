@@ -86,10 +86,42 @@ object DocQueries extends QueryPack {
         col("provenance"))
       .orderBy("doc_id")
 
+  /** The documents corpus re-packaged as REAL single-page PDF files
+    * (Flate-compressed content streams, proper xref), built per-row by
+    * the zero-egress [[graft.sources.Pdf]] writer. Same no-shuffle
+    * contract as the docx path: bytes are born and parsed in one task. */
+  private def rawPdfDocs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        DocExtract.RawDoc(id, "pdf", s"pdf_$id", graft.sources.Pdf.pdfBytes(text)) }
+  }
+
+  /** q84 — the real PDF extractor end-to-end: corpus text → PDF bytes
+    * (compressed stream + xref) → object scan → page walk → inflate →
+    * text-operator replay → Source-node projection. The round trip pins
+    * writer and parser to the oracle's laws (PDF string escaping is
+    * lossless, ceil(len/500) chunking, 120-char title). Multi-page,
+    * multi-paragraph, TJ-kerning, hex-string, ObjStm and /Info /Title
+    * behavior is pinned by PdfSpec fixtures (not SQL-expressible). */
+  def q84PdfExtract(s: SparkSession, dir: String): DataFrame =
+    DocExtract.extractAll(rawPdfDocs(s, dir),
+        () => new DocExtract.PdfExtractor()).toDF()
+      .select(col("doc_id"), col("name"),
+        graft.core.Uid.uid(col("name")).as("uid"),
+        col("source_type").as("type"),
+        col("title"),
+        length(col("text")).cast("long").as("text_len"),
+        col("n_chunks"),
+        col("provenance"))
+      .orderBy("doc_id")
+
   val queries: Map[String, QueryFn] = Map(
     "q80_doc_extract"   -> (q80DocExtract _),
     "q81_derived_edges" -> (q81DerivedEdges _),
-    "q83_docx_extract"  -> (q83DocxExtract _))
+    "q83_docx_extract"  -> (q83DocxExtract _),
+    "q84_pdf_extract"   -> (q84PdfExtract _))
 
   /** The corpus is single-paragraph (no newlines — TESTDATA.md), so the
     * extractor's normalize is trim, the title is the capped first line,
@@ -124,5 +156,14 @@ object DocQueries extends QueryPack {
         | length(trim(text)) AS text_len,
         | CAST(ceil(length(trim(text)) / 500.0) AS INT) AS n_chunks,
         | 'docx:1p' AS provenance
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q84_pdf_extract" ->
+      """SELECT doc_id, 'pdf_' || doc_id AS name,
+        | substr(sha256('pdf_' || doc_id), 1, 16) AS uid,
+        | 'pdf' AS type,
+        | substr(trim(text), 1, 120) AS title,
+        | length(trim(text)) AS text_len,
+        | CAST(ceil(length(trim(text)) / 500.0) AS INT) AS n_chunks,
+        | 'pdf:1pg:1p' AS provenance
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

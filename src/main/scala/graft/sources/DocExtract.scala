@@ -264,8 +264,32 @@ object DocExtract {
     }
   }
 
-  /** Deterministic stand-in marking the seam where a real PDF parser
-    * or LLM client would sit (txt/md/docx all have real extractors). */
+  /** Real PDF extraction — the reference's planned PDF ingestion
+    * (`etl_implementation.md:262-273`, Source.type `pdf` in
+    * `schema.cql:96-97`) with no added dependency: [[Pdf]] parses the
+    * object graph (xref-independent scan, ObjStm expansion), walks the
+    * page tree, bounded-inflates `/FlateDecode` content streams, and
+    * replays the text operators (`Tj`, `TJ`, quote forms, and the
+    * `Td`/`TD`/`T*`-and-`Tm` line discipline). Page breaks are
+    * paragraph breaks; the document
+    * `/Info /Title` wins over the first line, the same
+    * heading-over-first-line contract as [[MarkdownExtractor]] /
+    * [[DocxExtractor]]. Chunking and empty-doc laws are shared (0
+    * chunks for an empty body). */
+  class PdfExtractor(chunkChars: Int = 500) extends Extractor {
+    def extract(d: RawDoc): Extracted = {
+      val (raw, title, nPages) = Pdf.extractText(d.content)
+      val text = normalize(raw)
+      val paras = paragraphs(text)
+      val packed = packChunks(paras, chunkChars)
+      Extracted(d.doc_id, d.source_type, d.name, text,
+        title.map(_.trim).filter(_.nonEmpty).getOrElse(titleOf(text)).take(120),
+        packed.size, s"pdf:${nPages}pg:${paras.size}p")
+    }
+  }
+
+  /** Deterministic stand-in marking the seam where a real LLM client
+    * would sit (txt/md/docx/pdf all have real extractors). */
   class StubExtractor(chunkChars: Int = 500) extends Extractor {
     def extract(d: RawDoc): Extracted = {
       val text = new String(d.content, StandardCharsets.UTF_8)
