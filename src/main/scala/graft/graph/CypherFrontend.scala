@@ -21,12 +21,18 @@ import org.apache.spark.sql.functions._
   * `WHERE` with Cypher scoping (an OPTIONAL MATCH's predicate filters
   * its matches inside the left join, never the null-padded rows) over
   * comparisons / boolean ops / string
-  * predicates / `IS [NOT] NULL` / `[NOT] (n)-[:R]->()` pattern
-  * predicates, one `WITH items [WHERE pred]` pipeline stage
-  * (projection or implicit-grouping aggregation; the WHERE is HAVING;
-  * later MATCHes join on the carried variables), `RETURN [DISTINCT]`
+  * predicates / `IS [NOT] NULL` / `e IN list` / `[NOT] (n)-[:R]->()`
+  * pattern predicates, chained `WITH items [WHERE pred]` pipeline
+  * stages (projection or implicit-grouping aggregation; the WHERE is
+  * HAVING; later MATCHes join on the carried variables, or correlate
+  * via WHERE on a scalar alias), `UNWIND list AS x` (literal, `$param`
+  * list, or a `collect(...)` alias), `CASE` expressions (searched and
+  * simple forms), list literals, arithmetic (`+ - * / %`), the scalar
+  * function battery ([[scalarFns]]: coalesce, case/trim/substring/
+  * replace/split/left/right string ops, casts, abs/round/floor/ceil,
+  * size, id), `RETURN [DISTINCT]`
   * with `AS` aliases, `count(*)` /
-  * `count([DISTINCT] n)` / `min` / `max` / `sum` / `avg`,
+  * `count([DISTINCT] n)` / `min` / `max` / `sum` / `avg` / `collect`,
   * `labels(n)[0]`, `type(r)`, property access, `$param` substitution,
   * `ORDER BY ... [ASC|DESC]`, `SKIP`, `LIMIT`. Write statements
   * (`MERGE` templates) compile through [[CypherWrite]] to the
@@ -50,6 +56,19 @@ object CypherFrontend {
   private case class EAgg(fn: String, arg: Option[Expr], distinct: Boolean) extends Expr
   private case class ELabels0(v: String) extends Expr
   private case class EType(v: String) extends Expr
+  /** `[e1, e2, ...]` list literal. */
+  private case class EList(items: Seq[Expr]) extends Expr
+  /** `CASE [operand] WHEN cond THEN value ... [ELSE e] END`: searched
+    * form carries Pred conditions (operand = None), simple form
+    * compares the operand to each WHEN value. */
+  private case class ECase(operand: Option[Expr],
+                           whens: Seq[(Either[Pred, Expr], Expr)],
+                           els: Option[Expr]) extends Expr
+  /** Binary arithmetic `+ - * / %` (numeric semantics; Cypher's
+    * string `+` is CONTAINS-era sugar we don't emulate). */
+  private case class EArith(op: String, l: Expr, r: Expr) extends Expr
+  /** Whitelisted scalar function call (see [[scalarFns]]). */
+  private case class EFn(fn: String, args: Seq[Expr]) extends Expr
 
   private sealed trait Pred
   private case class PCmp(op: String, l: Expr, r: Expr) extends Pred
@@ -58,6 +77,9 @@ object CypherFrontend {
   private case class POr(l: Pred, r: Pred) extends Pred
   private case class PNot(p: Pred) extends Pred
   private case class PIsNull(e: Expr, negated: Boolean) extends Pred
+  /** `e IN list` — literal/param lists compile to `isin` (pushdown-
+    * friendly), column-valued lists to `array_contains`. */
+  private case class PIn(l: Expr, r: Expr) extends Pred
   /** (v)-[:T1|T2]->() / ()<-[:T]-(v) existence predicate. */
   private case class PPattern(v: String, types: Seq[String], forward: Boolean,
                               targetLabel: Option[String]) extends Pred
@@ -81,11 +103,22 @@ object CypherFrontend {
     * the rows so far, optionally filters the projected frame (the
     * post-aggregation WHERE = SQL HAVING), then later MATCH clauses
     * join against the carried variables. */
+  /** WITH sub-clauses in openCypher order: projection → ORDER BY →
+    * SKIP/LIMIT → WHERE (the WHERE filters the paginated frame). Order
+    * keys are expressions over the projected columns. */
   private case class WithStage(distinct: Boolean, items: Seq[RetItem],
+                               orderBy: Seq[(Expr, Boolean)],
+                               skip: Option[Long], limit: Option[Long],
                                where: Option[Pred])
-  private case class Query(clauses: Seq[MatchClause],
-                           withStage: Option[WithStage],
-                           postClauses: Seq[MatchClause],
+  /** Reading clauses compose as a PIPELINE of stages (openCypher's
+    * "query is a sequence of clauses, each feeding the next"): any
+    * interleaving of MATCH groups, WITH projections, and UNWINDs,
+    * terminated by one RETURN. */
+  private sealed trait Stage
+  private case class SMatch(cl: MatchClause) extends Stage
+  private case class SWith(ws: WithStage) extends Stage
+  private case class SUnwind(e: Expr, alias: String) extends Stage
+  private case class Query(stages: Seq[Stage],
                            distinct: Boolean, items: Seq[RetItem],
                            orderBy: Seq[OrderKey], skip: Option[Long],
                            limit: Option[Long])
@@ -103,7 +136,17 @@ object CypherFrontend {
     "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT", "XOR", "DISTINCT", "AS",
     "CONTAINS", "STARTS", "ENDS", "WITH", "IS", "NULL", "TRUE", "FALSE",
     "IN", "MERGE", "SET", "DELETE", "DETACH", "CREATE", "REMOVE", "EXISTS",
-    "OPTIONAL", "ON", "CASE", "WHEN", "THEN", "ELSE", "END")
+    "OPTIONAL", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "UNWIND")
+
+  /** Whitelisted Cypher scalar functions (Neo4j's everyday battery),
+    * each compiling to one codegen'd Catalyst function. Divergences,
+    * documented: `id(n)` returns the engine's string uid (Neo4j's
+    * numeric ids are storage-internal); `size` is list-size for list
+    * literals and string-length otherwise. */
+  private val scalarFns = Set("coalesce", "tolower", "toupper", "tostring",
+    "tointeger", "tofloat", "substring", "replace", "split", "trim",
+    "ltrim", "rtrim", "left", "right", "abs", "round", "floor", "ceil",
+    "size", "id")
 
   private[graph] def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -175,33 +218,42 @@ object CypherFrontend {
         val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
         MatchClause(cs.result(), optional, w)
       }
-      val clauses = Seq.newBuilder[MatchClause]
-      clauses += matchClause(optional = false)
-      while (atKw("MATCH") || atKw("OPTIONAL")) {
-        val opt = atKw("OPTIONAL")
-        if (opt) eatKw("OPTIONAL")
-        clauses += matchClause(opt)
-      }
-      // one WITH pipeline stage, optionally followed by more MATCHes
-      // joining on the carried variables (a second WITH fails the
-      // RETURN expectation below with a clear position)
-      val withStage =
-        if (atKw("WITH")) {
+      // the reading pipeline: MATCH / OPTIONAL MATCH / WITH / UNWIND
+      // stages in any order (each feeds the next), one RETURN at the end
+      val stages = Seq.newBuilder[Stage]
+      var go = true
+      while (go) {
+        if (atKw("MATCH") || atKw("OPTIONAL")) {
+          val opt = atKw("OPTIONAL")
+          if (opt) eatKw("OPTIONAL")
+          stages += SMatch(matchClause(opt))
+        } else if (atKw("WITH")) {
           eatKw("WITH")
           val wd = if (atKw("DISTINCT")) { eatKw("DISTINCT"); true } else false
           val wi = Seq.newBuilder[RetItem]
           wi += retItem()
           while (atSym(",")) { eatSym(","); wi += retItem() }
+          val wo = Seq.newBuilder[(Expr, Boolean)]
+          if (atKw("ORDER")) {
+            eatKw("ORDER"); eatKw("BY")
+            def key(): (Expr, Boolean) = {
+              val e = expr()
+              if (atKw("DESC")) { eatKw("DESC"); (e, false) }
+              else { if (atKw("ASC")) eatKw("ASC"); (e, true) }
+            }
+            wo += key()
+            while (atSym(",")) { eatSym(","); wo += key() }
+          }
+          val wskip = if (atKw("SKIP")) { eatKw("SKIP"); Some(num()) } else None
+          val wlimit = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(num()) } else None
           val ww = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
-          Some(WithStage(wd, wi.result(), ww))
-        } else None
-      val post = Seq.newBuilder[MatchClause]
-      if (withStage.isDefined) {
-        while (atKw("MATCH") || atKw("OPTIONAL")) {
-          val opt = atKw("OPTIONAL")
-          if (opt) eatKw("OPTIONAL")
-          post += matchClause(opt)
-        }
+          stages += SWith(WithStage(wd, wi.result(), wo.result(), wskip, wlimit, ww))
+        } else if (atKw("UNWIND")) {
+          eatKw("UNWIND")
+          val e = expr()
+          eatKw("AS")
+          stages += SUnwind(e, ident())
+        } else go = false
       }
       eatKw("RETURN")
       val distinct = if (atKw("DISTINCT")) { eatKw("DISTINCT"); true } else false
@@ -217,8 +269,9 @@ object CypherFrontend {
       val skip = if (atKw("SKIP")) { eatKw("SKIP"); Some(num()) } else None
       val limit = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(num()) } else None
       require(pos == toks.length, s"trailing tokens from '${peek.map(_.text).getOrElse("")}'")
-      Query(clauses.result(), withStage, post.result(), distinct,
-        items.result(), order.result(), skip, limit)
+      val st = stages.result()
+      require(st.nonEmpty, "query needs at least one reading clause before RETURN")
+      Query(st, distinct, items.result(), order.result(), skip, limit)
     }
 
     private def num(): Long = next() match {
@@ -321,8 +374,46 @@ object CypherFrontend {
       OrderKey(text, asc)
     }
 
-    // expression grammar: atom | fn(...) | var.prop | labels(v)[0] | type(v)
-    private def expr(): Expr = peek match {
+    // expression grammar with arithmetic precedence (+,- over *,/,%):
+    // expr := term (('+'|'-') term)* ; term := factor (('*'|'/'|'%') factor)*
+    // factor := fn(...) | CASE ... END | labels(v)[0] | type(v) | atom
+    private def expr(): Expr = {
+      var l = term()
+      while (atSym("+") || atSym("-")) {
+        val op = next().text
+        l = EArith(op, l, term())
+      }
+      l
+    }
+
+    private def term(): Expr = {
+      var l = factor()
+      while (atSym("*") || atSym("/") || atSym("%")) {
+        val op = next().text
+        l = EArith(op, l, factor())
+      }
+      l
+    }
+
+    private def factor(): Expr = peek match {
+      case Some(TKw("CASE")) =>
+        eatKw("CASE")
+        val operand = if (atKw("WHEN")) None else Some(expr())
+        val whens = Seq.newBuilder[(Either[Pred, Expr], Expr)]
+        while (atKw("WHEN")) {
+          eatKw("WHEN")
+          val cond: Either[Pred, Expr] =
+            if (operand.isDefined) Right(expr()) else Left(pred())
+          eatKw("THEN")
+          whens += (cond -> expr())
+        }
+        val els = if (atKw("ELSE")) { eatKw("ELSE"); Some(expr()) } else None
+        eatKw("END")
+        val ws = whens.result()
+        require(ws.nonEmpty, "CASE needs at least one WHEN branch")
+        ECase(operand, ws, els)
+      case Some(TSym("(")) => // grouping (patterns never reach expr())
+        eatSym("("); val e = expr(); eatSym(")"); e
       case Some(TId("labels")) if toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("("); val v = ident(); eatSym(")")
         eatSym("["); require(num() == 0L, "only labels(n)[0] is supported"); eatSym("]")
@@ -336,11 +427,29 @@ object CypherFrontend {
         val arg = if (atSym("*")) { eatSym("*"); None } else Some(expr())
         eatSym(")")
         EAgg(fn.toLowerCase, arg, distinct)
+      case Some(TId(fn)) if scalarFns(fn.toLowerCase)
+          && toks.lift(pos + 1).exists(_.text == "(") =>
+        pos += 1; eatSym("(")
+        val args = Seq.newBuilder[Expr]
+        if (!atSym(")")) {
+          args += expr()
+          while (atSym(",")) { eatSym(","); args += expr() }
+        }
+        eatSym(")")
+        EFn(fn.toLowerCase, args.result())
       case _ => atom()
     }
 
     private def atom(): Expr = next() match {
       case TSym("$") => EParam(ident())
+      case TSym("[") =>
+        val items = Seq.newBuilder[Expr]
+        while (!atSym("]")) {
+          items += expr()
+          if (atSym(",")) eatSym(",")
+        }
+        eatSym("]")
+        EList(items.result())
       case TSym("-") => atom() match { // negative literal (write `< -1` spaced)
         case ELit(v: Long) => ELit(-v)
         case ELit(v: Double) => ELit(-v)
@@ -391,6 +500,7 @@ object CypherFrontend {
           val neg = if (atKw("NOT")) { eatKw("NOT"); true } else false
           eatKw("NULL")
           PIsNull(l, neg)
+        case Some(TKw("IN")) => eatKw("IN"); PIn(l, expr())
         case Some(TKw("CONTAINS")) => eatKw("CONTAINS"); PStr("contains", l, atom())
         case Some(TKw("STARTS")) => eatKw("STARTS"); eatKw("WITH"); PStr("starts", l, atom())
         case Some(TKw("ENDS")) => eatKw("ENDS"); eatKw("WITH"); PStr("ends", l, atom())
@@ -455,7 +565,15 @@ object CypherFrontend {
     private def nodeSide(p: NodePat, v: String): DataFrame = {
       var df = nodes
       p.label.foreach(l => df = df.filter(col("label") === l))
-      p.props.foreach { case (k, e) => df = df.filter(col(k) === exprCol(e)) }
+      p.props.foreach { case (k, e) =>
+        e match {
+          case EVar(sv) if scalarVars(sv) => sys.error(
+            s"property map cannot reference pipeline alias '$sv' (it lives " +
+              "outside the pattern's frame); correlate with WHERE instead")
+          case _ =>
+        }
+        df = df.filter(col(k) === exprCol(e))
+      }
       df.select((Seq("uid", "label") ++ nodeProps).map(c => col(c).as(ns(v, c))): _*)
     }
 
@@ -571,8 +689,22 @@ object CypherFrontend {
           cl.where.foreach(p => df = applyPred(df, p, negated = false))
         } else {
           val shared = (bound & cbound).toSeq.sorted
-          require(shared.nonEmpty,
-            "disconnected MATCH patterns would be a cross product; share a variable")
+          if (shared.isEmpty) {
+            // no shared pattern variable: legal only when the clause's
+            // WHERE correlates it to the pipeline's scalar columns
+            // (`UNWIND $keys AS k MATCH (n) WHERE n.key = k`) — the
+            // equality lands in the join condition, so Catalyst plans
+            // an equi-join, not a cartesian (PlanSweepSpec's law)
+            require(!cl.optional,
+              "OPTIONAL MATCH needs a shared variable with the rows so far")
+            require(cl.where.exists(refsScalar),
+              "disconnected MATCH patterns would be a cross product; " +
+                "share a variable or correlate via WHERE on a WITH/UNWIND alias")
+            df = df.crossJoin(cdf)
+            cl.where.foreach(p => df = applyPred(df, p, negated = false))
+            bound ++= cbound
+            return
+          }
           if (cl.optional) {
             // Cypher scoping: OPTIONAL MATCH's WHERE filters the
             // matches INSIDE the left join — unmatched rows stay
@@ -592,21 +724,39 @@ object CypherFrontend {
         }
         bound ++= cbound
       }
-      q.clauses.foreach(applyClause)
-
-      q.withStage.foreach { ws =>
-        df = applyWith(ws, df, bound)
-        // carried pattern variables only — scalar aliases are plain
-        // columns, never join keys for later MATCHes
-        bound = ws.items.collect {
-          case RetItem(EVar(v), None, _) if !scalarVars(v) => v
-        }.toSet
-        // post-WITH WHERE: HAVING semantics (filters the projected
-        // frame; pattern predicates on carried node vars still compile
-        // to semi/anti joins on their uid)
-        ws.where.foreach(p => df = applyPred(df, p, negated = false))
+      q.stages.foreach {
+        case SMatch(cl) => applyClause(cl)
+        case SWith(ws) =>
+          require(df != null, "WITH before any MATCH/UNWIND has no rows to project")
+          df = applyWith(ws, df, bound)
+          // carried pattern variables only — scalar aliases are plain
+          // columns, never join keys for later MATCHes
+          bound = ws.items.collect {
+            case RetItem(EVar(v), None, _) if !scalarVars(v) => v
+          }.toSet
+          // WITH sub-clauses in openCypher order: ORDER BY, then
+          // SKIP/LIMIT (ORDER BY + LIMIT = one TakeOrdered top-N),
+          // then WHERE (HAVING semantics on the paginated frame;
+          // pattern predicates on carried node vars still compile to
+          // semi/anti joins on their uid)
+          if (ws.orderBy.nonEmpty)
+            df = df.orderBy(ws.orderBy.map { case (e, asc) =>
+              if (asc) exprCol(e).asc else exprCol(e).desc
+            }: _*)
+          ws.skip.foreach(n => df = df.offset(n.toInt))
+          ws.limit.foreach(n => df = df.limit(n.toInt))
+          ws.where.foreach(p => df = applyPred(df, p, negated = false))
+        case SUnwind(e, alias) =>
+          require(!scalarVars(alias) && !bound(alias),
+            s"UNWIND alias '$alias' is already bound")
+          // one output row per list element; at the pipeline head the
+          // list (a literal or $param) seeds a single-row frame
+          df =
+            if (df == null)
+              nodes.sparkSession.range(1).select(explode(exprCol(e)).as(alias))
+            else df.withColumn(alias, explode(exprCol(e)))
+          scalarVars += alias
       }
-      q.postClauses.foreach(applyClause)
 
       val aggs = q.items.filter(i => isAgg(i.expr))
       val outName = (i: RetItem) => i.alias.getOrElse(i.text)
@@ -708,6 +858,15 @@ object CypherFrontend {
       case PCmp(">", l, r) => exprCol(l) > exprCol(r)
       case PCmp(">=", l, r) => exprCol(l) >= exprCol(r)
       case PCmp(op, _, _) => sys.error(s"unknown comparison $op")
+      case PIn(l, EList(items)) if items.forall(_.isInstanceOf[ELit]) =>
+        exprCol(l).isin(items.map(_.asInstanceOf[ELit].v): _*)
+      case PIn(l, EParam(n)) => params.getOrElse(n,
+        sys.error(s"missing parameter $$${n}")) match {
+        case xs: Seq[_] => exprCol(l).isin(xs: _*)
+        case xs: Array[_] => exprCol(l).isin(xs.toSeq: _*)
+        case other => sys.error(s"IN $$${n} needs a list parameter, got $other")
+      }
+      case PIn(l, r) => array_contains(exprCol(r), exprCol(l))
       case PStr("contains", l, r) => exprCol(l).contains(exprCol(r))
       case PStr("starts", l, r) => exprCol(l).startsWith(exprCol(r))
       case PStr("ends", l, r) => exprCol(l).endsWith(exprCol(r))
@@ -735,11 +894,112 @@ object CypherFrontend {
       case EProp(v, k) => col(ns(v, k))
       case ELit(null) => lit(null)
       case ELit(x) => lit(x)
-      case EParam(n) => lit(params.getOrElse(n,
-        sys.error(s"missing parameter $$${n}")))
+      case EParam(n) => params.getOrElse(n,
+        sys.error(s"missing parameter $$${n}")) match {
+        // list parameters surface as array columns (UNWIND $ids AS id)
+        case xs: Seq[_] => array(xs.map(x => lit(x)): _*)
+        case xs: Array[_] => array(xs.toIndexedSeq.map(x => lit(x)): _*)
+        case v => lit(v)
+      }
       case ELabels0(v) => col(ns(v, "label"))
       case EType(v) => col(ns(v, "rel_type"))
+      case EList(items) => array(items.map(exprCol): _*)
+      case EArith(op, l, r) =>
+        val (lc, rc) = (exprCol(l), exprCol(r))
+        op match {
+          case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+          case "/" => lc / rc; case "%" => lc % rc
+          case other => sys.error(s"unknown arithmetic operator $other")
+        }
+      case EFn(fn, args) => fnCol(fn, args)
+      case ECase(operand, whens, els) =>
+        val branches = whens.map {
+          case (Left(p), t) => (predCol(p), exprCol(t))
+          case (Right(v), t) => (exprCol(operand.get) === exprCol(v), exprCol(t))
+        }
+        val chain = branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
+          case (acc, (c, t)) => acc.when(c, t)
+        }
+        els.fold(chain)(e => chain.otherwise(exprCol(e)))
       case EAgg(_, _, _) => sys.error("aggregate in scalar position")
+    }
+
+    /** Scalar-function compilation — every entry is one codegen'd
+      * Catalyst function. `substring` keeps Cypher's 0-based start;
+      * `split` quotes its literal delimiter (Cypher splits literally,
+      * Spark's split is regex); `size` is LIST size (string `size` is
+      * deprecated Cypher — Neo4j 5 points at char_length). */
+    private def fnCol(fn: String, args: Seq[Expr]): Column = {
+      def a(i: Int): Column = exprCol(args(i))
+      def arity(ok: Boolean): Unit =
+        require(ok, s"wrong number of arguments (${args.size}) for $fn()")
+      fn match {
+        case "coalesce" => arity(args.nonEmpty); coalesce(args.map(exprCol): _*)
+        case "tolower" => arity(args.size == 1); lower(a(0))
+        case "toupper" => arity(args.size == 1); upper(a(0))
+        case "tostring" => arity(args.size == 1); a(0).cast("string")
+        case "tointeger" => arity(args.size == 1); a(0).cast("long")
+        case "tofloat" => arity(args.size == 1); a(0).cast("double")
+        case "substring" =>
+          arity(args.size == 2 || args.size == 3)
+          val len = if (args.size == 3) a(2) else lit(Int.MaxValue)
+          a(0).substr(a(1) + lit(1), len)
+        case "replace" => arity(args.size == 3); replace(a(0), a(1), a(2))
+        case "split" =>
+          arity(args.size == 2)
+          args(1) match {
+            case ELit(d: String) => split(a(0), java.util.regex.Pattern.quote(d))
+            case _ => sys.error("split() needs a literal string delimiter")
+          }
+        case "trim" => arity(args.size == 1); trim(a(0))
+        case "ltrim" => arity(args.size == 1); ltrim(a(0))
+        case "rtrim" => arity(args.size == 1); rtrim(a(0))
+        case "left" => arity(args.size == 2); call_function("left", a(0), a(1))
+        case "right" => arity(args.size == 2); call_function("right", a(0), a(1))
+        case "abs" => arity(args.size == 1); abs(a(0))
+        case "round" =>
+          arity(args.size == 1 || args.size == 2)
+          if (args.size == 1) round(a(0))
+          else args(1) match {
+            case ELit(n: Long) => round(a(0), n.toInt)
+            case _ => sys.error("round() scale must be an integer literal")
+          }
+        case "floor" => arity(args.size == 1); floor(a(0))
+        case "ceil" => arity(args.size == 1); ceil(a(0))
+        case "size" => arity(args.size == 1); size(a(0))
+        case "id" => args match {
+          case Seq(EVar(v)) if !scalarVars(v) && !relVars(v) => col(ns(v, "uid"))
+          case _ => sys.error("id() takes one bound node variable (returns the string uid)")
+        }
+        case other => sys.error(s"unsupported function $other()")
+      }
+    }
+
+    /** Does the predicate reference any WITH/UNWIND scalar alias?
+      * (Gates the correlated no-shared-variable MATCH join.) */
+    private def refsScalar(p: Pred): Boolean = {
+      def inE(e: Expr): Boolean = e match {
+        case EVar(v) => scalarVars(v)
+        case EArith(_, l, r) => inE(l) || inE(r)
+        case EFn(_, as) => as.exists(inE)
+        case EList(items) => items.exists(inE)
+        case ECase(op, whens, els) =>
+          op.exists(inE) || els.exists(inE) ||
+            whens.exists { case (c, t) => c.fold(inP, inE) || inE(t) }
+        case EAgg(_, a, _) => a.exists(inE)
+        case _ => false
+      }
+      def inP(q: Pred): Boolean = q match {
+        case PCmp(_, l, r) => inE(l) || inE(r)
+        case PStr(_, l, r) => inE(l) || inE(r)
+        case PIn(l, r) => inE(l) || inE(r)
+        case PAnd(l, r) => inP(l) || inP(r)
+        case POr(l, r) => inP(l) || inP(r)
+        case PNot(i) => inP(i)
+        case PIsNull(e, _) => inE(e)
+        case PPattern(_, _, _, _) => false
+      }
+      inP(p)
     }
 
     private def isAgg(e: Expr): Boolean = e.isInstanceOf[EAgg]

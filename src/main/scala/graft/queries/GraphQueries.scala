@@ -892,7 +892,80 @@ object GraphQueries extends QueryPack {
         |ORDER BY region, nation""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g34 — CHAINED WITH stages (aggregate → re-project+HAVING →
+    * continuation MATCH): the free-form pipeline shape the r5 front-end
+    * rejected at the second WITH. Same compiled plan family as g33 —
+    * each WITH is one hash aggregate / projection, HAVING a filter. */
+  def g34CypherMultiWith(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        |WITH n, count(c) AS customers
+        |WITH n, customers WHERE customers >= 20
+        |MATCH (n)-[:IN_REGION]->(r:Region)
+        |WITH r, sum(customers) AS big_customers
+        |RETURN r.name AS region, big_customers
+        |ORDER BY region""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
+  /** g35 — UNWIND + parameterized IN: the driver's batch-lookup idiom
+    * (`UNWIND $list AS x MATCH ... WHERE key = x`). The scalar
+    * correlation lands in the join condition, so Catalyst plans a
+    * broadcast equi-join of the 3-row literal frame against the node
+    * scan — no cartesian anywhere. */
+  def g35CypherUnwind(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """UNWIND $regions AS rname
+        |MATCH (r:Region) WHERE r.name = rname
+        |MATCH (n:Nation)-[:IN_REGION]->(r)
+        |RETURN rname AS region, count(n) AS nations
+        |ORDER BY region""".stripMargin,
+      nodes(s, dir), edges(s, dir),
+      Map("regions" -> Seq("EUROPE", "ASIA", "ATLANTIS")))
+
+  /** g36 — CASE expressions: searched-form bucketing feeding Cypher's
+    * implicit grouping, plus sum(CASE...) conditional aggregation —
+    * one hash aggregate over codegen'd when-chains. */
+  def g36CypherCase(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN
+        |  CASE WHEN r.name IN ['EUROPE', 'ASIA'] THEN 'east' ELSE 'other' END AS zone,
+        |  count(c) AS customers,
+        |  sum(CASE WHEN n.name CONTAINS 'A' THEN 1 ELSE 0 END) AS in_a_nations
+        |ORDER BY zone""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
+  /** g37 — WITH ORDER BY/LIMIT mid-pipeline (one TakeOrdered top-N,
+    * tie-broken to stay deterministic) feeding a continuation MATCH,
+    * plus RETURN-level arithmetic — the "top nations, then their
+    * regions" free-form idiom. */
+  def g37CypherTopnPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        |WITH n, count(c) AS customers ORDER BY customers DESC, n.name LIMIT 5
+        |MATCH (n)-[:IN_REGION]->(r:Region)
+        |RETURN n.name AS nation, r.name AS region, customers * 2 - 1 AS score
+        |ORDER BY nation""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
+  /** g38 — the scalar-function battery in one pipeline: string ops and
+    * casts feeding implicit grouping. All codegen'd Catalyst functions;
+    * the grouped prefix key collapses nations that share a 3-letter
+    * lowercase prefix, exercising function-result group keys. */
+  def g38CypherFunctions(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN substring(toLower(n.name), 0, 3) AS prefix,
+        |  count(*) AS nations, min(toUpper(left(r.name, 4))) AS region4
+        |ORDER BY prefix""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "g38_cypher_functions" -> (g38CypherFunctions _),
+    "g37_cypher_topn_pipeline" -> (g37CypherTopnPipeline _),
+    "g36_cypher_case"    -> (g36CypherCase _),
+    "g35_cypher_unwind"  -> (g35CypherUnwind _),
+    "g34_cypher_multiwith" -> (g34CypherMultiWith _),
     "g33_cypher_with"    -> (g33CypherWith _),
     "g32_cypher_varlength" -> (g32CypherVarLength _),
     "g31_cypher_paging"  -> (g31CypherPaging _),
@@ -974,6 +1047,41 @@ object GraphQueries extends QueryPack {
         |JOIN nation ON n_nationkey = g.nk
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY region, nation""".stripMargin,
+    "g34_cypher_multiwith" ->
+      """SELECT r_name AS region, CAST(sum(customers) AS BIGINT) AS big_customers FROM (
+        |  SELECT c_nationkey AS nk, count(*) AS customers
+        |  FROM customer GROUP BY c_nationkey HAVING count(*) >= 20) g
+        |JOIN nation ON n_nationkey = g.nk
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region""".stripMargin,
+    "g35_cypher_unwind" ->
+      """SELECT r_name AS region, count(*) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('EUROPE', 'ASIA')
+        |GROUP BY r_name ORDER BY region""".stripMargin,
+    "g38_cypher_functions" ->
+      """SELECT substr(lower(n_name), 1, 3) AS prefix,
+        |  count(*) AS nations, min(upper(left(r_name, 4))) AS region4
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY prefix""".stripMargin,
+    "g37_cypher_topn_pipeline" ->
+      """SELECT n_name AS nation, r_name AS region,
+        |  customers * 2 - 1 AS score FROM (
+        |  SELECT n_nationkey, n_regionkey, n_name, count(*) AS customers
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2, 3
+        |  ORDER BY customers DESC, n_name LIMIT 5) t
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY nation""".stripMargin,
+    "g36_cypher_case" ->
+      """SELECT
+        |  CASE WHEN r_name IN ('EUROPE', 'ASIA') THEN 'east' ELSE 'other' END AS zone,
+        |  count(*) AS customers,
+        |  CAST(sum(CASE WHEN n_name LIKE '%A%' THEN 1 ELSE 0 END) AS BIGINT) AS in_a_nations
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY zone""".stripMargin,
     // g24: the two HITS rounds unrolled as CTEs with the identical
     // integer max-norm; DuckDB's HUGEINT sums make the wrap-safety
     // mirror explicit (the Spark side rides decimal(38,0)).

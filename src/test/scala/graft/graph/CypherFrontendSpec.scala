@@ -331,4 +331,160 @@ class CypherFrontendSpec extends SparkSpec {
       run("MERGE (c:Container {uid: 'x'}) RETURN c")
     }
   }
+
+  test("chained WITH stages: aggregate, re-project, HAVING at each step") {
+    val got = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s, count(w) AS items
+        |WITH s, items WHERE items >= 2
+        |RETURN s.name AS stream, items""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("Restmuell", 2L)))
+  }
+
+  test("UNWIND a literal list, correlate the MATCH via WHERE") {
+    val got = run(
+      """UNWIND ['Restmuell', 'Biomuell', 'Sondermuell'] AS nm
+        |MATCH (s:WasteStream) WHERE s.name = nm
+        |RETURN nm, s.uid AS uid ORDER BY nm""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    // Sondermuell matches nothing → inner-join semantics drop it
+    assert(got === Seq(("Biomuell", "u:s2"), ("Restmuell", "u:s1")))
+  }
+
+  test("UNWIND $param list (the driver's parameterized batch-lookup idiom)") {
+    val got = run(
+      """UNWIND $names AS nm
+        |MATCH (w:WasteItem) WHERE w.name = nm
+        |RETURN nm ORDER BY nm""".stripMargin,
+      Map("names" -> Seq("Asche", "Laub", "Niemals")))
+      .as[String].collect().toSeq
+    assert(got === Seq("Asche", "Laub"))
+  }
+
+  test("UNWIND a collect() alias re-expands the grouped list") {
+    val got = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s, collect(w.name) AS names
+        |UNWIND names AS nm
+        |RETURN s.name AS stream, nm ORDER BY stream, nm""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(("Biomuell", "Laub"),
+      ("Restmuell", "Asche"), ("Restmuell", "Bauschutt")))
+  }
+
+  test("CASE searched form, and conditional aggregation via sum(CASE...)") {
+    val got = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s, count(w) AS items
+        |RETURN s.name AS stream,
+        |  CASE WHEN items >= 2 THEN 'busy' ELSE 'quiet' END AS status
+        |ORDER BY stream""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(("Biomuell", "quiet"), ("Restmuell", "busy")))
+    val agg = run(
+      """MATCH (n)
+        |RETURN sum(CASE WHEN labels(n)[0] = 'WasteItem' THEN 1 ELSE 0 END) AS items,
+        |  sum(CASE WHEN labels(n)[0] = 'Facility' THEN 1 ELSE 0 END) AS facilities""".stripMargin)
+      .as[(Long, Long)].collect().head
+    assert(agg === ((4L, 2L)))
+  }
+
+  test("CASE simple form compares the operand to each WHEN value") {
+    val got = run(
+      """MATCH (s:WasteStream)
+        |RETURN s.name AS stream,
+        |  CASE s.name WHEN 'Restmuell' THEN 'grau' WHEN 'Biomuell' THEN 'braun' END AS bin
+        |ORDER BY stream""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(("Biomuell", "braun"), ("Restmuell", "grau")))
+  }
+
+  test("IN over list literals and $param lists") {
+    val lits = run(
+      "MATCH (w:WasteItem) WHERE w.name IN ['Asche', 'Laub'] RETURN w.name AS n ORDER BY n")
+      .as[String].collect().toSeq
+    assert(lits === Seq("Asche", "Laub"))
+    val par = run(
+      "MATCH (w:WasteItem) WHERE NOT w.name IN $xs RETURN w.name AS n ORDER BY n",
+      Map("xs" -> Seq("Asche", "Laub")))
+      .as[String].collect().toSeq
+    assert(par === Seq("Altlack", "Bauschutt"))
+  }
+
+  test("arithmetic: precedence, unary minus, grouping parens, modulo") {
+    val got = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s, count(w) AS items
+        |RETURN s.name AS stream, items * 10 + 1 AS scaled,
+        |  (items + 1) * 2 AS grouped, items % 2 AS parity
+        |ORDER BY stream""".stripMargin)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("Biomuell", 11L, 4L, 1L), ("Restmuell", 21L, 6L, 0L)))
+    val neg = run("MATCH (s:WasteStream) RETURN count(*) AS c, -2 + 1 AS m")
+      .as[(Long, Long)].collect().head
+    assert(neg === ((2L, -1L)))
+  }
+
+  test("WITH ORDER BY + LIMIT: top-N mid-pipeline, then continue matching") {
+    val got = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s, count(w) AS items ORDER BY items DESC, s.name LIMIT 1
+        |MATCH (x:WasteItem)-[:DISPOSED_IN]->(s)
+        |RETURN s.name AS stream, x.name AS item ORDER BY item""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(("Restmuell", "Asche"), ("Restmuell", "Bauschutt")))
+    // SKIP past the top row instead
+    val skipped = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s, count(w) AS items ORDER BY items DESC, s.name SKIP 1
+        |RETURN s.name AS stream, items""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(skipped === Seq(("Biomuell", 1L)))
+  }
+
+  test("scalar function battery: case, substring, replace, casts, coalesce, id") {
+    val got = run(
+      """MATCH (f:Facility)
+        |RETURN toLower(f.name) AS lo, toUpper(left(f.name, 4)) AS up,
+        |  substring(f.name, 0, 5) AS sub, replace(f.address, 'allee', 'weg') AS addr,
+        |  coalesce(f.address, 'n/a') AS addr2, id(f) AS uid
+        |ORDER BY lo""".stripMargin)
+      .as[(String, String, String, String, String, String)].collect().toSeq
+    assert(got === Seq(
+      ("wertstoffhof a", "WERT", "Werts", "Campusweg 1", "Campusallee 1", "u:f1"),
+      ("wertstoffhof b", "WERT", "Werts", "Nordring 7", "Nordring 7", "u:f2")))
+    val nums = run(
+      """MATCH (s:WasteStream)
+        |RETURN count(*) AS c, abs(-3) AS a, floor(2.7) AS fl, ceil(2.1) AS ce,
+        |  round(2.456, 2) AS r2, toInteger('42') AS i""".stripMargin)
+      .as[(Long, Long, Long, Long, Double, Long)].collect().head
+    assert(nums === ((2L, 3L, 2L, 3L, 2.46, 42L)))
+  }
+
+  test("split + UNWIND + size: list functions round-trip") {
+    val got = run(
+      """MATCH (f:Facility {uid: 'u:f1'})
+        |UNWIND split(f.name, 'stoff') AS part
+        |RETURN part ORDER BY part""".stripMargin)
+      .as[String].collect().toSeq
+    assert(got === Seq("Wert", "hof A"))
+    val sz = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s, collect(w.name) AS names
+        |RETURN s.name AS stream, size(names) AS n ORDER BY stream""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(sz.map { case (k, v) => (k, v) } === Seq(("Biomuell", 1L), ("Restmuell", 2L)))
+  }
+
+  test("pipeline aliases cannot leak into property maps") {
+    val e = intercept[RuntimeException](run(
+      """UNWIND ['Restmuell'] AS nm
+        |MATCH (s:WasteStream {name: nm}) RETURN s.uid""".stripMargin))
+    assert(e.getMessage.contains("WHERE"))
+    // and a truly disconnected MATCH is still refused
+    val e2 = intercept[IllegalArgumentException](run(
+      """MATCH (w:WasteItem) MATCH (f:Facility) RETURN count(*) AS c"""))
+    assert(e2.getMessage.contains("cross product"))
+  }
 }
