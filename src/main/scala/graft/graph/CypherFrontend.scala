@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * comma-separated chains joined on shared variables, and bounded
   * variable-length `-[:R*lo..hi]->` hops compiled to the same
   * unrolled-join union as `GraphDSL.outVar` — walk semantics, depth
-  * capped at 10, unbounded `*` pointed at `Traversal`), per-clause
+  * capped at 10, unbounded `*` pointed at `Traversal`),
+  * `p = shortestPath((a)-[:T*..k]->(b))` with `length(p)` (bounded
+  * unrolled BFS: per-depth distinct level sets + one min-depth
+  * aggregate), per-clause
   * `WHERE` with Cypher scoping (an OPTIONAL MATCH's predicate filters
   * its matches inside the left join, never the null-padded rows) over
   * comparisons / boolean ops / string
@@ -96,7 +99,10 @@ object CypherFrontend {
     * OPTIONAL MATCH (the predicate filters the MATCHES, it must not
     * drop null-padded rows post-join). */
   private case class MatchClause(chains: Seq[Chain], optional: Boolean,
-                                 where: Option[Pred])
+                                 where: Option[Pred],
+                                 /** `p = shortestPath((a)-[:T*..k]->(b))`:
+                                   * the bound path variable. */
+                                 shortest: Option[String] = None)
   private case class RetItem(expr: Expr, alias: Option[String], text: String)
   private case class OrderKey(ref: String, asc: Boolean)
   /** One `WITH items [WHERE pred]` pipeline stage: projects/aggregates
@@ -146,7 +152,7 @@ object CypherFrontend {
   private val scalarFns = Set("coalesce", "tolower", "toupper", "tostring",
     "tointeger", "tofloat", "substring", "replace", "split", "trim",
     "ltrim", "rtrim", "left", "right", "abs", "round", "floor", "ceil",
-    "size", "id")
+    "size", "id", "length")
 
   private[graph] def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -212,6 +218,21 @@ object CypherFrontend {
             "graft.graph.GraphStore sinks' job")
       def matchClause(optional: Boolean): MatchClause = {
         eatKw("MATCH")
+        // `p = shortestPath((a)-[:T*lo..hi]->(b))` — one var-length hop
+        if (peek.exists(_.isInstanceOf[TId]) &&
+            toks.lift(pos + 1).exists(_.text == "=") &&
+            toks.lift(pos + 2).exists(t => t.isInstanceOf[TId] &&
+              t.text.equalsIgnoreCase("shortestPath"))) {
+          val pv = ident(); eatSym("="); ident(); eatSym("(")
+          val ch = chain()
+          eatSym(")")
+          require(ch.hops.size == 1 && ch.hops.head._1.varLen.isDefined,
+            "shortestPath needs exactly one var-length relationship, " +
+              "e.g. shortestPath((a)-[:T*..4]->(b))")
+          require(!optional, "OPTIONAL shortestPath is not supported")
+          val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
+          return MatchClause(Seq(ch), optional, w, shortest = Some(pv))
+        }
         val cs = Seq.newBuilder[Chain]
         cs += chain()
         while (atSym(",")) { eatSym(","); cs += chain() }
@@ -560,6 +581,9 @@ object CypherFrontend {
     /** Scalar variables bound by WITH aliases — plain columns, not
       * namespaced node/rel bindings. */
     private var scalarVars = Set.empty[String]
+    /** Path variables bound by shortestPath — only `length(p)` (the
+      * hop count) is projectable; maps to the min-depth column. */
+    private var pathVars = Map.empty[String, String]
 
     /** One variable's node table, all columns namespaced. */
     private def nodeSide(p: NodePat, v: String): DataFrame = {
@@ -633,6 +657,49 @@ object CypherFrontend {
       (df, bound)
     }
 
+    /** `p = shortestPath((a)-[:T*lo..hi]->(b))`: bounded unrolled BFS.
+      * Level sets are deduped per depth (distinct (from, to) pairs —
+      * path multiplicity is irrelevant to shortest-ness and without
+      * the dedup a diamond fan-out grows k^depth), depths unioned,
+      * then one min-depth hash aggregate per endpoint pair. Entirely
+      * declarative — Catalyst sees hi chained equi-joins + one
+      * aggregate; no driver iteration (the unbounded form is
+      * `graph.Traversal.reachFixpoint`). `length(p)` projects the
+      * min depth. */
+    private def compileShortest(ch: Chain, pv: String): (DataFrame, Set[String]) = {
+      val (rel, tailPat) = ch.hops.head
+      val (lo, hi) = rel.varLen.get
+      val headVar = ch.head.v.getOrElse(freshVar())
+      val tailVar = tailPat.v.getOrElse(freshVar())
+      require(headVar != tailVar, "shortestPath endpoints must be distinct variables")
+      var e = edges
+      if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
+      val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
+      val e1 = e.select(col(fromC).as(s"$pv$$from"), col(toC).as(s"$pv$$to")).distinct()
+      var step = e1
+      var acc: Option[DataFrame] =
+        if (lo <= 1) Some(e1.withColumn(s"$pv$$len", lit(1))) else None
+      for (k <- 2 to hi) {
+        step = step
+          .select(col(s"$pv$$from"), col(s"$pv$$to").as(s"$pv$$mid"))
+          .join(e1.select(col(s"$pv$$from").as(s"$pv$$mid"), col(s"$pv$$to")), s"$pv$$mid")
+          .select(s"$pv$$from", s"$pv$$to").distinct()
+        if (k >= lo) {
+          val lev = step.withColumn(s"$pv$$len", lit(k))
+          acc = Some(acc.fold(lev)(_.unionByName(lev)))
+        }
+      }
+      val reach = acc.get.groupBy(s"$pv$$from", s"$pv$$to")
+        .agg(min(col(s"$pv$$len")).as(s"$pv$$len"))
+      val df = nodeSide(ch.head, headVar)
+        .join(reach, col(ns(headVar, "uid")) === col(s"$pv$$from"))
+        .drop(s"$pv$$from")
+        .join(nodeSide(tailPat, tailVar), col(s"$pv$$to") === col(ns(tailVar, "uid")))
+        .drop(s"$pv$$to")
+      pathVars += (pv -> s"$pv$$len")
+      (df, Set(headVar, tailVar))
+    }
+
     /** (from, to) pairs reachable by lo..hi chained hops of `rel`'s
       * edge set: hi-1 chained equi-joins, depths >= lo unioned — path
       * multiplicity preserved, no iteration state on the driver. */
@@ -675,7 +742,10 @@ object CypherFrontend {
       var bound = Set.empty[String]
       def applyClause(cl: MatchClause): Unit = {
         // a clause's comma chains join on shared vars (inner, one pattern)
-        var (cdf, cbound) = compileChain(cl.chains.head)
+        var (cdf, cbound) = cl.shortest match {
+          case Some(pv) => compileShortest(cl.chains.head, pv)
+          case None => compileChain(cl.chains.head)
+        }
         cl.chains.tail.foreach { ch =>
           val (chDf, chBound) = compileChain(ch)
           val shared = (cbound & chBound).toSeq.sorted
@@ -967,6 +1037,11 @@ object CypherFrontend {
         case "floor" => arity(args.size == 1); floor(a(0))
         case "ceil" => arity(args.size == 1); ceil(a(0))
         case "size" => arity(args.size == 1); size(a(0))
+        case "length" => args match {
+          case Seq(EVar(pv)) if pathVars.contains(pv) => col(pathVars(pv))
+          case _ => sys.error(
+            "length() takes a shortestPath path variable (hop count)")
+        }
         case "id" => args match {
           case Seq(EVar(v)) if !scalarVars(v) && !relVars(v) => col(ns(v, "uid"))
           case _ => sys.error("id() takes one bound node variable (returns the string uid)")

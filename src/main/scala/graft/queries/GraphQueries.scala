@@ -960,7 +960,20 @@ object GraphQueries extends QueryPack {
         |ORDER BY prefix""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g39 — `shortestPath` in Cypher text: bounded unrolled BFS
+    * (per-depth distinct level sets, one min-depth aggregate) joined to
+    * both endpoint scans. The census below is fully determined by the
+    * schema: customers/suppliers sit 2 hops from their region (1 from
+    * their nation), nations 1 hop — min depth, not walk multiplicity. */
+  def g39CypherShortestPath(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH p = shortestPath((a)-[:IN_NATION|IN_REGION*..3]->(r:Region))
+        |RETURN labels(a)[0] AS src, length(p) AS len, count(*) AS n
+        |ORDER BY src, len""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "g39_cypher_shortest" -> (g39CypherShortestPath _),
     "g38_cypher_functions" -> (g38CypherFunctions _),
     "g37_cypher_topn_pipeline" -> (g37CypherTopnPipeline _),
     "g36_cypher_case"    -> (g36CypherCase _),
@@ -1059,6 +1072,12 @@ object GraphQueries extends QueryPack {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name IN ('EUROPE', 'ASIA')
         |GROUP BY r_name ORDER BY region""".stripMargin,
+    "g39_cypher_shortest" ->
+      """SELECT src, len, n FROM (
+        |  SELECT 'Customer' AS src, 2 AS len, count(*) AS n FROM customer
+        |  UNION ALL SELECT 'Nation', 1, count(*) FROM nation
+        |  UNION ALL SELECT 'Supplier', 2, count(*) FROM supplier)
+        |ORDER BY src, len""".stripMargin,
     "g38_cypher_functions" ->
       """SELECT substr(lower(n_name), 1, 3) AS prefix,
         |  count(*) AS nations, min(upper(left(r_name, 4))) AS region4

@@ -477,6 +477,33 @@ class CypherFrontendSpec extends SparkSpec {
     assert(sz.map { case (k, v) => (k, v) } === Seq(("Biomuell", 1L), ("Restmuell", 2L)))
   }
 
+  test("shortestPath: min hop count, diamond collapses to the short arc") {
+    val got = run(
+      """MATCH p = shortestPath((w:WasteItem)-[:DISPOSED_IN|DISPOSED_AT*..3]->(t))
+        |RETURN w.name AS item, labels(t)[0] AS target, length(p) AS len
+        |ORDER BY item, target""".stripMargin)
+      .as[(String, String, Int)].collect().toSeq
+    assert(got === Seq(
+      ("Asche", "WasteStream", 1), ("Bauschutt", "Facility", 1),
+      ("Bauschutt", "WasteStream", 1), ("Laub", "WasteStream", 1)))
+    // diamond: a→b→c (len 2) AND a→c (len 1) → shortest is 1
+    val dn = Seq(("N", "a", "x", null.asInstanceOf[String]),
+      ("N", "b", "y", null.asInstanceOf[String]),
+      ("N", "c", "z", null.asInstanceOf[String]))
+      .toDF("label", "uid", "name", "address")
+    val de = Seq(("a", "R", "b"), ("b", "R", "c"), ("a", "R", "c"))
+      .toDF("src_uid", "rel_type", "dst_uid")
+    val diamond = CypherFrontend.run(
+      """MATCH p = shortestPath((s:N {uid: 'a'})-[:R*..4]->(t:N {uid: 'c'}))
+        |RETURN length(p) AS len""".stripMargin, dn, de)
+      .as[Int].collect().toSeq
+    assert(diamond === Seq(1))
+    // guardrails: the pattern needs one var-length hop
+    val e = intercept[IllegalArgumentException](run(
+      "MATCH p = shortestPath((a)-[:DISPOSED_IN]->(b)) RETURN length(p) AS l"))
+    assert(e.getMessage.contains("var-length"))
+  }
+
   test("pipeline aliases cannot leak into property maps") {
     val e = intercept[RuntimeException](run(
       """UNWIND ['Restmuell'] AS nm
