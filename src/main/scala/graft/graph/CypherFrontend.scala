@@ -828,23 +828,33 @@ object CypherFrontend {
           scalarVars += alias
       }
 
-      val aggs = q.items.filter(i => isAgg(i.expr))
+      val aggItems = q.items.filter(i => hasAgg(i.expr))
       val outName = (i: RetItem) => i.alias.getOrElse(i.text)
       val result =
-        if (aggs.isEmpty) {
+        if (aggItems.isEmpty) {
           val cols = q.items.map(i => exprCol(i.expr).as(outName(i)))
           val base = df.select(cols: _*)
           if (q.distinct) base.distinct() else base
         } else {
-          // Cypher implicit grouping: group by all non-aggregate items
-          val keys = q.items.filterNot(i => isAgg(i.expr))
+          // Cypher implicit grouping: group by all non-aggregate items.
+          // Nested aggregates (count(*) * 2) lift to temp columns: one
+          // hash aggregate computes the temps, a projection on top
+          // applies the surrounding expression.
+          val keys = q.items.filterNot(i => hasAgg(i.expr))
           val keyCols = keys.map(i => exprCol(i.expr).as(outName(i)))
-          val aggCols = aggs.map(i => aggCol(i.expr).as(outName(i)))
+          val lifted = scala.collection.mutable.ArrayBuffer[(String, Expr)]()
+          val rewritten = aggItems.map(i => i -> liftAggs(i.expr, lifted))
+          val aggCols = lifted.toSeq.map { case (tmp, agg) => aggCol(agg).as(tmp) }
           val grouped =
             if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
             else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          scalarVars ++= lifted.map(_._1)
+          val reMap = rewritten.toMap
           // restore RETURN item order (backticks: names may contain dots)
-          grouped.select(q.items.map(i => col("`" + outName(i) + "`")): _*)
+          grouped.select(q.items.map { i =>
+            if (hasAgg(i.expr)) exprCol(reMap(i)).as(outName(i))
+            else col("`" + outName(i) + "`")
+          }: _*)
         }
       val ordered =
         if (q.orderBy.isEmpty) result
@@ -876,17 +886,27 @@ object CypherFrontend {
       }
       exprItems.foreach(i => require(i.alias.isDefined,
         s"WITH item '${i.text}' needs an AS alias"))
-      val aggItems = exprItems.filter(i => isAgg(i.expr))
-      val keyExprItems = exprItems.filterNot(i => isAgg(i.expr))
+      val aggItems = exprItems.filter(i => hasAgg(i.expr))
+      val keyExprItems = exprItems.filterNot(i => hasAgg(i.expr))
       def varCols(v: String): Seq[Column] =
         if (scalarVars(v)) Seq(col(v))
         else in.columns.filter(_.startsWith(v + "$")).toSeq.map(col)
+      val keyNames = passVars.flatMap { v =>
+        if (scalarVars(v)) Seq(v)
+        else in.columns.filter(_.startsWith(v + "$")).toSeq
+      } ++ keyExprItems.map(_.alias.get)
       val keyCols = passVars.flatMap(varCols) ++
         keyExprItems.map(i => exprCol(i.expr).as(i.alias.get))
       val out =
         if (aggItems.nonEmpty) {
-          val aggCols = aggItems.map(i => aggCol(i.expr).as(i.alias.get))
-          in.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          // nested aggregates lift to temps (see the RETURN twin)
+          val lifted = scala.collection.mutable.ArrayBuffer[(String, Expr)]()
+          val rewritten = aggItems.map(i => i -> liftAggs(i.expr, lifted))
+          val aggCols = lifted.toSeq.map { case (tmp, agg) => aggCol(agg).as(tmp) }
+          val grouped = in.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          scalarVars ++= lifted.map(_._1)
+          grouped.select(keyNames.map(c => col("`" + c + "`")) ++
+            rewritten.map { case (i, re) => exprCol(re).as(i.alias.get) }: _*)
         } else {
           val sel = in.select(keyCols: _*)
           if (ws.distinct) sel.distinct() else sel
@@ -1078,6 +1098,69 @@ object CypherFrontend {
     }
 
     private def isAgg(e: Expr): Boolean = e.isInstanceOf[EAgg]
+
+    /** Does the expression contain an aggregate anywhere? (Cypher
+      * allows aggregates inside arithmetic/functions/CASE in RETURN
+      * and WITH: `count(*) * 2`, `sum(x) / count(*)`.) */
+    private def hasAgg(e: Expr): Boolean = e match {
+      case _: EAgg => true
+      case EArith(_, l, r) => hasAgg(l) || hasAgg(r)
+      case EFn(_, as) => as.exists(hasAgg)
+      case EList(xs) => xs.exists(hasAgg)
+      case ECase(op, whens, els) =>
+        op.exists(hasAgg) || els.exists(hasAgg) ||
+          whens.exists { case (c, t) => hasAgg(t) || c.fold(predHasAgg, hasAgg) }
+      case _ => false
+    }
+    private def predHasAgg(p: Pred): Boolean = p match {
+      case PCmp(_, l, r) => hasAgg(l) || hasAgg(r)
+      case PStr(_, l, r) => hasAgg(l) || hasAgg(r)
+      case PIn(l, r) => hasAgg(l) || hasAgg(r)
+      case PAnd(l, r) => predHasAgg(l) || predHasAgg(r)
+      case POr(l, r) => predHasAgg(l) || predHasAgg(r)
+      case PNot(i) => predHasAgg(i)
+      case PIsNull(e, _) => hasAgg(e)
+      case PPattern(_, _, _, _) => false
+    }
+
+    /** Lift every nested EAgg out of `e`: each distinct aggregate gets
+      * a temp column (structural dedup — `count(*) + count(*)` computes
+      * once), and the rewritten expression references the temps as
+      * scalar columns. The caller aggregates the temps, registers them
+      * as scalar vars, and projects the rewritten expression on top —
+      * one hash aggregate plus one projection, never two passes. */
+    private def liftAggs(e: Expr,
+                         acc: scala.collection.mutable.ArrayBuffer[(String, Expr)]): Expr = e match {
+      case a: EAgg =>
+        val tmp = acc.find(_._2 == a).map(_._1).getOrElse {
+          val t = s"_agg${acc.size}$$tmp"
+          acc += (t -> a)
+          t
+        }
+        EVar(tmp)
+      case EArith(op, l, r) => EArith(op, liftAggs(l, acc), liftAggs(r, acc))
+      case EFn(fn, as) => EFn(fn, as.map(liftAggs(_, acc)))
+      case EList(xs) => EList(xs.map(liftAggs(_, acc)))
+      case ECase(op, whens, els) =>
+        ECase(op.map(liftAggs(_, acc)),
+          whens.map { case (c, t) =>
+            (c.fold(p => Left(liftPredAggs(p, acc)), v => Right(liftAggs(v, acc))),
+              liftAggs(t, acc))
+          },
+          els.map(liftAggs(_, acc)))
+      case other => other
+    }
+    private def liftPredAggs(p: Pred,
+                             acc: scala.collection.mutable.ArrayBuffer[(String, Expr)]): Pred = p match {
+      case PCmp(op, l, r) => PCmp(op, liftAggs(l, acc), liftAggs(r, acc))
+      case PStr(op, l, r) => PStr(op, liftAggs(l, acc), liftAggs(r, acc))
+      case PIn(l, r) => PIn(liftAggs(l, acc), liftAggs(r, acc))
+      case PAnd(l, r) => PAnd(liftPredAggs(l, acc), liftPredAggs(r, acc))
+      case POr(l, r) => POr(liftPredAggs(l, acc), liftPredAggs(r, acc))
+      case PNot(i) => PNot(liftPredAggs(i, acc))
+      case PIsNull(e2, n) => PIsNull(liftAggs(e2, acc), n)
+      case other => other
+    }
 
     private def aggCol(e: Expr): Column = e match {
       case EAgg("count", None, _) => count(lit(1))

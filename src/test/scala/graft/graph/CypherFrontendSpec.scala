@@ -504,6 +504,30 @@ class CypherFrontendSpec extends SparkSpec {
     assert(e.getMessage.contains("var-length"))
   }
 
+  test("aggregates nest inside expressions: count(*) * 2, ratios, CASE") {
+    val got = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |RETURN s.name AS stream, count(*) * 2 AS dbl,
+        |  toFloat(count(w)) / 4 AS ratio,
+        |  CASE WHEN count(*) >= 2 THEN 'busy' ELSE 'quiet' END AS status
+        |ORDER BY stream""".stripMargin)
+      .as[(String, Long, Double, String)].collect().toSeq
+    assert(got === Seq(("Biomuell", 2L, 0.25, "quiet"),
+      ("Restmuell", 4L, 0.5, "busy")))
+    // the same lift in WITH, with a structural-dedup check
+    // (count(*) appears twice but computes once)
+    val w = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s, count(*) + count(*) AS twice
+        |RETURN s.name AS stream, twice ORDER BY stream""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(w === Seq(("Biomuell", 2L), ("Restmuell", 4L)))
+    // global (keyless) nested aggregate
+    val g = run("MATCH (n) RETURN count(*) * 10 AS c10")
+      .as[Long].collect().toSeq
+    assert(g === Seq(80L))
+  }
+
   test("pipeline aliases cannot leak into property maps") {
     val e = intercept[RuntimeException](run(
       """UNWIND ['Restmuell'] AS nm
