@@ -502,6 +502,16 @@ object CypherFrontend {
       else basePred()
 
     private def basePred(): Pred = {
+      // modern existential subquery: EXISTS { (v)-[:T]->(:L) } — the
+      // braced form of the bare pattern predicate (Neo4j 5 deprecates
+      // the bare form); compiles to the same semi/anti join
+      if (atKw("EXISTS") && toks.lift(pos + 1).exists(_.text == "{")) {
+        eatKw("EXISTS"); eatSym("{")
+        val p = patternPredOpt().getOrElse(
+          sys.error("EXISTS { ... } supports a single pattern like (v)-[:T]->(:Label)"))
+        eatSym("}")
+        return p
+      }
       // parenthesized: either (pred) or a pattern predicate (v)-[:T]->()
       if (atSym("(")) {
         val save = pos

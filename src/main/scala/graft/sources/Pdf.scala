@@ -20,7 +20,10 @@ import java.util.zip.Inflater
   *     PDFs are expanded and their embedded objects parsed,
   *   - stream filters: `/FlateDecode` (JDK Inflater, decompression
   *     bounded like [[Ooxml.zipEntries]] — a crafted PDF cannot OOM an
-  *     executor) with PNG predictors, and `/ASCIIHexDecode`,
+  *     executor) and `/LZWDecode` (9–12-bit variable-width codes with
+  *     EarlyChange, same output bound), both with PNG predictors, plus
+  *     `/ASCIIHexDecode`, `/ASCII85Decode` and `/RunLengthDecode` —
+  *     filter arrays apply in order,
   *   - page-tree walk (`/Root → /Pages → /Kids*`, cycle-guarded) with
   *     per-page `/Contents` (single stream or array),
   *   - content-stream text operators: `BT/ET`, `Tj`, `'`, `"`, `TJ`
@@ -466,6 +469,12 @@ object Pdf {
           val hex = new String(data, StandardCharsets.ISO_8859_1).takeWhile(_ != '>')
           new Parser(("<" + hex + ">").getBytes(StandardCharsets.ISO_8859_1))
             .next().asInstanceOf[PStr].bytes
+        case "ASCII85Decode" => ascii85Decode(data)
+        case "RunLengthDecode" => runLengthDecode(data)
+        case "LZWDecode" =>
+          val early = parm.flatMap(_.get("EarlyChange")).map(resolve)
+            .collect { case PNum(v) => v.toInt }.getOrElse(1)
+          unpredict(lzwDecode(data, early), parm, resolve)
         case other => sys.error(s"unsupported PDF stream filter /$other")
       }
     }
@@ -487,6 +496,108 @@ object Pdf {
       } else if (n == 0 && inf.needsDictionary()) sys.error("FlateDecode needs preset dictionary")
     }
     inf.end()
+    out.toByteArray
+  }
+
+  /** `/ASCII85Decode`: 5 chars `!`..`u` → 4 bytes base-85; `z` → four
+    * zero bytes; whitespace ignored; `~>` terminates; a final partial
+    * group of n chars (padded with `u`) yields n−1 bytes. */
+  def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var tuple = 0L
+    var n = 0
+    def flush(k: Int): Unit = { // k = bytes to emit from the 4-byte tuple
+      var t = tuple
+      val bs = new Array[Byte](4)
+      for (i <- 3 to 0 by -1) { bs(i) = (t & 0xFF).toByte; t >>= 8 }
+      out.write(bs, 0, k)
+    }
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c.isWhitespace) ()
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0))
+      else {
+        require(c >= '!' && c <= 'u', s"bad ASCII85 character '$c'")
+        tuple = tuple * 85 + (c - '!'); n += 1
+        if (n == 5) { flush(4); tuple = 0; n = 0 }
+      }
+      i += 1
+    }
+    if (n > 0) {
+      require(n >= 2, "a 1-char final ASCII85 group is invalid")
+      for (_ <- n until 5) tuple = tuple * 85 + ('u' - '!')
+      flush(n - 1)
+    }
+    out.toByteArray
+  }
+
+  /** RunLength end-of-data marker byte. */
+  val runLengthEOD: Byte = 128.toByte
+
+  /** `/RunLengthDecode`: length byte 0–127 copies the next L+1 bytes
+    * literally, 129–255 repeats the next byte 257−L times, 128 ends. */
+  def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xFF; i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        require(i + l + 1 <= data.length, "truncated RunLength literal run")
+        out.write(data, i, l + 1); i += l + 1
+      } else {
+        require(i < data.length, "truncated RunLength repeat run")
+        val b = data(i); i += 1
+        for (_ <- 0 until (257 - l)) out.write(b)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** `/LZWDecode` (PDF/TIFF flavor): MSB-first variable-width codes
+    * starting at 9 bits, 256 = clear-table, 257 = EOD, width grows at
+    * 2^w − EarlyChange (EarlyChange defaults to 1), capped at 12 bits.
+    * Output bounded like [[inflate]]. */
+  def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val table = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def reset(): Unit = {
+      table.clear()
+      for (i <- 0 until 256) table += Array(i.toByte)
+      table += null; table += null // 256 clear, 257 EOD
+    }
+    reset()
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var i = 0
+    while (i < data.length) {
+      bitBuf = (bitBuf << 8) | (data(i) & 0xFF); bitCnt += 8; i += 1
+      var more = true
+      while (bitCnt >= width && more) {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { reset(); width = 9; prev = null }
+        else if (code == 257) { more = false; i = data.length }
+        else {
+          val entry =
+            if (code < table.size && table(code) != null) table(code)
+            else if (code == table.size && prev != null) prev :+ prev(0)
+            else sys.error(s"bad LZW code $code (table ${table.size})")
+          out.write(entry)
+          require(out.size() <= MaxStreamBytes,
+            s"LZW stream inflates past $MaxStreamBytes bytes: refusing")
+          if (prev != null) table += (prev :+ entry(0))
+          prev = entry
+          if (table.size >= (1 << width) - earlyChange && width < 12) width += 1
+        }
+      }
+    }
     out.toByteArray
   }
 

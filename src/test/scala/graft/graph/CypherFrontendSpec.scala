@@ -528,6 +528,19 @@ class CypherFrontendSpec extends SparkSpec {
     assert(g === Seq(80L))
   }
 
+  test("EXISTS { pattern } subquery: the braced modern form of the pattern predicate") {
+    val got = run(
+      """MATCH (w:WasteItem) WHERE EXISTS { (w)-[:DISPOSED_AT]->(:Facility) }
+        |RETURN w.name AS n""".stripMargin)
+      .as[String].collect().toSeq
+    assert(got === Seq("Bauschutt"))
+    val neg = run(
+      """MATCH (w:WasteItem) WHERE NOT EXISTS { (w)-[:DISPOSED_IN|DISPOSED_AT]->() }
+        |RETURN w.name AS n""".stripMargin)
+      .as[String].collect().toSeq
+    assert(neg === Seq("Altlack"))
+  }
+
   test("pipeline aliases cannot leak into property maps") {
     val e = intercept[RuntimeException](run(
       """UNWIND ['Restmuell'] AS nm
