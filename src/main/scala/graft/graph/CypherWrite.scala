@@ -205,6 +205,17 @@ object CypherWrite {
     * `propCols` = the property columns of the nodes table (between
     * `name` and `created_at` in [[GraphStore.nodeCols]] order).
     */
+  /** Does the statement contain a write clause? (Token-level — string
+    * literals can spell MERGE without tripping this.) The [[GraphDb]]
+    * facade uses it to route `query()` between the read compiler and
+    * the upsert path. */
+  def isWrite(cypher: String): Boolean =
+    CypherFrontend.tokenize(cypher).exists {
+      case TKw(k) =>
+        Set("MERGE", "CREATE", "SET", "DELETE", "DETACH", "REMOVE")(k)
+      case _ => false
+    }
+
   def merge(template: String, params: DataFrame, graph: Graph,
             clock: Column, propCols: Seq[String]): Graph = {
     val stmt = new Parser(CypherFrontend.tokenize(template)).stmt()

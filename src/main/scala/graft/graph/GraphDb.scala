@@ -1,0 +1,147 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's `Neo4jDatabase` facade (`/root/reference/src/db/
+  * neo4j_db.py:20-160`) re-expressed engine-side: ONE object that holds
+  * the graph state and routes `query(cypher, params)` — reads compile
+  * through [[CypherFrontend]] to DataFrame plans, `MERGE` templates
+  * through [[CypherWrite]] to whole-batch [[GraphStore]] upserts that
+  * replace the held frames. A user of the reference can port their
+  * call sites verbatim:
+  *
+  *   - `query(cypher, params)` — the arbitrary-Cypher entry point
+  *     (`neo4j_db.py:93-106`). Write templates accept the reference's
+  *     per-item params dict (one-row bind) or, the set-oriented form,
+  *     a whole params DataFrame via [[merge]] — one distributed upsert
+  *     job for the batch instead of a driver round-trip per row.
+  *   - `getStats` — per-label node counts + relationship count
+  *     (`neo4j_db.py:117-146`, the label histogram + `MATCH ()-[r]->()
+  *     RETURN count(r)` pair) as one DataFrame.
+  *   - `clearAll()` — `MATCH (n) DETACH DELETE n` (`neo4j_db.py:148-155`):
+  *     the held frames become empty with schema preserved.
+  *   - `save(dir)` / [[GraphDb.load]] — durability via the partitioned
+  *     parquet store ([[GraphStore.writeNodes]]), standing in for the
+  *     bolt server's own persistence.
+  *   - `isConnected` — session liveness (`neo4j_db.py:108-115`).
+  *
+  * State is an immutable frame pair swapped atomically on write —
+  * readers compiled against the previous value keep their plan (the
+  * same snapshot semantics a Neo4j transaction gives a reader).
+  */
+final class GraphDb private (val spark: SparkSession,
+                             @volatile private var g: CypherWrite.Graph,
+                             clock: () => Column) {
+
+  def nodes: DataFrame = g.nodes
+  def edges: DataFrame = g.edges
+  def graph: CypherWrite.Graph = g
+
+  /** Node-table property columns between identity (label, uid, name)
+    * and the managed timestamps — the `propCols` contract the
+    * CypherWrite/GraphStore upserts share. */
+  private def propCols: Seq[String] =
+    g.nodes.columns
+      .filterNot(Set("label", "uid", "name", "created_at", "updated_at")).toSeq
+
+  /** `query(cypher, params)` — the reference's single entry point.
+    * Reads return their result frame. A `MERGE` template with the
+    * reference's per-item params dict binds ONE row, upserts, and
+    * returns an empty frame (the driver returns `[]` for writes). */
+  def query(cypher: String, params: Map[String, Any] = Map.empty): DataFrame =
+    if (CypherWrite.isWrite(cypher)) {
+      merge(cypher, oneRow(params))
+      spark.emptyDataFrame
+    } else CypherFrontend.run(cypher, g.nodes, g.edges, params)
+
+  /** Set-oriented write: the whole params batch through one compiled
+    * template — one distributed upsert job, first-seen-wins in-batch
+    * dedup per the `_seq` column when present. */
+  def merge(template: String, params: DataFrame): Unit = synchronized {
+    g = CypherWrite.merge(template, params, g, clock(), propCols)
+  }
+
+  /** The reference's stats dict as a frame: one row per label plus
+    * `_total_nodes` / `_total_relationships` (`neo4j_db.py:117-146`). */
+  def getStats: DataFrame = GraphStore.stats(g.nodes, g.edges)
+
+  /** `MATCH (n) DETACH DELETE n` — schema-preserving truncate. */
+  def clearAll(): Unit = synchronized {
+    g = CypherWrite.Graph(g.nodes.limit(0), g.edges.limit(0))
+  }
+
+  def isConnected: Boolean = !spark.sparkContext.isStopped
+
+  /** Persist both frames to the partitioned parquet store. */
+  def save(dir: String): Unit = {
+    GraphStore.writeNodes(g.nodes, s"$dir/nodes")
+    GraphStore.writeEdges(g.edges, s"$dir/edges")
+  }
+
+  /** The reference's per-item params dict as a one-row frame. Nulls
+    * need a type; strings are the template surface's currency. */
+  private def oneRow(params: Map[String, Any]): DataFrame = {
+    require(params.nonEmpty, "a MERGE template needs params to bind")
+    val keys = params.keys.toSeq.sorted
+    val fields = keys.map { k =>
+      val dt = params(k) match {
+        case _: Int | _: Long => LongType
+        case _: Double | _: Float => DoubleType
+        case _: Boolean => BooleanType
+        case _ => StringType
+      }
+      StructField(k, dt, nullable = true)
+    }
+    val vals = keys.map { k =>
+      params(k) match {
+        case i: Int => i.toLong
+        case f: Float => f.toDouble
+        case null => null
+        case v @ (_: Long | _: Double | _: Boolean) => v
+        case v => v.toString
+      }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row.fromSeq(vals)), StructType(fields))
+  }
+}
+
+object GraphDb {
+
+  /** Fresh database over the engine-wide graph schema: `(label, uid,
+    * name, <props...>, created_at, updated_at)` nodes and `(src_uid,
+    * rel_type, dst_uid, src_label, dst_label, created_at)` edges —
+    * the shapes the [[GraphStore]] upserts maintain. `props` adds
+    * string property columns between name and the timestamps. */
+  def empty(spark: SparkSession, props: Seq[String] = Seq.empty,
+            clock: () => Column = () => current_timestamp()): GraphDb = {
+    val nodeSchema = StructType(
+      Seq(StructField("label", StringType), StructField("uid", StringType),
+        StructField("name", StringType)) ++
+        props.map(p => StructField(p, StringType)) ++
+        Seq(StructField("created_at", TimestampType),
+          StructField("updated_at", TimestampType)))
+    val edgeSchema = StructType(Seq(
+      StructField("src_uid", StringType), StructField("rel_type", StringType),
+      StructField("dst_uid", StringType), StructField("src_label", StringType),
+      StructField("dst_label", StringType),
+      StructField("created_at", TimestampType)))
+    val n = spark.createDataFrame(java.util.Collections.emptyList[Row](), nodeSchema)
+    val e = spark.createDataFrame(java.util.Collections.emptyList[Row](), edgeSchema)
+    new GraphDb(spark, CypherWrite.Graph(n, e), clock)
+  }
+
+  /** Wrap existing node/edge frames. */
+  def apply(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+            clock: () => Column = () => current_timestamp()): GraphDb =
+    new GraphDb(spark, CypherWrite.Graph(nodes, edges), clock)
+
+  /** Reopen a [[GraphDb#save]]d store. */
+  def load(spark: SparkSession, dir: String,
+           clock: () => Column = () => current_timestamp()): GraphDb =
+    new GraphDb(spark, CypherWrite.Graph(
+      GraphStore.readNodes(spark, s"$dir/nodes"),
+      GraphStore.readEdges(spark, s"$dir/edges")), clock)
+}

@@ -972,7 +972,29 @@ object GraphQueries extends QueryPack {
         |ORDER BY src, len""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g40 — the GraphDb facade lifecycle under the gate: an empty db,
+    * the reference's MERGE-template shape batch-bound twice (run-twice
+    * idempotency is part of the assertion — duplicate upserts would
+    * double the rows), then a read through the same `query()` entry
+    * point. The write is one distributed upsert job; the read is the
+    * compiled label-scan projection. */
+  def g40GraphDbLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val db = graft.graph.GraphDb.empty(s,
+      clock = () => to_timestamp(lit("2024-06-01 12:00:00")))
+    val params = Tables.nation(s, dir).select(
+      col("n_name").as("name"),
+      concat(lit("Nation:"), col("n_nationkey")).as("uid"))
+    val template =
+      """MERGE (n:Nation {uid: $uid})
+        |ON CREATE SET n.name = $name, n.created_at = datetime()
+        |ON MATCH SET n.updated_at = datetime()""".stripMargin
+    db.merge(template, params)
+    db.merge(template, params)
+    db.query("MATCH (n:Nation) RETURN n.name AS name, n.uid AS uid ORDER BY name")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g40_graphdb_lifecycle" -> (g40GraphDbLifecycle _),
     "g39_cypher_shortest" -> (g39CypherShortestPath _),
     "g38_cypher_functions" -> (g38CypherFunctions _),
     "g37_cypher_topn_pipeline" -> (g37CypherTopnPipeline _),
@@ -1072,6 +1094,9 @@ object GraphQueries extends QueryPack {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name IN ('EUROPE', 'ASIA')
         |GROUP BY r_name ORDER BY region""".stripMargin,
+    "g40_graphdb_lifecycle" ->
+      """SELECT n_name AS name, 'Nation:' || n_nationkey AS uid
+        |FROM nation ORDER BY name""".stripMargin,
     "g39_cypher_shortest" ->
       """SELECT src, len, n FROM (
         |  SELECT 'Customer' AS src, 2 AS len, count(*) AS n FROM customer

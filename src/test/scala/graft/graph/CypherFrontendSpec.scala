@@ -186,6 +186,29 @@ class CypherFrontendSpec extends SparkSpec {
         .groupBy("target").agg(count(lit(1)).as("n"))
         .orderBy("target").as[(String, Long)].collect().toSeq
       assert(cyG === direct, s"grouped hop diverged on graph: $ns / $es")
+
+      // shortestPath == reference BFS on the materialized graph
+      val cyS = CypherFrontend.run(
+        """MATCH p = shortestPath((a:A)-[:R|S*..4]->(b:B))
+          |RETURN a.uid AS src, b.uid AS dst, length(p) AS len""".stripMargin,
+        nodesDf, edgesDf).as[(String, String, Int)].collect().toSet
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).distinct }
+      def bfs(start: String): Map[String, Int] = {
+        var dist = Map(start -> 0)
+        var frontier = Seq(start)
+        for (d <- 1 to 4) {
+          frontier = frontier.flatMap(u => adj.getOrElse(u, Seq.empty))
+            .distinct.filterNot(dist.contains)
+          frontier.foreach(v => dist += (v -> d))
+        }
+        dist
+      }
+      val labelOf = ns.map(n => n._2 -> n._1).toMap
+      val expected = (for {
+        a <- ns if a._1 == "A"
+        (b, d) <- bfs(a._2) if d >= 1 && labelOf(b) == "B"
+      } yield (a._2, b, d)).toSet
+      assert(cyS === expected, s"shortestPath diverged on graph: $ns / $es")
     }
   }
 

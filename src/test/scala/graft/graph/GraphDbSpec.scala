@@ -1,0 +1,95 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The [[GraphDb]] facade — the reference's `Neo4jDatabase` lifecycle
+  * (`neo4j_db.py:20-160`) ported call-site-for-call-site: one
+  * `query()` entry point that routes reads and MERGE templates, stats,
+  * clear_all, and save/load durability. */
+class GraphDbSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val clk = () => to_timestamp(lit("2024-06-01 12:00:00"))
+
+  // waste_items.py:366-373 — the reference's item MERGE, verbatim
+  private val itemTemplate =
+    """MERGE (w:WasteItem {name: $name})
+      |ON CREATE SET
+      |    w.uid = $uid,
+      |    w.created_at = datetime()
+      |ON MATCH SET
+      |    w.updated_at = datetime()""".stripMargin
+
+  // waste_items.py:383-396 — item → stream edge, verbatim
+  private val streamTemplate =
+    """MATCH (w:WasteItem {name: $item_name})
+      |MERGE (s:WasteStream {name: $stream_name})
+      |ON CREATE SET
+      |    s.uid = $stream_uid,
+      |    s.created_at = datetime()
+      |MERGE (w)-[r:DISPOSED_IN]->(s)
+      |ON CREATE SET r.created_at = datetime()""".stripMargin
+
+  private def uidOf(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
+  test("the reference call pattern: per-item query() dicts build the graph") {
+    val db = GraphDb.empty(spark, clock = clk)
+    assert(db.isConnected)
+    // the reference loops items and calls query(template, params) per row
+    Seq("Bauschutt", "Asche").foreach { n =>
+      val out = db.query(itemTemplate, Map("name" -> n, "uid" -> uidOf(n)))
+      assert(out.isEmpty) // writes return [] (neo4j_db.py:93-106)
+    }
+    db.query(streamTemplate, Map(
+      "item_name" -> "Asche", "stream_name" -> "Restmuell",
+      "stream_uid" -> uidOf("Restmuell")))
+    // reads flow through the same entry point
+    val names = db.query(
+      "MATCH (w:WasteItem) RETURN w.name AS n ORDER BY n").as[String].collect()
+    assert(names.toSeq === Seq("Asche", "Bauschutt"))
+    val hop = db.query(
+      """MATCH (w:WasteItem)-[r:DISPOSED_IN]->(s:WasteStream)
+        |RETURN w.name AS item, type(r) AS rel, s.name AS stream""".stripMargin)
+      .as[(String, String, String)].collect()
+    assert(hop.toSeq === Seq(("Asche", "DISPOSED_IN", "Restmuell")))
+    // run-twice idempotency: the MERGE contract (upsert, not append)
+    db.query(itemTemplate, Map("name" -> "Asche", "uid" -> uidOf("Asche")))
+    assert(db.nodes.filter(col("label") === "WasteItem").count() === 2)
+
+    // getStats = the reference's label histogram + relationship count
+    val stats = db.getStats.as[(String, Long)].collect().toMap
+    assert(stats === Map("WasteItem" -> 2L, "WasteStream" -> 1L,
+      "_total_nodes" -> 3L, "_total_relationships" -> 1L))
+
+    // durability round trip
+    val dir = java.nio.file.Files.createTempDirectory("graft-graphdb").toString
+    db.save(dir)
+    val re = GraphDb.load(spark, dir, clk)
+    assert(re.query("MATCH (n) RETURN count(*) AS c").as[Long].head() === 3L)
+
+    // clear_all: schema-preserving truncate (neo4j_db.py:148-155)
+    db.clearAll()
+    assert(db.nodes.isEmpty && db.edges.isEmpty)
+    assert(db.nodes.columns.toSeq ===
+      Seq("label", "uid", "name", "created_at", "updated_at"))
+  }
+
+  test("batch form: one distributed upsert for a whole params frame") {
+    val db = GraphDb.empty(spark, clock = clk)
+    val batch = (1 to 50).map(i => (s"Item $i", uidOf(s"Item $i"))).toDF("name", "uid")
+    db.merge(itemTemplate, batch)
+    assert(db.nodes.count() === 50)
+    db.merge(itemTemplate, batch) // idempotent
+    assert(db.nodes.count() === 50)
+  }
+
+  test("write detection is token-level, not substring") {
+    assert(CypherWrite.isWrite("MERGE (n:X {uid: $u}) RETURN n"))
+    assert(!CypherWrite.isWrite(
+      "MATCH (n) WHERE n.name = 'MERGE SET DELETE' RETURN n.name AS x"))
+  }
+}
