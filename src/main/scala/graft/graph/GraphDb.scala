@@ -49,12 +49,22 @@ final class GraphDb private (val spark: SparkSession,
   /** `query(cypher, params)` — the reference's single entry point.
     * Reads return their result frame. A `MERGE` template with the
     * reference's per-item params dict binds ONE row, upserts, and
-    * returns an empty frame (the driver returns `[]` for writes). */
-  def query(cypher: String, params: Map[String, Any] = Map.empty): DataFrame =
-    if (CypherWrite.isWrite(cypher)) {
+    * returns an empty frame (the driver returns `[]` for writes).
+    * The two admin procedures `get_stats` issues verbatim
+    * (`neo4j_db.py:128`, `CALL db.labels()` /
+    * `CALL db.relationshipTypes()`) answer from the held frames. */
+  def query(cypher: String, params: Map[String, Any] = Map.empty): DataFrame = {
+    val trimmed = cypher.trim.stripSuffix(";").replaceAll("\\s+", " ")
+    if (trimmed.equalsIgnoreCase("CALL db.labels()"))
+      g.nodes.select(col("label")).distinct().orderBy("label")
+    else if (trimmed.equalsIgnoreCase("CALL db.relationshipTypes()"))
+      g.edges.select(col("rel_type").as("relationshipType")).distinct()
+        .orderBy("relationshipType")
+    else if (CypherWrite.isWrite(cypher)) {
       merge(cypher, oneRow(params))
       spark.emptyDataFrame
     } else CypherFrontend.run(cypher, g.nodes, g.edges, params)
+  }
 
   /** Set-oriented write: the whole params batch through one compiled
     * template — one distributed upsert job, first-seen-wins in-batch

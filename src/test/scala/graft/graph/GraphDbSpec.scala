@@ -60,6 +60,12 @@ class GraphDbSpec extends SparkSpec {
     db.query(itemTemplate, Map("name" -> "Asche", "uid" -> uidOf("Asche")))
     assert(db.nodes.filter(col("label") === "WasteItem").count() === 2)
 
+    // the admin procedures get_stats issues verbatim (neo4j_db.py:128)
+    assert(db.query("CALL db.labels()").as[String].collect().toSeq ===
+      Seq("WasteItem", "WasteStream"))
+    assert(db.query("CALL db.relationshipTypes()").as[String].collect().toSeq ===
+      Seq("DISPOSED_IN"))
+
     // getStats = the reference's label histogram + relationship count
     val stats = db.getStats.as[(String, Long)].collect().toMap
     assert(stats === Map("WasteItem" -> 2L, "WasteStream" -> 1L,
