@@ -117,7 +117,43 @@ object DocQueries extends QueryPack {
         col("provenance"))
       .orderBy("doc_id")
 
+  /** q85 — the RAG chunk TABLE: the reference's extraction → chunk →
+    * embedding flow (`README.md:122-127`, `etl_implementation.md:
+    * 262-273`) materialized as one declarative plan. Chunks are an
+    * index-range explode + substring projection (no shuffle — the
+    * chunk list never exists off-plan), each chunk gets the engine uid
+    * and a token count, and the document-level embedding joins by id
+    * (co-partitionable equi-join; at 100 TB both sides bucket on
+    * doc_id). Norms ride the sequential double fold the e-family
+    * pins engine-exact against DuckDB's list_sum. */
+  def q85RagChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), trim(col("text")).as("t"))
+      .filter(length(col("t")) > 0)
+    val chunks = docs
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L),
+          ceil(length(col("t")) / lit(500.0)).cast("long") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        graft.core.Uid.uid(concat(lit("doc_"), col("doc_id"), lit("#"),
+          col("chunk_idx"))).as("chunk_uid"),
+        col("t").substr((col("chunk_idx") * 500 + 1).cast("int"), lit(500)).as("chunk"))
+    val norm = round(sqrt(expr(
+      "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")), 6)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("doc_id"), norm.as("emb_norm"))
+    chunks.join(emb, "doc_id")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_uid"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        size(split(trim(col("chunk")), "\\s+")).as("n_tokens"),
+        col("emb_norm"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q85_rag_chunks"    -> (q85RagChunks _),
     "q80_doc_extract"   -> (q80DocExtract _),
     "q81_derived_edges" -> (q81DerivedEdges _),
     "q83_docx_extract"  -> (q83DocxExtract _),
@@ -165,5 +201,29 @@ object DocQueries extends QueryPack {
         | length(trim(text)) AS text_len,
         | CAST(ceil(length(trim(text)) / 500.0) AS INT) AS n_chunks,
         | 'pdf:1pg:1p' AS provenance
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q85_rag_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(text) AS t FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, CAST(ceil(length(t) / 500.0) AS BIGINT))) AS chunk_idx
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    substr(t, CAST(chunk_idx * 500 + 1 AS INT), 500) AS chunk
+        |  FROM c),
+        |e AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 6) AS emb_norm
+        |  FROM embeddings)
+        |SELECT ch.doc_id, chunk_idx,
+        |  substr(sha256('doc_' || ch.doc_id || '#' || chunk_idx), 1, 16) AS chunk_uid,
+        |  length(chunk) AS chunk_len,
+        |  CAST(array_length(regexp_split_to_array(trim(chunk), '\s+')) AS INT) AS n_tokens,
+        |  emb_norm
+        |FROM ch JOIN e ON ch.doc_id = e.doc_id
+        |ORDER BY ch.doc_id, chunk_idx""".stripMargin)
 }
