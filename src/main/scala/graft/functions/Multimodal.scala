@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, decoded/featurized
   * per partition.
   *
-  * The decode step is a STUB — this container has no image/audio codecs,
-  * so [[StubDecoder]] computes deterministic byte statistics where a real
-  * deployment would call the codec. Everything around it is the real
-  * Spark shape: binary schema, typed Dataset encoders, partition-batched
-  * `mapPartitions` (one decoder instance per partition, the same
-  * batching contract a Pandas-UDF/Arrow path gives Python), and
-  * stride-based frame sampling.
+  * The IMAGE leg decodes for real: `javax.imageio` ships in the JDK
+  * (headless-safe), so [[PngCodec]] reads actual PNG bytes into actual
+  * pixels (m10/m11 round-trip a deterministic pixel law through
+  * encode → decode → features). Audio/video codecs are absent from
+  * this container, so [[StubDecoder]] computes deterministic byte
+  * statistics where a real deployment would call those codecs.
+  * Everything around both is the real Spark shape: binary schema,
+  * typed Dataset encoders, partition-batched `mapPartitions` (one
+  * decoder instance per partition, the same batching contract a
+  * Pandas-UDF/Arrow path gives Python), and stride-based frame
+  * sampling.
   *
   * Scale notes: decode is embarrassingly parallel and pipelined per
   * partition — no shuffle; the binary payload never moves through a
@@ -127,6 +131,120 @@ object Multimodal {
   def phash(media: Dataset[MediaRecord]): Dataset[MediaPhash] = {
     import media.sparkSession.implicits._
     media.filter(r => r.media.length >= 4).mapPartitions(_.map(phashOf))
+  }
+
+  // ------------------------------------------------------- real PNG path
+
+  case class PngFeatures(id: Long, width: Int, height: Int,
+                         sum_r: Long, sum_g: Long, sum_b: Long, px00: Int)
+  case class PngThumb(id: Long, ty: Int, tx: Int, lum: Int)
+
+  /** REAL image decode — `javax.imageio` is part of the JDK
+    * (java.desktop, headless-safe), so the PNG leg of the multimodal
+    * path needs no external codec after all: actual PNG bytes in,
+    * actual pixels out. One codec instance per partition, the same
+    * `mapPartitions` contract as the byte-statistic kernels; the
+    * deterministic pixel law below makes the round trip
+    * oracle-checkable (encode → decode → features must equal the
+    * closed-form the SQL computes — a wrong decoder cannot pass). */
+  class PngCodec {
+    graft.functions.Multimodal.ensureHeadless()
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "not a decodable image")
+      img
+    }
+  }
+
+  private[graft] def ensureHeadless(): Unit =
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+
+  /** Deterministic RGB law: every pixel of image `id` is a closed-form
+    * function of (id, x, y) — the spec/oracle recompute it without
+    * decoding. PNG is lossless, so decode returns these exactly. */
+  def pixelArgb(id: Long, x: Int, y: Int): Int = {
+    val r = ((31 * id + 7 * x + 13 * y) % 256).toInt
+    val g = ((17 * id + 11 * x + 3 * y) % 256).toInt
+    val b = ((23 * id + 5 * x + 19 * y) % 256).toInt
+    0xFF000000 | (r << 16) | (g << 8) | b
+  }
+
+  def pngDims(id: Long): (Int, Int) =
+    ((8 + id % 9).toInt, (8 + (id / 3) % 7).toInt)
+
+  /** Real PNG bytes for image `id` under the pixel law (ImageIO encode). */
+  def pngBytes(id: Long): Array[Byte] = {
+    ensureHeadless()
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixelArgb(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Documents' ids as a REAL PNG media table: per-row encode in the
+    * same task that will decode — blobs never shuffle. */
+  def pngMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, "png", pngBytes(id)))
+  }
+
+  /** Decode features: dimensions, exact per-channel integer sums, and
+    * the (0,0) pixel — integer math end to end, so the oracle's
+    * closed-form recomputation hash-matches bit-for-bit. */
+  def decodePngFeatures(media: Dataset[MediaRecord]): Dataset[PngFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new PngCodec // per-partition init
+      it.map { r =>
+        val img = codec.decode(r.media)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        PngFeatures(r.id, w, h, sr, sg, sb, img.getRGB(0, 0) & 0xFFFFFF)
+      }
+    }
+  }
+
+  /** 4×4 nearest-neighbor luminance thumbnail from DECODED pixels —
+    * resize as explicit integer source-index math (deterministic on
+    * every JVM, unlike AWT's interpolating scalers), one row per
+    * thumbnail cell. */
+  def pngThumbnails(media: Dataset[MediaRecord], side: Int = 4): Dataset[PngThumb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new PngCodec
+      it.flatMap { r =>
+        val img = codec.decode(r.media)
+        val (w, h) = (img.getWidth, img.getHeight)
+        for (ty <- 0 until side; tx <- 0 until side) yield {
+          val sx = tx * w / side
+          val sy = ty * h / side
+          val p = img.getRGB(sx, sy)
+          val lum = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+          PngThumb(r.id, ty, tx, lum)
+        }
+      }
+    }
   }
 
   /** Documents recast as a media table: utf-8 bytes as the opaque blob

@@ -204,7 +204,26 @@ object MultimodalQueries extends QueryPack {
       .orderBy("id")
   }
 
+  /** m10 — REAL PNG decode (JDK ImageIO, per-partition codec): a
+    * deterministic pixel law renders per-doc images, ImageIO encodes
+    * them to real PNG bytes, the codec decodes them back, and the
+    * features are exact integer pixel sums. The oracle recomputes the
+    * law in closed form — a wrong encoder OR decoder cannot match. */
+  def m10PngDecode(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal.decodePngFeatures(
+      graft.functions.Multimodal.pngMedia(s, dir)).toDF().orderBy("id")
+
+  /** m11 — thumbnail from DECODED pixels: 4×4 nearest-neighbor
+    * luminance grid with explicit integer source-index math (no AWT
+    * scaler — those interpolate JVM-specifically), one row per cell. */
+  def m11PngThumbnail(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal.pngThumbnails(
+      graft.functions.Multimodal.pngMedia(s, dir)).toDF()
+      .orderBy("id", "ty", "tx")
+
   val queries: Map[String, QueryFn] = Map(
+    "m11_png_thumbnail"   -> (m11PngThumbnail _),
+    "m10_png_decode"      -> (m10PngDecode _),
     "m09_scene_cuts"      -> (m09SceneCuts _),
     "m08_phash_neardup"   -> (m08PhashNeardup _),
     "m07_binary_source"   -> (m07BinarySource _),
@@ -219,6 +238,38 @@ object MultimodalQueries extends QueryPack {
     "CASE WHEN doc_id % 3 = 0 THEN 'txt' WHEN doc_id % 3 = 1 THEN 'img' ELSE 'aud' END"
 
   val oracles: Map[String, String] = Map(
+    // m10/m11: the deterministic pixel law in closed form — the gate
+    // passes only if ImageIO's encode→decode round trip is lossless
+    // and the feature math matches bit-for-bit.
+    "m10_png_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + (doc_id // 3) % 7 AS INT) AS height FROM documents),
+        |cx AS (SELECT id, width, height, unnest(range(0, width)) AS x FROM d),
+        |cxy AS (SELECT id, width, height, x, unnest(range(0, height)) AS y FROM cx),
+        |px AS (SELECT id, width, height,
+        |  (31 * id + 7 * x + 13 * y) % 256 AS r,
+        |  (17 * id + 11 * x + 3 * y) % 256 AS g,
+        |  (23 * id + 5 * x + 19 * y) % 256 AS b FROM cxy)
+        |SELECT id, any_value(width) AS width, any_value(height) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST((31 * id % 256) * 65536 + (17 * id % 256) * 256
+        |    + (23 * id % 256) AS INT) AS px00
+        |FROM px GROUP BY id ORDER BY id""".stripMargin,
+    "m11_png_thumbnail" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 8 + doc_id % 9 AS w,
+        |    8 + (doc_id // 3) % 7 AS h FROM documents),
+        |t1 AS (SELECT id, w, h, CAST(unnest(range(0, 4)) AS INT) AS ty FROM d),
+        |t2 AS (SELECT id, w, h, ty, CAST(unnest(range(0, 4)) AS INT) AS tx FROM t1),
+        |s AS (SELECT id, ty, tx, (tx * w) // 4 AS sx, (ty * h) // 4 AS sy FROM t2)
+        |SELECT id, ty, tx,
+        |  CAST((((31 * id + 7 * sx + 13 * sy) % 256)
+        |      + ((17 * id + 11 * sx + 3 * sy) % 256)
+        |      + ((23 * id + 5 * sx + 19 * sy) % 256)) // 3 AS INT) AS lum
+        |FROM s ORDER BY id, ty, tx""".stripMargin,
     // m09: m04's frame construction + one lag window; the ELSE 0 arm
     // matches Spark's otherwise() on the first frame's null delta.
     "m09_scene_cuts" ->
