@@ -247,6 +247,95 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------- real WAV path
+
+  case class WavFeatures(id: Long, sample_rate: Int, channels: Int,
+                         bits: Int, n_samples: Long, sum_abs: Long,
+                         max_amp: Int)
+
+  /** REAL audio decode — `javax.sound.sampled` also ships in the JDK,
+    * and WAV/PCM is lossless, so the audio leg gets the same
+    * law-render → encode → decode → closed-form-oracle treatment as
+    * PNG (m10). Lossy codecs (mp3 etc.) stay behind [[StubDecoder]]:
+    * their decoded samples are codec-version-dependent and therefore
+    * not oracle-stable, not merely unavailable. */
+  class WavCodec {
+    def decode(bytes: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Short]) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"WavCodec reads 16-bit little-endian PCM, got $fmt")
+      val raw = in.readAllBytes()
+      in.close()
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      (fmt, out)
+    }
+  }
+
+  /** Deterministic sample law: sample i of clip `id` — the closed form
+    * the oracle recomputes. */
+  def sampleOf(id: Long, i: Long): Int =
+    (((31 * id + 7 * i) % 4096) - 2048).toInt
+
+  def wavSamples(id: Long): Long = 256 + id % 100
+
+  /** Real WAV bytes for clip `id`: 16 kHz mono 16-bit PCM through the
+    * actual AudioSystem encoder. */
+  def wavBytes(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val pcm = new Array[Byte]((n * 2).toInt)
+    var i = 0L
+    while (i < n) {
+      val s = sampleOf(id, i)
+      pcm((2 * i).toInt) = (s & 0xFF).toByte
+      pcm((2 * i + 1).toInt) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Documents' ids as a REAL WAV media table (encode in-task, blobs
+    * never shuffle — the pngMedia contract). */
+  def wavMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, "wav", wavBytes(id)))
+  }
+
+  /** Decode features: format fields plus exact integer amplitude
+    * stats, so the closed-form oracle hash-matches. */
+  def decodeWavFeatures(media: Dataset[MediaRecord]): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new WavCodec // per-partition init
+      it.map { r =>
+        val (fmt, samples) = codec.decode(r.media)
+        var sumAbs = 0L
+        var maxAmp = 0
+        samples.foreach { s =>
+          val a = math.abs(s.toInt)
+          sumAbs += a
+          if (a > maxAmp) maxAmp = a
+        }
+        WavFeatures(r.id, fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, samples.length.toLong, sumAbs, maxAmp)
+      }
+    }
+  }
+
   /** Documents recast as a media table: utf-8 bytes as the opaque blob
     * (the corpus has no real image column; the plumbing is identical). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

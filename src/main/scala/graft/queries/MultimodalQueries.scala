@@ -221,7 +221,16 @@ object MultimodalQueries extends QueryPack {
       graft.functions.Multimodal.pngMedia(s, dir)).toDF()
       .orderBy("id", "ty", "tx")
 
+  /** m12 — REAL WAV decode (JDK javax.sound, per-partition codec):
+    * deterministic 16-bit PCM clips through the actual AudioSystem
+    * encoder and back, features as exact integer amplitude stats
+    * against the closed-form sample law. */
+  def m12WavDecode(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal.decodeWavFeatures(
+      graft.functions.Multimodal.wavMedia(s, dir)).toDF().orderBy("id")
+
   val queries: Map[String, QueryFn] = Map(
+    "m12_wav_decode"      -> (m12WavDecode _),
     "m11_png_thumbnail"   -> (m11PngThumbnail _),
     "m10_png_decode"      -> (m10PngDecode _),
     "m09_scene_cuts"      -> (m09SceneCuts _),
@@ -258,6 +267,16 @@ object MultimodalQueries extends QueryPack {
         |  CAST((31 * id % 256) * 65536 + (17 * id % 256) * 256
         |    + (23 * id % 256) AS INT) AS px00
         |FROM px GROUP BY id ORDER BY id""".stripMargin,
+    "m12_wav_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 256 + doc_id % 100 AS n FROM documents),
+        |t AS (SELECT id, n, unnest(range(0, n)) AS i FROM d),
+        |s AS (SELECT id, n, (31 * id + 7 * i) % 4096 - 2048 AS v FROM t)
+        |SELECT id, 16000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  any_value(n) AS n_samples,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(v)) AS INT) AS max_amp
+        |FROM s GROUP BY id ORDER BY id""".stripMargin,
     "m11_png_thumbnail" ->
       """WITH d AS (
         |  SELECT doc_id AS id, 8 + doc_id % 9 AS w,
