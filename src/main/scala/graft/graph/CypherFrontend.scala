@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   * with `AS` aliases, `count(*)` /
   * `count([DISTINCT] n)` / `min` / `max` / `sum` / `avg` / `collect`,
   * `labels(n)[0]`, `type(r)`, property access, `$param` substitution,
-  * `ORDER BY ... [ASC|DESC]`, `SKIP`, `LIMIT`. Write statements
+  * `ORDER BY ... [ASC|DESC]` (including non-returned expressions,
+  * which sort pre-projection), `SKIP`, `LIMIT`. Write statements
   * (`MERGE` templates) compile through [[CypherWrite]] to the
   * [[GraphStore]] upsert sinks; other writes (`SET`, `DELETE`) are
   * rejected with a pointer.
@@ -104,7 +105,9 @@ object CypherFrontend {
                                    * the bound path variable. */
                                  shortest: Option[String] = None)
   private case class RetItem(expr: Expr, alias: Option[String], text: String)
-  private case class OrderKey(ref: String, asc: Boolean)
+  /** RETURN-level ORDER BY key: `ref` (the token text) matches output
+    * items/aliases; `expr` sorts pre-projection when it doesn't. */
+  private case class OrderKey(expr: Expr, ref: String, asc: Boolean)
   /** One `WITH items [WHERE pred]` pipeline stage: projects/aggregates
     * the rows so far, optionally filters the projected frame (the
     * post-aggregation WHERE = SQL HAVING), then later MATCH clauses
@@ -387,12 +390,12 @@ object CypherFrontend {
 
     private def orderKey(): OrderKey = {
       val p0 = pos
-      expr() // validate shape; referenced by text against output columns
+      val e = expr()
       val text = toks.slice(p0, pos).map(_.text).mkString
       val asc =
         if (atKw("DESC")) { eatKw("DESC"); false }
         else { if (atKw("ASC")) eatKw("ASC"); true }
-      OrderKey(text, asc)
+      OrderKey(e, text, asc)
     }
 
     // expression grammar with arithmetic precedence (+,- over *,/,%):
@@ -866,13 +869,33 @@ object CypherFrontend {
             else col("`" + outName(i) + "`")
           }: _*)
         }
+      val allKeysOutput = q.orderBy.forall(k =>
+        q.items.exists(i => i.text == k.ref || i.alias.contains(k.ref)))
       val ordered =
         if (q.orderBy.isEmpty) result
-        else result.orderBy(q.orderBy.map { k =>
-          val alias = q.items.find(i => i.text == k.ref || i.alias.contains(k.ref))
-            .map(outName).getOrElse(k.ref)
-          if (k.asc) col("`" + alias + "`").asc else col("`" + alias + "`").desc
-        }: _*)
+        else if (allKeysOutput || aggItems.nonEmpty || q.distinct) {
+          // sort the projected frame by output column (aggregation and
+          // DISTINCT destroy non-output columns, so those REQUIRE the
+          // key to be a returned item — same rule as Cypher)
+          require(allKeysOutput,
+            "ORDER BY keys must be returned items when RETURN aggregates or is DISTINCT")
+          result.orderBy(q.orderBy.map { k =>
+            val alias = q.items.find(i => i.text == k.ref || i.alias.contains(k.ref))
+              .map(outName).getOrElse(k.ref)
+            if (k.asc) col("`" + alias + "`").asc else col("`" + alias + "`").desc
+          }: _*)
+        } else {
+          // some key is NOT a returned item (ORDER BY n.age with only
+          // n.name returned): sort the pre-projection frame, then
+          // re-project — Project over Sort preserves the global order
+          val keyCols = q.orderBy.map { k =>
+            val e = q.items.find(i => i.alias.contains(k.ref) || i.text == k.ref)
+              .map(_.expr).getOrElse(k.expr)
+            if (k.asc) exprCol(e).asc else exprCol(e).desc
+          }
+          df.orderBy(keyCols: _*)
+            .select(q.items.map(i => exprCol(i.expr).as(outName(i))): _*)
+        }
       val skipped = q.skip.fold(ordered)(n => ordered.offset(n.toInt))
       q.limit.fold(skipped)(n => skipped.limit(n.toInt))
     }

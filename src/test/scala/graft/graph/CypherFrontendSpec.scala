@@ -564,6 +564,21 @@ class CypherFrontendSpec extends SparkSpec {
     assert(neg === Seq("Altlack"))
   }
 
+  test("ORDER BY a non-returned expression sorts pre-projection") {
+    val got = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |RETURN w.name AS item ORDER BY s.name DESC, w.name""".stripMargin)
+      .as[String].collect().toSeq
+    // sorted by stream (Restmuell > Biomuell) then item, but only the
+    // item column is returned
+    assert(got === Seq("Asche", "Bauschutt", "Laub"))
+    // aggregation destroys non-output columns → clear rejection
+    val e = intercept[IllegalArgumentException](run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |RETURN s.name AS stream, count(*) AS n ORDER BY w.name""".stripMargin))
+    assert(e.getMessage.contains("returned items"))
+  }
+
   test("pipeline aliases cannot leak into property maps") {
     val e = intercept[RuntimeException](run(
       """UNWIND ['Restmuell'] AS nm
