@@ -55,7 +55,11 @@ final class GraphDb private (val spark: SparkSession,
     * `CALL db.relationshipTypes()`) answer from the held frames. */
   def query(cypher: String, params: Map[String, Any] = Map.empty): DataFrame = {
     val trimmed = cypher.trim.stripSuffix(";").replaceAll("\\s+", " ")
-    if (trimmed.equalsIgnoreCase("CALL db.labels()"))
+    if (trimmed.equalsIgnoreCase("MATCH (n) DETACH DELETE n")) {
+      // the reference's clear_all() issues exactly this (neo4j_db.py:153)
+      clearAll()
+      spark.emptyDataFrame
+    } else if (trimmed.equalsIgnoreCase("CALL db.labels()"))
       g.nodes.select(col("label")).distinct().orderBy("label")
     else if (trimmed.equalsIgnoreCase("CALL db.relationshipTypes()"))
       g.edges.select(col("rel_type").as("relationshipType")).distinct()

@@ -77,8 +77,9 @@ class GraphDbSpec extends SparkSpec {
     val re = GraphDb.load(spark, dir, clk)
     assert(re.query("MATCH (n) RETURN count(*) AS c").as[Long].head() === 3L)
 
-    // clear_all: schema-preserving truncate (neo4j_db.py:148-155)
-    db.clearAll()
+    // clear_all: schema-preserving truncate — the reference issues the
+    // literal Cypher (neo4j_db.py:153), accepted verbatim
+    db.query("MATCH (n) DETACH DELETE n")
     assert(db.nodes.isEmpty && db.edges.isEmpty)
     assert(db.nodes.columns.toSeq ===
       Seq("label", "uid", "name", "created_at", "updated_at"))
