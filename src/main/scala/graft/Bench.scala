@@ -67,8 +67,9 @@ object Bench {
       "d07_minhash_lsh", "d10_clean_corpus", "d13_tfidf",
       "d31_weighted_sample",
       "e01_knn_brute", "e05_ivf_topk", "e11_sq8_topk",
-      "g08_graph_components", "g13_pagerank",
-      "m04_frame_explode", "m08_phash_neardup",
+      "g08_graph_components", "g13_pagerank", "g39_cypher_shortest",
+      "m04_frame_explode", "m08_phash_neardup", "m10_png_decode",
+      "q84_pdf_extract", "q85_rag_chunks",
       "s01_stream_window", "s02_stream_join", "s13_stream_cdc_apply")
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
