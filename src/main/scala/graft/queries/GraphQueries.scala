@@ -993,7 +993,41 @@ object GraphQueries extends QueryPack {
     db.query("MATCH (n:Nation) RETURN n.name AS name, n.uid AS uid ORDER BY name")
   }
 
+  /** g41 — deterministic random-walk corpus (the node2vec/DeepWalk
+    * input: walks over the graph that a skip-gram embedding trains
+    * on): from a deterministic seed subset, 3 walk steps over the
+    * undirected co-click graph, each step choosing the neighbor that
+    * MINIMIZES sha256(cur || step || neighbor) — a hash-derived
+    * "random" choice that is bit-reproducible on any cluster and
+    * recomputable by the oracle (the engine-wide determinism law
+    * applied to stochastic-flavored ops; swap the hash for a seeded
+    * RNG and nothing else changes). Each step is one equi-join on the
+    * current node + one per-seed top-1 window — keyed shuffles only,
+    * bounded by the seed count, no driver iteration. */
+  def g41WalkCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = coClickPairs(s, dir).select(col("u1"), col("u2"))
+    val adj = p.unionByName(p.select(col("u2").as("u1"), col("u1").as("u2")))
+      .localCheckpoint(true)
+    var walk = adj.select(col("u1").as("start")).distinct()
+      .filter(col("start") % 17 === 0)
+      .select(col("start"), col("start").as("cur"))
+    var acc = walk.select(col("start"), lit(0).as("step"), col("cur").as("node"))
+    for (t <- 1 to 3) {
+      val w = Window.partitionBy("start").orderBy(asc("h"), asc("u2"))
+      walk = walk.join(adj, col("cur") === col("u1"))
+        .select(col("start"), col("u2"),
+          sha2(concat_ws(":", col("cur"), lit(t), col("u2")), 256).as("h"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("start"), col("u2").as("cur"))
+      acc = acc.unionByName(
+        walk.select(col("start"), lit(t).as("step"), col("cur").as("node")))
+    }
+    acc.orderBy("start", "step")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g41_walk_corpus"    -> (g41WalkCorpus _),
     "g40_graphdb_lifecycle" -> (g40GraphDbLifecycle _),
     "g39_cypher_shortest" -> (g39CypherShortestPath _),
     "g38_cypher_functions" -> (g38CypherFunctions _),
@@ -1097,6 +1131,36 @@ object GraphQueries extends QueryPack {
     "g40_graphdb_lifecycle" ->
       """SELECT n_name AS name, 'Nation:' || n_nationkey AS uid
         |FROM nation ORDER BY name""".stripMargin,
+    // g41: the same hash-choice walk unrolled — valid below the bucket
+    // cap like every co-click oracle (cap contract documented at
+    // capBuckets).
+    "g41_walk_corpus" ->
+      """WITH c AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT DISTINCT a.user_id AS u1, b2.user_id AS u2
+        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id),
+        |adj AS (
+        |  SELECT u1, u2 FROM p UNION ALL SELECT u2, u1 FROM p),
+        |s0 AS (SELECT DISTINCT u1 AS start FROM adj WHERE u1 % 17 = 0),
+        |w1 AS (SELECT start, u2 AS cur FROM (
+        |  SELECT s.start, a.u2, row_number() OVER (PARTITION BY s.start
+        |    ORDER BY sha256(s.start || ':1:' || a.u2), a.u2) AS rn
+        |  FROM s0 s JOIN adj a ON a.u1 = s.start) WHERE rn = 1),
+        |w2 AS (SELECT start, u2 AS cur FROM (
+        |  SELECT w.start, a.u2, row_number() OVER (PARTITION BY w.start
+        |    ORDER BY sha256(w.cur || ':2:' || a.u2), a.u2) AS rn
+        |  FROM w1 w JOIN adj a ON a.u1 = w.cur) WHERE rn = 1),
+        |w3 AS (SELECT start, u2 AS cur FROM (
+        |  SELECT w.start, a.u2, row_number() OVER (PARTITION BY w.start
+        |    ORDER BY sha256(w.cur || ':3:' || a.u2), a.u2) AS rn
+        |  FROM w2 w JOIN adj a ON a.u1 = w.cur) WHERE rn = 1)
+        |SELECT start, 0 AS step, start AS node FROM s0
+        |UNION ALL SELECT start, 1, cur FROM w1
+        |UNION ALL SELECT start, 2, cur FROM w2
+        |UNION ALL SELECT start, 3, cur FROM w3
+        |ORDER BY start, step""".stripMargin,
     "g39_cypher_shortest" ->
       """SELECT src, len, n FROM (
         |  SELECT 'Customer' AS src, 2 AS len, count(*) AS n FROM customer
