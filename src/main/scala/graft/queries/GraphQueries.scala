@@ -1026,7 +1026,24 @@ object GraphQueries extends QueryPack {
     acc.orderBy("start", "step")
   }
 
+  /** g42 — skip-gram training pairs from the walk corpus (the actual
+    * tensor a DeepWalk/node2vec embedding consumes): within each walk,
+    * every (center, context) node pair at distance ≤ 2, counted. One
+    * self-join keyed on the walk id + one hash aggregate — walks are
+    * length-4, so the pair fan-out is a constant 10 per walk. */
+  def g42SkipgramPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = g41WalkCorpus(s, dir)
+    val a = w.select(col("start"), col("step").as("i"), col("node").as("center"))
+    val b = w.select(col("start"), col("step").as("j"), col("node").as("context"))
+    a.join(b, Seq("start"))
+      .filter(col("i") =!= col("j") && abs(col("i") - col("j")) <= 2)
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("center"), asc("context"))
+      .limit(50)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g42_skipgram_pairs" -> (g42SkipgramPairs _),
     "g41_walk_corpus"    -> (g41WalkCorpus _),
     "g40_graphdb_lifecycle" -> (g40GraphDbLifecycle _),
     "g39_cypher_shortest" -> (g39CypherShortestPath _),
@@ -1068,6 +1085,36 @@ object GraphQueries extends QueryPack {
     "g04_graph_upsert"  -> (g04Upsert _),
     "g05_graph_validate" -> (g05Validate _),
     "g06_graph_twohop"  -> (g06TwoHop _))
+
+  /** Shared CTE chain for g41/g42: co-click adjacency, seed subset,
+    * three unrolled hash-argmin walk steps, union'd into `walks`. */
+  private val walkCtes: String =
+    """c AS (
+      |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT DISTINCT a.user_id AS u1, b2.user_id AS u2
+      |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id),
+      |adj AS (
+      |  SELECT u1, u2 FROM p UNION ALL SELECT u2, u1 FROM p),
+      |s0 AS (SELECT DISTINCT u1 AS start FROM adj WHERE u1 % 17 = 0),
+      |w1 AS (SELECT start, u2 AS cur FROM (
+      |  SELECT s.start, a.u2, row_number() OVER (PARTITION BY s.start
+      |    ORDER BY sha256(s.start || ':1:' || a.u2), a.u2) AS rn
+      |  FROM s0 s JOIN adj a ON a.u1 = s.start) WHERE rn = 1),
+      |w2 AS (SELECT start, u2 AS cur FROM (
+      |  SELECT w.start, a.u2, row_number() OVER (PARTITION BY w.start
+      |    ORDER BY sha256(w.cur || ':2:' || a.u2), a.u2) AS rn
+      |  FROM w1 w JOIN adj a ON a.u1 = w.cur) WHERE rn = 1),
+      |w3 AS (SELECT start, u2 AS cur FROM (
+      |  SELECT w.start, a.u2, row_number() OVER (PARTITION BY w.start
+      |    ORDER BY sha256(w.cur || ':3:' || a.u2), a.u2) AS rn
+      |  FROM w2 w JOIN adj a ON a.u1 = w.cur) WHERE rn = 1),
+      |walks AS (
+      |  SELECT start, 0 AS step, start AS node FROM s0
+      |  UNION ALL SELECT start, 1, cur FROM w1
+      |  UNION ALL SELECT start, 2, cur FROM w2
+      |  UNION ALL SELECT start, 3, cur FROM w3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "g27_cypher_labels" ->
@@ -1131,36 +1178,20 @@ object GraphQueries extends QueryPack {
     "g40_graphdb_lifecycle" ->
       """SELECT n_name AS name, 'Nation:' || n_nationkey AS uid
         |FROM nation ORDER BY name""".stripMargin,
-    // g41: the same hash-choice walk unrolled — valid below the bucket
-    // cap like every co-click oracle (cap contract documented at
-    // capBuckets).
+    // g41/g42: the same hash-choice walk unrolled — valid below the
+    // bucket cap like every co-click oracle (cap contract documented
+    // at capBuckets).
     "g41_walk_corpus" ->
-      """WITH c AS (
-        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
-        |  FROM events WHERE event_type = 'click'),
-        |p AS (
-        |  SELECT DISTINCT a.user_id AS u1, b2.user_id AS u2
-        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id),
-        |adj AS (
-        |  SELECT u1, u2 FROM p UNION ALL SELECT u2, u1 FROM p),
-        |s0 AS (SELECT DISTINCT u1 AS start FROM adj WHERE u1 % 17 = 0),
-        |w1 AS (SELECT start, u2 AS cur FROM (
-        |  SELECT s.start, a.u2, row_number() OVER (PARTITION BY s.start
-        |    ORDER BY sha256(s.start || ':1:' || a.u2), a.u2) AS rn
-        |  FROM s0 s JOIN adj a ON a.u1 = s.start) WHERE rn = 1),
-        |w2 AS (SELECT start, u2 AS cur FROM (
-        |  SELECT w.start, a.u2, row_number() OVER (PARTITION BY w.start
-        |    ORDER BY sha256(w.cur || ':2:' || a.u2), a.u2) AS rn
-        |  FROM w1 w JOIN adj a ON a.u1 = w.cur) WHERE rn = 1),
-        |w3 AS (SELECT start, u2 AS cur FROM (
-        |  SELECT w.start, a.u2, row_number() OVER (PARTITION BY w.start
-        |    ORDER BY sha256(w.cur || ':3:' || a.u2), a.u2) AS rn
-        |  FROM w2 w JOIN adj a ON a.u1 = w.cur) WHERE rn = 1)
-        |SELECT start, 0 AS step, start AS node FROM s0
-        |UNION ALL SELECT start, 1, cur FROM w1
-        |UNION ALL SELECT start, 2, cur FROM w2
-        |UNION ALL SELECT start, 3, cur FROM w3
+      s"""WITH $walkCtes
+        |SELECT start, step, node FROM walks
         |ORDER BY start, step""".stripMargin,
+    "g42_skipgram_pairs" ->
+      s"""WITH $walkCtes
+        |SELECT a.node AS center, b.node AS context, count(*) AS cnt
+        |FROM walks a JOIN walks b ON a.start = b.start
+        |WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
+        |GROUP BY 1, 2
+        |ORDER BY cnt DESC, center, context LIMIT 50""".stripMargin,
     "g39_cypher_shortest" ->
       """SELECT src, len, n FROM (
         |  SELECT 'Customer' AS src, 2 AS len, count(*) AS n FROM customer
