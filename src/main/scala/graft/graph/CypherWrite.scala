@@ -60,6 +60,8 @@ object CypherWrite {
 
   private case class NodeMatch(v: String, label: String,
                                keyProp: String, keyParam: String)
+  private case class UpdateStmt(m: NodeMatch, sets: Seq[(String, SetVal)])
+  private case class DeleteStmt(m: NodeMatch, detach: Boolean)
   private case class NodeMerge(v: String, label: String,
                                keyProp: String, keyParam: String,
                                onCreate: Seq[(String, SetVal)],
@@ -136,6 +138,33 @@ object CypherWrite {
         if (atSym(",")) eatSym(",") else more = false
       }
       out.result()
+    }
+
+    /** `MATCH (v:L {k: $p}) SET v.prop = value [, ...]` — the
+      * standalone property-update statement. */
+    def updateStmt(): UpdateStmt = {
+      eatKw("MATCH")
+      val (v, l, kp, p) = nodeKeyPat()
+      eatKw("SET")
+      val sets = assigns(v)
+      if (atKw("RETURN")) pos = toks.length
+      require(peek.isEmpty,
+        s"unexpected trailing token '${peek.map(_.text).getOrElse("")}' in SET statement")
+      UpdateStmt(NodeMatch(v, l, kp, p), sets)
+    }
+
+    /** `MATCH (v:L {k: $p}) [DETACH] DELETE v`. */
+    def deleteStmt(): DeleteStmt = {
+      eatKw("MATCH")
+      val (v, l, kp, p) = nodeKeyPat()
+      val detach = atKw("DETACH")
+      if (detach) { eatKw("DETACH") }
+      eatKw("DELETE")
+      val dv = ident()
+      require(dv == v, s"DELETE of unbound variable $dv (MATCH binds $v)")
+      require(peek.isEmpty,
+        s"unexpected trailing token '${peek.map(_.text).getOrElse("")}' in DELETE statement")
+      DeleteStmt(NodeMatch(v, l, kp, p), detach)
     }
 
     def stmt(): WriteStmt = {
@@ -215,6 +244,103 @@ object CypherWrite {
         Set("MERGE", "CREATE", "SET", "DELETE", "DETACH", "REMOVE")(k)
       case _ => false
     }
+
+  /** Route a write statement to its compiler by clause: `MERGE`
+    * templates to [[merge]], `MATCH...SET` to [[update]],
+    * `MATCH...[DETACH] DELETE` to [[delete]]. One entry point so
+    * [[GraphDb.query]] can accept the reference's full write surface. */
+  def apply(template: String, params: DataFrame, graph: Graph,
+            clock: Column, propCols: Seq[String]): Graph = {
+    val kws = CypherFrontend.tokenize(template).collect { case TKw(k) => k }.toSet
+    if (kws("MERGE") || kws("CREATE")) merge(template, params, graph, clock, propCols)
+    else if (kws("DELETE")) delete(template, params, graph)
+    else if (kws("SET")) update(template, params, graph, clock, propCols)
+    else sys.error("unsupported write statement: expected MERGE, SET, or DELETE")
+  }
+
+  /** `MATCH (v:Label {key: $p}) SET v.prop = <$x | datetime() | CASE
+    * non-empty-wins>` for a whole params batch: one equi-join on the
+    * key property, matched rows take the SET values and an
+    * `updated_at` bump, unmatched nodes pass through untouched (and
+    * unmatched PARAMS are no-ops — MATCH found nothing, Neo4j's
+    * behavior). Duplicate keys within the batch resolve LAST-write-wins
+    * in `_seq` order — the final state of the reference's sequential
+    * per-row loop (the dual of merge's first-seen law, which applies to
+    * creation). */
+  def update(template: String, params: DataFrame, graph: Graph,
+             clock: Column, propCols: Seq[String]): Graph = {
+    val stmt = new Parser(CypherFrontend.tokenize(template)).updateStmt()
+    val badProps = stmt.sets.map(_._1).filterNot(propCols.contains)
+    require(badProps.isEmpty,
+      s"SET on unknown propert${if (badProps.size == 1) "y" else "ies"} " +
+        s"${badProps.mkString(", ")} (node schema has: ${propCols.mkString(", ")})")
+    val seqCol: Column =
+      if (params.columns.contains("_seq")) col("_seq")
+      else xxhash64(params.columns.sorted.map(col): _*)
+    def incomingCol(sv: SetVal): Column = sv match {
+      case ParamVal(p) => col(p)
+      case NonEmptyWins(p) => col(p)
+      case ClockVal => clock
+    }
+    val aggs = stmt.sets.map { case (p, sv) =>
+      max_by(incomingCol(sv).cast("string"), seqCol).as(s"_set_$p")
+    }
+    val upd = params.groupBy(col(stmt.m.keyParam).as("_key"))
+      .agg(aggs.head, aggs.tail: _*)
+    val matched = col("_key").isNotNull
+    val setByProp = stmt.sets.toMap
+    val out = graph.nodes
+      .join(upd, col(stmt.m.keyProp) === col("_key") &&
+        col("label") === stmt.m.label, "left")
+      .select(graph.nodes.columns.toSeq.map {
+        case p if setByProp.contains(p) =>
+          val inc = col(s"_set_$p")
+          (setByProp(p) match {
+            case NonEmptyWins(_) =>
+              when(matched && inc.isNotNull && trim(inc) =!= "", inc)
+                .otherwise(col(p))
+            case _ => when(matched, inc).otherwise(col(p))
+          }).as(p)
+        case "updated_at" =>
+          when(matched, clock).otherwise(col("updated_at")).as("updated_at")
+        case c => col(c)
+      }: _*)
+    Graph(out, graph.edges)
+  }
+
+  /** `MATCH (v:Label {key: $p}) [DETACH] DELETE v` for a whole params
+    * batch: resolve the doomed uid set (one equi-join), anti-join it
+    * out of the node table; DETACH also anti-joins both edge endpoints
+    * (Neo4j's cascade). A plain DELETE on a node that still has
+    * relationships is a constraint violation in Neo4j — enforced here
+    * eagerly with one semi-join count, failing the whole batch LOUDLY
+    * rather than leaving dangling edges. */
+  def delete(template: String, params: DataFrame, graph: Graph): Graph = {
+    val stmt = new Parser(CypherFrontend.tokenize(template)).deleteStmt()
+    val doomed = graph.nodes
+      .join(params.select(col(stmt.m.keyParam).as("_key")).distinct(),
+        col(stmt.m.keyProp) === col("_key") && col("label") === stmt.m.label)
+      .select(col("uid").as("_doomed"))
+      .localCheckpoint(true) // reused by up to 4 joins below
+    if (!stmt.detach) {
+      val incident =
+        graph.edges.join(doomed, col("src_uid") === col("_doomed"), "left_semi")
+          .unionByName(
+            graph.edges.join(doomed, col("dst_uid") === col("_doomed"), "left_semi"))
+          .count()
+      require(incident == 0,
+        s"DELETE of ${stmt.m.v}: $incident incident relationship(s) exist; " +
+          "use DETACH DELETE")
+    }
+    val nodes = graph.nodes.join(doomed,
+      col("uid") === col("_doomed"), "left_anti")
+    val edges =
+      if (!stmt.detach) graph.edges
+      else graph.edges
+        .join(doomed, col("src_uid") === col("_doomed"), "left_anti")
+        .join(doomed, col("dst_uid") === col("_doomed"), "left_anti")
+    Graph(nodes, edges)
+  }
 
   def merge(template: String, params: DataFrame, graph: Graph,
             clock: Column, propCols: Seq[String]): Graph = {

@@ -47,8 +47,9 @@ final class GraphDb private (val spark: SparkSession,
       .filterNot(Set("label", "uid", "name", "created_at", "updated_at")).toSeq
 
   /** `query(cypher, params)` — the reference's single entry point.
-    * Reads return their result frame. A `MERGE` template with the
-    * reference's per-item params dict binds ONE row, upserts, and
+    * Reads return their result frame. A write statement (`MERGE`
+    * template, `MATCH...SET`, `MATCH...[DETACH] DELETE`) with the
+    * reference's per-item params dict binds ONE row, applies, and
     * returns an empty frame (the driver returns `[]` for writes).
     * The two admin procedures `get_stats` issues verbatim
     * (`neo4j_db.py:128`, `CALL db.labels()` /
@@ -71,10 +72,12 @@ final class GraphDb private (val spark: SparkSession,
   }
 
   /** Set-oriented write: the whole params batch through one compiled
-    * template — one distributed upsert job, first-seen-wins in-batch
-    * dedup per the `_seq` column when present. */
+    * template — one distributed job per statement. `MERGE` upserts
+    * (first-seen-wins in-batch dedup per the `_seq` column when
+    * present), `MATCH...SET` batch property updates (last-write-wins),
+    * `MATCH...[DETACH] DELETE` batch deletes. */
   def merge(template: String, params: DataFrame): Unit = synchronized {
-    g = CypherWrite.merge(template, params, g, clock(), propCols)
+    g = CypherWrite(template, params, g, clock(), propCols)
   }
 
   /** The reference's stats dict as a frame: one row per label plus

@@ -167,6 +167,56 @@ class CypherWriteSpec extends SparkSpec {
     assert(row === (("Hof Ost", "Parkweg 9", "Mo-Fr")))
   }
 
+  test("MATCH...SET: batch update, last-write-wins on duplicate keys, unmatched untouched") {
+    val g = runAll(emptyGraph, clock)
+    val params = Seq(
+      (1L, "Wertstoffhof Nord", "Mo 8-12"),
+      (2L, "Wertstoffhof Nord", "Di 9-17"), // later _seq wins — the loop's final state
+      (1L, "Gibt Es Nicht", "Nie"))      // MATCH finds nothing: no-op
+      .toDF("_seq", "name", "opening_hours")
+    val g2 = CypherWrite("MATCH (f:Facility {name: $name}) SET f.opening_hours = $opening_hours",
+      params, g, clock2, propCols)
+    val target = g2.nodes.filter(col("name") === "Wertstoffhof Nord")
+    assert(target.select("opening_hours").as[String].head() === "Di 9-17")
+    assert(target.filter(col("updated_at") === "2027-06-01 00:00:00").count() === 1)
+    // every other node untouched, including updated_at
+    assert(g2.nodes.filter(col("name") =!= "Wertstoffhof Nord" &&
+      col("updated_at") =!= "2026-01-01 00:00:00").count() === 0)
+    assert(g2.nodes.count() === g.nodes.count())
+    // SET on a property the schema lacks fails loudly
+    val bad = intercept[IllegalArgumentException](CypherWrite(
+      "MATCH (f:Facility {name: $name}) SET f.nope = $opening_hours",
+      params, g, clock2, propCols))
+    assert(bad.getMessage.contains("unknown propert"))
+  }
+
+  test("MATCH...DELETE: plain refuses on incident edges, DETACH cascades") {
+    val g = runAll(emptyGraph, clock)
+    val params = Seq("Wertstoffhof Nord").toDF("name")
+    // plain DELETE: Wertstoffhof A has DISPOSED_AT edges → constraint violation
+    val violation = intercept[IllegalArgumentException](CypherWrite(
+      "MATCH (f:Facility {name: $name}) DELETE f", params, g, clock2, propCols))
+    assert(violation.getMessage.contains("DETACH"))
+    // DETACH DELETE removes the node and every incident edge
+    val g2 = CypherWrite("MATCH (f:Facility {name: $name}) DETACH DELETE f",
+      params, g, clock2, propCols)
+    assert(g2.nodes.count() === g.nodes.count() - 1)
+    assert(g2.nodes.filter(col("name") === "Wertstoffhof Nord").count() === 0)
+    val uids = g2.nodes.select("uid")
+    assert(g2.edges.join(uids, g2.edges("src_uid") === uids("uid"), "left_anti").count() === 0)
+    assert(g2.edges.join(uids, g2.edges("dst_uid") === uids("uid"), "left_anti").count() === 0)
+    // a node with no relationships CAN be plain-DELETEd: merge an
+    // isolated one, delete it, counts return to where they were
+    val g3a = CypherWrite.merge(
+      """MERGE (f:Facility {uid: $uid})
+        |ON CREATE SET f.name = $name, f.created_at = datetime()""".stripMargin,
+      Seq(("u:tmp", "Temp Hof")).toDF("uid", "name"), g2, clock2, propCols)
+    val g3 = CypherWrite("MATCH (f:Facility {name: $name}) DELETE f",
+      Seq("Temp Hof").toDF("name"), g3a, clock2, propCols)
+    assert(g3a.nodes.count() === g2.nodes.count() + 1)
+    assert(g3.nodes.count() === g2.nodes.count())
+  }
+
   test("unparseable write shapes fail with clear errors") {
     val bad1 = intercept[RuntimeException](CypherWrite.merge(
       "MERGE (f:Facility {uid: $uid}) ON MATCH SET f.x = f.y + 1",
