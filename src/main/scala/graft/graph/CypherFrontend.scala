@@ -145,7 +145,8 @@ object CypherFrontend {
     "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT", "XOR", "DISTINCT", "AS",
     "CONTAINS", "STARTS", "ENDS", "WITH", "IS", "NULL", "TRUE", "FALSE",
     "IN", "MERGE", "SET", "DELETE", "DETACH", "CREATE", "REMOVE", "EXISTS",
-    "OPTIONAL", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "UNWIND")
+    "OPTIONAL", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "UNWIND",
+    "UNION", "ALL")
 
   /** Whitelisted Cypher scalar functions (Neo4j's everyday battery),
     * each compiling to one codegen'd Catalyst function. Divergences,
@@ -292,10 +293,31 @@ object CypherFrontend {
       }
       val skip = if (atKw("SKIP")) { eatKw("SKIP"); Some(num()) } else None
       val limit = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(num()) } else None
-      require(pos == toks.length, s"trailing tokens from '${peek.map(_.text).getOrElse("")}'")
+      require(pos == toks.length || atKw("UNION"),
+        s"trailing tokens from '${peek.map(_.text).getOrElse("")}'")
       val st = stages.result()
       require(st.nonEmpty, "query needs at least one reading clause before RETURN")
       Query(st, distinct, items.result(), order.result(), skip, limit)
+    }
+
+    /** `query [UNION [ALL] query]*` — Cypher's top level. Mixing UNION
+      * and UNION ALL in one statement is rejected (Neo4j's rule). */
+    def unionQuery(): (Seq[Query], Boolean) = {
+      val parts = Seq.newBuilder[Query]
+      parts += query()
+      var all: Option[Boolean] = None
+      while (atKw("UNION")) {
+        eatKw("UNION")
+        val thisAll = atKw("ALL")
+        if (thisAll) eatKw("ALL")
+        require(all.forall(_ == thisAll),
+          "cannot mix UNION and UNION ALL in one statement")
+        all = Some(thisAll)
+        parts += query()
+      }
+      require(pos == toks.length,
+        s"trailing tokens from '${peek.map(_.text).getOrElse("")}'")
+      (parts.result(), all.getOrElse(false))
     }
 
     private def num(): Long = next() match {
@@ -1235,7 +1257,17 @@ object CypherFrontend {
     * dict, `neo4j_db.py:93-106`). */
   def run(cypher: String, nodes: DataFrame, edges: DataFrame,
           params: Map[String, Any] = Map.empty): DataFrame = {
-    val q = new Parser(tokenize(cypher)).query()
-    new Compiler(nodes, edges, params).compile(q)
+    val (parts, all) = new Parser(tokenize(cypher)).unionQuery()
+    // one Compiler per part: var-binding state is per-subquery scope
+    val frames = parts.map(q => new Compiler(nodes, edges, params).compile(q))
+    frames.tail.foreach { f =>
+      require(java.util.Arrays.equals(
+        f.columns.asInstanceOf[Array[AnyRef]],
+        frames.head.columns.asInstanceOf[Array[AnyRef]]),
+        "UNION parts must return the same column names: " +
+          s"${frames.head.columns.mkString(", ")} vs ${f.columns.mkString(", ")}")
+    }
+    val u = frames.reduce(_ unionByName _)
+    if (parts.size > 1 && !all) u.distinct() else u
   }
 }

@@ -1042,7 +1042,89 @@ object GraphQueries extends QueryPack {
       .limit(50)
   }
 
+  /** g43 — `collect()` / `collect(DISTINCT ...)` list aggregates in
+    * Cypher TEXT form — the aggregate a Graph-RAG user reaches for to
+    * pull a neighborhood into one row (Neo4j's list constructor).
+    * Compiles to `collect_list`/`collect_set`; element order is
+    * UNSPECIFIED in both Cypher and Spark, so the gate canonicalizes
+    * with `array_sort` before hashing (the d-family determinism law:
+    * never let shuffle arrival order reach a gated value). The array
+    * column itself rides through the gate — parquet list vs DuckDB
+    * `list(... ORDER BY ...)` compare element-wise. */
+  def g43CypherCollect(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN r.name AS region, collect(n.name) AS nations,
+        |  count(DISTINCT n) AS n_nations
+        |ORDER BY region""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .select(col("region"), array_sort(col("nations")).as("nations"),
+        col("n_nations"))
+      .orderBy("region")
+
+  /** g44 — the remaining Cypher WRITE statements beyond MERGE:
+    * `MATCH...SET` (batch property update, last-write-wins) and
+    * `MATCH...DETACH DELETE` (batch delete with edge cascade), the two
+    * statements a reference user issues for corrections and
+    * retractions. Full lifecycle through [[graft.graph.GraphDb]]: MERGE
+    * nations + regions + IN_REGION edges (the reference's template
+    * shapes), SET a status flag on a name-matched subset, DETACH DELETE
+    * one region, then read the surviving topology back in Cypher. Every
+    * statement is one distributed job — key-equi-joins and anti-joins,
+    * no per-row driver loop. */
+  def g44CypherSetDelete(s: SparkSession, dir: String): DataFrame = {
+    val db = graft.graph.GraphDb.empty(s, props = Seq("status"),
+      clock = () => to_timestamp(lit("2024-06-01 12:00:00")))
+    db.merge(
+      """MERGE (n:Nation {uid: $uid})
+        |ON CREATE SET n.name = $name, n.created_at = datetime()""".stripMargin,
+      Tables.nation(s, dir).select(col("n_name").as("name"),
+        concat(lit("Nation:"), col("n_nationkey")).as("uid")))
+    db.merge(
+      """MERGE (r:Region {uid: $uid})
+        |ON CREATE SET r.name = $name, r.created_at = datetime()""".stripMargin,
+      Tables.region(s, dir).select(col("r_name").as("name"),
+        concat(lit("Region:"), col("r_regionkey")).as("uid")))
+    db.merge(
+      """MATCH (a:Nation {uid: $src}) MATCH (b:Region {uid: $dst})
+        |MERGE (a)-[rel:IN_REGION]->(b)""".stripMargin,
+      Tables.nation(s, dir).select(
+        concat(lit("Nation:"), col("n_nationkey")).as("src"),
+        concat(lit("Region:"), col("n_regionkey")).as("dst")))
+    db.merge(
+      "MATCH (n:Nation {name: $name}) SET n.status = $status",
+      Tables.nation(s, dir).filter(col("n_name").contains("A"))
+        .select(col("n_name").as("name"), lit("flagged").as("status")))
+    db.merge(
+      "MATCH (r:Region {name: $name}) DETACH DELETE r",
+      Tables.region(s, dir).filter(col("r_name") === "AFRICA")
+        .select(col("r_name").as("name")))
+    db.query(
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN r.name AS region, n.name AS nation, n.status AS status
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  /** g45 — Cypher `UNION` across subqueries: two independently
+    * compiled pipelines with identical RETURN columns, combined with
+    * set semantics (UNION dedups — the many-customers-per-nation
+    * multiplicity of the first arm collapses; UNION ALL is spec-
+    * covered). Each arm is its own scope (variables do not leak), the
+    * union is one `unionByName` + distinct — a single shuffle on the
+    * output row, exactly SQL UNION's cost shape. */
+  def g45CypherUnion(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region {name: 'EUROPE'})
+        |RETURN n.name AS nation
+        |UNION
+        |MATCH (n:Nation)-[:IN_REGION]->(r:Region {name: 'AFRICA'})
+        |RETURN n.name AS nation""".stripMargin,
+      nodes(s, dir), edges(s, dir)).orderBy("nation")
+
   val queries: Map[String, QueryFn] = Map(
+    "g45_cypher_union"   -> (g45CypherUnion _),
+    "g44_cypher_set_delete" -> (g44CypherSetDelete _),
+    "g43_cypher_collect" -> (g43CypherCollect _),
     "g42_skipgram_pairs" -> (g42SkipgramPairs _),
     "g41_walk_corpus"    -> (g41WalkCorpus _),
     "g40_graphdb_lifecycle" -> (g40GraphDbLifecycle _),
@@ -1181,6 +1263,34 @@ object GraphQueries extends QueryPack {
     // g41/g42: the same hash-choice walk unrolled — valid below the
     // bucket cap like every co-click oracle (cap contract documented
     // at capBuckets).
+    // g45: SQL UNION (dedups) mirrors Cypher UNION exactly.
+    "g45_cypher_union" ->
+      """SELECT n_name AS nation FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |UNION
+        |SELECT n_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AFRICA'
+        |ORDER BY nation""".stripMargin,
+    // g44: surviving topology after SET + DETACH DELETE — the status
+    // flag is the name-contains-'A' predicate, AFRICA's nations lose
+    // their region edges with the cascade.
+    "g44_cypher_set_delete" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |  CASE WHEN n_name LIKE '%A%' THEN 'flagged' END AS status
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name <> 'AFRICA'
+        |ORDER BY region, nation""".stripMargin,
+    // g43: Cypher collect() vs DuckDB list(); both sides canonicalize
+    // element order (array_sort / ORDER BY inside list()).
+    "g43_cypher_collect" ->
+      """SELECT r_name AS region,
+        |  list(n_name ORDER BY n_name) AS nations,
+        |  count(DISTINCT n_nationkey) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region""".stripMargin,
     "g41_walk_corpus" ->
       s"""WITH $walkCtes
         |SELECT start, step, node FROM walks

@@ -46,6 +46,51 @@ class CypherFrontendSpec extends SparkSpec {
     assert(got === Seq(("WasteItem", 4L), ("Facility", 2L), ("WasteStream", 2L)))
   }
 
+  test("UNION dedups, UNION ALL keeps multiplicity, mixing is rejected") {
+    val union = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream {name: 'Restmuell'})
+        |RETURN s.name AS name
+        |UNION
+        |MATCH (s:WasteStream) RETURN s.name AS name""".stripMargin)
+      .as[String].collect().toSeq.sorted
+    assert(union === Seq("Biomuell", "Restmuell")) // 2 Restmuell rows collapse
+    val unionAll = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream {name: 'Restmuell'})
+        |RETURN s.name AS name
+        |UNION ALL
+        |MATCH (s:WasteStream) RETURN s.name AS name""".stripMargin)
+      .as[String].collect().toSeq.sorted
+    assert(unionAll === Seq("Biomuell", "Restmuell", "Restmuell", "Restmuell"))
+    val mixed = intercept[IllegalArgumentException](run(
+      """MATCH (s:WasteStream) RETURN s.name AS name
+        |UNION
+        |MATCH (f:Facility) RETURN f.name AS name
+        |UNION ALL
+        |MATCH (w:WasteItem) RETURN w.name AS name""".stripMargin))
+    assert(mixed.getMessage.contains("mix"))
+    val cols = intercept[IllegalArgumentException](run(
+      "MATCH (s:WasteStream) RETURN s.name AS a UNION MATCH (f:Facility) RETURN f.name AS b"))
+    assert(cols.getMessage.contains("same column"))
+  }
+
+  test("collect() and collect(DISTINCT ...) list aggregates") {
+    val got = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |RETURN s.name AS stream, collect(w.name) AS items
+        |ORDER BY stream""".stripMargin)
+      .select($"stream", array_sort($"items"))
+      .as[(String, Seq[String])].collect().toSeq
+    assert(got === Seq(
+      ("Biomuell", Seq("Laub")),
+      ("Restmuell", Seq("Asche", "Bauschutt"))))
+    // DISTINCT collapses duplicate values: two items share one stream
+    val dist = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |RETURN collect(DISTINCT s.name) AS streams""".stripMargin)
+      .select(array_sort($"streams")).as[Seq[String]].collect().head
+    assert(dist === Seq("Biomuell", "Restmuell"))
+  }
+
   test("orphan anti-join: WHERE NOT (w)-[:DISPOSED_IN|DISPOSED_AT]->() (line 238)") {
     val got = run(
       "MATCH (w:WasteItem) WHERE NOT (w)-[:DISPOSED_IN|DISPOSED_AT]->() RETURN w.name")
