@@ -404,7 +404,46 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** e12 — Matryoshka / prefix-dimension two-stage retrieval: coarse
+    * ranking on the FIRST 8 of 64 dims (the nested-representation
+    * property MRL-trained embeddings expose: a prefix is itself a valid
+    * lower-dim embedding), shortlist of 20 per query, then an exact
+    * 64-dim rerank of the shortlist only. This is the standard
+    * accuracy/IO dial between e01 (full brute force) and e05/e03
+    * (bucketed): stage 1 scans 8/64ths of the vector bytes — at 100 TB
+    * of embeddings that is an 8× scan-IO cut with NO index build — and
+    * stage 2's full-width reads touch only Q×20 rows. Both ranks order
+    * by the 6dp-ROUNDED fold with id tie-break (e11's determinism
+    * rule), so the shortlist membership itself is engine-exact.
+    */
+  def e12MatryoshkaTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    def dot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        slice(col("v"), 1, 8).as("cp"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        slice(col("v"), 1, 8).as("qp"))
+    import org.apache.spark.sql.expressions.Window
+    val wCoarse = Window.partitionBy("query_id").orderBy(desc("coarse_ip"), asc("cand_id"))
+    val wExact = Window.partitionBy("query_id").orderBy(desc("exact_ip"), asc("cand_id"))
+    c.join(broadcast(q))
+      .select(col("query_id"), col("cand_id"), col("cv"), col("qv"),
+        round(dot("qp", "cp"), 6).as("coarse_ip"))
+      .withColumn("coarse_rank", row_number().over(wCoarse))
+      .filter(col("coarse_rank") <= 20)
+      .select(col("query_id"), col("cand_id"), col("coarse_rank"), col("coarse_ip"),
+        round(dot("qv", "cv"), 6).as("exact_ip"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "cand_id", "coarse_rank", "coarse_ip", "exact_ip")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e12_matryoshka_topk" -> (e12MatryoshkaTopk _),
     "e11_sq8_topk"        -> (e11Sq8Topk _),
     "e10_mips_brute"      -> (e10MipsBrute _),
     "e09_neardup_clusters" -> (e09NeardupClusters _),
@@ -431,6 +470,32 @@ object SimilarityQueries extends QueryPack {
        |  j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // e12: prefix-8 coarse rank → top-20 shortlist → exact 64-dim
+    // rerank; the oracle scores every pair (exact_ip is only OBSERVED
+    // on shortlist survivors, where it equals the Spark rerank).
+    "e12_matryoshka_topk" ->
+      """WITH c AS (SELECT vec_id AS cand_id, embedding
+        |           FROM embeddings WHERE vec_id >= 10),
+        |q AS (SELECT vec_id AS query_id, embedding
+        |      FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.cand_id,
+        |    round(list_sum(list_transform(range(1, 9), i ->
+        |      q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), 6) AS coarse_ip,
+        |    round(list_sum(list_transform(range(1, 65), i ->
+        |      q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), 6) AS exact_ip
+        |  FROM q, c),
+        |shortlist AS (
+        |  SELECT * FROM (
+        |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY coarse_ip DESC, cand_id) AS INT) AS coarse_rank
+        |    FROM scored) WHERE coarse_rank <= 20),
+        |reranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY exact_ip DESC, cand_id) AS INT) AS rank
+        |  FROM shortlist)
+        |SELECT query_id, rank, cand_id, coarse_rank, coarse_ip, exact_ip
+        |FROM reranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // e11: per-dim bounds → uint8 encode → asymmetric dequantized dot,
     // every double expression shaped exactly as the Spark fold.
     "e11_sq8_topk" ->

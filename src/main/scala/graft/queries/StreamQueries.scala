@@ -67,6 +67,14 @@ object StreamQueries extends QueryPack {
                        (build: (() => DataFrame) => DataFrame): DataFrame =
     runStagedImpl(s, dir, tag, mode, sentinels = false, Map.empty)(build)
 
+  /** [[runStaged]] over a table other than `events` (s14 streams the
+    * documents corpus); no event-ts normalization, no sentinels. */
+  private def runStagedTable(s: SparkSession, dir: String, tag: String,
+                             mode: String, table: String)
+                            (build: (() => DataFrame) => DataFrame): DataFrame =
+    runStagedImpl(s, dir, tag, mode, sentinels = false, Map.empty,
+      table = table)(build)
+
   /** s01 — event-time tumbling-window aggregation (the streaming twin
     * of q18): readStream → 5-minute windows → complete-mode memory
     * sink; the value sum rides decimal per the dsum determinism note. */
@@ -301,9 +309,12 @@ object StreamQueries extends QueryPack {
     * restored after (s08 swaps in the RocksDB state store). */
   private def runStagedImpl(s: SparkSession, dir: String, tag: String,
                             mode: String, sentinels: Boolean,
-                            extraConf: Map[String, String])
+                            extraConf: Map[String, String],
+                            table: String = "events")
                            (build: (() => DataFrame) => DataFrame): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    require(table == "events" || !sentinels,
+      "sentinel heartbeats are events-schema-specific")
+    val schema = s.read.parquet(s"$dir/$table.parquet").schema
     val streamDir = Files.createTempDirectory(s"graft-$tag-in")
     val ckpt = Files.createTempDirectory(s"graft-$tag-ckpt")
     val scratch = Files.createTempDirectory(s"graft-$tag-scratch")
@@ -313,13 +324,15 @@ object StreamQueries extends QueryPack {
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
     extraConf.foreach { case (k, v) => s.conf.set(k, v) }
     try {
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        streamDir.resolve("000_events.parquet"))
+      Files.copy(Paths.get(s"$dir/$table.parquet"),
+        streamDir.resolve(s"000_$table.parquet"))
       if (sentinels) stageSentinels(s, dir, schema, streamDir, scratch)
-      val src = () => graft.core.Tables.withEventTs(
-        s.readStream.schema(schema)
+      val src = () => {
+        val raw = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
-          .parquet(streamDir.toString))
+          .parquet(streamDir.toString)
+        if (table == "events") graft.core.Tables.withEventTs(raw) else raw
+      }
       val q = build(src).writeStream.format("memory").queryName(sink)
         .outputMode(mode)
         .option("checkpointLocation", ckpt.toString)
@@ -639,7 +652,63 @@ object StreamQueries extends QueryPack {
     }
   }
 
+  /** s14 — streaming RAG ingestion: the documents corpus arriving as a
+    * stream (the reference's extraction → chunk flow run CONTINUOUSLY —
+    * the shape a production Graph-RAG ingest has: new docs land, chunks
+    * + uids + token counts flow out). Entirely stateless — explode +
+    * substring + hash projections — so append mode needs no watermark
+    * and each micro-batch is embarrassingly parallel; at 100 TB this is
+    * the same plan over an arriving directory with maxFilesPerTrigger
+    * batching the backlog. Gated hash-exactly against q85's batch
+    * chunking law (minus the embedding join): incremental chunking
+    * equals batch chunking.
+    */
+  def s14StreamRagIngest(s: SparkSession, dir: String): DataFrame =
+    runStagedTable(s, dir, "s14", "append", table = "documents") { src =>
+      val chunkText = col("t").substr((col("chunk_idx") * 500 + 1).cast("int"), lit(500))
+      src().select(col("doc_id"), trim(col("text")).as("t"))
+        .filter(length(col("t")) > 0)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0L),
+            ceil(length(col("t")) / lit(500.0)).cast("long") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          graft.core.Uid.uid(concat(lit("doc_"), col("doc_id"), lit("#"),
+            col("chunk_idx"))).as("chunk_uid"),
+          length(chunkText).cast("long").as("chunk_len"),
+          size(split(trim(chunkText), "\\s+")).as("n_tokens"))
+    }.orderBy("doc_id", "chunk_idx")
+
+  /** s15 — streaming MinHash-LSH near-dup at ingest: the keeper table
+    * (band-bucket → min doc_id) is maintained INCREMENTALLY over the
+    * arriving document stream — the shape a 100 TB crawl pipeline
+    * actually wants, where dedup state grows with the corpus and each
+    * new batch both consults and extends it. The signature stage is
+    * d07's stateless kernel ([[TextQueries.lshBandRows]]: per-row
+    * minhash16 + banded md5, zero shuffle), so the only streaming state
+    * is one (band, bh) → min(doc_id) row per bucket — the same
+    * cardinality ANY dedup must hold. The dedup VERDICT (which doc
+    * collapses onto which earlier keeper) then joins the corpus
+    * against the streamed keeper table; min() keeps it arrival-order
+    * deterministic, which is what makes the whole pipeline gateable
+    * hash-exactly against the batch law. Complete mode at gate scale;
+    * at production scale the same agg runs update-mode on RocksDB
+    * with the verdict join consuming the changelog. */
+  def s15StreamLshDedup(s: SparkSession, dir: String): DataFrame = {
+    val keepers = runStagedTable(s, dir, "s15", "complete", table = "documents") { src =>
+      TextQueries.lshBandRows(src().select(col("doc_id"), col("text")))
+        .groupBy("band", "bh").agg(min("doc_id").as("keeper_id"))
+    }
+    val bands = TextQueries.lshBandRows(
+      graft.core.Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    bands.join(keepers, Seq("band", "bh"))
+      .filter(col("keeper_id") < col("doc_id"))
+      .groupBy("doc_id").agg(min("keeper_id").as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s15_stream_lsh_dedup" -> (s15StreamLshDedup _),
+    "s14_stream_rag_ingest" -> (s14StreamRagIngest _),
     "s13_stream_cdc_apply" -> (s13StreamCdcApply _),
     "s12_stream_rollup_merge" -> (s12StreamRollupMerge _),
     "s11_stream_edge_upsert" -> (s11StreamEdgeUpsert _),
@@ -655,6 +724,42 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // s15: the batch LSH keeper law — min doc_id per band bucket, each
+    // doc's verdict the min keeper over its buckets — on the d07
+    // minhash CTEs (identical md5 math both engines).
+    "s15_stream_lsh_dedup" ->
+      s"""WITH ${TextQueries.shingleCte}, mh AS (
+        |  SELECT doc_id, j, min(md5(j || ':' || s)) AS mh
+        |  FROM ex, range(16) t(j) GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, '|' ORDER BY j)) AS bh
+        |  FROM mh GROUP BY doc_id, j // 4
+        |), keep AS (
+        |  SELECT band, bh, min(doc_id) AS keeper_id FROM bands GROUP BY band, bh)
+        |SELECT b.doc_id, min(k.keeper_id) AS dup_of
+        |FROM bands b JOIN keep k ON b.band = k.band AND b.bh = k.bh
+        |WHERE k.keeper_id < b.doc_id
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    // s14: q85's batch chunking law (minus the embedding join) — hash
+    // equality proves incremental chunking equals batch chunking.
+    "s14_stream_rag_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(text) AS t FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, CAST(ceil(length(t) / 500.0) AS BIGINT))) AS chunk_idx
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    substr(t, CAST(chunk_idx * 500 + 1 AS INT), 500) AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  substr(sha256('doc_' || doc_id || '#' || chunk_idx), 1, 16) AS chunk_uid,
+        |  length(chunk) AS chunk_len,
+        |  CAST(array_length(regexp_split_to_array(trim(chunk), '\s+')) AS INT)
+        |    AS n_tokens
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     // s13: the oracle is the one-pass batch CDC apply over base ∪ feed
     // — latest change per key by seq, delete-wins, else apply — so hash
     // equality proves the per-batch seq-gated tombstone fold reaches

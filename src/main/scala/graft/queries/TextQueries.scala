@@ -880,7 +880,92 @@ object TextQueries extends QueryPack {
       .limit(40)
   }
 
+  /** (doc_id, band, bh) LSH band rows from a (doc_id, text) frame —
+    * STATELESS per-row expressions only (words → distinct 3-gram
+    * shingles → native minhash16 → banded md5), so the same plan runs
+    * batch (d07's candidate stage) or over a stream (s15's incremental
+    * keeper maintenance). No repartition/checkpoint here: callers own
+    * materialization policy (a stream cannot localCheckpoint). */
+  private[queries] def lshBandRows(df: DataFrame): DataFrame = {
+    val sigs = df.select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), shingles.as("shingles"))
+      .select(col("doc_id"), call_function("minhash16", col("shingles")).as("mh"))
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize).map(r => element_at(col("mh"), b * BandSize + r + 1))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bh")).as(s"band$b")
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Gopher-rule stopword probe: the 8-word presence list from the
+    * published repetition/quality heuristics (Rae et al. 2021 §A1.1) —
+    * distinct from d03/d04's ratio stopwords, which measure density. */
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** d33 — Gopher-style quality rule battery (Rae et al. 2021, "Scaling
+    * Language Models", appendix A1.1): word-count bounds, mean word
+    * length bounds, symbol-to-word ratio (`#`/`...`), bulleted- and
+    * ellipsis-line fractions, alphabetic-word fraction, and the
+    * ≥2-distinct-stopwords probe — the standard cheap rule filter a
+    * pretraining pipeline runs BEFORE any model-based scoring. The
+    * corpus is clean word-soup (no newlines/symbols — TESTDATA.md), so
+    * a deterministic doc_id-keyed perturbation stages each failure mode
+    * (d01's replay-batch pattern): bullets on %7, symbols on %11,
+    * ellipsis lines on %13, numeric runs on %17.
+    *
+    * Scale shape: pure per-row expressions — no shuffle, no UDF, one
+    * scan; all ratios rounded to 4dp BEFORE thresholding (d04's
+    * boundary-value rule), line/word work in higher-order functions so
+    * the whole battery stays inside one codegen stage.
+    */
+  def d33GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val perturbed = concat(col("text"),
+      // the corpus vocabulary carries only 'the' from the probe list, so
+      // a pass mode must be staged too: %3 docs get a stopword-rich tail
+      when(col("doc_id") % 3 === 0, " the cost of work and that we have with them")
+        .otherwise(""),
+      when(col("doc_id") % 7 === 0, "\n- aaa\n- bbb\n* ccc").otherwise(""),
+      when(col("doc_id") % 11 === 0, " # ## ###").otherwise(""),
+      when(col("doc_id") % 13 === 0, "\nto be continued...\nand more...").otherwise(""),
+      when(col("doc_id") % 17 === 0,
+        " 12345 67890 11111 22222 33333 44444 55555 66666 77777 88888 99999 00000")
+        .otherwise(""))
+    docs(s, dir).select(col("doc_id"), perturbed.as("t"))
+      .select(col("doc_id"), col("t"),
+        split(lower(trim(col("t"))), "\\s+").as("w"),
+        split(col("t"), "\n").as("ln"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        round(aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x) /
+          greatest(size(col("w")), lit(1)).cast("double"), 4).as("mean_word_len"),
+        round(((length(col("t")) - length(expr("replace(t, '#', '')"))) +
+          (length(col("t")) - length(expr("replace(t, '...', '')"))) / 3) /
+          greatest(size(col("w")), lit(1)).cast("double"), 4).as("symbol_ratio"),
+        round(size(filter(col("ln"), l => trim(l).rlike("^[-*]"))) /
+          greatest(size(col("ln")), lit(1)).cast("double"), 4).as("bullet_ratio"),
+        round(size(filter(col("ln"), l => trim(l).rlike("\\.\\.\\.$"))) /
+          greatest(size(col("ln")), lit(1)).cast("double"), 4).as("ellipsis_ratio"),
+        round(size(filter(col("w"), x => x.rlike("[a-z]"))) /
+          greatest(size(col("w")), lit(1)).cast("double"), 4).as("alpha_word_ratio"),
+        size(array_intersect(array_distinct(col("w")),
+          array(gopherStopwords.map(lit): _*))).as("n_stop_distinct"))
+      .withColumn("gopher_ok",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("n_stop_distinct") >= 2)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d33_gopher_rules"  -> (d33GopherRules _),
     "d32_bpe_pairs"     -> (d32BpePairs _),
     "d31_weighted_sample" -> (d31WeightedSample _),
     "d30_normalize"     -> (d30Normalize _),
@@ -941,7 +1026,7 @@ object TextQueries extends QueryPack {
       |    AND mean_word_len BETWEEN 2.0 AND 12.0) AS quality_ok
       |  FROM quality)""".stripMargin
 
-  private val shingleCte =
+  private[queries] val shingleCte =
     """words AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
       |), sh AS (
@@ -968,6 +1053,52 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d33: the same doc_id-keyed perturbation (chr(10) = the Spark \n
+    // literal), every ratio shaped exactly as the Spark expression and
+    // rounded to 4dp before thresholding.
+    "d33_gopher_rules" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' the cost of work and that we have with them' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10)||'- aaa'||chr(10)||'- bbb'||chr(10)||'* ccc' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' # ## ###' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN chr(10)||'to be continued...'||chr(10)||'and more...' ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN ' 12345 67890 11111 22222 33333 44444 55555 66666 77777 88888 99999 00000'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, t,
+        |    string_split_regex(lower(trim(t)), '\s+') AS w,
+        |    string_split(t, chr(10)) AS ln
+        |  FROM p),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INT) AS n_words,
+        |    round(list_sum(list_transform(w, x -> length(x)))
+        |      / greatest(len(w), 1)::DOUBLE, 4) AS mean_word_len,
+        |    round(((length(t) - length(replace(t, '#', ''))) +
+        |           (length(t) - length(replace(t, '...', ''))) / 3)
+        |      / greatest(len(w), 1)::DOUBLE, 4) AS symbol_ratio,
+        |    round(len([l for l in ln if regexp_matches(trim(l), '^[-*]')])
+        |      / greatest(len(ln), 1)::DOUBLE, 4) AS bullet_ratio,
+        |    round(len([l for l in ln if regexp_matches(trim(l), '\.\.\.$')])
+        |      / greatest(len(ln), 1)::DOUBLE, 4) AS ellipsis_ratio,
+        |    round(len([x for x in w if regexp_matches(x, '[a-z]')])
+        |      / greatest(len(w), 1)::DOUBLE, 4) AS alpha_word_ratio,
+        |    CAST(len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS INT)
+        |      AS n_stop_distinct
+        |  FROM base)
+        |SELECT *, (n_words BETWEEN 50 AND 100000
+        |  AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        |  AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+        |  AND n_stop_distinct >= 2) AS gopher_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
     // d32: per-word char pairs via list comprehension (m04's indexed
     // construction), counted per OCCURRENCE like the Spark generator.
     "d32_bpe_pairs" ->

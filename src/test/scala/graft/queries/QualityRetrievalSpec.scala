@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The round-6 quality/retrieval additions: d33's Gopher rule battery
+  * must actually DISCRIMINATE (each staged failure mode fires on its
+  * doc_id class and nowhere else), and e12's two-stage retrieval must
+  * honor its shortlist contract (every reranked hit came through the
+  * coarse stage, exact scores match the e10 brute-force law).
+  */
+class QualityRetrievalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("d33: each staged failure mode fires exactly on its doc_id class") {
+    val rows = TextQueries.d33GopherRules(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val bullet = r.getDouble(r.fieldIndex("bullet_ratio"))
+      val symbol = r.getDouble(r.fieldIndex("symbol_ratio"))
+      val ellip = r.getDouble(r.fieldIndex("ellipsis_ratio"))
+      // bullets only via %7: 3 of 4 lines unless %13 adds two more
+      if (id % 7 == 0 && id % 13 != 0) assert(bullet === 0.75, s"doc $id")
+      if (id % 7 != 0) assert(bullet === 0.0, s"doc $id")
+      // '#'/'...' symbols only via %11 / %13
+      if (id % 11 != 0 && id % 13 != 0) assert(symbol === 0.0, s"doc $id")
+      if (id % 11 == 0) assert(symbol > 0.0, s"doc $id")
+      // ellipsis lines only via %13; the 0.3 bound breaks when the
+      // ellipsis block is undiluted by the other perturbations (%17
+      // appends the numeric run to the last "..." line; %7 adds lines)
+      if (id % 13 == 0) assert(ellip > 0.0, s"doc $id")
+      else assert(ellip === 0.0, s"doc $id")
+      if (id % 13 == 0 && id % 7 != 0 && id % 17 != 0)
+        assert(ellip > 0.3, s"doc $id")
+    }
+    // the battery must split the corpus, not rubber-stamp it
+    val n = rows.length
+    val ok = rows.count(_.getBoolean(rows.head.fieldIndex("gopher_ok")))
+    assert(ok > 0 && ok < n, s"no discrimination: $ok/$n pass")
+  }
+
+  test("d33: numeric-run perturbation dents alpha_word_ratio on %17 docs") {
+    val rows = TextQueries.d33GopherRules(spark, dir)
+      .select("doc_id", "alpha_word_ratio").collect()
+    for (r <- rows) {
+      val id = r.getLong(0); val alpha = r.getDouble(1)
+      // %17 numeric runs, %11 '#' words, and %7's bare '-'/'*' bullet
+      // markers all dent the ratio; %3/%13 add only lettered words
+      if (id % 17 == 0 || id % 11 == 0 || id % 7 == 0)
+        assert(alpha < 1.0, s"doc $id")
+      else assert(alpha === 1.0, s"doc $id")
+    }
+  }
+
+  test("e12: reranked top-3 ⊆ coarse shortlist; exact scores match brute force") {
+    val out = SimilarityQueries.e12MatryoshkaTopk(spark, dir).collect()
+    assert(out.nonEmpty)
+    // shortlist contract: every surviving row passed stage 1
+    out.foreach { r =>
+      assert(r.getInt(r.fieldIndex("coarse_rank")) <= 20)
+      assert(r.getInt(r.fieldIndex("rank")) <= 3)
+    }
+    // exact_ip of a survivor equals the full-width dot product law
+    // (e10's fold) recomputed independently
+    val e = graft.core.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val vecs = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Double](1).toArray).toMap
+    out.foreach { r =>
+      val q = vecs(r.getLong(r.fieldIndex("query_id")))
+      val c = vecs(r.getLong(r.fieldIndex("cand_id")))
+      val dot = q.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val got = r.getDouble(r.fieldIndex("exact_ip"))
+      assert(math.abs(got - dot) < 1e-5, s"$r vs $dot")
+    }
+  }
+}
