@@ -1030,6 +1030,35 @@ object RelationalQueries extends QueryPack {
     } finally rmTree(tmp)
   }
 
+  /** q86 — the zero-egress Avro container source through the gate
+    * (interchange-format coverage beside q54 CSV / q55 JSON / q56 ORC /
+    * q73 XML / q82 XLSX): a typed orders slice — long, string, double,
+    * timestamp — exports through the DISTRIBUTED partitioned writer
+    * ([[graft.sources.AvroSource.write]] — one deflate container per
+    * partition, nothing through the driver), reads back through the
+    * distributed binaryFile+DataFileStream path fully TYPED (no string
+    * round-trip: timestamp-micros and the numerics survive as
+    * themselves), and aggregates against the parquet ground truth.
+    * Decimal sum discipline as everywhere. */
+  def q86AvroSource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q86-avro")
+    try {
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      graft.sources.AvroSource.write(orders.repartition(4), tmp.toString, "order")
+      graft.sources.AvroSource.read(s, tmp.toString + "/*.avro")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("o_orderkey").as("sum_key"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double")
+            .as("total"),
+          min("o_orderdate").as("first_ts"),
+          max("o_orderdate").as("last_ts"))
+        .orderBy("o_orderstatus")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
   /** q57 — the six-table regional-revenue join (TPC-H Q5's shape): the
     * local-supplier condition (supplier in the customer's own nation)
     * makes lineitem join BOTH orders and supplier before the dimension
@@ -1860,6 +1889,7 @@ object RelationalQueries extends QueryPack {
     "q57_regional_revenue" -> (q57RegionalRevenue _),
     "q56_orc_source"      -> (q56OrcSource _),
     "q82_xlsx_source"     -> (q82XlsxSource _),
+    "q86_avro_source"     -> (q86AvroSource _),
     "q55_json_source"     -> (q55JsonSource _),
     "q54_csv_source"      -> (q54CsvSource _),
     "q53_null_anti"       -> (q53NullAntiJoin _),
@@ -2287,6 +2317,12 @@ object RelationalQueries extends QueryPack {
         |  min(n_name) AS first_name, max(n_name) AS last_name,
         |  CAST(sum(length(n_name)) AS BIGINT) AS sum_name_len
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q86_avro_source" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+        |  min(o_orderdate) AS first_ts, max(o_orderdate) AS last_ts
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q56_orc_source" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
