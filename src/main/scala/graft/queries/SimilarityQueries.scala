@@ -442,7 +442,76 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** e13 — MMR (maximal marginal relevance) diversified top-k: the
+    * standard RAG re-rank that trades pure relevance for novelty,
+    * `score = λ·rel − (1−λ)·max_sim_to_selected` (Carbonell &
+    * Goldstein 1998), λ=0.7. Greedy over a relevance shortlist of 10
+    * per query, selecting 3: pick 1 is argmax rel; each later round
+    * anti-joins the selected set out, joins each survivor to its max
+    * cosine against the selected, and takes one row per query by
+    * (rounded score desc, cand_id) — fully deterministic.
+    *
+    * Scale shape: the only full-corpus work is the relevance scan
+    * (broadcast query side, distributed candidates — e01's shape);
+    * everything after operates on Q×10 rows, so the greedy loop's k−1
+    * fixed iterations cost Q×10-sized joins regardless of corpus size.
+    * The shortlist and its pairwise-sim table are localCheckpointed
+    * once and reused by every round (no recompute of the corpus scan).
+    */
+  def e13MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val wRel = Window.partitionBy("query_id").orderBy(desc("rel"), asc("cand_id"))
+    // the λ-mix rides BIGINT micro-units (d-family determinism law:
+    // 0.7·rel in double can land on a 7th-decimal boundary where the
+    // two engines' round() split) — score_u = 7·rel_u − 3·sim_u is
+    // exact; the double surfaces only via one shared /1e7 division
+    val shortlist = c.join(broadcast(q))
+      .select(col("query_id"), col("cand_id"), col("cv"),
+        round(cosine(col("qv"), col("cv")), 6).as("rel"))
+      .withColumn("rel_u", round(col("rel") * lit(1e6), 0).cast("long"))
+      .withColumn("rrank", row_number().over(wRel))
+      .filter(col("rrank") <= 10)
+      .localCheckpoint(true)
+    val sims = shortlist.select(col("query_id"), col("cand_id").as("ca"), col("cv").as("va"))
+      .join(shortlist.select(col("query_id"), col("cand_id").as("cb"), col("cv").as("vb")),
+        Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        round(round(cosine(col("va"), col("vb")), 6) * lit(1e6), 0).cast("long").as("sim_u"))
+      .localCheckpoint(true)
+    val sl = shortlist.select("query_id", "cand_id", "rel", "rel_u")
+    var sel = shortlist.filter(col("rrank") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("rank"),
+        (col("rel_u") * lit(7L)).as("score_u"))
+    for (k <- 2 to 3) {
+      val maxSim = sims
+        .join(sel.select(col("query_id"), col("cand_id").as("cb")), Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("cand_id"))
+        .agg(max("sim_u").as("max_sim_u"))
+      val wPick = Window.partitionBy("query_id").orderBy(desc("score_u"), asc("cand_id"))
+      val pick = sl
+        .join(sel.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          (col("rel_u") * lit(7L) - col("max_sim_u") * lit(3L)).as("score_u"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(k).as("rank"), col("score_u"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.join(sl, Seq("query_id", "cand_id"))
+      .select(col("query_id"), col("rank"), col("cand_id"), col("rel"),
+        (col("score_u") / lit(1e7)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e13_mmr_rerank"      -> (e13MmrRerank _),
     "e12_matryoshka_topk" -> (e12MatryoshkaTopk _),
     "e11_sq8_topk"        -> (e11Sq8Topk _),
     "e10_mips_brute"      -> (e10MipsBrute _),
@@ -470,6 +539,62 @@ object SimilarityQueries extends QueryPack {
        |  j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // e13: the greedy MMR recursion unrolled to its 3 fixed rounds —
+    // shortlist, pairwise sims, pick1 = argmax rel, each later pick an
+    // anti-join + max-sim + argmax, all on the same rounded doubles.
+    "e13_mmr_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cand_id, embedding AS cv
+        |      FROM embeddings WHERE vec_id >= 5),
+        |scored AS (
+        |  SELECT query_id, cand_id, cv,
+        |    round(${sqlCos("qv", "cv")}, 6) AS rel FROM q, c),
+        |short AS (
+        |  SELECT *, CAST(round(rel * 1e6) AS BIGINT) AS rel_u FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, cand_id) AS rrank FROM scored)
+        |  WHERE rrank <= 10),
+        |sims AS (
+        |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+        |    CAST(round(round(${sqlCos("a.cv", "b.cv")}, 6) * 1e6) AS BIGINT) AS sim_u
+        |  FROM short a JOIN short b
+        |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+        |p1 AS (SELECT query_id, cand_id, 1 AS rank,
+        |         rel_u * 7 AS score_u FROM short WHERE rrank = 1),
+        |m2 AS (SELECT m.query_id, m.ca AS cand_id, max(m.sim_u) AS max_sim_u
+        |       FROM sims m JOIN p1 ON m.query_id = p1.query_id AND m.cb = p1.cand_id
+        |       GROUP BY m.query_id, m.ca),
+        |s2 AS (SELECT s.query_id, s.cand_id,
+        |         s.rel_u * 7 - x.max_sim_u * 3 AS score_u
+        |       FROM short s JOIN m2 x
+        |         ON s.query_id = x.query_id AND s.cand_id = x.cand_id
+        |       LEFT JOIN p1 ON s.query_id = p1.query_id AND s.cand_id = p1.cand_id
+        |       WHERE p1.cand_id IS NULL),
+        |p2 AS (SELECT query_id, cand_id, 2 AS rank, score_u FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY score_u DESC, cand_id) AS rn FROM s2) WHERE rn = 1),
+        |sel2 AS (SELECT query_id, cand_id FROM p1
+        |         UNION ALL SELECT query_id, cand_id FROM p2),
+        |m3 AS (SELECT m.query_id, m.ca AS cand_id, max(m.sim_u) AS max_sim_u
+        |       FROM sims m JOIN sel2 ON m.query_id = sel2.query_id AND m.cb = sel2.cand_id
+        |       GROUP BY m.query_id, m.ca),
+        |s3 AS (SELECT s.query_id, s.cand_id,
+        |         s.rel_u * 7 - x.max_sim_u * 3 AS score_u
+        |       FROM short s JOIN m3 x
+        |         ON s.query_id = x.query_id AND s.cand_id = x.cand_id
+        |       LEFT JOIN sel2 ON s.query_id = sel2.query_id AND s.cand_id = sel2.cand_id
+        |       WHERE sel2.cand_id IS NULL),
+        |p3 AS (SELECT query_id, cand_id, 3 AS rank, score_u FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY score_u DESC, cand_id) AS rn FROM s3) WHERE rn = 1),
+        |allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |         UNION ALL SELECT * FROM p3)
+        |SELECT p.query_id, p.rank, p.cand_id, s.rel,
+        |  p.score_u / 1e7 AS score
+        |FROM allp p JOIN short s
+        |  ON p.query_id = s.query_id AND p.cand_id = s.cand_id
+        |ORDER BY p.query_id, p.rank""".stripMargin,
     // e12: prefix-8 coarse rank → top-20 shortlist → exact 64-dim
     // rerank; the oracle scores every pair (exact_ip is only OBSERVED
     // on shortlist survivors, where it equals the Spark rerank).

@@ -55,6 +55,24 @@ class QualityRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("e13: MMR picks 3 distinct per query; pick 1 is the pure-relevance argmax") {
+    val out = SimilarityQueries.e13MmrRerank(spark, dir).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3), s"query $q")
+      assert(rows.map(_.getLong(2)).distinct.length === 3, s"query $q")
+      // pick 1 = argmax rel (λ·rel with empty selected set)
+      val p1 = rows.find(_.getInt(1) == 1).get
+      assert(p1.getDouble(3) === rows.map(_.getDouble(3)).max, s"query $q")
+      // λ-mix law: score = 0.7·rel − 0.3·max_sim with max_sim ∈ [−1,1],
+      // so it sits within 0.3 of 0.7·rel
+      rows.filter(_.getInt(1) > 1).foreach { r =>
+        assert(math.abs(r.getDouble(4) - 0.7 * r.getDouble(3)) <= 0.3 + 1e-9, s"query $q")
+      }
+    }
+  }
+
   test("e12: reranked top-3 ⊆ coarse shortlist; exact scores match brute force") {
     val out = SimilarityQueries.e12MatryoshkaTopk(spark, dir).collect()
     assert(out.nonEmpty)
