@@ -964,7 +964,62 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** d34 — C4-style line and document filters (Raffel et al. 2020
+    * §2.2, the other canonical cheap cleaning battery beside d33's
+    * Gopher rules), operating at BOTH granularities: line-level
+    * retention (keep only lines that end in terminal punctuation, have
+    * ≥5 words, and don't mention javascript) REWRITES the text, and
+    * document-level predicates (no "lorem ipsum", no curly brace, ≥3
+    * sentences surviving) gate the doc. The corpus is one-line
+    * punctuation-free word soup (TESTDATA.md), so a doc_id-keyed
+    * perturbation stages each mode (d33's replay pattern): %4 appends
+    * proper sentences, %9 a short unpunctuated line, %10 a brace
+    * snippet, %15 lorem ipsum, %21 a javascript notice line.
+    *
+    * Scale shape: per-row higher-order functions only (filter/
+    * transform over the split lines), zero shuffle, one codegen stage;
+    * the rewritten text flows on for downstream stages rather than a
+    * boolean alone — the C4 contract (the filter SHRINKS pages, then
+    * drops the husks).
+    */
+  def d34C4Filters(s: SparkSession, dir: String): DataFrame = {
+    val perturbed = concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        "\nThis line ends with enough words properly." +
+          "\nAnother good sentence lives here today. And a third one follows naturally.")
+        .otherwise(""),
+      when(col("doc_id") % 9 === 0, "\nshort line").otherwise(""),
+      when(col("doc_id") % 10 === 0, " config { enabled }").otherwise(""),
+      when(col("doc_id") % 15 === 0, " lorem ipsum dolor sit").otherwise(""),
+      when(col("doc_id") % 21 === 0,
+        "\nPlease enable javascript to view this page.").otherwise(""))
+    val keptPred = (l: Column) =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= 5 &&
+        !lower(l).contains("javascript")
+    docs(s, dir).select(col("doc_id"), perturbed.as("t"))
+      .select(col("doc_id"), col("t"), split(col("t"), "\n").as("ln"))
+      .select(col("doc_id"),
+        size(col("ln")).as("n_lines"),
+        filter(col("ln"), keptPred).as("kept"),
+        lower(col("t")).contains("lorem ipsum").as("has_lorem"),
+        col("t").contains("{").as("has_brace"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).as("n_kept"),
+        array_join(col("kept"), "\n").as("clean_text"),
+        regexp_count(array_join(col("kept"), "\n"), lit("[.!?]")).cast("int")
+          .as("n_sentences"),
+        col("has_lorem"), col("has_brace"))
+      .withColumn("c4_ok",
+        !col("has_lorem") && !col("has_brace") &&
+          col("n_sentences") >= 3 && col("n_kept") >= 1)
+      .select("doc_id", "n_lines", "n_kept", "n_sentences",
+        "has_lorem", "has_brace", "clean_text", "c4_ok")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d34_c4_filters"    -> (d34C4Filters _),
     "d33_gopher_rules"  -> (d33GopherRules _),
     "d32_bpe_pairs"     -> (d32BpePairs _),
     "d31_weighted_sample" -> (d31WeightedSample _),
@@ -1053,6 +1108,48 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d34: same staged perturbation; the line-retention predicate,
+    // sentence count, and doc gates shaped exactly as the Spark
+    // expressions (list comprehension = filter(), regexp counts match).
+    "d34_c4_filters" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN chr(10)||'This line ends with enough words properly.'||
+        |           chr(10)||'Another good sentence lives here today. And a third one follows naturally.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN chr(10)||'short line' ELSE '' END ||
+        |    CASE WHEN doc_id % 10 = 0 THEN ' config { enabled }' ELSE '' END ||
+        |    CASE WHEN doc_id % 15 = 0 THEN ' lorem ipsum dolor sit' ELSE '' END ||
+        |    CASE WHEN doc_id % 21 = 0
+        |      THEN chr(10)||'Please enable javascript to view this page.' ELSE '' END AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS ln FROM p),
+        |k AS (
+        |  SELECT doc_id, CAST(len(ln) AS INT) AS n_lines,
+        |    [l for l in ln if regexp_matches(trim(l), '[.!?"]$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')] AS kept,
+        |    contains(lower(t), 'lorem ipsum') AS has_lorem,
+        |    contains(t, '{') AS has_brace
+        |  FROM base),
+        |m AS (
+        |  SELECT doc_id, n_lines, CAST(len(kept) AS INT) AS n_kept,
+        |    list_aggregate(kept, 'string_agg', chr(10)) AS joined,
+        |    has_lorem, has_brace
+        |  FROM k),
+        |f AS (
+        |  SELECT doc_id, n_lines, n_kept,
+        |    CAST(len(regexp_extract_all(coalesce(joined, ''), '[.!?]')) AS INT)
+        |      AS n_sentences,
+        |    has_lorem, has_brace, coalesce(joined, '') AS clean_text
+        |  FROM m)
+        |SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+        |  clean_text,
+        |  (NOT has_lorem AND NOT has_brace AND n_sentences >= 3
+        |    AND n_kept >= 1) AS c4_ok
+        |FROM f ORDER BY doc_id""".stripMargin,
     // d33: the same doc_id-keyed perturbation (chr(10) = the Spark \n
     // literal), every ratio shaped exactly as the Spark expression and
     // rounded to 4dp before thresholding.

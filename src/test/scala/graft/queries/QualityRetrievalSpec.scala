@@ -55,6 +55,39 @@ class QualityRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("d34: each C4 failure mode fires exactly on its doc_id class") {
+    val rows = TextQueries.d34C4Filters(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val i = rows.head.fieldIndex _
+    for (r <- rows) {
+      val id = r.getLong(i("doc_id"))
+      // lorem/brace flags fire only on their classes
+      assert(r.getBoolean(i("has_lorem")) === (id % 15 == 0), s"doc $id")
+      assert(r.getBoolean(i("has_brace")) === (id % 10 == 0), s"doc $id")
+      // the raw soup line never survives line retention; kept lines
+      // come only from the %4 sentences. The %10/%15 tails attach to
+      // whatever line is last at that point — the third-sentence line
+      // unless %9 interposed its own (already-dropped) line — and a
+      // tail strips that line's terminal punctuation, dropping it.
+      if (id % 4 == 0) {
+        val tailBroken = id % 9 != 0 && (id % 10 == 0 || id % 15 == 0)
+        assert(r.getInt(i("n_kept")) === (if (tailBroken) 1 else 2), s"doc $id")
+        assert(r.getInt(i("n_sentences")) === (if (tailBroken) 1 else 3), s"doc $id")
+      } else {
+        assert(r.getInt(i("n_kept")) === 0, s"doc $id")
+        assert(r.getString(i("clean_text")) === "", s"doc $id")
+      }
+      // the %21 javascript line ends in '.' with >=5 words but is
+      // filtered by the content rule, never kept
+      assert(!r.getString(i("clean_text")).toLowerCase.contains("javascript"), s"doc $id")
+      // doc gate: %4 sentences AND no lorem/brace
+      val expOk = id % 4 == 0 && id % 15 != 0 && id % 10 != 0
+      assert(r.getBoolean(i("c4_ok")) === expOk, s"doc $id")
+    }
+    val ok = rows.count(_.getBoolean(rows.head.fieldIndex("c4_ok")))
+    assert(ok > 0 && ok < rows.length, s"no discrimination: $ok/${rows.length}")
+  }
+
   test("e13: MMR picks 3 distinct per query; pick 1 is the pure-relevance argmax") {
     val out = SimilarityQueries.e13MmrRerank(spark, dir).collect()
     val byQuery = out.groupBy(_.getLong(0))
