@@ -1798,6 +1798,47 @@ object RelationalQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** a04 — Count-Min frequency sketch (Cormode & Muthukrishnan 2005),
+    * the third mergeable profiling sketch beside a02's HLL and a03's
+    * histogram: depth 4 × width 256, hash row r of key k addressing
+    * bucket `md5(k||':'||r)[0:2]` (a hex-pair STRING bucket — no
+    * numeric hex parse, so DuckDB replays it verbatim). Built
+    * two-level to prove the merge law: per-day partial sketches
+    * collapse by ADDITION into the corpus sketch (the property that
+    * lets 1000 executors sketch 100 TB map-side and ship 1 KB each);
+    * the oracle builds the sketch in one pass, so hash equality IS the
+    * merge proof. Point estimates for the queried keys take the min
+    * over the 4 rows — CMS guarantees overestimate-only, asserted as
+    * `no_underestimate` per key.
+    *
+    * Scale shape: the sketch is 4×256 cells regardless of corpus size;
+    * the estimation leg joins the query keys against the broadcast-
+    * sized sketch. No distinct, no per-key state — one additive
+    * aggregation, the one-pass profiling shape. */
+  def a04CountMin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def bucket(k: Column, r: Column): Column =
+      substring(md5(concat(k.cast("string"), lit(":"), r.cast("string"))), 1, 2)
+    val partials = ev
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .groupBy(col("d"), col("r"), bucket(col("user_id"), col("r")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val sketch = partials.groupBy("r", "bucket").agg(sum("c").as("c"))
+    val probes = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .filter(col("user_id") <= 30)
+      .select(col("user_id"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("user_id"), col("exact_cnt"), col("r"),
+        bucket(col("user_id"), col("r")).as("bucket"))
+    probes.join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("user_id", "exact_cnt")
+      .agg(min("c").as("cms_est"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("exact_cnt")).as("no_underestimate"))
+      .orderBy("user_id")
+  }
+
   /** q77 — equal-frequency bucketing via ntile: per order priority,
     * decile membership over a TOTAL order (price, then key — ties
     * broken or ntile assignment is arrival-order nondeterminism), then
@@ -1867,6 +1908,7 @@ object RelationalQueries extends QueryPack {
     "q78_except_all"      -> (q78ExceptAll _),
     "q77_ntile"           -> (q77Ntile _),
     "q76_mv_rewrite"      -> (q76MvRewrite _),
+    "a04_countmin"        -> (a04CountMin _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
     "q74_incremental_agg" -> (q74IncrementalAgg _),
@@ -2000,6 +2042,26 @@ object RelationalQueries extends QueryPack {
     // histogram (identical double expressions, so floor() and the
     // bucket bounds agree bit-for-bit) in one pass; hash equality
     // proves the per-day partial build + additive merge exact.
+    // a04: the oracle builds the sketch in ONE pass (no day partials) —
+    // addition is associative/commutative, so hash equality against the
+    // Spark side's two-level build proves the merge law. Same md5
+    // hex-pair buckets, same min-over-rows estimate.
+    "a04_countmin" ->
+      """WITH cells AS (
+        |  SELECT r, substr(md5(user_id::VARCHAR || ':' || r::VARCHAR), 1, 2)
+        |      AS bucket, count(*) AS c
+        |  FROM events, range(4) t(r) GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT user_id, count(*) AS exact_cnt FROM events
+        |  GROUP BY user_id HAVING user_id <= 30),
+        |pr AS (
+        |  SELECT p.user_id, p.exact_cnt, r,
+        |    substr(md5(p.user_id::VARCHAR || ':' || r::VARCHAR), 1, 2) AS bucket
+        |  FROM probes p, range(4) t(r))
+        |SELECT pr.user_id, pr.exact_cnt, CAST(min(c.c) AS BIGINT) AS cms_est,
+        |  (CAST(min(c.c) AS BIGINT) >= pr.exact_cnt) AS no_underestimate
+        |FROM pr JOIN cells c ON pr.r = c.r AND pr.bucket = c.bucket
+        |GROUP BY pr.user_id, pr.exact_cnt ORDER BY pr.user_id""".stripMargin,
     "a03_hist_quantile" ->
       """WITH b AS (
         |  SELECT min(value) AS vmin, max(value) AS vmax,
