@@ -57,6 +57,8 @@ object CypherWrite {
   private case class ParamVal(name: String) extends SetVal // $param
   /** CASE WHEN $p <> '' THEN $p ELSE v.prop END */
   private case class NonEmptyWins(name: String) extends SetVal
+  /** REMOVE v.prop — the property goes to null (Neo4j's removal). */
+  private case object RemoveVal extends SetVal
 
   private case class NodeMatch(v: String, label: String,
                                keyProp: String, keyParam: String)
@@ -151,6 +153,26 @@ object CypherWrite {
       require(peek.isEmpty,
         s"unexpected trailing token '${peek.map(_.text).getOrElse("")}' in SET statement")
       UpdateStmt(NodeMatch(v, l, kp, p), sets)
+    }
+
+    /** `MATCH (v:L {k: $p}) REMOVE v.prop [, v.prop2 ...]` — property
+      * removal, compiled as an update to null. */
+    def removeStmt(): UpdateStmt = {
+      eatKw("MATCH")
+      val (v, l, kp, p) = nodeKeyPat()
+      eatKw("REMOVE")
+      val sets = Seq.newBuilder[(String, SetVal)]
+      var more = true
+      while (more) {
+        val ov = ident(); eatSym("."); val prop = ident()
+        require(ov == v, s"REMOVE on unbound variable $ov (MATCH binds $v)")
+        sets += (prop -> RemoveVal)
+        if (atSym(",")) eatSym(",") else more = false
+      }
+      if (atKw("RETURN")) pos = toks.length
+      require(peek.isEmpty,
+        s"unexpected trailing token '${peek.map(_.text).getOrElse("")}' in REMOVE statement")
+      UpdateStmt(NodeMatch(v, l, kp, p), sets.result())
     }
 
     /** `MATCH (v:L {k: $p}) [DETACH] DELETE v`. */
@@ -254,12 +276,14 @@ object CypherWrite {
     val kws = CypherFrontend.tokenize(template).collect { case TKw(k) => k }.toSet
     if (kws("MERGE") || kws("CREATE")) merge(template, params, graph, clock, propCols)
     else if (kws("DELETE")) delete(template, params, graph)
-    else if (kws("SET")) update(template, params, graph, clock, propCols)
-    else sys.error("unsupported write statement: expected MERGE, SET, or DELETE")
+    else if (kws("SET") || kws("REMOVE")) update(template, params, graph, clock, propCols)
+    else sys.error("unsupported write statement: expected MERGE, SET, REMOVE, or DELETE")
   }
 
   /** `MATCH (v:Label {key: $p}) SET v.prop = <$x | datetime() | CASE
-    * non-empty-wins>` for a whole params batch: one equi-join on the
+    * non-empty-wins>` — or `... REMOVE v.prop [, ...]`, which compiles
+    * to the same plan with a null incoming value (Neo4j's property
+    * removal) — for a whole params batch: one equi-join on the
     * key property, matched rows take the SET values and an
     * `updated_at` bump, unmatched nodes pass through untouched (and
     * unmatched PARAMS are no-ops — MATCH found nothing, Neo4j's
@@ -269,7 +293,11 @@ object CypherWrite {
     * creation). */
   def update(template: String, params: DataFrame, graph: Graph,
              clock: Column, propCols: Seq[String]): Graph = {
-    val stmt = new Parser(CypherFrontend.tokenize(template)).updateStmt()
+    val toks = CypherFrontend.tokenize(template)
+    val isRemove = toks.exists { case TKw("REMOVE") => true; case _ => false }
+    val stmt =
+      if (isRemove) new Parser(toks).removeStmt()
+      else new Parser(toks).updateStmt()
     val badProps = stmt.sets.map(_._1).filterNot(propCols.contains)
     require(badProps.isEmpty,
       s"SET on unknown propert${if (badProps.size == 1) "y" else "ies"} " +
@@ -281,6 +309,7 @@ object CypherWrite {
       case ParamVal(p) => col(p)
       case NonEmptyWins(p) => col(p)
       case ClockVal => clock
+      case RemoveVal => lit(null)
     }
     val aggs = stmt.sets.map { case (p, sv) =>
       max_by(incomingCol(sv).cast("string"), seqCol).as(s"_set_$p")

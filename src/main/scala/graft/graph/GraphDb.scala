@@ -48,7 +48,8 @@ final class GraphDb private (val spark: SparkSession,
 
   /** `query(cypher, params)` — the reference's single entry point.
     * Reads return their result frame. A write statement (`MERGE`
-    * template, `MATCH...SET`, `MATCH...[DETACH] DELETE`) with the
+    * template, `MATCH...SET`, `MATCH...REMOVE`, `MATCH...[DETACH]
+    * DELETE`) with the
     * reference's per-item params dict binds ONE row, applies, and
     * returns an empty frame (the driver returns `[]` for writes).
     * The two admin procedures `get_stats` issues verbatim
@@ -74,7 +75,8 @@ final class GraphDb private (val spark: SparkSession,
   /** Set-oriented write: the whole params batch through one compiled
     * template — one distributed job per statement. `MERGE` upserts
     * (first-seen-wins in-batch dedup per the `_seq` column when
-    * present), `MATCH...SET` batch property updates (last-write-wins),
+    * present), `MATCH...SET`/`MATCH...REMOVE` batch property updates
+    * (last-write-wins; REMOVE nulls),
     * `MATCH...[DETACH] DELETE` batch deletes. */
   def merge(template: String, params: DataFrame): Unit = synchronized {
     g = CypherWrite(template, params, g, clock(), propCols)

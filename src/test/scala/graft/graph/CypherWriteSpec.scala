@@ -190,6 +190,26 @@ class CypherWriteSpec extends SparkSpec {
     assert(bad.getMessage.contains("unknown propert"))
   }
 
+  test("MATCH...REMOVE: property nulled on matched nodes only, updated_at bumped") {
+    val g = runAll(emptyGraph, clock)
+    val withHours = g.nodes.filter(col("opening_hours").isNotNull).count()
+    assert(withHours > 0)
+    val params = Seq("Wertstoffhof Nord").toDF("name")
+    val g2 = CypherWrite("MATCH (f:Facility {name: $name}) REMOVE f.opening_hours",
+      params, g, clock2, propCols)
+    val target = g2.nodes.filter(col("name") === "Wertstoffhof Nord")
+    assert(target.filter(col("opening_hours").isNull).count() === target.count())
+    assert(target.filter(col("updated_at") === "2027-06-01 00:00:00").count() === target.count())
+    // unmatched nodes keep their property values and timestamps
+    assert(g2.nodes.filter(col("opening_hours").isNotNull).count() ===
+      g.nodes.filter(col("opening_hours").isNotNull &&
+        col("name") =!= "Wertstoffhof Nord").count())
+    // REMOVE of a property the schema lacks fails loudly
+    val bad = intercept[IllegalArgumentException](CypherWrite(
+      "MATCH (f:Facility {name: $name}) REMOVE f.nope", params, g, clock2, propCols))
+    assert(bad.getMessage.contains("unknown propert"))
+  }
+
   test("MATCH...DELETE: plain refuses on incident edges, DETACH cascades") {
     val g = runAll(emptyGraph, clock)
     val params = Seq("Wertstoffhof Nord").toDF("name")
