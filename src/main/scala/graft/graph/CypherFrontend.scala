@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * documents (`etl_implementation.md:229-257`, `neo4j_db.py:29-157`):
   * `MATCH` / `OPTIONAL MATCH` chains with labels, property maps and
   * directed relationships (incl. `|` type alternation,
-  * comma-separated chains joined on shared variables, and bounded
+  * comma-separated chains joined on shared variables, bounded
   * variable-length `-[:R*lo..hi]->` hops compiled to the same
   * unrolled-join union as `GraphDSL.outVar` — walk semantics, depth
-  * capped at 10, unbounded `*` pointed at `Traversal`),
+  * capped at 10 — and unbounded `-[:R*]->` compiled to the
+  * `Traversal.reachFixpoint` reachability closure, distinct pairs),
   * `p = shortestPath((a)-[:T*..k]->(b))` with `length(p)` (bounded
   * unrolled BFS: per-depth distinct level sets + one min-depth
   * aggregate), per-clause
@@ -90,8 +91,10 @@ object CypherFrontend {
 
   private case class NodePat(v: Option[String], label: Option[String],
                              props: Map[String, Expr])
+  /** hi marker for `-[:R*]->` (unbounded reachability). */
+  private val Unbounded = Int.MaxValue
   /** `varLen = Some((lo, hi))` for `-[:R*lo..hi]->` bounded
-    * variable-length relationships. */
+    * variable-length relationships; `hi == Unbounded` for `*`. */
   private case class RelPat(v: Option[String], types: Seq[String], forward: Boolean,
                             varLen: Option[(Int, Int)] = None)
   private case class Chain(head: NodePat, hops: Seq[(RelPat, NodePat)])
@@ -233,6 +236,9 @@ object CypherFrontend {
           require(ch.hops.size == 1 && ch.hops.head._1.varLen.isDefined,
             "shortestPath needs exactly one var-length relationship, " +
               "e.g. shortestPath((a)-[:T*..4]->(b))")
+          require(ch.hops.head._1.varLen.get._2 != Unbounded,
+            "shortestPath needs a bounded hop range (its BFS unrolls hi " +
+              "levels); use *..k")
           require(!optional, "OPTIONAL shortestPath is not supported")
           val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
           return MatchClause(Seq(ch), optional, w, shortest = Some(pv))
@@ -376,21 +382,25 @@ object CypherFrontend {
           varLen = peek match {
             case Some(TNum(t)) if t.contains("..") => // "1..3" lexes as one number token
               pos += 1
-              val parts = t.split("\\.\\.")
-              require(parts.length == 2 && parts.forall(_.nonEmpty), s"bad hop range *$t")
-              Some((parts(0).toInt, parts(1).toInt))
+              val parts = t.split("\\.\\.", -1)
+              require(parts.length == 2 && parts(0).nonEmpty, s"bad hop range *$t")
+              if (parts(1).isEmpty) { // "*lo.." open upper bound
+                require(parts(0).toInt == 1,
+                  s"*${parts(0)}.. is not supported: the unbounded form compiles to a " +
+                    "reachability fixpoint whose min-depth dedup cannot express lo > 1; " +
+                    "use a bounded *lo..hi")
+                Some((1, Unbounded))
+              } else Some((parts(0).toInt, parts(1).toInt))
             case Some(TNum(t)) => pos += 1; Some((t.toInt, t.toInt))
             case Some(TSym(".")) => // *..hi
               eatSym("."); eatSym(".")
               Some((1, num().toInt))
-            case _ => sys.error(
-              "unbounded '*' is not supported: give a bound like *1..3 " +
-                "(unbounded reachability is graph.Traversal.reachFixpoint)")
+            case _ => Some((1, Unbounded)) // bare `*`: 1..∞ reachability
           }
           val (lo, hi) = varLen.get
           require(lo >= 1 && hi >= lo, s"bad hop range *$lo..$hi")
-          require(hi <= 10,
-            s"*..$hi unrolls $hi chained joins; depth > 10 belongs to graph.Traversal")
+          require(hi <= 10 || hi == Unbounded,
+            s"*..$hi unrolls $hi chained joins; depth > 10 belongs to the unbounded '*'")
         }
         eatSym("]")
       }
@@ -658,9 +668,27 @@ object CypherFrontend {
             // builds (g12), one declarative plan with no driver loop.
             // Path-multiplicity (walk) semantics: a destination appears
             // once per distinct walk, matching outVar's contract.
+            //
+            // UNBOUNDED `*` (hi == Unbounded) instead compiles to the
+            // Traversal.reachFixpoint REACHABILITY closure: DISTINCT
+            // (from, to) pairs, cycle-safe — walk multiplicity over an
+            // unbounded depth is not finite on cyclic graphs, so the
+            // semantics shift is forced and documented (parser pins
+            // lo == 1 for this form).
             val endCol = freshVar() // unique reach-endpoint column per hop
             val nv = nodePat.v.getOrElse(freshVar())
-            df = df.join(varReach(rel, lo, hi, endCol),
+            val reachDf =
+              if (hi == Unbounded) {
+                var e = edges
+                if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
+                val (fromC, toC) =
+                  if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
+                Traversal.reachFixpoint(
+                  e.select(col(fromC).as("src_uid"), col(toC).as("dst_uid")))
+                  .select(col("start").as(s"$endCol$$from"),
+                    col("reached").as(s"$endCol$$to"))
+              } else varReach(rel, lo, hi, endCol)
+            df = df.join(reachDf,
               col(ns(cur, "uid")) === col(s"$endCol$$from"))
               .drop(s"$endCol$$from")
             if (bound(nv)) {

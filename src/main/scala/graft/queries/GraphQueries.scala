@@ -1121,7 +1121,27 @@ object GraphQueries extends QueryPack {
         |RETURN n.name AS nation""".stripMargin,
       nodes(s, dir), edges(s, dir)).orderBy("nation")
 
+  /** g46 — UNBOUNDED variable-length Cypher in text form:
+    * `(c:Customer)-[*]->(t)` compiles to the
+    * [[graft.graph.Traversal.reachFixpoint]] reachability closure
+    * (distinct (from, to) pairs, cycle-safe, min-depth dedup) instead
+    * of the bounded unrolled-join union — the documented semantics
+    * shift, since walk multiplicity over unbounded depth is not finite
+    * on cyclic graphs. Over the Customer→Nation→Region hierarchy every
+    * customer reaches exactly its nation (depth 1) and its region
+    * (depth 2), so the per-target source counts are the two dimension
+    * joins the oracle runs. Scale: the fixpoint iterates
+    * frontier⋈edges with per-round localCheckpoint and level dedup —
+    * depth-bounded by the graph's diameter, not the query text. */
+  def g46CypherUnboundedStar(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[*]->(t)
+        |RETURN t.name AS target, count(*) AS n_sources
+        |ORDER BY target""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "g46_cypher_unbounded" -> (g46CypherUnboundedStar _),
     "g45_cypher_union"   -> (g45CypherUnion _),
     "g44_cypher_set_delete" -> (g44CypherSetDelete _),
     "g43_cypher_collect" -> (g43CypherCollect _),
@@ -1263,6 +1283,17 @@ object GraphQueries extends QueryPack {
     // g41/g42: the same hash-choice walk unrolled — valid below the
     // bucket cap like every co-click oracle (cap contract documented
     // at capBuckets).
+    // g46: unbounded reachability from customers = nation (1 hop) plus
+    // region (2 hops); counts per target name.
+    "g46_cypher_unbounded" ->
+      """SELECT target, CAST(count(*) AS BIGINT) AS n_sources FROM (
+        |  SELECT n_name AS target FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT r_name FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |GROUP BY target ORDER BY target""".stripMargin,
     // g45: SQL UNION (dedups) mirrors Cypher UNION exactly.
     "g45_cypher_union" ->
       """SELECT n_name AS nation FROM customer

@@ -73,6 +73,28 @@ class CypherFrontendSpec extends SparkSpec {
     assert(cols.getMessage.contains("same column"))
   }
 
+  test("unbounded [*]: reachability fixpoint semantics; lo>1 open ranges rejected") {
+    // w1 reaches s1 and f1 (depth 1); the graph is depth-1, so [*]
+    // equals the one-hop closure here — the semantics check is that
+    // pairs are DISTINCT (reachability), not per-walk
+    val got = run(
+      """MATCH (w:WasteItem {name: 'Bauschutt'})-[*]->(t)
+        |RETURN t.name AS name ORDER BY name""".stripMargin)
+      .as[String].collect().toSeq
+    assert(got === Seq("Restmuell", "Wertstoffhof A"))
+    // typed unbounded: only the DISPOSED_IN closure
+    val typed = run(
+      "MATCH (w:WasteItem)-[:DISPOSED_IN*]->(t) RETURN count(*) AS n")
+      .as[Long].head()
+    assert(typed === 3L)
+    val open = intercept[RuntimeException](run(
+      "MATCH (w:WasteItem)-[:DISPOSED_IN*2..]->(t) RETURN t.name"))
+    assert(open.getMessage.contains("not supported"))
+    val sp = intercept[IllegalArgumentException](run(
+      "MATCH p = shortestPath((a:WasteItem)-[:DISPOSED_IN*]->(b:WasteStream)) RETURN length(p)"))
+    assert(sp.getMessage.contains("bounded"))
+  }
+
   test("collect() and collect(DISTINCT ...) list aggregates") {
     val got = run(
       """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
@@ -346,13 +368,17 @@ class CypherFrontendSpec extends SparkSpec {
     assert(upTo === Seq("B", "C", "X", "Y"))
   }
 
-  test("var-length guardrails: unbounded, deep unroll, and bound rel var are rejected") {
-    val e1 = intercept[RuntimeException](CypherFrontend.run(
-      "MATCH (a)-[:CHILD_OF*]->(b) RETURN b.name", chainNodes, chainEdges))
-    assert(e1.getMessage.contains("Traversal"))
+  test("var-length guardrails: bare * is the fixpoint closure; deep unroll and bound rel var rejected") {
+    // bare `*` compiles to the reachability fixpoint (no longer
+    // rejected): from A the full closure, one level deeper than the
+    // *..2 window sees
+    val star = CypherFrontend.run(
+      "MATCH (a:Cat {name: 'A'})-[:CHILD_OF*]->(b) RETURN DISTINCT b.name AS n ORDER BY n",
+      chainNodes, chainEdges).as[String].collect().toSeq
+    assert(star === Seq("B", "C", "D", "X", "Y"))
     val e2 = intercept[IllegalArgumentException](CypherFrontend.run(
       "MATCH (a)-[:CHILD_OF*1..20]->(b) RETURN b.name", chainNodes, chainEdges))
-    assert(e2.getMessage.contains("Traversal"))
+    assert(e2.getMessage.contains("unbounded"))
     val e3 = intercept[IllegalArgumentException](CypherFrontend.run(
       "MATCH (a)-[r:CHILD_OF*1..2]->(b) RETURN b.name", chainNodes, chainEdges))
     assert(e3.getMessage.contains("not supported"))
