@@ -229,7 +229,28 @@ object MultimodalQueries extends QueryPack {
     graft.functions.Multimodal.decodeWavFeatures(
       graft.functions.Multimodal.wavMedia(s, dir)).toDF().orderBy("id")
 
+  /** m13 — metadata-ONLY media scan: IHDR fields (width, height, bit
+    * depth, color type) parsed straight out of the PNG byte prefix with
+    * codegen'd binary-slice expressions — `substring` on binary +
+    * `hex`/`conv` — no ImageIO, no pixel decode. This is the 100 TB
+    * media-profiling shape: a fleet-wide inventory reads ~33 bytes per
+    * file (format-sniffed via the magic), not the payload; the full
+    * decoder (m10) runs only on the rows a later stage selects. The
+    * oracle recomputes the dims from the closed-form law the images are
+    * rendered with, so a mis-parsed header cannot pass; bit depth 8 /
+    * color type 2 pin ImageIO's truecolor encoding. */
+  def m13PngMetadata(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal.pngMedia(s, dir).toDF()
+      .select(col("id"),
+        conv(hex(expr("substring(media, 17, 4)")), 16, 10).cast("int").as("width"),
+        conv(hex(expr("substring(media, 21, 4)")), 16, 10).cast("int").as("height"),
+        conv(hex(expr("substring(media, 25, 1)")), 16, 10).cast("int").as("bit_depth"),
+        conv(hex(expr("substring(media, 26, 1)")), 16, 10).cast("int").as("color_type"),
+        (hex(expr("substring(media, 2, 3)")) === "504E47").as("magic_ok"))
+      .orderBy("id")
+
   val queries: Map[String, QueryFn] = Map(
+    "m13_png_metadata"    -> (m13PngMetadata _),
     "m12_wav_decode"      -> (m12WavDecode _),
     "m11_png_thumbnail"   -> (m11PngThumbnail _),
     "m10_png_decode"      -> (m10PngDecode _),
@@ -247,6 +268,14 @@ object MultimodalQueries extends QueryPack {
     "CASE WHEN doc_id % 3 = 0 THEN 'txt' WHEN doc_id % 3 = 1 THEN 'img' ELSE 'aud' END"
 
   val oracles: Map[String, String] = Map(
+    // m13: the dims law in closed form; bit depth 8 / color type 2 /
+    // the PNG magic are format constants a correct header parse yields.
+    "m13_png_metadata" ->
+      """SELECT doc_id AS id, CAST(8 + doc_id % 9 AS INT) AS width,
+        |  CAST(8 + (doc_id // 3) % 7 AS INT) AS height,
+        |  CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
+        |  TRUE AS magic_ok
+        |FROM documents ORDER BY id""".stripMargin,
     // m10/m11: the deterministic pixel law in closed form — the gate
     // passes only if ImageIO's encode→decode round trip is lossless
     // and the feature math matches bit-for-bit.

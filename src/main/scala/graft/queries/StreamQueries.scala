@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -706,7 +706,39 @@ object StreamQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** s16 — streaming Count-Min: a04's profiling sketch maintained
+    * INCREMENTALLY over the arriving event stream — the sketch cells
+    * (4×256, the ONLY state) are a streaming count aggregate, so each
+    * micro-batch's partial adds into the store exactly like a04's
+    * per-day partials add map-side; the batch probe leg then estimates
+    * off the streamed sketch. Gated against a04's one-pass oracle:
+    * hash equality proves the incremental build reaches the same
+    * sketch as the batch build — the merge law, a third way. */
+  def s16StreamCountmin(s: SparkSession, dir: String): DataFrame = {
+    def bucket(k: Column, r: Column): Column =
+      substring(md5(concat(k.cast("string"), lit(":"), r.cast("string"))), 1, 2)
+    val sketch = runStaged(s, dir, "s16", "complete") { src =>
+      src().select(col("user_id"), explode(sequence(lit(0), lit(3))).as("r"))
+        .groupBy(col("r"), bucket(col("user_id"), col("r")).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val probes = graft.core.Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .filter(col("user_id") <= 30)
+      .select(col("user_id"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("user_id"), col("exact_cnt"), col("r"),
+        bucket(col("user_id"), col("r")).as("bucket"))
+    probes.join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("user_id", "exact_cnt")
+      .agg(min("c").as("cms_est"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("exact_cnt")).as("no_underestimate"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s16_stream_countmin" -> (s16StreamCountmin _),
     "s15_stream_lsh_dedup" -> (s15StreamLshDedup _),
     "s14_stream_rag_ingest" -> (s14StreamRagIngest _),
     "s13_stream_cdc_apply" -> (s13StreamCdcApply _),
@@ -724,6 +756,23 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // s16: a04's one-pass batch sketch law — incremental equals batch.
+    "s16_stream_countmin" ->
+      """WITH cells AS (
+        |  SELECT r, substr(md5(user_id::VARCHAR || ':' || r::VARCHAR), 1, 2)
+        |      AS bucket, count(*) AS c
+        |  FROM events, range(4) t(r) GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT user_id, count(*) AS exact_cnt FROM events
+        |  GROUP BY user_id HAVING user_id <= 30),
+        |pr AS (
+        |  SELECT p.user_id, p.exact_cnt, r,
+        |    substr(md5(p.user_id::VARCHAR || ':' || r::VARCHAR), 1, 2) AS bucket
+        |  FROM probes p, range(4) t(r))
+        |SELECT pr.user_id, pr.exact_cnt, CAST(min(c.c) AS BIGINT) AS cms_est,
+        |  (CAST(min(c.c) AS BIGINT) >= pr.exact_cnt) AS no_underestimate
+        |FROM pr JOIN cells c ON pr.r = c.r AND pr.bucket = c.bucket
+        |GROUP BY pr.user_id, pr.exact_cnt ORDER BY pr.user_id""".stripMargin,
     // s15: the batch LSH keeper law — min doc_id per band bucket, each
     // doc's verdict the min keeper over its buckets — on the d07
     // minhash CTEs (identical md5 math both engines).
