@@ -510,7 +510,51 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** e14 — kNN label-purity audit: for every vector, its 5 nearest
+    * bucketed neighbors (e03's sign-LSH buckets — equi-join, never
+    * all-pairs) vote on whether the embedding space agrees with the
+    * assigned label; per-label MACRO purity = Σ same-label neighbors /
+    * Σ neighbors. The standard dataset-quality probe before training a
+    * classifier on curated labels: a label whose vectors sit in
+    * other-label neighborhoods is mislabeled or incoherent.
+    *
+    * Determinism: neighbor rank on (rounded cosine desc, vec_id), and
+    * the purity ratio is ONE division of two exact longs (never an
+    * average of per-row doubles, whose sum order would flap).
+    * Scale: per-bucket self-join + per-vector top-k window
+    * (WindowGroupLimit prunes map-side), then a label-sized aggregate.
+    */
+  def e14LabelPurity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    def bucket(v: Column): Column =
+      (when(element_at(v, 1) > 0, 4).otherwise(0) +
+        when(element_at(v, 8) > 0, 2).otherwise(0) +
+        when(element_at(v, 22) > 0, 1).otherwise(0)).cast("int")
+    val withB = e.withColumn("bucket", bucket(col("v"))).localCheckpoint(true)
+    val a = withB.select(col("bucket"), col("vec_id").as("va"),
+      col("label").as("la"), col("v").as("xa"))
+    val b = withB.select(col("bucket"), col("vec_id").as("vb"),
+      col("label").as("lb"), col("v").as("xb"))
+    val w = Window.partitionBy("va").orderBy(desc("cs"), asc("vb"))
+    a.join(b, Seq("bucket")).filter(col("va") =!= col("vb"))
+      .select(col("va"), col("la"), col("vb"), col("lb"),
+        round(cosine(col("xa"), col("xb")), 6).as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("va", "la")
+      .agg(sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_same"),
+        count(lit(1)).as("n_nbrs"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("n_same").as("sum_same"), sum("n_nbrs").as("sum_nbrs"))
+      .select(col("label"), col("n_vecs"), col("sum_same"), col("sum_nbrs"),
+        round(col("sum_same") / col("sum_nbrs"), 4).as("macro_purity"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e14_label_purity"    -> (e14LabelPurity _),
     "e13_mmr_rerank"      -> (e13MmrRerank _),
     "e12_matryoshka_topk" -> (e12MatryoshkaTopk _),
     "e11_sq8_topk"        -> (e11Sq8Topk _),
@@ -539,6 +583,33 @@ object SimilarityQueries extends QueryPack {
        |  j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // e14: same sign buckets, same (rounded cosine, vec_id) neighbor
+    // rank, macro ratio as one BIGINT/BIGINT division.
+    "e14_label_purity" ->
+      s"""WITH b AS (
+        |  SELECT vec_id, label, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN embedding[22] > 0 THEN 1 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS va, a.label AS la, c.vec_id AS vb, c.label AS lb,
+        |    round(${sqlCos("a.embedding", "c.embedding")}, 6) AS cs
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY va
+        |    ORDER BY cs DESC, vb) AS rn FROM p),
+        |k AS (
+        |  SELECT va, la,
+        |    sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS n_same,
+        |    count(*) AS n_nbrs
+        |  FROM r WHERE rn <= 5 GROUP BY va, la)
+        |SELECT la AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(n_same) AS BIGINT) AS sum_same,
+        |  CAST(sum(n_nbrs) AS BIGINT) AS sum_nbrs,
+        |  round(CAST(sum(n_same) AS BIGINT) / CAST(sum(n_nbrs) AS BIGINT), 4)
+        |    AS macro_purity
+        |FROM k GROUP BY la ORDER BY label""".stripMargin,
     // e13: the greedy MMR recursion unrolled to its 3 fixed rounds —
     // shortlist, pairwise sims, pick1 = argmax rel, each later pick an
     // anti-join + max-sim + argmax, all on the same rounded doubles.
