@@ -81,6 +81,50 @@ class AvroSourceSpec extends SparkSpec {
     } finally rmTree(tmp)
   }
 
+  test("randomized round trips: seeded random rows over the full type bridge survive exactly") {
+    val rnd = new scala.util.Random(42) // fixed seed — reproducible failures
+    for (trial <- 1 to 3) {
+      val tmp = Files.createTempDirectory(s"avro-prop-$trial")
+      try {
+        val n = 40 + rnd.nextInt(40)
+        val data = (0 until n).map { i =>
+          def maybe[A <: AnyRef](v: => A): A = if (rnd.nextInt(5) == 0) null.asInstanceOf[A] else v
+          Row(i.toLong,
+            maybe(java.lang.Integer.valueOf(rnd.nextInt())),
+            maybe(java.lang.Double.valueOf(rnd.nextDouble() * 1e6 - 5e5)),
+            maybe(java.lang.Float.valueOf(rnd.nextFloat())),
+            maybe(java.lang.Boolean.valueOf(rnd.nextBoolean())),
+            maybe(rnd.alphanumeric.take(rnd.nextInt(30)).mkString + "é€"),
+            maybe { val a = new Array[Byte](rnd.nextInt(16)); rnd.nextBytes(a); a },
+            maybe(new Timestamp(rnd.nextLong() % 4102444800000L)),
+            maybe(Date.valueOf(java.time.LocalDate.ofEpochDay(rnd.nextInt(40000) - 5000L))))
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(data, 3), schema)
+        AvroSource.write(df, tmp.toString)
+        val back = AvroSource.read(spark, tmp.toString + "/*.avro")
+          .collect().sortBy(_.getLong(0))
+        val exp = data.sortBy(_.getLong(0))
+        assert(back.length === exp.length, s"trial $trial")
+        back.zip(exp).foreach { case (g, e) =>
+          (0 until schema.length).foreach { i =>
+            (g.get(i), e.get(i)) match {
+              case (null, null) =>
+              case (ga: Array[Byte], ea: Array[Byte]) =>
+                assert(ga.toSeq === ea.toSeq, s"trial $trial col $i row ${e.get(0)}")
+              case (gt: Timestamp, et: Timestamp) =>
+                // avro carries micros; java.sql.Timestamp nanos truncate
+                assert(gt.getTime === et.getTime &&
+                  gt.getNanos / 1000 === et.getNanos / 1000,
+                  s"trial $trial col $i row ${e.get(0)}")
+              case (gv, ev) => assert(gv === ev, s"trial $trial col $i row ${e.get(0)}")
+            }
+          }
+        }
+      } finally rmTree(tmp)
+    }
+  }
+
   test("unsupported column type fails loudly, naming the column") {
     import spark.implicits._
     val df = Seq((1L, BigDecimal(1.5))).toDF("id", "dec")
