@@ -480,4 +480,45 @@ class PlanQualitySpec extends SparkSpec {
     val n = exchangeCount(df)
     assert(n <= 5, s"d26 shuffles $n times")
   }
+
+  test("a04: the probe lookup broadcasts the sketch; cells fold map-side") {
+    val df = RelationalQueries.a04CountMin(spark, dir)
+    val plan = planOf(df)
+    // the 4×256-cell sketch must never sort-merge against the probes —
+    // at 100 TB the sketch is KBs and the broadcast is the whole point
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch lookup not broadcast in:\n$plan")
+    assert(plan.contains("partial_"),
+      s"sketch cells not folded map-side in:\n$plan")
+  }
+
+  test("d33/d34: quality batteries are scan→project — only the final sort shuffles") {
+    val n33 = exchangeCount(TextQueries.d33GopherRules(spark, dir))
+    assert(n33 <= 1, s"d33 shuffles $n33 times")
+    val n34 = exchangeCount(TextQueries.d34C4Filters(spark, dir))
+    assert(n34 <= 1, s"d34 shuffles $n34 times")
+  }
+
+  test("m13: the metadata scan is per-row binary slicing — one exchange, no codec") {
+    val df = MultimodalQueries.m13PngMetadata(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("MapPartitions"),
+      s"metadata scan fell back to a codec mapPartitions in:\n$plan")
+    val n = exchangeCount(df)
+    assert(n <= 1, s"m13 shuffles $n times")
+  }
+
+  test("e12: both retrieval stages push their rank limit (WindowGroupLimit)") {
+    val plan = planOf(SimilarityQueries.e12MatryoshkaTopk(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"shortlist rank not limit-pushed in:\n$plan")
+  }
+
+  test("e14: the neighbor top-5 is limit-pushed and the purity agg folds map-side") {
+    val plan = planOf(SimilarityQueries.e14LabelPurity(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"neighbor rank not limit-pushed in:\n$plan")
+    assert(plan.contains("partial_"),
+      s"purity agg not folded map-side in:\n$plan")
+  }
 }
