@@ -70,7 +70,11 @@ object Bench {
       "g08_graph_components", "g13_pagerank", "g39_cypher_shortest",
       "m04_frame_explode", "m08_phash_neardup", "m10_png_decode",
       "q84_pdf_extract", "q85_rag_chunks",
-      "s01_stream_window", "s02_stream_join", "s13_stream_cdc_apply")
+      "s01_stream_window", "s02_stream_join", "s13_stream_cdc_apply",
+      // round-6 second-wave representatives
+      "a04_countmin", "d34_c4_filters", "e13_mmr_rerank",
+      "g46_cypher_unbounded", "m13_png_metadata", "q86_avro_source",
+      "s15_stream_lsh_dedup")
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = jsonMap(results.toSeq.sortBy(_._1))
