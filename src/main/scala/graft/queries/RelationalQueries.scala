@@ -1839,6 +1839,26 @@ object RelationalQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q87 — declarative data-quality expectations
+    * ([[graft.functions.Expectations]], the Deequ/dbt-tests shape):
+    * six rules over orders — not-null + unique key, two
+    * accepted-values sets (one deliberately narrow so the battery
+    * PROVES it can fail: order priorities beyond URGENT/HIGH count as
+    * violations), non-negative price, and o_custkey referential
+    * integrity against the customer dim. All four row-level rules fold
+    * into ONE conditional-count aggregate over one scan; unique adds
+    * its key groupBy, the FK one broadcast anti-join. The report frame
+    * (rule, target, n_bad, ok) is what a publish step asserts on. */
+  def q87Expectations(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Expectations.check(Tables.orders(s, dir))
+      .notNull("o_orderkey")
+      .unique("o_orderkey")
+      .acceptedValues("o_orderstatus", Seq("O", "F", "P"))
+      .acceptedValues("o_orderpriority", Seq("1-URGENT", "2-HIGH"))
+      .nonNegative("o_totalprice")
+      .referentialIntegrity("o_custkey", Tables.customer(s, dir), "c_custkey")
+      .run()
+
   /** q77 — equal-frequency bucketing via ntile: per order priority,
     * decile membership over a TOTAL order (price, then key — ties
     * broken or ntile assignment is arrival-order nondeterminism), then
@@ -1908,6 +1928,7 @@ object RelationalQueries extends QueryPack {
     "q78_except_all"      -> (q78ExceptAll _),
     "q77_ntile"           -> (q77Ntile _),
     "q76_mv_rewrite"      -> (q76MvRewrite _),
+    "q87_expectations"    -> (q87Expectations _),
     "a04_countmin"        -> (a04CountMin _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
@@ -2042,6 +2063,40 @@ object RelationalQueries extends QueryPack {
     // histogram (identical double expressions, so floor() and the
     // bucket bounds agree bit-for-bit) in one pass; hash equality
     // proves the per-day partial build + additive merge exact.
+    // q87: each rule recomputed directly; the narrow priority set is
+    // the deliberately-failing rule (n_bad > 0, ok = false).
+    "q87_expectations" ->
+      """WITH r AS (
+        |  SELECT 'not_null' AS rule, 'o_orderkey' AS target,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bad FROM orders
+        |  UNION ALL
+        |  SELECT 'accepted_values', 'o_orderstatus',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM orders
+        |  UNION ALL
+        |  SELECT 'accepted_values', 'o_orderpriority',
+        |    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+        |      AND o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |    FROM orders
+        |  UNION ALL
+        |  SELECT 'non_negative', 'o_totalprice',
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey',
+        |    CAST((SELECT count(*) FROM (
+        |      SELECT o_orderkey FROM orders GROUP BY o_orderkey
+        |      HAVING count(*) > 1)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'fk', 'o_custkey',
+        |    CAST((SELECT count(*) FROM orders o
+        |      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT))
+        |SELECT rule, target, n_bad, n_bad = 0 AS ok FROM r
+        |ORDER BY rule, target""".stripMargin,
     // a04: the oracle builds the sketch in ONE pass (no day partials) —
     // addition is associative/commutative, so hash equality against the
     // Spark side's two-level build proves the merge law. Same md5
