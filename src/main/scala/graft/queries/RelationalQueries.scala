@@ -1059,6 +1059,43 @@ object RelationalQueries extends QueryPack {
     } finally rmTree(tmp)
   }
 
+  /** q88 — the format-sniffing ingest router
+    * ([[graft.sources.AutoSource]]): one drop directory holding the
+    * SAME nation dim as a real .xlsx workbook, a real Avro container,
+    * and a CSV renamed to `.dat` (extensions lie — routing goes by
+    * magic bytes, 4 sniffed bytes per file at inventory time), read
+    * back through one `readTabular` call and aggregated per format.
+    * Each format must deliver the identical 25 rows / key sum — a
+    * mis-sniffed or mis-parsed file breaks its row. */
+  def q88AutoSource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q88-drop")
+    val stage = java.nio.file.Files.createTempDirectory("graft-q88-stage")
+    try {
+      val nation = Tables.nation(s, dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.XlsxSource.write(nation.repartition(1), tmp.toString, "Nation")
+      graft.sources.AvroSource.write(nation.repartition(1), tmp.toString)
+      nation.repartition(1).write.option("header", "true")
+        .mode("overwrite").csv(stage.toString)
+      val csvPart = java.nio.file.Files.list(stage).iterator()
+      var moved = false
+      while (csvPart.hasNext && !moved) {
+        val p = csvPart.next()
+        if (p.toString.endsWith(".csv")) {
+          java.nio.file.Files.copy(p, tmp.resolve("mystery_drop.dat"))
+          moved = true
+        }
+      }
+      require(moved, "csv stage produced no part file")
+      graft.sources.AutoSource.readTabular(s, tmp.toString)
+        .groupBy(col("_format").as("format"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey").cast("long")).as("key_sum"))
+        .orderBy("format")
+        .localCheckpoint(true)
+    } finally { rmTree(tmp); rmTree(stage) }
+  }
+
   /** q57 — the six-table regional-revenue join (TPC-H Q5's shape): the
     * local-supplier condition (supplier in the customer's own nation)
     * makes lineitem join BOTH orders and supplier before the dimension
@@ -1928,6 +1965,7 @@ object RelationalQueries extends QueryPack {
     "q78_except_all"      -> (q78ExceptAll _),
     "q77_ntile"           -> (q77Ntile _),
     "q76_mv_rewrite"      -> (q76MvRewrite _),
+    "q88_auto_source"     -> (q88AutoSource _),
     "q87_expectations"    -> (q87Expectations _),
     "a04_countmin"        -> (a04CountMin _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
@@ -2063,6 +2101,14 @@ object RelationalQueries extends QueryPack {
     // histogram (identical double expressions, so floor() and the
     // bucket bounds agree bit-for-bit) in one pass; hash equality
     // proves the per-day partial build + additive merge exact.
+    // q88: all three formats carry the same dim — per-format counts and
+    // key sums are the parquet ground truth three times over.
+    "q88_auto_source" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation)
+        |SELECT f AS format, n_rows, key_sum
+        |FROM t, (VALUES ('avro'), ('csv'), ('xlsx')) v(f)
+        |ORDER BY format""".stripMargin,
     // q87: each rule recomputed directly; the narrow priority set is
     // the deliberately-failing rule (n_bad > 0, ok = false).
     "q87_expectations" ->
