@@ -737,7 +737,41 @@ object StreamQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** s17 — data quality on the firehose: q87's row-level expectation
+    * shape (conditional-count violations) maintained as ONE streaming
+    * aggregate over the arriving events — the publish gate a streaming
+    * ingest needs (alert when a batch starts violating, without a
+    * second scan). The rule battery folds map-side within each
+    * micro-batch and the running totals are the only state (one row of
+    * counters). The accepted-values set deliberately excludes real
+    * event types so the battery provably discriminates. Gated against
+    * the batch recomputation: incremental counting equals one-pass. */
+  def s17StreamExpectations(s: SparkSession, dir: String): DataFrame = {
+    val agg = runStaged(s, dir, "s17", "complete") { src =>
+      src().agg(
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("_r0"),
+        sum(when(col("value").isNotNull && col("value") < 0, 1L).otherwise(0L)).as("_r1"),
+        sum(when(col("event_type").isNotNull &&
+          !col("event_type").isin("click", "view"), 1L).otherwise(0L)).as("_r2"),
+        count(lit(1)).as("_n"))
+    }
+    agg.select(explode(array(
+      struct(lit("not_null").as("rule"), lit("user_id").as("target"),
+        col("_r0").as("n_bad")),
+      struct(lit("non_negative").as("rule"), lit("value").as("target"),
+        col("_r1").as("n_bad")),
+      struct(lit("accepted_values").as("rule"), lit("event_type").as("target"),
+        col("_r2").as("n_bad")),
+      struct(lit("min_rows").as("rule"), lit("*").as("target"),
+        when(col("_n") >= 1000L, 0L).otherwise(1L).as("n_bad")))).as("v"))
+      .select(col("v.rule").as("rule"), col("v.target").as("target"),
+        col("v.n_bad").as("n_bad"))
+      .withColumn("ok", col("n_bad") === 0L)
+      .orderBy("rule", "target")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s17_stream_expectations" -> (s17StreamExpectations _),
     "s16_stream_countmin" -> (s16StreamCountmin _),
     "s15_stream_lsh_dedup" -> (s15StreamLshDedup _),
     "s14_stream_rag_ingest" -> (s14StreamRagIngest _),
@@ -756,6 +790,25 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // s17: the same rule battery recomputed one-pass over the full
+    // events table — incremental violation counting equals batch.
+    "s17_stream_expectations" ->
+      """WITH a AS (SELECT
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS r0,
+        |  sum(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END) AS r1,
+        |  sum(CASE WHEN event_type IS NOT NULL
+        |    AND event_type NOT IN ('click','view') THEN 1 ELSE 0 END) AS r2,
+        |  count(*) AS n FROM events),
+        |r AS (
+        |  SELECT 'not_null' AS rule, 'user_id' AS target,
+        |    CAST(r0 AS BIGINT) AS n_bad FROM a
+        |  UNION ALL SELECT 'non_negative', 'value', CAST(r1 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'accepted_values', 'event_type',
+        |    CAST(r2 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'min_rows', '*',
+        |    CAST(CASE WHEN n >= 1000 THEN 0 ELSE 1 END AS BIGINT) FROM a)
+        |SELECT rule, target, n_bad, n_bad = 0 AS ok FROM r
+        |ORDER BY rule, target""".stripMargin,
     // s16: a04's one-pass batch sketch law — incremental equals batch.
     "s16_stream_countmin" ->
       """WITH cells AS (
