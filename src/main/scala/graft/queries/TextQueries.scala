@@ -1018,7 +1018,33 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** d35 — leakage-free train/val/test split: the hash-split (d12's
+    * determinism: content hash, never rand()) keyed on the near-dup
+    * CLUSTER REPRESENTATIVE (d15's closure; unclustered docs represent
+    * themselves) instead of the doc — so a document and its near-dups
+    * land in the SAME split by construction. This is the split bug
+    * class every eval pipeline eventually hits: hash-split the raw doc
+    * ids and a train doc's near-twin sits in test, silently inflating
+    * eval. 12/16 hex prefixes → train, 2 → val, 2 → test (75/12.5/12.5).
+    *
+    * Scale: one left join of the corpus against the (small) cluster
+    * table; the split key is a per-row md5 — no shuffle beyond the
+    * closure d15 already computes. */
+  def d35LeaksafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val reps = d15DedupClusters(s, dir).select("doc_id", "keeper_id")
+    val sk = substring(md5(col("rep").cast("string")), 1, 1)
+    docs(s, dir).select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keeper_id"), col("doc_id")).as("rep"))
+      .withColumn("split",
+        when(sk.isin("c", "d"), "val")
+          .when(sk.isin("e", "f"), "test")
+          .otherwise("train"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d35_leaksafe_split" -> (d35LeaksafeSplit _),
     "d34_c4_filters"    -> (d34C4Filters _),
     "d33_gopher_rules"  -> (d33GopherRules _),
     "d32_bpe_pairs"     -> (d32BpePairs _),
@@ -1655,32 +1681,55 @@ object TextQueries extends QueryPack {
         |FROM pairs WHERE common/(na+nb-common)::DOUBLE >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d15_dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCte, mh AS (
-        |  SELECT doc_id, j, min(md5(j || ':' || s)) AS mh
-        |  FROM ex, range(16) t(j) GROUP BY doc_id, j
-        |), bands AS (
-        |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, '|' ORDER BY j)) AS bh
-        |  FROM mh GROUP BY doc_id, j // 4
-        |), cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
-        |), pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-        |         any_value(a.n) AS na, any_value(b.n) AS nb
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |), nd AS (
-        |  SELECT doc_a, doc_b FROM pairs WHERE common/(na+nb-common)::DOUBLE >= 0.8
-        |), und AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM nd UNION SELECT doc_b, doc_a FROM nd
-        |), reach(u, v) AS (
-        |  SELECT u, v FROM und
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u
-        |)
+      s"""WITH RECURSIVE $clusterCtes
         |SELECT u AS doc_id, least(u, min(v)) AS keeper_id,
         |       CAST(least(u, min(v)) <> u AS INT) AS is_dup
-        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // d35: the d15 closure for clustered docs, identity for the rest,
+    // split key = md5 of the REPRESENTATIVE (never the doc) — so a
+    // cluster cannot straddle splits by construction, mirrored exactly.
+    "d35_leaksafe_split" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |clusters AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS keeper_id
+        |  FROM reach GROUP BY u)
+        |SELECT d.doc_id, coalesce(c.keeper_id, d.doc_id) AS rep,
+        |  CASE WHEN substr(md5(coalesce(c.keeper_id, d.doc_id)::VARCHAR), 1, 1)
+        |         IN ('c','d') THEN 'val'
+        |       WHEN substr(md5(coalesce(c.keeper_id, d.doc_id)::VARCHAR), 1, 1)
+        |         IN ('e','f') THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
+
+  /** The d07→d15 candidate/verify/closure CTE chain (shingles → minhash
+    * → bands → candidates → exact-Jaccard verify → undirected closure),
+    * shared by every oracle that consumes near-dup clusters. Lazy: the
+    * `oracles` map interpolates it during object init from above. */
+  private lazy val clusterCtes: String =
+    s"""$shingleCte, mh AS (
+      |  SELECT doc_id, j, min(md5(j || ':' || s)) AS mh
+      |  FROM ex, range(16) t(j) GROUP BY doc_id, j
+      |), bands AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, '|' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+      |         any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), nd AS (
+      |  SELECT doc_a, doc_b FROM pairs WHERE common/(na+nb-common)::DOUBLE >= 0.8
+      |), und AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM nd UNION SELECT doc_b, doc_a FROM nd
+      |), reach(u, v) AS (
+      |  SELECT u, v FROM und
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u
+      |)""".stripMargin
 }

@@ -88,6 +88,34 @@ class QualityRetrievalSpec extends SparkSpec {
     assert(ok > 0 && ok < rows.length, s"no discrimination: $ok/${rows.length}")
   }
 
+  test("d35: clusters never straddle splits; the naive doc-hash split would leak") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def splitOf(key: Long): String = md5hex(key.toString).charAt(0) match {
+      case 'c' | 'd' => "val"
+      case 'e' | 'f' => "test"
+      case _ => "train"
+    }
+    val rows = TextQueries.d35LeaksafeSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // every member of a cluster shares its rep's split — zero leakage
+    rows.groupBy(_._2).foreach { case (rep, rs) =>
+      assert(rs.map(_._3).distinct.length === 1, s"cluster $rep straddles splits")
+      assert(rs.forall(_._3 == splitOf(rep)), s"cluster $rep split key wrong")
+    }
+    // the corpus stages real near-dup clusters, so the property is live
+    val multi = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "no multi-doc clusters — property untested")
+    // and the operator DOES something: splitting by the raw doc hash
+    // (the naive bug) would tear at least one cluster apart
+    val naiveTorn = multi.exists { case (_, rs) =>
+      rs.map(r => splitOf(r._1)).distinct.length > 1
+    }
+    assert(naiveTorn, "naive split tears nothing — perturb the fixture")
+  }
+
   test("e13: MMR picks 3 distinct per query; pick 1 is the pure-relevance argmax") {
     val out = SimilarityQueries.e13MmrRerank(spark, dir).collect()
     val byQuery = out.groupBy(_.getLong(0))
