@@ -1043,7 +1043,52 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** d36 — BPE tokenizer INFERENCE: apply a learned merges list (the
+    * top-3 of d32's pair statistic, in priority order) to the vocab —
+    * the other half of the tokenizer-training story d32 starts. Each
+    * merge round is one stateful left fold over the token array
+    * (`aggregate` with the accumulated string as state: merge the pair
+    * when the last emitted token is `a` and the next is `b`, else
+    * emit), which is exactly BPE's left-to-right non-overlapping pass —
+    * "l l l l" → "ll ll", never the regex-replace trick's "ll l l"
+    * drift on odd runs. The merges ride as three broadcast 1-row
+    * frames; the fold is per-row codegen over the vocab, no shuffle
+    * beyond the vocab count and the final top-k.
+    */
+  def d36BpeApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = d32BpePairs(s, dir)
+      .withColumn("rnd", row_number().over(
+        Window.orderBy(desc("cnt"), asc("l"), asc("r"))))
+    def roundRow(k: Int) = broadcast(
+      m.filter(col("rnd") === k).select(col("l").as(s"a$k"), col("r").as(s"b$k")))
+    def fold(prev: Column, a: Column, b: Column): Column = {
+      val toks = split(prev, " ")
+      aggregate(
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        element_at(toks, 1),
+        (acc, x) => when(
+          element_at(split(acc, " "), -1) === a && x === b,
+          concat(acc.substr(lit(1), length(acc) - length(a)), a, b))
+          .otherwise(concat(acc, lit(" "), x)))
+    }
+    docs(s, dir).select(explode(words).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .crossJoin(roundRow(1)).crossJoin(roundRow(2)).crossJoin(roundRow(3))
+      .withColumn("ts", concat_ws(" ",
+        filter(split(col("word"), ""), x => x =!= "")))
+      .withColumn("ts", fold(col("ts"), col("a1"), col("b1")))
+      .withColumn("ts", fold(col("ts"), col("a2"), col("b2")))
+      .withColumn("ts", fold(col("ts"), col("a3"), col("b3")))
+      .select(col("word"), col("freq"), col("ts").as("tokens"),
+        size(split(col("ts"), " ")).as("n_tokens"))
+      .orderBy(desc("freq"), asc("word"))
+      .limit(100)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d36_bpe_apply"     -> (d36BpeApply _),
     "d35_leaksafe_split" -> (d35LeaksafeSplit _),
     "d34_c4_filters"    -> (d34C4Filters _),
     "d33_gopher_rules"  -> (d33GopherRules _),
@@ -1134,6 +1179,44 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d36: the same three priority merges applied via list_reduce with
+    // the identical last-token/strip/append fold — stateful left fold
+    // in both engines, so left-to-right non-overlap semantics match.
+    "d36_bpe_apply" ->
+      """WITH ws AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w AS word, count(*) AS freq FROM ws
+        |  WHERE length(w) >= 1 GROUP BY w),
+        |pc AS (
+        |  SELECT t.p.l AS l, t.p.r AS r FROM (
+        |    SELECT unnest([{'l': substr(w, i, 1), 'r': substr(w, i + 1, 1)}
+        |                   for i in range(1, length(w))]) AS p
+        |    FROM ws WHERE length(w) >= 2) t),
+        |m AS (
+        |  SELECT l, r, row_number() OVER (ORDER BY cnt DESC, l, r) AS rnd FROM (
+        |    SELECT l, r, count(*) AS cnt FROM pc GROUP BY l, r)),
+        |m1 AS (SELECT l AS a, r AS b FROM m WHERE rnd = 1),
+        |m2 AS (SELECT l AS a, r AS b FROM m WHERE rnd = 2),
+        |m3 AS (SELECT l AS a, r AS b FROM m WHERE rnd = 3),
+        |t0 AS (SELECT word, freq,
+        |  array_to_string(string_split(word, ''), ' ') AS ts FROM vocab),
+        |t1 AS (SELECT word, freq, list_reduce(string_split(ts, ' '), (acc, x) ->
+        |  CASE WHEN string_split(acc, ' ')[-1] = m1.a AND x = m1.b
+        |    THEN left(acc, length(acc) - length(m1.a)) || m1.a || m1.b
+        |    ELSE acc || ' ' || x END) AS ts FROM t0, m1),
+        |t2 AS (SELECT word, freq, list_reduce(string_split(ts, ' '), (acc, x) ->
+        |  CASE WHEN string_split(acc, ' ')[-1] = m2.a AND x = m2.b
+        |    THEN left(acc, length(acc) - length(m2.a)) || m2.a || m2.b
+        |    ELSE acc || ' ' || x END) AS ts FROM t1, m2),
+        |t3 AS (SELECT word, freq, list_reduce(string_split(ts, ' '), (acc, x) ->
+        |  CASE WHEN string_split(acc, ' ')[-1] = m3.a AND x = m3.b
+        |    THEN left(acc, length(acc) - length(m3.a)) || m3.a || m3.b
+        |    ELSE acc || ' ' || x END) AS ts FROM t2, m3)
+        |SELECT word, CAST(freq AS BIGINT) AS freq, ts AS tokens,
+        |  CAST(len(string_split(ts, ' ')) AS INT) AS n_tokens
+        |FROM t3 ORDER BY freq DESC, word LIMIT 100""".stripMargin,
     // d34: same staged perturbation; the line-retention predicate,
     // sentence count, and doc gates shaped exactly as the Spark
     // expressions (list comprehension = filter(), regexp counts match).
