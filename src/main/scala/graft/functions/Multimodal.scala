@@ -336,6 +336,28 @@ object Multimodal {
     }
   }
 
+  case class WavFrame(id: Long, frame_idx: Long, n_samples: Int, energy: Long)
+
+  /** Per-frame L1 energies from REAL WAV decode: the samples collapse
+    * to (id, frame_idx, energy) inside the decoding task — the frame
+    * table is what shuffles, never the PCM. The trailing partial frame
+    * is kept with its true sample count. */
+  def wavFrameEnergies(media: Dataset[MediaRecord],
+                       frameLen: Int): Dataset[WavFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new WavCodec // per-partition init
+      it.flatMap { r =>
+        val (_, samples) = codec.decode(r.media)
+        samples.grouped(frameLen).zipWithIndex.map { case (fr, fi) =>
+          var e = 0L
+          fr.foreach(s => e += math.abs(s.toInt))
+          WavFrame(r.id, fi.toLong, fr.length, e)
+        }
+      }
+    }
+  }
+
   /** Documents recast as a media table: utf-8 bytes as the opaque blob
     * (the corpus has no real image column; the plumbing is identical). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

@@ -249,7 +249,36 @@ object MultimodalQueries extends QueryPack {
         (hex(expr("substring(media, 2, 3)")) === "504E47").as("magic_ok"))
       .orderBy("id")
 
+  /** m14 — energy-based audio segmentation (the VAD shape): REAL WAV
+    * decode → 64-sample frame L1 energies (collapsed inside the decode
+    * task — PCM never shuffles) → active frames (energy ≥ 65536, ~the
+    * law's full-frame median, so both classes exist) → contiguous runs
+    * via the gaps-and-islands window (frame_idx − row_number) → one
+    * segment row per run. The oracle recomputes everything from the
+    * closed-form sample law, so a wrong decoder OR a wrong island
+    * boundary cannot pass. Scale: per-id windows over a frame table
+    * ~1/64th the audio's sample count; one exchange for the window,
+    * reused by the segment aggregate. */
+  def m14AudioSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = graft.functions.Multimodal.wavFrameEnergies(
+      graft.functions.Multimodal.wavMedia(s, dir), 64).toDF()
+    val w = Window.partitionBy("id").orderBy("frame_idx")
+    fr.filter(col("energy") >= 65536L)
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy("id", "grp")
+      .agg(min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum("energy").as("seg_energy"))
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy("id").orderBy("start_frame")))
+      .select("id", "seg_idx", "start_frame", "end_frame", "n_frames", "seg_energy")
+      .orderBy("id", "seg_idx")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "m14_audio_segments"  -> (m14AudioSegments _),
     "m13_png_metadata"    -> (m13PngMetadata _),
     "m12_wav_decode"      -> (m12WavDecode _),
     "m11_png_thumbnail"   -> (m11PngThumbnail _),
@@ -268,6 +297,27 @@ object MultimodalQueries extends QueryPack {
     "CASE WHEN doc_id % 3 = 0 THEN 'txt' WHEN doc_id % 3 = 1 THEN 'img' ELSE 'aud' END"
 
   val oracles: Map[String, String] = Map(
+    // m14: samples from the closed-form law → 64-sample frame energies
+    // → the same threshold and islands arithmetic.
+    "m14_audio_segments" ->
+      """WITH d AS (SELECT doc_id AS id, 256 + doc_id % 100 AS n FROM documents),
+        |s AS (SELECT id, unnest(range(0, n)) AS i FROM d),
+        |sam AS (SELECT id, i,
+        |  abs(((31 * id + 7 * i) % 4096) - 2048) AS a FROM s),
+        |fr AS (SELECT id, i // 64 AS frame_idx, sum(a) AS energy
+        |       FROM sam GROUP BY 1, 2),
+        |act AS (SELECT *, row_number() OVER (PARTITION BY id
+        |          ORDER BY frame_idx) AS rn
+        |        FROM fr WHERE energy >= 65536),
+        |seg AS (SELECT id, frame_idx - rn AS grp,
+        |          min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+        |          CAST(count(*) AS BIGINT) AS n_frames,
+        |          CAST(sum(energy) AS BIGINT) AS seg_energy
+        |        FROM act GROUP BY id, grp)
+        |SELECT id, CAST(row_number() OVER (PARTITION BY id
+        |    ORDER BY start_frame) AS INT) AS seg_idx,
+        |  start_frame, end_frame, n_frames, seg_energy
+        |FROM seg ORDER BY id, seg_idx""".stripMargin,
     // m13: the dims law in closed form; bit depth 8 / color type 2 /
     // the PNG magic are format constants a correct header parse yields.
     "m13_png_metadata" ->
