@@ -152,7 +152,44 @@ object DocQueries extends QueryPack {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** q89 — deterministic entity extraction behind the reference's NER
+    * seam (`etl_implementation.md:271` plans "Entity normalization /
+    * Named entity recognition" as an LLM task): the rule-based default
+    * any pipeline runs before (or instead of) a model — capitalized
+    * token runs extracted per document, normalized, rolled up to the
+    * Entity node table with engine uids and mention stats. The LLM
+    * stays a pluggable seam; the PLUMBING (extract → normalize →
+    * entity nodes with MENTIONS counts) is real and gated. The corpus
+    * is lowercase word soup, so doc_id classes stage entity-bearing
+    * sentences (d33's replay pattern) with names varying by id.
+    *
+    * Scale: one regexp_extract_all + explode (in-row generator), one
+    * hash aggregate on entity — no joins, no windows; at 100 TB this
+    * is the same shape as word counting. */
+  def q89EntityExtract(s: SparkSession, dir: String): DataFrame = {
+    val site = element_at(array(lit("Nord"), lit("Sued"), lit("Ost"), lit("West")),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val perturbed = concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" Der Wertstoffhof "), site, lit(" liegt am Stadtrand."))).otherwise(""),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" Anlieferung bei Deponie "), site, lit(" moeglich."))).otherwise(""),
+      when(col("doc_id") % 11 === 0, " Kontakt via Amt Mitte.").otherwise(""))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), perturbed.as("t"))
+      .select(col("doc_id"), explode(expr(
+        """regexp_extract_all(t, '[A-Z][a-z]+(?: [A-Z][a-z]+)*', 0)""")).as("entity"))
+      .groupBy("entity")
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("entity"),
+        graft.core.Uid.uid(concat(lit("Entity:"), col("entity"))).as("entity_uid"),
+        col("n_mentions"), col("n_docs"))
+      .orderBy(desc("n_mentions"), asc("entity"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q89_entity_extract" -> (q89EntityExtract _),
     "q85_rag_chunks"    -> (q85RagChunks _),
     "q80_doc_extract"   -> (q80DocExtract _),
     "q81_derived_edges" -> (q81DerivedEdges _),
@@ -165,6 +202,29 @@ object DocQueries extends QueryPack {
     * chunks; the SQL states those laws directly. Multi-paragraph and
     * markdown behavior is pinned by DocExtractSpec fixtures instead. */
   val oracles: Map[String, String] = Map(
+    // q89: same staged sentences, same capitalized-run regex (Java and
+    // RE2 agree on this pattern), same Entity: uid law.
+    "q89_entity_extract" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' Der Wertstoffhof ' ||
+        |      ['Nord','Sued','Ost','West'][CAST(doc_id % 4 + 1 AS INT)] ||
+        |      ' liegt am Stadtrand.' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' Anlieferung bei Deponie ' ||
+        |      ['Nord','Sued','Ost','West'][CAST(doc_id % 4 + 1 AS INT)] ||
+        |      ' moeglich.' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' Kontakt via Amt Mitte.'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(t,
+        |    '[A-Z][a-z]+(?: [A-Z][a-z]+)*')) AS entity
+        |  FROM p)
+        |SELECT entity, substr(sha256('Entity:' || entity), 1, 16) AS entity_uid,
+        |  CAST(count(*) AS BIGINT) AS n_mentions,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM e GROUP BY entity
+        |ORDER BY n_mentions DESC, entity""".stripMargin,
     "q80_doc_extract" ->
       """SELECT doc_id, 'doc_' || doc_id AS name,
         | substr(sha256('doc_' || doc_id), 1, 16) AS uid,
