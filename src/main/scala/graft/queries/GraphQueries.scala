@@ -1140,7 +1140,44 @@ object GraphQueries extends QueryPack {
         |ORDER BY target""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g47 — time-RESPECTING 2-hop influence paths over the click
+    * stream: an edge u→v exists when both click in the same 5-minute
+    * bucket and u's first click precedes v's (time gives the
+    * direction); a 2-hop path u→v→w is counted only when v's outgoing
+    * click is AT OR AFTER v's arrival (`e2.t_src ≥ e1.t_dst`) — the
+    * temporal-graph constraint that separates real influence cascades
+    * from static 2-hop counting (a static count happily routes through
+    * v BACKWARD in time). Output: distinct 2-hop reach per source.
+    *
+    * Scale shape: edge generation is the capped-bucket equi-join
+    * (every co-click kernel's bound — cap·(cap−1)/2 per hot bucket),
+    * the hop is one keyed join on the midpoint with the time predicate
+    * riding the join condition, and reach is a distinct aggregate.
+    * No temporal cross join anywhere. */
+  def g47TemporalReach(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"), expr("unix_timestamp(ts) div 300").as("b"))
+      .agg(min(expr("unix_timestamp(ts)")).as("t"))
+    val capped = capBuckets(firsts, bucketCap(s)).localCheckpoint(true)
+    val edges = capped.select(col("b"), col("user_id").as("src"), col("t").as("t_src"))
+      .join(capped.select(col("b"), col("user_id").as("dst"), col("t").as("t_dst")), "b")
+      .filter(col("t_src") < col("t_dst") ||
+        (col("t_src") === col("t_dst") && col("src") < col("dst")))
+      .select("src", "dst", "t_src", "t_dst")
+      .localCheckpoint(true)
+    edges.select(col("src").as("u"), col("dst").as("v"), col("t_dst").as("arrive"))
+      .join(edges.select(col("src").as("v"), col("dst").as("w"),
+        col("t_src").as("depart")), "v")
+      .filter(col("depart") >= col("arrive") && col("w") =!= col("u"))
+      .groupBy(col("u").as("user_id"))
+      .agg(countDistinct(col("w")).as("reach2"))
+      .orderBy(desc("reach2"), asc("user_id"))
+      .limit(30)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g47_temporal_reach" -> (g47TemporalReach _),
     "g46_cypher_unbounded" -> (g46CypherUnboundedStar _),
     "g45_cypher_union"   -> (g45CypherUnion _),
     "g44_cypher_set_delete" -> (g44CypherSetDelete _),
@@ -1283,6 +1320,25 @@ object GraphQueries extends QueryPack {
     // g41/g42: the same hash-choice walk unrolled — valid below the
     // bucket cap like every co-click oracle (cap contract documented
     // at capBuckets).
+    // g47: same first-click buckets, same time-directed edges, same
+    // at-or-after hop constraint (cap-valid like every co-click gate).
+    "g47_temporal_reach" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS t
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |e AS (
+        |  SELECT a.user_id AS src, c.user_id AS dst,
+        |    a.t AS t_src, c.t AS t_dst
+        |  FROM f a JOIN f c ON a.b = c.b
+        |  WHERE a.t < c.t OR (a.t = c.t AND a.user_id < c.user_id)),
+        |h AS (
+        |  SELECT e1.src AS u, e2.dst AS w
+        |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |  WHERE e2.t_src >= e1.t_dst AND e2.dst <> e1.src)
+        |SELECT u AS user_id, CAST(count(DISTINCT w) AS BIGINT) AS reach2
+        |FROM h GROUP BY u
+        |ORDER BY reach2 DESC, user_id LIMIT 30""".stripMargin,
     // g46: unbounded reachability from customers = nation (1 hop) plus
     // region (2 hops); counts per target name.
     "g46_cypher_unbounded" ->
