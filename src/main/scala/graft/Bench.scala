@@ -74,7 +74,11 @@ object Bench {
       // round-6 second-wave representatives
       "a04_countmin", "d34_c4_filters", "e13_mmr_rerank",
       "g46_cypher_unbounded", "m13_png_metadata", "q86_avro_source",
-      "s15_stream_lsh_dedup")
+      "s15_stream_lsh_dedup",
+      // round-6 third wave
+      "d35_leaksafe_split", "d36_bpe_apply", "e14_label_purity",
+      "g47_temporal_reach", "m14_audio_segments", "q87_expectations",
+      "q88_auto_source", "q89_entity_extract", "s17_stream_expectations")
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = jsonMap(results.toSeq.sortBy(_._1))
