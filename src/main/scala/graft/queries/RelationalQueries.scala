@@ -1896,6 +1896,41 @@ object RelationalQueries extends QueryPack {
       .referentialIntegrity("o_custkey", Tables.customer(s, dir), "c_custkey")
       .run()
 
+  /** q90 — graph-store time travel ([[graft.graph.VersionedStore]]):
+    * three upsert batches over the nation dim with staged status
+    * changes, then as-of reads at each batch instant — "what did the
+    * graph say at T", the question the flat store's `updated_at` alone
+    * cannot answer. Change-hash detection means restated values write
+    * NOTHING: the final history holds 25 + 9 + 8 versions (the change
+    * rate), which the zz_history row pins through the gate. Each
+    * upsert is one uid-keyed join pair; asOf is a pushable predicate. */
+  def q90TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.graph.VersionedStore
+    def t(d: String) = to_timestamp(lit(s"2024-0$d-01 00:00:00"))
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("string").as("uid"),
+        col("n_nationkey").as("k"))
+    val b1 = n.select(col("uid"), lit("v1").as("status"))
+    val b2 = n.select(col("uid"),
+      when(col("k") % 3 === 0, "v2").otherwise("v1").as("status"))
+    val b3 = n.select(col("uid"),
+      when(col("k") % 3 === 0, "v2")
+        .when(col("k") % 3 === 1, "v3").otherwise("v1").as("status"))
+    var h = VersionedStore.init(b1, Seq("status"), t("1"))
+    h = VersionedStore.upsert(h, b2, Seq("status"), t("2"))
+    h = VersionedStore.upsert(h, b3, Seq("status"), t("3")).localCheckpoint(true)
+    val reads = Seq("1" -> t("1"), "2" -> t("2"), "3" -> t("3")).map {
+      case (lbl, at) =>
+        VersionedStore.asOf(h, at).groupBy("status")
+          .agg(count(lit(1)).as("n"))
+          .select(lit(s"t$lbl").as("as_of"), col("status"), col("n"))
+    }
+    reads.reduce(_ unionByName _)
+      .unionByName(h.agg(count(lit(1)).as("n"))
+        .select(lit("zz_history").as("as_of"), lit("versions").as("status"), col("n")))
+      .orderBy("as_of", "status")
+  }
+
   /** q77 — equal-frequency bucketing via ntile: per order priority,
     * decile membership over a TOTAL order (price, then key — ties
     * broken or ntile assignment is arrival-order nondeterminism), then
@@ -1965,6 +2000,7 @@ object RelationalQueries extends QueryPack {
     "q78_except_all"      -> (q78ExceptAll _),
     "q77_ntile"           -> (q77Ntile _),
     "q76_mv_rewrite"      -> (q76MvRewrite _),
+    "q90_time_travel"     -> (q90TimeTravel _),
     "q88_auto_source"     -> (q88AutoSource _),
     "q87_expectations"    -> (q87Expectations _),
     "a04_countmin"        -> (a04CountMin _),
@@ -2101,6 +2137,27 @@ object RelationalQueries extends QueryPack {
     // histogram (identical double expressions, so floor() and the
     // bucket bounds agree bit-for-bit) in one pass; hash equality
     // proves the per-day partial build + additive merge exact.
+    // q90: each as-of read reconstructed from the batch definitions;
+    // zz_history = 25 initial + 9 (%3=0 changed at t2) + 8 (%3=1 at t3).
+    "q90_time_travel" ->
+      """SELECT * FROM (
+        |  SELECT 't1' AS as_of, 'v1' AS status,
+        |    CAST(count(*) AS BIGINT) AS n FROM nation
+        |  UNION ALL
+        |  SELECT 't2', CASE WHEN n_nationkey % 3 = 0 THEN 'v2' ELSE 'v1' END,
+        |    CAST(count(*) AS BIGINT)
+        |  FROM nation GROUP BY 2
+        |  UNION ALL
+        |  SELECT 't3', CASE WHEN n_nationkey % 3 = 0 THEN 'v2'
+        |    WHEN n_nationkey % 3 = 1 THEN 'v3' ELSE 'v1' END,
+        |    CAST(count(*) AS BIGINT)
+        |  FROM nation GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'zz_history', 'versions', CAST(
+        |    (SELECT count(*) FROM nation) +
+        |    (SELECT count(*) FROM nation WHERE n_nationkey % 3 = 0) +
+        |    (SELECT count(*) FROM nation WHERE n_nationkey % 3 = 1) AS BIGINT))
+        |ORDER BY as_of, status""".stripMargin,
     // q88: all three formats carry the same dim — per-format counts and
     // key sums are the parquet ground truth three times over.
     "q88_auto_source" ->
