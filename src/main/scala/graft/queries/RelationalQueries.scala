@@ -1876,6 +1876,60 @@ object RelationalQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** a05 — audience-overlap profiling: for every unordered pair of
+    * event types, the exact user-day audience sizes, their
+    * intersection (one equi-join on the audience key — never a
+    * per-pair rescan), and Jaccard; plus the sketch-side
+    * inclusion-exclusion estimate |A∩B| ≈ hll(A) + hll(B) − hll(A∪B),
+    * band-checked against the exact count (a01's TRUE-column law).
+    * This is how overlap matrices are actually computed at 100 TB:
+    * exact pairwise audiences need one shuffle keyed by audience
+    * member; the HLL path needs only the k-per-type sketches — 5
+    * sketches answer all 10 pairs, and the union sketch is a merge,
+    * not a scan. The audience unit is the user-DAY (distinct users
+    * alone are degenerate here — every user eventually does every
+    * event type), which is also the real profiling grain: "how often
+    * do X and Y co-occur in the same user session/day".
+    *
+    * Band: each 2%-rsd HLL sits within a few percent of its exact
+    * count, so the difference of three is within 8% of (|A|+|B|) with
+    * wide margin (ApproxSpec pins the band at two SFs). */
+  def a05SetOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ue = Tables.events(s, dir)
+      .select(concat_ws(":", col("user_id"), to_date(col("ts"))).as("aud"),
+        col("event_type"))
+      .distinct()
+      .localCheckpoint(true) // feeds three plan arms; compute once
+    val per = ue.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("aud"), 0.02).as("hll"))
+    def side(p: String) = per.select(col("event_type").as(s"type_$p"),
+      col("n").as(s"n_$p"), col("hll").as(s"hll_$p"))
+    val both = ue.select(col("event_type").as("type_a"), col("aud"))
+      .join(ue.select(col("event_type").as("type_b"), col("aud")), "aud")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    val un = ue.join(broadcast(
+      ue.select(col("event_type").as("type_a")).distinct()
+        .join(ue.select(col("event_type").as("type_b")).distinct())
+        .filter(col("type_a") < col("type_b"))),
+      col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(approx_count_distinct(col("aud"), 0.02).as("hll_union"))
+    both.join(broadcast(side("a")), "type_a")
+      .join(broadcast(side("b")), "type_b")
+      .join(un, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (col("n_a") + col("n_b") - col("n_both")).as("n_union"),
+        round(col("n_both") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"),
+        (abs(col("hll_a") + col("hll_b") - col("hll_union") - col("n_both"))
+          <= (col("n_a") + col("n_b")) * 0.08).as("hll_ok"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** q87 — declarative data-quality expectations
     * ([[graft.functions.Expectations]], the Deequ/dbt-tests shape):
     * six rules over orders — not-null + unique key, two
@@ -2004,6 +2058,7 @@ object RelationalQueries extends QueryPack {
     "q88_auto_source"     -> (q88AutoSource _),
     "q87_expectations"    -> (q87Expectations _),
     "a04_countmin"        -> (a04CountMin _),
+    "a05_set_overlap"     -> (a05SetOverlap _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
     "q74_incremental_agg" -> (q74IncrementalAgg _),
@@ -2200,6 +2255,27 @@ object RelationalQueries extends QueryPack {
         |      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT))
         |SELECT rule, target, n_bad, n_bad = 0 AS ok FROM r
         |ORDER BY rule, target""".stripMargin,
+    // a05: exact legs replayed on the (user_id, day) grain; the HLL
+    // band check is Spark-side-only (a01's TRUE-column law).
+    "a05_set_overlap" ->
+      """WITH ue AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+        |  FROM events),
+        |per AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ue GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ue a JOIN ue b USING (user_id, d)
+        |  WHERE a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT type_a, type_b, pa.n AS n_a, pb.n AS n_b, n_both,
+        |  pa.n + pb.n - n_both AS n_union,
+        |  round(n_both / (pa.n + pb.n - n_both)::DOUBLE, 6) AS jaccard,
+        |  TRUE AS hll_ok
+        |FROM pairs
+        |JOIN per pa ON pa.event_type = type_a
+        |JOIN per pb ON pb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     // a04: the oracle builds the sketch in ONE pass (no day partials) —
     // addition is associative/commutative, so hash equality against the
     // Spark side's two-level build proves the merge law. Same md5

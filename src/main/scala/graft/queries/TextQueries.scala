@@ -1087,7 +1087,72 @@ object TextQueries extends QueryPack {
       .limit(100)
   }
 
+  /** d37 — encoding-corruption audit: per document, counts of U+FFFD
+    * replacement characters (the scar UTF-8 decoding leaves on bytes it
+    * could not decode) and of C0/C1-range control characters other than
+    * tab/newline/CR (the scar of binary content mis-sniffed as text).
+    * Both are THE cheap detectors a crawl pipeline runs before any
+    * model-based quality score — mojibake and binary bleed-through
+    * survive every downstream filter that only looks at words. The
+    * corpus is clean by construction, so a corruption leg (every 30th
+    * doc re-ingested with two replacement chars and a BEL spliced in at
+    * offset 40 — the d01 replay pattern) gives the audit real signal.
+    *
+    * Scale: pure per-row codegen'd string work (two regexp_replace
+    * length diffs), no shuffle before the presentation sort — the
+    * 100 TB shape is a scan. Counting by length-difference instead of
+    * regexp_count keeps the oracle exact: both engines count
+    * characters, not regex-engine-specific match events. */
+  def d37EncodingQuality(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val corrupt = base.filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(substring(col("text"), 1, 40), lit("\uFFFD\uFFFD\u0007"),
+          substring(col("text"), 41, Int.MaxValue)).as("text"))
+    def stripped(pat: String) = length(regexp_replace(col("text"), pat, ""))
+    base.unionByName(corrupt)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        (length(col("text")) - stripped("�")).as("n_repl"),
+        (length(col("text")) -
+          stripped("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")).as("n_ctrl"))
+      .withColumn("clean", col("n_repl") === 0 && col("n_ctrl") === 0)
+      .orderBy("doc_id")
+  }
+
+  /** d38 — deterministic epoch shuffle: the training-order permutation
+    * a data loader needs, computed as a pure function of (doc_id,
+    * epoch) — never `rand()` (d12's law), so any worker can recompute
+    * any shard's order for resume/replay without coordination. Shard =
+    * first hex nibble of md5(doc_id:epoch) mod 4 (the output file a doc
+    * lands in), pos = rank of that hash within the shard (the offset).
+    * A new epoch re-salts the hash: a different permutation and a
+    * different doc→shard assignment with ZERO data movement decided
+    * per-row — the property that matters when "reshuffle between
+    * epochs" would otherwise mean re-writing 100 TB.
+    *
+    * Scale: one hash per (doc, epoch) then rank WITHIN shard — the
+    * write-side `repartition(shard).sortWithinPartitions(h)`, a single
+    * bounded shuffle; there is no global sort. The presentation ORDER
+    * BY is gate-only. */
+  def d38EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epochs = broadcast(s.range(0, 2).select(col("id").cast("int").as("epoch")))
+    val h = md5(concat_ws(":", col("doc_id"), col("epoch")))
+    docs(s, dir).select(col("doc_id"))
+      .join(epochs)
+      .withColumn("h", h)
+      .withColumn("shard",
+        ((instr(lit("0123456789abcdef"), substring(col("h"), 1, 1)) - 1) % 4)
+          .cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")))
+      .select("epoch", "shard", "pos", "doc_id")
+      .orderBy("epoch", "shard", "pos")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d38_epoch_shuffle" -> (d38EpochShuffle _),
+    "d37_encoding_quality" -> (d37EncodingQuality _),
     "d36_bpe_apply"     -> (d36BpeApply _),
     "d35_leaksafe_split" -> (d35LeaksafeSplit _),
     "d34_c4_filters"    -> (d34C4Filters _),
@@ -1179,6 +1244,46 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d37: identical corruption splice (chr(65533)=U+FFFD, chr(7)=BEL),
+    // counts by length-difference in both engines — character counts,
+    // never regex-engine match-event counts.
+    "d37_encoding_quality" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    substr(text, 1, 40) || chr(65533) || chr(65533) || chr(7)
+        |      || substr(text, 41)
+        |  FROM documents WHERE doc_id % 30 = 0),
+        |c AS (
+        |  SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, chr(65533), '')) AS INT)
+        |      AS n_repl,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS INT) AS n_ctrl
+        |  FROM aug)
+        |SELECT doc_id, n_chars, n_repl, n_ctrl,
+        |  (n_repl = 0 AND n_ctrl = 0) AS clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // d38: same md5(doc_id:epoch) salt, same nibble->shard map, same
+    // (h, doc_id) rank — the permutation is engine-independent by
+    // construction.
+    "d38_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([0, 1]) AS epoch),
+        |h AS (
+        |  SELECT doc_id, CAST(epoch AS INT) AS epoch,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS h
+        |  FROM documents, e),
+        |sh AS (
+        |  SELECT doc_id, epoch, h,
+        |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 4 AS INT)
+        |      AS shard
+        |  FROM h)
+        |SELECT epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id)
+        |    AS INT) AS pos,
+        |  doc_id
+        |FROM sh ORDER BY epoch, shard, pos""".stripMargin,
     // d36: the same three priority merges applied via list_reduce with
     // the identical last-token/strip/append fold — stateful left fold
     // in both engines, so left-to-right non-overlap semantics match.

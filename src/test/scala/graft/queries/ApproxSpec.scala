@@ -39,6 +39,21 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("a05 inclusion-exclusion band holds at both SFs") {
+    // |A∩B| ≈ hll(A)+hll(B)−hll(A∪B): three 2%-rsd sketches stacked —
+    // the 8%-of-(|A|+|B|) band must absorb all three errors at once,
+    // and small audiences (sf0.001) are where rsd is worst.
+    for (sf <- Seq("/root/testdata/sf0.001", dir)) {
+      val rows = RelationalQueries.a05SetOverlap(spark, sf).collect()
+      assert(rows.length == 10, s"expected all 10 type pairs at $sf")
+      rows.foreach { r =>
+        assert(r.getBoolean(7), s"a05 band broken at $sf: $r")
+        assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)),
+          s"intersection exceeds a side at $sf: $r")
+      }
+    }
+  }
+
   test("approx percentile brackets the exact median") {
     val df = Tables(spark, dir, "orders")
     val Array(p25, p50, p75) = df
