@@ -1176,7 +1176,37 @@ object GraphQueries extends QueryPack {
       .limit(30)
   }
 
+  /** g48 — DataFrame-native connected components over the co-click
+    * user graph ([[graft.graph.ComponentsDF]], alternating
+    * large-star/small-star — Kiveris et al. SoCC'14): per clicking
+    * user, the component id (min user_id in the component, the same
+    * contract as GraphX g08) and the component size; users sharing no
+    * bucket with anyone are their own singleton component. This is the
+    * 100 TB CC path: the whole iteration stays inside Catalyst (AQE
+    * skew-split, runtime coalescing, one window + one distinct per
+    * star step), with no RDD conversion and no Pregel runtime —
+    * ComponentsDFSpec pins equivalence against the GraphX engine
+    * across chains/cycles/stars/forests. Oracle: recursive-CTE
+    * transitive closure with min-origin per vertex — engine-exact
+    * because both sides compute the same min-id fixpoint
+    * (cap-valid like every co-click gate). */
+  def g48CcNative(s: SparkSession, dir: String): DataFrame = {
+    val edges = coClickPairs(s, dir)
+      .select(col("u1").as("src"), col("u2").as("dst"))
+    val assigned = graft.graph.ComponentsDF.run(edges)
+      .withColumnRenamed("vid", "user_id")
+    val full = clickBuckets(s, dir).select(col("user_id")).distinct()
+      .join(assigned, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("component"), col("user_id")).as("component"))
+    full.join(full.groupBy(col("component"))
+        .agg(count(lit(1)).as("comp_size")), "component")
+      .select("user_id", "component", "comp_size")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g48_cc_native"      -> (g48CcNative _),
     "g47_temporal_reach" -> (g47TemporalReach _),
     "g46_cypher_unbounded" -> (g46CypherUnboundedStar _),
     "g45_cypher_union"   -> (g45CypherUnion _),
@@ -1322,6 +1352,26 @@ object GraphQueries extends QueryPack {
     // at capBuckets).
     // g47: same first-click buckets, same time-directed edges, same
     // at-or-after hop constraint (cap-valid like every co-click gate).
+    // g48: min-id CC as recursive-CTE closure (origin r floods along
+    // symmetric adjacency; min origin per vertex = component min).
+    "g48_cc_native" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT DISTINCT a.user_id AS u1, b2.user_id AS u2
+        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id),
+        |adj AS (SELECT u1, u2 FROM p UNION ALL SELECT u2, u1 FROM p),
+        |verts AS (SELECT DISTINCT user_id AS v FROM c),
+        |reach AS (
+        |  SELECT v, v AS r FROM verts
+        |  UNION
+        |  SELECT a.u2 AS v, reach.r FROM reach JOIN adj a ON a.u1 = reach.v),
+        |comp AS (SELECT v AS user_id, min(r) AS component FROM reach GROUP BY v),
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+        |  FROM comp GROUP BY component)
+        |SELECT user_id, component, comp_size FROM comp JOIN sz USING (component)
+        |ORDER BY user_id""".stripMargin,
     "g47_temporal_reach" ->
       """WITH f AS (
         |  SELECT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b,
