@@ -1150,7 +1150,65 @@ object TextQueries extends QueryPack {
       .orderBy("epoch", "shard", "pos")
   }
 
+  /** d39 — exact-substring span dedup (the ExactSubstr shape of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"):
+    * every SLIDING k=8-word window is hashed; any window whose hash was
+    * seen earlier (global first-occurrence order = (doc_id, pos), the
+    * d01 law) marks its positions duplicated; consecutive/overlapping
+    * duplicated windows merge into MAXIMAL spans (gap ≤ k ⇒ the word
+    * intervals [p,p+k−1] overlap or touch ⇒ one span, covered words =
+    * last − first + k — exact interval union with no per-word explode).
+    * Per doc: word count, span count, duplicated-word count and
+    * fraction — the removal plan ExactSubstr hands the cleaner. d25 is
+    * the cheap fixed-segment variant; THIS is the one that catches a
+    * copied paragraph at any alignment.
+    *
+    * Scale: one shuffle keyed by window hash (row_number picks the
+    * first sight — a window SORT per hash, n·log n even on a
+    * boilerplate-hot hash, never a pair join), then one per-doc window
+    * for the span merge. The suffix-array construction the paper uses
+    * single-node is exactly what the hash-window formulation avoids
+    * distributing. */
+  def d39ExactSubstr(s: SparkSession, dir: String): DataFrame =
+    exactSubstrSpans(docs(s, dir).repartition(parallelism(s)), 8)
+
+  /** The d39 kernel on a caller-supplied (doc_id, text) frame so
+    * ExactSubstrSpec can drive hand-built copy scenarios. */
+  private[queries] def exactSubstrSpans(docsDf: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docsDf
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_words"), col("w"))
+      .localCheckpoint(true) // shingle leg + all-docs leg reuse it
+    val dupPos = base.filter(col("n_words") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - k),
+          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k))))))
+          .as(Seq("pos", "h")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("rn") > 1)
+    val spans = dupPos
+      .withColumn("brk", when(col("pos") - lag("pos", 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")) <= k, 0).otherwise(1))
+      .withColumn("span_id", sum("brk").over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "span_id")
+      .agg((max(col("pos")) - min(col("pos")) + k).as("covered"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_words"))
+    base.select("doc_id", "n_words")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        round(coalesce(col("dup_words"), lit(0L)) /
+          col("n_words").cast("double"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d39_exact_substr"  -> (d39ExactSubstr _),
     "d38_epoch_shuffle" -> (d38EpochShuffle _),
     "d37_encoding_quality" -> (d37EncodingQuality _),
     "d36_bpe_apply"     -> (d36BpeApply _),
@@ -1244,6 +1302,44 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d39: same sliding k=8 hash windows, same (doc_id,pos) first-sight
+    // rank, same gap<=k interval-union span merge — covered word count
+    // is closed-form (last - first + k), engine-exact.
+    "d39_exact_substr" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words, w FROM words),
+        |sh AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    md5(array_to_string(w[i+1 : i+8], ' ')) AS h
+        |  FROM base, unnest(range(0, n_words - 7)) AS t(i)
+        |  WHERE n_words >= 8),
+        |dups AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM sh) WHERE rn > 1),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |      THEN 0 ELSE 1 END AS b
+        |  FROM dups),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM brk),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(covered) AS BIGINT) AS dup_words FROM (
+        |    SELECT doc_id, span_id, max(pos) - min(pos) + 8 AS covered
+        |    FROM sp GROUP BY doc_id, span_id) GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_words,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.dup_words, 0) AS dup_words,
+        |  round(coalesce(a.dup_words, 0) / b.n_words::DOUBLE, 4) AS dup_frac
+        |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // d37: identical corruption splice (chr(65533)=U+FFFD, chr(7)=BEL),
     // counts by length-difference in both engines — character counts,
     // never regex-engine match-event counts.
