@@ -553,7 +553,82 @@ object SimilarityQueries extends QueryPack {
       .orderBy("label")
   }
 
+  /** e15 — IVF-PQ with residual encoding and multi-probe (the
+    * production FAISS `IVFx,PQy` shape; e05 and e08 each exercise one
+    * half): vectors assign to a coarse cell (per-label centroids,
+    * nprobe's denominator), then the RESIDUAL v − centroid — not the
+    * raw vector — is product-quantized, which is what makes PQ codes
+    * sharp (residual norms are a fraction of vector norms, so the same
+    * 8 codes/vector spend their resolution where the variance actually
+    * is). Queries probe their nprobe=2 nearest cells, compute a
+    * per-probed-cell residual, and rank candidates from BOTH cells by
+    * asymmetric-distance sums over a broadcast LUT. The PQ codebook is
+    * a deterministic one-shot trainer: candidate residual blocks hash
+    * to a sign-pattern group (first 3 dims' signs → 8 codes/block) and
+    * each code's entry is the element-wise mean of its members in
+    * BIGINT micro-units — integer sums, so the "training" is exactly
+    * reproducible by the oracle, unlike a k-means whose float sums
+    * would be partition-order noise.
+    *
+    * Scale shape: codebook ≤ 64 entries and the LUT (queries × probes
+    * × 64) broadcast; the fact side ships (cell, blk, code) — 8 code
+    * ids per candidate, never 64 floats; multi-probe multiplies query
+    * work, NOT index size; everything joins by equi-keys. ADC sums are
+    * exact BIGINT micro-units (d23/g18 law) so ranks can't flip. */
+  def e15IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val cent = centroids(e)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("c_label"))
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("c_label"), col("cv"),
+        round(cosine(col("v"), col("cv")), 6).as("cs"))
+      .withColumn("rn", row_number().over(wAssign))
+    val blkIds = explode(sequence(lit(0), lit(7))).as("blk")
+    def residual(v: Column, cv: Column): Column =
+      zip_with(v, cv, (x, y) => x - y)
+    def signCode(rb: Column): Column =
+      when(element_at(rb, 1) >= 0, 4).otherwise(0) +
+        when(element_at(rb, 2) >= 0, 2).otherwise(0) +
+        when(element_at(rb, 3) >= 0, 1).otherwise(0)
+    val candBlocks = assigned.filter(col("rn") === 1 && col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("c_label").as("cell"),
+        blkIds, residual(col("v"), col("cv")).as("r"))
+      .select(col("cand_id"), col("cell"), col("blk"),
+        slice(col("r"), col("blk") * 8 + 1, lit(8)).as("rb"))
+      .withColumn("code", signCode(col("rb")))
+      .localCheckpoint(true) // feeds codebook training AND the ADC scan
+    val codebook = candBlocks
+      .select(col("blk"), col("code"), posexplode(col("rb")).as(Seq("pos", "x")))
+      .groupBy("blk", "code", "pos")
+      .agg((round(sum(round(col("x") * 1e6).cast("long")) /
+        count(lit(1)).cast("double")) / 1e6).as("m"))
+      .groupBy("blk", "code")
+      .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+      .select(col("blk"), col("code"),
+        transform(array_sort(col("pm")), t => t.getField("m")).as("cb"))
+    val lut = assigned.filter(col("vec_id") < 10 && col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("c_label").as("cell"),
+        blkIds, residual(col("v"), col("cv")).as("qr"))
+      .select(col("query_id"), col("cell"), col("blk"),
+        slice(col("qr"), col("blk") * 8 + 1, lit(8)).as("qb"))
+      .join(broadcast(codebook), Seq("blk"))
+      .select(col("query_id"), col("cell"), col("blk"), col("code"),
+        round(l2sq(col("qb"), col("cb")) * 1e6).cast("long").as("d2u"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("adcu"), col("cand_id"))
+    candBlocks.select(col("cand_id"), col("cell"), col("blk"), col("code"))
+      .join(broadcast(lut), Seq("cell", "blk", "code"))
+      .groupBy("query_id", "cand_id", "cell")
+      .agg(sum(col("d2u")).as("adcu"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cell"),
+        (col("adcu") / 1e6).as("adc"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e15_ivfpq"           -> (e15IvfPq _),
     "e14_label_purity"    -> (e14LabelPurity _),
     "e13_mmr_rerank"      -> (e13MmrRerank _),
     "e12_matryoshka_topk" -> (e12MatryoshkaTopk _),
@@ -583,6 +658,57 @@ object SimilarityQueries extends QueryPack {
        |  j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // e15: same coarse assign (rounded-cosine argmax), same residuals,
+    // same sign-group codes, same integer-micro codebook means, same
+    // micro-unit ADC — every stage engine-exact by construction.
+    "e15_ivfpq" ->
+      s"""WITH cent AS (
+        |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS m
+        |    FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.c_label, c.cv,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(${sqlCos("e.embedding", "c.cv")}, 6) DESC,
+        |        c.c_label) AS rn
+        |  FROM embeddings e CROSS JOIN cent c),
+        |coded AS (
+        |  SELECT vec_id AS cand_id, cell, blk, rb,
+        |    (CASE WHEN rb[1] >= 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN rb[2] >= 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN rb[3] >= 0 THEN 1 ELSE 0 END) AS code FROM (
+        |    SELECT vec_id, c_label AS cell, s AS blk,
+        |      list_transform(range(s*8+1, s*8+9),
+        |        i -> embedding[i]::DOUBLE - cv[i]) AS rb
+        |    FROM assigned, range(0, 8) t(s)
+        |    WHERE rn = 1 AND vec_id >= 10)),
+        |cbk AS (
+        |  SELECT blk, code, list(m ORDER BY pos) AS cb FROM (
+        |    SELECT blk, code, pos,
+        |      round(sum(CAST(round(rb[pos] * 1000000) AS BIGINT))
+        |        / count(*)::DOUBLE) / 1000000.0 AS m
+        |    FROM coded, range(1, 9) t(pos)
+        |    GROUP BY blk, code, pos) GROUP BY blk, code),
+        |lut AS (
+        |  SELECT q.query_id, q.cell, q.blk, c.code,
+        |    CAST(round(${sqlL2sq("q.qb", "c.cb")} * 1000000) AS BIGINT) AS d2u
+        |  FROM (
+        |    SELECT vec_id AS query_id, c_label AS cell, s AS blk,
+        |      list_transform(range(s*8+1, s*8+9),
+        |        i -> embedding[i]::DOUBLE - cv[i]) AS qb
+        |    FROM assigned, range(0, 8) t(s)
+        |    WHERE vec_id < 10 AND rn <= 2) q
+        |  JOIN cbk c ON c.blk = q.blk),
+        |adc AS (
+        |  SELECT l.query_id, d.cand_id, d.cell, sum(l.d2u) AS adcu
+        |  FROM (SELECT DISTINCT cand_id, cell, blk, code FROM coded) d
+        |  JOIN lut l ON d.cell = l.cell AND d.blk = l.blk AND d.code = l.code
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adcu, cand_id) AS INT) AS rank FROM adc)
+        |SELECT query_id, rank, cand_id, cell, adcu / 1000000.0 AS adc
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // e14: same sign buckets, same (rounded cosine, vec_id) neighbor
     // rank, macro ratio as one BIGINT/BIGINT division.
     "e14_label_purity" ->
