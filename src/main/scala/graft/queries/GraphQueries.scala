@@ -1205,7 +1205,36 @@ object GraphQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** g49 — the same user components as g48 WITHOUT ever materializing
+    * co-click pairs: run CC on the BIPARTITE incidence graph directly
+    * (user —sharesBucket→ bucket, users at 2·id, buckets at 2·b+1),
+    * then re-key each mixed component to its minimum USER id and count
+    * users only. Connectivity through a shared bucket is identical to
+    * pair-edge connectivity, but the edge count is O(incidence) — a
+    * celebrity bucket with a million members costs a million edges
+    * here versus ~5·10¹¹ pairs in the quadratic formulation, which is
+    * why THIS is the connectivity path that needs no bucket cap at
+    * all (the cap contract exists only for pair-producing analytics).
+    * Same oracle as g48: on gate data (below cap) the two must agree
+    * row-for-row, which the shared recursive-CTE closure enforces. */
+  def g49CcBipartite(s: SparkSession, dir: String): DataFrame = {
+    val c = clickBuckets(s, dir)
+    val assigned = graft.graph.ComponentsDF.run(
+      c.select((col("user_id") * 2).as("src"), (col("b") * 2 + 1).as("dst")))
+    val users = assigned.filter(col("vid") % 2 === 0)
+      .select(expr("vid div 2").as("user_id"), col("component"))
+    val full = users.join(
+        users.groupBy("component").agg(min(col("user_id")).as("comp_user")),
+        "component")
+      .select(col("user_id"), col("comp_user").as("component"))
+    full.join(full.groupBy(col("component"))
+        .agg(count(lit(1)).as("comp_size")), "component")
+      .select("user_id", "component", "comp_size")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g49_cc_bipartite"   -> (g49CcBipartite _),
     "g48_cc_native"      -> (g48CcNative _),
     "g47_temporal_reach" -> (g47TemporalReach _),
     "g46_cypher_unbounded" -> (g46CypherUnboundedStar _),
@@ -1352,6 +1381,26 @@ object GraphQueries extends QueryPack {
     // at capBuckets).
     // g47: same first-click buckets, same time-directed edges, same
     // at-or-after hop constraint (cap-valid like every co-click gate).
+    // g49: connectivity is bucket-mediated either way — the bipartite
+    // engine must reproduce the pair-closure oracle exactly.
+    "g49_cc_bipartite" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT DISTINCT a.user_id AS u1, b2.user_id AS u2
+        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id),
+        |adj AS (SELECT u1, u2 FROM p UNION ALL SELECT u2, u1 FROM p),
+        |verts AS (SELECT DISTINCT user_id AS v FROM c),
+        |reach AS (
+        |  SELECT v, v AS r FROM verts
+        |  UNION
+        |  SELECT a.u2 AS v, reach.r FROM reach JOIN adj a ON a.u1 = reach.v),
+        |comp AS (SELECT v AS user_id, min(r) AS component FROM reach GROUP BY v),
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+        |  FROM comp GROUP BY component)
+        |SELECT user_id, component, comp_size FROM comp JOIN sz USING (component)
+        |ORDER BY user_id""".stripMargin,
     // g48: min-id CC as recursive-CTE closure (origin r floods along
     // symmetric adjacency; min origin per vertex = component min).
     "g48_cc_native" ->

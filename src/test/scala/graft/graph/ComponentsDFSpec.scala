@@ -73,4 +73,24 @@ class ComponentsDFSpec extends SparkSpec {
   test("empty edge list yields an empty assignment") {
     assert(ComponentsDF.run(edgesDF(Nil)).collect().isEmpty)
   }
+
+  test("celebrity bucket connects linearly: 300-member bipartite star is one component") {
+    // the g49 scale claim: a hot bucket contributes O(members) edges
+    // (user 2i — bucket 2b+1), never O(members^2) pairs; CC over that
+    // star must still produce a single component in few rounds
+    val bucket = 9000001L // odd = bucket-side id
+    val pairs = (0L until 300L).map(u => (u * 2, bucket))
+    val out = ComponentsDF.run(edgesDF(pairs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 301 && out.values.toSet == Set(0L),
+      s"expected one component rooted at user 0, got ${out.values.toSet}")
+  }
+
+  test("g48 (pair CC) and g49 (bipartite CC) agree on the corpus at both SFs") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val a = graft.queries.GraphQueries.g48CcNative(spark, sf).collect().map(_.toSeq)
+      val b = graft.queries.GraphQueries.g49CcBipartite(spark, sf).collect().map(_.toSeq)
+      assert(a.sameElements(b), s"pair vs bipartite CC diverge at $sf")
+    }
+  }
 }
