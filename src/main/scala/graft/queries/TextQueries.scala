@@ -1207,7 +1207,58 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** d40 — DSIR-style data selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc
+    * by the log importance weight log p_target/p_source under two
+    * hashed-unigram bag-of-words models — target = the English slice
+    * (the "looks like my target distribution" proxy), source = the
+    * whole pool — and keep the top-100 by weight (the deterministic
+    * arm of DSIR's resample). Features hash to 256 buckets via two md5
+    * nibbles (engine-portable, collision-folding is part of the method:
+    * DSIR's models are DELIBERATELY hashed, not vocabularies).
+    *
+    * Determinism: bucket log-ratios derive from exact integer counts
+    * and quantize to BIGINT micro-units BEFORE the per-doc sum (the
+    * d23 law), so doc scores are exact integer sums in any partition
+    * order; selection is TakeOrderedAndProject on (score, doc_id).
+    *
+    * Scale: the λ table is 256 rows (broadcast); the corpus shuffles
+    * once for the bucket counts and once per-doc — O(tokens) end to
+    * end, which is why DSIR-at-trillions-of-tokens is a hash join, not
+    * a model inference pass. */
+  def d40DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir)
+      .repartition(parallelism(s))
+      .select(col("doc_id"), col("lang"), explode(words).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bkt", conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"))
+      .localCheckpoint(true) // source counts, target counts, scoring scan
+    val tots = toks.agg(count(lit(1)).as("src_tot"),
+      count(when(col("lang") === "en", 1)).as("tgt_tot"))
+    val lam = toks.groupBy("bkt").agg(count(lit(1)).as("cs"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      .crossJoin(broadcast(tots))
+      .select(col("bkt"), round(lit(1e6) * log(
+        (((col("ct") + 1).cast("double") / (col("tgt_tot") + 256).cast("double")) /
+          ((col("cs") + 1).cast("double") / (col("src_tot") + 256).cast("double")))))
+        .cast("long").as("lam_micro"))
+    val perDoc = toks.join(broadcast(lam), "bkt")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lam_micro")).as("lw"))
+    val top = perDoc
+      .join(docs(s, dir).select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .orderBy(desc("lw"), asc("doc_id"))
+      .limit(100) // TakeOrderedAndProject — the 100 TB top-k
+    top.withColumn("rank", // rank over the already-bounded 100 rows
+        row_number().over(Window.orderBy(desc("lw"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), round(col("lw") / 1e6, 4).as("log_w"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d40_dsir_select"   -> (d40DsirSelect _),
     "d39_exact_substr"  -> (d39ExactSubstr _),
     "d38_epoch_shuffle" -> (d38EpochShuffle _),
     "d37_encoding_quality" -> (d37EncodingQuality _),
@@ -1302,6 +1353,42 @@ object TextQueries extends QueryPack {
       |  FROM hashes)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d40: same two-nibble md5 buckets, same add-one hashed-unigram
+    // models, same micro-quantized ln ratio (DuckDB ln = Spark log),
+    // same (lw, doc_id) top-100.
+    "d40_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, tok,
+        |    CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS INT)
+        |      AS bkt
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> ''),
+        |tots AS (
+        |  SELECT count(*) AS src_tot,
+        |    count(*) FILTER (lang = 'en') AS tgt_tot FROM toks),
+        |lam AS (
+        |  SELECT bkt, CAST(round(1000000 * ln(
+        |    ((ct + 1)::DOUBLE / (tgt_tot + 256)::DOUBLE) /
+        |    ((cs + 1)::DOUBLE / (src_tot + 256)::DOUBLE))) AS BIGINT)
+        |    AS lam_micro
+        |  FROM (SELECT bkt, count(*) AS cs,
+        |          count(*) FILTER (lang = 'en') AS ct
+        |        FROM toks GROUP BY bkt), tots),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(lam_micro) AS lw
+        |  FROM toks JOIN lam USING (bkt) GROUP BY doc_id),
+        |top AS (
+        |  SELECT p.doc_id, d.lang, d.source, p.n_tokens, p.lw,
+        |    CAST(row_number() OVER (ORDER BY p.lw DESC, p.doc_id) AS INT)
+        |      AS rank
+        |  FROM perdoc p JOIN documents d USING (doc_id))
+        |SELECT rank, doc_id, lang, source, n_tokens,
+        |  round(lw / 1000000.0, 4) AS log_w
+        |FROM top WHERE rank <= 100 ORDER BY rank""".stripMargin,
     // d39: same sliding k=8 hash windows, same (doc_id,pos) first-sight
     // rank, same gap<=k interval-union span merge — covered word count
     // is closed-form (last - first + k), engine-exact.
