@@ -770,7 +770,81 @@ object StreamQueries extends QueryPack {
       .orderBy("rule", "target")
   }
 
+  /** s18 — incremental connected components under streaming delivery
+    * ([[graft.streaming.StreamingCC]]): the events table arrives in
+    * THREE forced micro-batches (event_id mod 3 slices,
+    * maxFilesPerTrigger=1 — components genuinely form across batch
+    * boundaries), each batch folds its bipartite co-click incidence
+    * into a star-compressed component store (CC over star(prior) ∪
+    * batch — O(vertices + batch) input per step, never the history),
+    * and the FINAL STORE is projected exactly like g49 and checked
+    * against the same batch recursive-CTE oracle. Star forests
+    * preserve connectivity and the component minimum, so
+    * "incremental ≡ batch" is an algebraic identity here, enforced by
+    * hash — the strongest form of the §2.10 contract this suite
+    * states. */
+  def s18StreamComponents(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = Files.createTempDirectory("graft-s18-in")
+    val ckpt = Files.createTempDirectory("graft-s18-ckpt")
+    val scratch = Files.createTempDirectory("graft-s18-scratch")
+    val stateRoot = Files.createTempDirectory("graft-s18-state")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      (0 until 3).foreach { k =>
+        val outDir = scratch.resolve(s"slice$k")
+        ev.filter(col("event_id") % 3 === k).coalesce(1)
+          .write.mode("overwrite").parquet(outDir.toString)
+        val part = {
+          val l = Files.list(outDir)
+          try l.filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst.get
+          finally l.close()
+        }
+        Files.move(part, streamDir.resolve(f"00$k%d_slice.parquet"))
+        Files.setLastModifiedTime(streamDir.resolve(f"00$k%d_slice.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 60000L + k * 10000L))
+      }
+      val raw = graft.core.Tables.withEventTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString))
+      val q = raw.writeStream
+        .foreachBatch(graft.streaming.StreamingCC.mergeBatch(stateRoot.toString) _)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("s18: stream did not finish within 300s")
+      } finally q.stop()
+      val assigned = s.read
+        .parquet(graft.streaming.StreamingCC.latest(stateRoot.toString))
+      val users = assigned.filter(col("vid") % 2 === 0)
+        .select(expr("vid div 2").as("user_id"), col("component"))
+      val full = users.join(
+          users.groupBy("component").agg(min(col("user_id")).as("comp_user")),
+          "component")
+        .select(col("user_id"), col("comp_user").as("component"))
+      full.join(full.groupBy(col("component"))
+          .agg(count(lit(1)).as("comp_size")), "component")
+        .select("user_id", "component", "comp_size")
+        .localCheckpoint(true)
+        .orderBy("user_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.core.TempDirs.deleteQuietly(streamDir, "s18")
+      graft.core.TempDirs.deleteQuietly(ckpt, "s18")
+      graft.core.TempDirs.deleteQuietly(scratch, "s18")
+      graft.core.TempDirs.deleteQuietly(stateRoot, "s18")
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s18_stream_components" -> (s18StreamComponents _),
     "s17_stream_expectations" -> (s17StreamExpectations _),
     "s16_stream_countmin" -> (s16StreamCountmin _),
     "s15_stream_lsh_dedup" -> (s15StreamLshDedup _),
@@ -790,6 +864,27 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // s18: the BATCH component answer (g48/g49's recursive-CTE
+    // closure) — the incremental star-compressed fold must land on it
+    // exactly, from any batch slicing.
+    "s18_stream_components" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT DISTINCT a.user_id AS u1, b2.user_id AS u2
+        |  FROM c a JOIN c b2 USING (b) WHERE a.user_id < b2.user_id),
+        |adj AS (SELECT u1, u2 FROM p UNION ALL SELECT u2, u1 FROM p),
+        |verts AS (SELECT DISTINCT user_id AS v FROM c),
+        |reach AS (
+        |  SELECT v, v AS r FROM verts
+        |  UNION
+        |  SELECT a.u2 AS v, reach.r FROM reach JOIN adj a ON a.u1 = reach.v),
+        |comp AS (SELECT v AS user_id, min(r) AS component FROM reach GROUP BY v),
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+        |  FROM comp GROUP BY component)
+        |SELECT user_id, component, comp_size FROM comp JOIN sz USING (component)
+        |ORDER BY user_id""".stripMargin,
     // s17: the same rule battery recomputed one-pass over the full
     // events table — incremental violation counting equals batch.
     "s17_stream_expectations" ->
