@@ -277,7 +277,35 @@ object MultimodalQueries extends QueryPack {
       .orderBy("id", "seg_idx")
   }
 
+  /** m15 — pHash near-dup CLUSTERS: m08's banded pair list promoted to
+    * canonical dedup verdicts via the DataFrame-native star-contraction
+    * CC ([[graft.graph.ComponentsDF]]) — the multimodal twin of
+    * d15/e09's closure step, but on the engine that stays inside
+    * Catalyst (no GraphX conversion; see g48/g49). A pair list alone
+    * under-deduplicates: A~B and B~C with A≁C must still collapse to
+    * one keeper, which only the transitive closure delivers. Output is
+    * the verdict table a media-curation pipeline joins against:
+    * (id, keeper_id = cluster min, is_dup, cluster_size).
+    *
+    * Scale: the closure runs on the near-dup pair graph (sparse —
+    * banded candidates only), and the hot-key story is ComponentsDF's:
+    * each star round is a window + distinct under AQE. */
+  def m15PhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.graph.ComponentsDF.run(
+      m08PhashNeardup(s, dir)
+        .select(col("id1").as("src"), col("id2").as("dst")))
+      .select(col("vid").as("id"), col("component").as("keeper_id"))
+    assigned
+      .join(assigned.groupBy("keeper_id").agg(count(lit(1)).as("cluster_size")),
+        "keeper_id")
+      .select(col("id"), col("keeper_id"),
+        (col("id") =!= col("keeper_id")).cast("int").as("is_dup"),
+        col("cluster_size"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "m15_phash_clusters"  -> (m15PhashClusters _),
     "m14_audio_segments"  -> (m14AudioSegments _),
     "m13_png_metadata"    -> (m13PngMetadata _),
     "m12_wav_decode"      -> (m12WavDecode _),
@@ -297,6 +325,49 @@ object MultimodalQueries extends QueryPack {
     "CASE WHEN doc_id % 3 = 0 THEN 'txt' WHEN doc_id % 3 = 1 THEN 'img' ELSE 'aud' END"
 
   val oracles: Map[String, String] = Map(
+    // m15: m08's pair CTE + the g48-style recursive min-origin closure.
+    "m15_phash_clusters" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id AS id, length(text) - 3 AS n,
+        |    list_transform(range(1, length(text) - 2),
+        |      i -> (ascii(substr(text, CAST(i AS INT), 1)) * 131
+        |          + ascii(substr(text, CAST(i AS INT) + 1, 1)) * 137
+        |          + ascii(substr(text, CAST(i AS INT) + 2, 1)) * 139
+        |          + ascii(substr(text, CAST(i AS INT) + 3, 1)) * 149) % 64)
+        |      AS bins
+        |  FROM documents WHERE length(text) >= 4),
+        |h AS (
+        |  SELECT id,
+        |    CAST(list_sum(list_transform(range(0, 32),
+        |      k -> CASE WHEN len(list_filter(bins, x -> x = k)) > n // 64
+        |           THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(32, 64),
+        |      k -> CASE WHEN len(list_filter(bins, x -> x = k)) > n // 64
+        |           THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INT)
+        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+        |  FROM b),
+        |pairs AS (
+        |  SELECT a.id AS id1, b2.id AS id2
+        |  FROM h a JOIN h b2 ON a.id < b2.id
+        |  WHERE ((a.lo & 65535) = (b2.lo & 65535)
+        |      OR (a.lo >> 16) = (b2.lo >> 16)
+        |      OR (a.hi & 65535) = (b2.hi & 65535)
+        |      OR (a.hi >> 16) = (b2.hi >> 16))
+        |    AND bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) <= 6),
+        |adj AS (SELECT id1 AS u, id2 AS v FROM pairs
+        |        UNION ALL SELECT id2, id1 FROM pairs),
+        |verts AS (SELECT DISTINCT u AS v0 FROM adj),
+        |reach AS (
+        |  SELECT v0 AS v, v0 AS r FROM verts
+        |  UNION
+        |  SELECT a.v, reach.r FROM reach JOIN adj a ON a.u = reach.v),
+        |comp AS (SELECT v AS id, min(r) AS keeper_id FROM reach GROUP BY v),
+        |sz AS (SELECT keeper_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM comp GROUP BY keeper_id)
+        |SELECT id, keeper_id, CAST(id <> keeper_id AS INT) AS is_dup,
+        |  cluster_size
+        |FROM comp JOIN sz USING (keeper_id) ORDER BY id""".stripMargin,
     // m14: samples from the closed-form law → 64-sample frame energies
     // → the same threshold and islands arithmetic.
     "m14_audio_segments" ->

@@ -627,7 +627,41 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** e16 — recall@5 of the IVF-PQ index (e15: residual PQ, nprobe=2)
+    * against exact ground truth, completing the e05→e06 build/measure
+    * pairing for the production index: truth is the brute-force top-5
+    * by EXACT squared L2 (the metric ADC approximates — residuals are
+    * taken against the same probed cell, so ‖q−c‖ is preserved),
+    * approx is e15's output, recall the per-query hit fraction. This
+    * is the number a pipeline tunes nprobe/codebook size against;
+    * queries whose true neighbors hide outside both probed cells (or
+    * get blurred by the 8-code quantization) score low rather than
+    * vanishing. */
+  def e16IvfpqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("cand_id"))
+    val truth = c.join(broadcast(q))
+      .select(col("query_id"), col("cand_id"),
+        round(l2sq(col("qv"), col("cv")), 6).as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("query_id", "cand_id")
+    val approx = e15IvfPq(s, dir).select("query_id", "cand_id")
+    val hits = truth.join(approx, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select("query_id").join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e16_ivfpq_recall"    -> (e16IvfpqRecall _),
     "e15_ivfpq"           -> (e15IvfPq _),
     "e14_label_purity"    -> (e14LabelPurity _),
     "e13_mmr_rerank"      -> (e13MmrRerank _),
@@ -658,6 +692,75 @@ object SimilarityQueries extends QueryPack {
        |  j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // e16: the full e15 pipeline inlined (the e06 pattern) + exact-L2
+    // brute truth; recall is a tiny-set semi-join count.
+    "e16_ivfpq_recall" ->
+      s"""WITH cent AS (
+        |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS m
+        |    FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.c_label, c.cv,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(${sqlCos("e.embedding", "c.cv")}, 6) DESC,
+        |        c.c_label) AS rn
+        |  FROM embeddings e CROSS JOIN cent c),
+        |coded AS (
+        |  SELECT vec_id AS cand_id, cell, blk, rb,
+        |    (CASE WHEN rb[1] >= 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN rb[2] >= 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN rb[3] >= 0 THEN 1 ELSE 0 END) AS code FROM (
+        |    SELECT vec_id, c_label AS cell, s AS blk,
+        |      list_transform(range(s*8+1, s*8+9),
+        |        i -> embedding[i]::DOUBLE - cv[i]) AS rb
+        |    FROM assigned, range(0, 8) t(s)
+        |    WHERE rn = 1 AND vec_id >= 10)),
+        |cbk AS (
+        |  SELECT blk, code, list(m ORDER BY pos) AS cb FROM (
+        |    SELECT blk, code, pos,
+        |      round(sum(CAST(round(rb[pos] * 1000000) AS BIGINT))
+        |        / count(*)::DOUBLE) / 1000000.0 AS m
+        |    FROM coded, range(1, 9) t(pos)
+        |    GROUP BY blk, code, pos) GROUP BY blk, code),
+        |lut AS (
+        |  SELECT q.query_id, q.cell, q.blk, c.code,
+        |    CAST(round(${sqlL2sq("q.qb", "c.cb")} * 1000000) AS BIGINT) AS d2u
+        |  FROM (
+        |    SELECT vec_id AS query_id, c_label AS cell, s AS blk,
+        |      list_transform(range(s*8+1, s*8+9),
+        |        i -> embedding[i]::DOUBLE - cv[i]) AS qb
+        |    FROM assigned, range(0, 8) t(s)
+        |    WHERE vec_id < 10 AND rn <= 2) q
+        |  JOIN cbk c ON c.blk = q.blk),
+        |adc AS (
+        |  SELECT l.query_id, d.cand_id, sum(l.d2u) AS adcu
+        |  FROM (SELECT DISTINCT cand_id, cell, blk, code FROM coded) d
+        |  JOIN lut l ON d.cell = l.cell AND d.blk = l.blk AND d.code = l.code
+        |  GROUP BY 1, 2),
+        |approx AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adcu, cand_id) AS rank FROM adc) WHERE rank <= 5),
+        |btruth AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_sum(list_transform(range(1, 65),
+        |          i -> (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |             * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), 6),
+        |          c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c
+        |      ON q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT t.query_id, count(*) AS n_hits
+        |  FROM btruth t JOIN approx a
+        |    ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+        |  GROUP BY t.query_id)
+        |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(coalesce(h.n_hits, 0) / 5.0, 4) AS recall_at_5
+        |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+        |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin,
     // e15: same coarse assign (rounded-cosine argmax), same residuals,
     // same sign-group codes, same integer-micro codebook means, same
     // micro-unit ADC — every stage engine-exact by construction.
