@@ -1257,7 +1257,57 @@ object TextQueries extends QueryPack {
       .orderBy("rank")
   }
 
+  /** d41 — ExactSubstr REMOVAL, closing d39's detect→rewrite loop the
+    * way Lee et al. actually clean: every word covered by a duplicated
+    * k=8 window (second-and-later sights only — the first sight stays
+    * whole) is dropped, and the doc is re-assembled from the surviving
+    * words. Output per doc: original and kept word counts plus the md5
+    * of the CLEANED text — the rewrite is gated byte-exactly, not just
+    * counted. Docs shorter than k words pass through verbatim.
+    *
+    * Scale: the only addition over d39 is expanding dup windows to
+    * their ≤k covered indices — bounded by k × duplicated-window
+    * volume, which the d39 span statistics already showed is a small
+    * fraction of the corpus — then one anti-filter on (doc, idx) and a
+    * per-doc ordered re-assembly (the same sort_array(collect_list)
+    * shape as the chunking family). */
+  def d41ExactSubstrClean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val base = docs(s, dir)
+      .repartition(parallelism(s))
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_words"), col("w"))
+      .localCheckpoint(true)
+    val covered = base.filter(col("n_words") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - k),
+          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k))))))
+          .as(Seq("pos", "h")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("idx", "word")))
+      .join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("word")))),
+          t => t.getField("word"))).as("cleaned"))
+    base.select("doc_id", "n_words")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d41_exactsubstr_clean" -> (d41ExactSubstrClean _),
     "d40_dsir_select"   -> (d40DsirSelect _),
     "d39_exact_substr"  -> (d39ExactSubstr _),
     "d38_epoch_shuffle" -> (d38EpochShuffle _),
@@ -1389,6 +1439,38 @@ object TextQueries extends QueryPack {
         |SELECT rank, doc_id, lang, source, n_tokens,
         |  round(lw / 1000000.0, 4) AS log_w
         |FROM top WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // d41: d39's windows/rank + k-expansion of dup positions, anti-
+    // filter, ordered string_agg re-assembly — the cleaned text is
+    // hash-compared byte-exactly.
+    "d41_exactsubstr_clean" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words, w FROM words),
+        |sh AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    md5(array_to_string(w[i+1 : i+8], ' ')) AS h
+        |  FROM base, unnest(range(0, n_words - 7)) AS t(i)
+        |  WHERE n_words >= 8),
+        |dups AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM sh) WHERE rn > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, CAST(pos + j AS INT) AS idx
+        |  FROM dups, range(0, 8) t(j)),
+        |tok AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS idx, w[CAST(i AS INT)] AS word
+        |  FROM base, unnest(range(1, n_words + 1)) AS t(i)),
+        |kept AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(t.word, ' ' ORDER BY t.idx) AS cleaned
+        |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+        |  WHERE c.idx IS NULL GROUP BY t.doc_id)
+        |SELECT b.doc_id, b.n_words, coalesce(k.n_kept, 0) AS n_kept,
+        |  md5(coalesce(k.cleaned, '')) AS cleaned_hash
+        |FROM base b LEFT JOIN kept k USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     // d39: same sliding k=8 hash windows, same (doc_id,pos) first-sight
     // rank, same gap<=k interval-union span merge — covered word count
     // is closed-form (last - first + k), engine-exact.

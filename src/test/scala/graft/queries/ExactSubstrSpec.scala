@@ -50,6 +50,22 @@ class ExactSubstrSpec extends SparkSpec {
       s"adjacent runs: expected one fused span covering exactly both: ${mAdj(2L)}")
   }
 
+  test("detect and remove agree: d39 coverage equals d41 removal on the corpus") {
+    // both compute the same interval union — one as closed-form span
+    // arithmetic, one as index expansion + anti-filter; per doc,
+    // n_words - n_kept (d41) must equal dup_words (d39) exactly
+    val dir = "/root/testdata/sf0.001"
+    val spans = TextQueries.d39ExactSubstr(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val cleaned = TextQueries.d41ExactSubstrClean(spark, dir).collect()
+    assert(cleaned.nonEmpty)
+    cleaned.foreach { r =>
+      val removed = r.getInt(1) - r.getLong(2)
+      assert(removed == spans(r.getLong(0)),
+        s"doc ${r.getLong(0)}: d41 removed $removed but d39 covered ${spans(r.getLong(0))}")
+    }
+  }
+
   test("runs shorter than k are invisible; self-repetition counts from the second sight") {
     val short = run(Seq(1L -> ws("s", 7), 2L -> (ws("z", 10) + " " + ws("s", 7))))
     assert(short(2L)._2 == 0L, s"7 < k words copied must not flag: ${short(2L)}")
