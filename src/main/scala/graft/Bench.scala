@@ -78,7 +78,10 @@ object Bench {
       // round-6 third wave
       "d35_leaksafe_split", "d36_bpe_apply", "e14_label_purity",
       "g47_temporal_reach", "m14_audio_segments", "q87_expectations",
-      "q88_auto_source", "q89_entity_extract", "s17_stream_expectations")
+      "q88_auto_source", "q89_entity_extract", "s17_stream_expectations",
+      // round-6 fourth wave
+      "d39_exact_substr", "d40_dsir_select", "e15_ivfpq",
+      "g49_cc_bipartite", "m15_phash_clusters", "s18_stream_components")
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = jsonMap(results.toSeq.sortBy(_._1))
