@@ -843,7 +843,80 @@ object StreamQueries extends QueryPack {
     }
   }
 
+  /** s19 — streaming ExactSubstr dedup (d39's incremental twin, counts
+    * form): documents arrive in doc_id-ordered slices (three files,
+    * maxFilesPerTrigger=1), and each micro-batch scores its docs'
+    * sliding k=8-word windows against the accumulated first-sight hash
+    * store — a window is duplicated if its hash was first seen in an
+    * EARLIER batch or earlier in this batch's own (doc_id, pos) order.
+    * Because arrival order equals (doc_id, pos) order (slices are
+    * contiguous doc ranges, docs never span a slice), the incremental
+    * verdicts are IDENTICAL to d39's batch first-sight law, and the
+    * gate checks that with the batch oracle. State is the first-sight
+    * hash set — the cardinality any exact global dedup must hold
+    * somewhere (s03's argument) — appended per batch in versioned
+    * parquet, replay-idempotent like s18's store.
+    *
+    * Per doc: window count and duplicated-window count (the span merge
+    * is d39's batch post-pass; counts are the streaming-side verdict a
+    * cleaner acts on at ingest). */
+  def s19StreamExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val docsPq = s"$dir/documents.parquet"
+    val schema = s.read.parquet(docsPq).schema
+    val streamDir = Files.createTempDirectory("graft-s19-in")
+    val ckpt = Files.createTempDirectory("graft-s19-ckpt")
+    val scratch = Files.createTempDirectory("graft-s19-scratch")
+    val stateRoot = Files.createTempDirectory("graft-s19-state")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      val d = s.read.parquet(docsPq)
+      val maxId = d.agg(max("doc_id")).head.getLong(0)
+      val cut = maxId / 3 + 1
+      (0 until 3).foreach { k =>
+        val outDir = scratch.resolve(s"slice$k")
+        d.filter(col("doc_id") >= k * cut && col("doc_id") < (k + 1) * cut)
+          .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+        val part = {
+          val l = Files.list(outDir)
+          try l.filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst.get
+          finally l.close()
+        }
+        Files.move(part, streamDir.resolve(f"00$k%d_slice.parquet"))
+        Files.setLastModifiedTime(streamDir.resolve(f"00$k%d_slice.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 60000L + k * 10000L))
+      }
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch(
+          graft.streaming.StreamingExactDedup.scoreBatch(stateRoot.toString) _)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("s19: stream did not finish within 300s")
+      } finally q.stop()
+      s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$stateRoot/verdicts")
+        .select("doc_id", "n_windows", "n_dup")
+        .localCheckpoint(true)
+        .orderBy("doc_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.core.TempDirs.deleteQuietly(streamDir, "s19")
+      graft.core.TempDirs.deleteQuietly(ckpt, "s19")
+      graft.core.TempDirs.deleteQuietly(scratch, "s19")
+      graft.core.TempDirs.deleteQuietly(stateRoot, "s19")
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s19_stream_exact_dedup" -> (s19StreamExactDedup _),
     "s18_stream_components" -> (s18StreamComponents _),
     "s17_stream_expectations" -> (s17StreamExpectations _),
     "s16_stream_countmin" -> (s16StreamCountmin _),
@@ -864,6 +937,31 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // s19: d39's batch first-sight law in counts form — the
+    // incremental state fold must reproduce the global row_number
+    // verdicts exactly (doc-ordered arrival makes them identical).
+    "s19_stream_exact_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words, w FROM words),
+        |sh AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    md5(array_to_string(w[i+1 : i+8], ' ')) AS h
+        |  FROM base, unnest(range(0, n_words - 7)) AS t(i)
+        |  WHERE n_words >= 8),
+        |r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM sh),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM r GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(p.n_windows, 0) AS n_windows,
+        |  coalesce(p.n_dup, 0) AS n_dup
+        |FROM base b LEFT JOIN per p USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // s18: the BATCH component answer (g48/g49's recursive-CTE
     // closure) — the incremental star-compressed fold must land on it
     // exactly, from any batch slicing.
