@@ -1930,6 +1930,59 @@ object RelationalQueries extends QueryPack {
       .orderBy("type_a", "type_b")
   }
 
+  /** a06 — bottom-k (KMV) sketch: the third mergeable-sketch family
+    * next to HLL (a01/a02) and Count-Min (a04), and the only one whose
+    * state doubles as a UNIFORM SAMPLE of the distinct keys: keep the
+    * k=16 smallest 60-bit hashes of the distinct users per event type.
+    * Built the hard way to prove the merge law the way a04 does —
+    * per-DAY bottom-k partials, unioned and re-truncated — because
+    * any user in the global bottom-k is necessarily in its own day's
+    * bottom-k (k smaller hashes globally would include k smaller in
+    * that day), so merge-of-partials ≡ one-pass, and the gate checks
+    * that by hash equality against the one-pass oracle. The kth hash
+    * also yields the KMV distinct-count estimate (k−1)·2⁶⁰/h₍ₖ₎ —
+    * computed from the same exact integers both engines hold, so even
+    * the ESTIMATE is engine-exact (no tolerance band needed, unlike
+    * HLL whose sketch internals are engine-private).
+    *
+    * Scale: the real form is a bounded-buffer Aggregator (k values per
+    * group per partition, merged by union+truncate — what the per-day
+    * window models declaratively); state is k × 8 bytes per group
+    * versus the full distinct set, and the sample answers "show me
+    * example members" for free, which HLL never can. Hash = 15 md5 hex
+    * chars → 60-bit integer, portable to the oracle verbatim. */
+  def a06BottomkSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 16
+    val pow60 = 1152921504606846976L // 2^60
+    val ud = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+    val partial = ud.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type", "d").orderBy("h", "user_id")))
+      .filter(col("rn") <= k)
+    val merged = partial.select("event_type", "user_id", "h").distinct()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("event_type").orderBy("h", "user_id")))
+      .filter(col("rnk") <= k)
+    val exact = ud.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val kth = merged.groupBy("event_type")
+      .agg(max(when(col("rnk") === k, col("h"))).as("h_k"),
+        count(lit(1)).as("n_in_sketch"))
+    merged
+      .join(broadcast(exact), "event_type")
+      .join(broadcast(kth), "event_type")
+      .select(col("event_type"), col("rnk"), col("user_id"), col("n_exact"),
+        when(col("n_in_sketch") < k, col("n_exact"))
+          .otherwise(round(lit((k - 1).toDouble) * pow60 /
+            col("h_k").cast("double")).cast("long")).as("est"))
+      .orderBy("event_type", "rnk")
+  }
+
   /** q87 — declarative data-quality expectations
     * ([[graft.functions.Expectations]], the Deequ/dbt-tests shape):
     * six rules over orders — not-null + unique key, two
@@ -2059,6 +2112,7 @@ object RelationalQueries extends QueryPack {
     "q87_expectations"    -> (q87Expectations _),
     "a04_countmin"        -> (a04CountMin _),
     "a05_set_overlap"     -> (a05SetOverlap _),
+    "a06_bottomk_sample"  -> (a06BottomkSample _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
     "q74_incremental_agg" -> (q74IncrementalAgg _),
@@ -2255,6 +2309,34 @@ object RelationalQueries extends QueryPack {
         |      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT))
         |SELECT rule, target, n_bad, n_bad = 0 AS ok FROM r
         |ORDER BY rule, target""".stripMargin,
+    // a06: one-pass global bottom-k — merge-of-day-partials on the
+    // Spark side must land on it exactly (KMV merge law); est from the
+    // same integer h_k, so even the estimate hash-matches.
+    "a06_bottomk_sample" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (
+        |  SELECT event_type, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM u),
+        |r AS (
+        |  SELECT event_type, user_id, h,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY h, user_id) AS INT) AS rnk
+        |  FROM h),
+        |m AS (SELECT * FROM r WHERE rnk <= 16),
+        |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM u GROUP BY event_type),
+        |kk AS (SELECT event_type,
+        |    max(CASE WHEN rnk = 16 THEN h END) AS h_k,
+        |    count(*) AS n_in_sketch
+        |  FROM m GROUP BY event_type)
+        |SELECT m.event_type, m.rnk, m.user_id, ex.n_exact,
+        |  CASE WHEN kk.n_in_sketch < 16 THEN ex.n_exact
+        |    ELSE CAST(round(15.0 * 1152921504606846976 / kk.h_k) AS BIGINT)
+        |  END AS est
+        |FROM m JOIN ex USING (event_type) JOIN kk USING (event_type)
+        |ORDER BY m.event_type, m.rnk""".stripMargin,
     // a05: exact legs replayed on the (user_id, day) grain; the HLL
     // band check is Spark-side-only (a01's TRUE-column law).
     "a05_set_overlap" ->
