@@ -1306,7 +1306,38 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** d42 — dataset release manifest: the artifact a training-data
+    * release publishes next to its shards so any consumer can verify
+    * what they downloaded without trusting the publisher's pipeline:
+    * per epoch-0 shard (d38's assignment law), the doc count, exact
+    * character volume, and an ORDER-FREE content fingerprint — the
+    * xor of each member's 60-bit md5-derived text hash. Xor is the
+    * right fold for a manifest: associative/commutative (any partition
+    * order, any merge tree yields the same fingerprint — the d22/a04
+    * merge-law family), and any single changed/missing/duplicated doc
+    * flips it. A re-run of the pipeline must reproduce the manifest
+    * byte-for-byte, which is exactly what the gate enforces.
+    *
+    * Scale: one scan + one 4-group aggregate; the fingerprint
+    * accumulates in fixed space, so a 100 TB release manifests in one
+    * pass with map-side partials. */
+  def d42ReleaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val h0 = md5(concat_ws(":", col("doc_id"), lit(0)))
+    docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("shard",
+        ((instr(lit("0123456789abcdef"), substring(h0, 1, 1)) - 1) % 4)
+          .cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        bit_xor(conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long")).as("content_fp"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d42_release_manifest" -> (d42ReleaseManifest _),
     "d41_exactsubstr_clean" -> (d41ExactSubstrClean _),
     "d40_dsir_select"   -> (d40DsirSelect _),
     "d39_exact_substr"  -> (d39ExactSubstr _),
@@ -1439,6 +1470,22 @@ object TextQueries extends QueryPack {
         |SELECT rank, doc_id, lang, source, n_tokens,
         |  round(lw / 1000000.0, 4) AS log_w
         |FROM top WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // d42: same shard law (d38's first-nibble assignment at epoch 0),
+    // same 60-bit text hash, same xor fold — order-free, so both
+    // engines land on identical fingerprints from any plan.
+    "d42_release_manifest" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST((strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 1)) - 1) % 4
+        |      AS INT) AS shard,
+        |    length(text) AS n_chars,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  bit_xor(h) AS content_fp
+        |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
     // d41: d39's windows/rank + k-expansion of dup positions, anti-
     // filter, ordered string_agg re-assembly — the cleaned text is
     // hash-compared byte-exactly.
