@@ -660,7 +660,56 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id")
   }
 
+  /** e17 — the MIPS→cosine reduction made executable (the claim e10's
+    * scaladoc only states): append sqrt(M²−‖x‖²) to every candidate
+    * (M = max candidate norm) and 0 to every query, and cosine order
+    * over the 65-dim augmented vectors IS inner-product order —
+    * cos(q′,x′) = q·x / (‖q‖·M), a per-query positive scaling. That
+    * identity is what lets every cosine-ANN structure in this family
+    * (e03 sign-LSH, e05 IVF, e15 IVF-PQ) serve MIPS with no new index.
+    * Gated as the identity itself: the augmented-cosine top-5 carries
+    * e10's exact-IP rank alongside, and `agree` must be true row for
+    * row (ties under 6-decimal rounding would surface honestly as
+    * false in BOTH engines — the flag is engine-exact either way).
+    *
+    * Scale: the augmentation is one scalar per vector computed in the
+    * scan; M is a 1-row broadcast; everything downstream is the e01
+    * broadcast-top-k shape. */
+  def e17MipsReduction(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    def selfDot(c: String) =
+      expr(s"aggregate(zip_with($c, $c, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val c = e.filter(col("vec_id") >= 3)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        selfDot("v").as("n2"))
+    val m2 = c.agg(max(col("n2")).as("m2"))
+    val ca = c.crossJoin(broadcast(m2))
+      .select(col("cand_id"),
+        concat(col("cv"), array(sqrt(col("m2") - col("n2")))).as("ca"),
+        col("cv"))
+    val ip = expr(
+      "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val scored = ca.join(broadcast(
+        e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(concat(col("qv"), array(lit(0.0))), col("ca")), 6)
+          .as("cos_aug"),
+        round(ip, 6).as("ip"))
+    val wAug = Window.partitionBy("query_id").orderBy(desc("cos_aug"), asc("cand_id"))
+    val wIp = Window.partitionBy("query_id").orderBy(desc("ip"), asc("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(wAug))
+      .withColumn("rank_ip", row_number().over(wIp))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("ip"),
+        col("cos_aug"), (col("rank") === col("rank_ip")).as("agree"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e17_mips_reduction"  -> (e17MipsReduction _),
     "e16_ivfpq_recall"    -> (e16IvfpqRecall _),
     "e15_ivfpq"           -> (e15IvfPq _),
     "e14_label_purity"    -> (e14LabelPurity _),
@@ -692,6 +741,47 @@ object SimilarityQueries extends QueryPack {
        |  j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // e17: same norms, same max-norm augmentation, same 65-dim cosine
+    // fold, same dual ranks — the agree flag is engine-exact because
+    // both ranks derive from identically rounded scores.
+    "e17_mips_reduction" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cand_id, embedding,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+        |  FROM embeddings WHERE vec_id >= 3),
+        |m AS (SELECT max(n2) AS m2 FROM c),
+        |ca AS (
+        |  SELECT cand_id, embedding,
+        |    list_append(list_transform(range(1, 65),
+        |      i -> embedding[i]::DOUBLE), sqrt(m2 - n2)) AS cav
+        |  FROM c, m),
+        |qa AS (
+        |  SELECT vec_id AS query_id, embedding AS qe,
+        |    list_append(list_transform(range(1, 65),
+        |      i -> embedding[i]::DOUBLE), 0.0) AS qav
+        |  FROM embeddings WHERE vec_id < 3),
+        |sc AS (
+        |  SELECT q.query_id, ca.cand_id,
+        |    round(list_sum(list_transform(range(1, 66),
+        |        i -> q.qav[i] * ca.cav[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 66),
+        |           i -> q.qav[i] * q.qav[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 66),
+        |           i -> ca.cav[i] * ca.cav[i])))), 6) AS cos_aug,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.qe[i]::DOUBLE * ca.embedding[i]::DOUBLE)), 6) AS ip
+        |  FROM qa q CROSS JOIN ca),
+        |r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_aug DESC, cand_id) AS INT) AS rank,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ip DESC, cand_id) AS rank_ip
+        |  FROM sc)
+        |SELECT query_id, rank, cand_id, ip, cos_aug,
+        |  rank = rank_ip AS agree
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // e16: the full e15 pipeline inlined (the e06 pattern) + exact-L2
     // brute truth; recall is a tiny-set semi-join count.
     "e16_ivfpq_recall" ->
