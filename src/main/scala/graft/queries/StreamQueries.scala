@@ -915,7 +915,70 @@ object StreamQueries extends QueryPack {
     }
   }
 
+  /** s20 — streaming release manifest (d42's incremental twin): docs
+    * arrive in three slices and each micro-batch folds its per-shard
+    * (count, char volume, xor fingerprint) partials into the running
+    * manifest — counts ADD, fingerprints XOR, both associative and
+    * commutative, so the final state equals the batch manifest from
+    * ANY slicing or arrival order (no doc-order requirement, unlike
+    * s19 — this is the strongest merge-law family). Gated against
+    * d42's one-pass oracle; the operational story is a release
+    * pipeline whose manifest is always current as shards ingest,
+    * with O(shards) state. */
+  def s20StreamManifest(s: SparkSession, dir: String): DataFrame = {
+    val docsPq = s"$dir/documents.parquet"
+    val schema = s.read.parquet(docsPq).schema
+    val streamDir = Files.createTempDirectory("graft-s20-in")
+    val ckpt = Files.createTempDirectory("graft-s20-ckpt")
+    val scratch = Files.createTempDirectory("graft-s20-scratch")
+    val stateRoot = Files.createTempDirectory("graft-s20-state")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      val d = s.read.parquet(docsPq)
+      (0 until 3).foreach { k =>
+        val outDir = scratch.resolve(s"slice$k")
+        d.filter(col("doc_id") % 3 === k) // interleaved on purpose: order-free
+          .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+        val part = {
+          val l = Files.list(outDir)
+          try l.filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst.get
+          finally l.close()
+        }
+        Files.move(part, streamDir.resolve(f"00$k%d_slice.parquet"))
+        Files.setLastModifiedTime(streamDir.resolve(f"00$k%d_slice.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 60000L + k * 10000L))
+      }
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch(
+          graft.streaming.StreamingManifest.foldBatch(stateRoot.toString) _)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("s20: stream did not finish within 300s")
+      } finally q.stop()
+      s.read.parquet(graft.streaming.StreamingManifest.latest(stateRoot.toString))
+        .select("shard", "n_docs", "n_chars", "content_fp")
+        .localCheckpoint(true)
+        .orderBy("shard")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.core.TempDirs.deleteQuietly(streamDir, "s20")
+      graft.core.TempDirs.deleteQuietly(ckpt, "s20")
+      graft.core.TempDirs.deleteQuietly(scratch, "s20")
+      graft.core.TempDirs.deleteQuietly(stateRoot, "s20")
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s20_stream_manifest" -> (s20StreamManifest _),
     "s19_stream_exact_dedup" -> (s19StreamExactDedup _),
     "s18_stream_components" -> (s18StreamComponents _),
     "s17_stream_expectations" -> (s17StreamExpectations _),
@@ -937,6 +1000,21 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // s20: d42's one-pass manifest — add/xor folds are order-free, so
+    // the incremental state must land on it from any slicing.
+    "s20_stream_manifest" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST((strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 1)) - 1) % 4
+        |      AS INT) AS shard,
+        |    length(text) AS n_chars,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  bit_xor(h) AS content_fp
+        |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
     // s19: d39's batch first-sight law in counts form — the
     // incremental state fold must reproduce the global row_number
     // verdicts exactly (doc-ordered arrival makes them identical).
