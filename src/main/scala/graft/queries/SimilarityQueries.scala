@@ -708,7 +708,43 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** e18 — FILTERED vector search (the RAG staple: "nearest chunks
+    * WHERE label matches"), both strategies side by side per query:
+    * PRE-filter applies the predicate before scoring (correct top-k
+    * among eligible candidates, the plan Catalyst produces when the
+    * predicate pushes into the candidate scan) and POST-filter takes
+    * the UNFILTERED top-5 and discards non-matching rows (what a
+    * vector index without predicate support forces — it returns
+    * short). Output: the pre-filter top-5 plus each query's
+    * post-filter survivor count — the shortfall is the measured
+    * argument for why predicate pushdown must reach the index, which
+    * at 100 TB is the difference between scanning one label partition
+    * and over-fetching k·selectivity⁻¹ candidates. */
+  def e18FilteredKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cAll = e.filter(col("vec_id") >= 3)
+      .select(col("vec_id").as("cand_id"), col("label"), col("v").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("cand_id"))
+    def top5(c: DataFrame): DataFrame = c.join(broadcast(q))
+      .select(col("query_id"), col("cand_id"), col("label"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val pre = top5(cAll.filter(col("label") === 3))
+    val post = top5(cAll).filter(col("label") === 3)
+      .groupBy("query_id").agg(count(lit(1)).as("post_hits"))
+    pre.join(broadcast(post), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cos_sim"),
+        coalesce(col("post_hits"), lit(0L)).as("post_hits"),
+        (lit(5) - coalesce(col("post_hits"), lit(0L))).as("post_shortfall"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e18_filtered_knn"    -> (e18FilteredKnn _),
     "e17_mips_reduction"  -> (e17MipsReduction _),
     "e16_ivfpq_recall"    -> (e16IvfpqRecall _),
     "e15_ivfpq"           -> (e15IvfPq _),
@@ -741,6 +777,33 @@ object SimilarityQueries extends QueryPack {
        |  j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // e18: both strategies replayed — pre-filter rank among label-3
+    // candidates; post-filter survivors of the unfiltered top-5.
+    "e18_filtered_knn" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 3),
+        |pre AS (
+        |  SELECT query_id, cand_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, cand_id) AS INT) AS rank FROM (
+        |    SELECT q.query_id, c.vec_id AS cand_id,
+        |      round(${sqlCos("q.qe", "c.embedding")}, 6) AS cos_sim
+        |    FROM q CROSS JOIN embeddings c
+        |    WHERE c.vec_id >= 3 AND c.label = 3)),
+        |post AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS post_hits FROM (
+        |    SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, cand_id) AS rnk FROM (
+        |      SELECT q.query_id, c.vec_id AS cand_id, c.label,
+        |        round(${sqlCos("q.qe", "c.embedding")}, 6) AS cos_sim
+        |      FROM q CROSS JOIN embeddings c WHERE c.vec_id >= 3))
+        |  WHERE rnk <= 5 AND label = 3 GROUP BY query_id)
+        |SELECT p.query_id, p.rank, p.cand_id, p.cos_sim,
+        |  coalesce(po.post_hits, 0) AS post_hits,
+        |  5 - coalesce(po.post_hits, 0) AS post_shortfall
+        |FROM pre p LEFT JOIN post po USING (query_id)
+        |WHERE p.rank <= 5 ORDER BY p.query_id, p.rank""".stripMargin,
     // e17: same norms, same max-norm augmentation, same 65-dim cosine
     // fold, same dual ranks — the agree flag is engine-exact because
     // both ranks derive from identically rounded scores.
