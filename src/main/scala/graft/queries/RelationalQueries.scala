@@ -1983,6 +1983,37 @@ object RelationalQueries extends QueryPack {
       .orderBy("event_type", "rnk")
   }
 
+  /** q91 — small-file compaction planning (the lakehouse OPTIMIZE
+    * pre-pass q75's clustering note presumes): given per-file sizes —
+    * here orders-per-month as pseudo-files — assign files to
+    * target-size output bins with the deterministic running-sum rule
+    * (order by size desc then id; bin = exclusive-cumsum div target),
+    * the same coalescing law Spark's own file scanner applies via
+    * maxPartitionBytes. Output is the PLAN (file → bin, per-bin
+    * totals), which is the artifact a maintenance job needs before it
+    * moves a byte — planning is metadata-sized (one row per FILE, not
+    * per row), so the global window costs one pass over the listing;
+    * a multi-table run would partition the window by table, keeping
+    * the same rule per scope. */
+  def q91CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = 5000L
+    val files = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(desc("n_rows"), asc("file_id"))
+    val planned = files
+      .withColumn("bin",
+        floor((sum(col("n_rows")).over(w) - col("n_rows")) / target).cast("int"))
+    planned.join(
+        planned.groupBy(col("bin"))
+          .agg(sum(col("n_rows")).as("bin_rows"),
+            count(lit(1)).as("bin_files")),
+        "bin")
+      .select("file_id", "n_rows", "bin", "bin_rows", "bin_files")
+      .orderBy("bin", "file_id")
+  }
+
   /** q87 — declarative data-quality expectations
     * ([[graft.functions.Expectations]], the Deequ/dbt-tests shape):
     * six rules over orders — not-null + unique key, two
@@ -2113,6 +2144,7 @@ object RelationalQueries extends QueryPack {
     "a04_countmin"        -> (a04CountMin _),
     "a05_set_overlap"     -> (a05SetOverlap _),
     "a06_bottomk_sample"  -> (a06BottomkSample _),
+    "q91_compaction_plan" -> (q91CompactionPlan _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
     "q74_incremental_agg" -> (q74IncrementalAgg _),
@@ -2309,6 +2341,24 @@ object RelationalQueries extends QueryPack {
         |      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT))
         |SELECT rule, target, n_bad, n_bad = 0 AS ok FROM r
         |ORDER BY rule, target""".stripMargin,
+    // q91: identical running-sum rule — bin from the exclusive cumsum
+    // over (size desc, id), per-bin totals joined back.
+    "q91_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS file_id,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT file_id, n_rows,
+        |    CAST(floor((sum(n_rows) OVER (ORDER BY n_rows DESC, file_id)
+        |      - n_rows) / 5000) AS INT) AS bin
+        |  FROM f),
+        |b AS (
+        |  SELECT bin, CAST(sum(n_rows) AS BIGINT) AS bin_rows,
+        |    CAST(count(*) AS BIGINT) AS bin_files
+        |  FROM p GROUP BY bin)
+        |SELECT p.file_id, p.n_rows, p.bin, b.bin_rows, b.bin_files
+        |FROM p JOIN b USING (bin) ORDER BY p.bin, p.file_id""".stripMargin,
     // a06: one-pass global bottom-k — merge-of-day-partials on the
     // Spark side must land on it exactly (KMV merge law); est from the
     // same integer h_k, so even the estimate hash-matches.
