@@ -1336,7 +1336,40 @@ object TextQueries extends QueryPack {
       .orderBy("shard")
   }
 
+  /** d43 — language-ID evaluation: the corpus carries ground-truth
+    * `lang` labels, so d03's stopword heuristic gets the scorecard a
+    * pipeline owes every heuristic component — per language: labeled
+    * and predicted counts, true positives, precision and recall as
+    * exact integer ratios (the g17/e06 division law; a language never
+    * predicted scores precision 0, not null). zh is the designed blind
+    * spot — no stopword list — so its recall 0 row is the honest
+    * "this component cannot see this class" signal, which is the
+    * entire point of shipping evals beside heuristics.
+    *
+    * Scale: one scan through the classifier + two tiny aggregates on
+    * the 5-language key — evaluation costs no more than prediction. */
+  def d43LangidEval(s: SparkSession, dir: String): DataFrame = {
+    val p = d03LangId(s, dir)
+      .select(col("labeled_lang"), col("predicted_lang"))
+      .localCheckpoint(true) // three aggregate arms over one predict pass
+    val byLabel = p.groupBy(col("labeled_lang").as("lang"))
+      .agg(count(lit(1)).as("n_labeled"),
+        sum(when(col("labeled_lang") === col("predicted_lang"), 1L)
+          .otherwise(0L)).as("tp"))
+    val byPred = p.groupBy(col("predicted_lang").as("lang"))
+      .agg(count(lit(1)).as("n_predicted"))
+    byLabel.join(byPred, Seq("lang"), "left")
+      .select(col("lang"), col("n_labeled"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"), col("tp"),
+        when(coalesce(col("n_predicted"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("tp") / col("n_predicted").cast("double"), 4))
+          .as("precision"),
+        round(col("tp") / col("n_labeled").cast("double"), 4).as("recall"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d43_langid_eval"   -> (d43LangidEval _),
     "d42_release_manifest" -> (d42ReleaseManifest _),
     "d41_exactsubstr_clean" -> (d41ExactSubstrClean _),
     "d40_dsir_select"   -> (d40DsirSelect _),
@@ -1470,6 +1503,42 @@ object TextQueries extends QueryPack {
         |SELECT rank, doc_id, lang, source, n_tokens,
         |  round(lw / 1000000.0, 4) AS log_w
         |FROM top WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // d43: d03's prediction CTE + per-language tp/precision/recall as
+    // exact integer ratios; never-predicted languages score 0.
+    "d43_langid_eval" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\s+')
+        |         if x IN ('the','a','of','and','to','in','is')]) AS s_en,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\s+')
+        |         if x IN ('der','die','das','und','ist','ein')]) AS s_de,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\s+')
+        |         if x IN ('le','la','et','les','des','un')]) AS s_fr,
+        |    len([x for x in string_split_regex(lower(trim(text)), '\s+')
+        |         if x IN ('el','los','las','y','es','una')]) AS s_es
+        |  FROM documents),
+        |p AS (
+        |  SELECT labeled_lang,
+        |    CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+        |         WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+        |         WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+        |         ELSE 'es' END AS predicted_lang
+        |  FROM scored),
+        |bl AS (
+        |  SELECT labeled_lang AS lang, CAST(count(*) AS BIGINT) AS n_labeled,
+        |    CAST(sum(CASE WHEN labeled_lang = predicted_lang
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM p GROUP BY 1),
+        |bp AS (
+        |  SELECT predicted_lang AS lang, CAST(count(*) AS BIGINT) AS n_predicted
+        |  FROM p GROUP BY 1)
+        |SELECT bl.lang, bl.n_labeled,
+        |  coalesce(bp.n_predicted, 0) AS n_predicted, bl.tp,
+        |  CASE WHEN coalesce(bp.n_predicted, 0) = 0 THEN 0.0
+        |    ELSE round(bl.tp / bp.n_predicted::DOUBLE, 4) END AS precision,
+        |  round(bl.tp / bl.n_labeled::DOUBLE, 4) AS recall
+        |FROM bl LEFT JOIN bp USING (lang) ORDER BY bl.lang""".stripMargin,
     // d42: same shard law (d38's first-nibble assignment at epoch 0),
     // same 60-bit text hash, same xor fold — order-free, so both
     // engines land on identical fingerprints from any plan.
