@@ -1983,6 +1983,34 @@ object RelationalQueries extends QueryPack {
       .orderBy("event_type", "rnk")
   }
 
+  /** q92 — TPC-H Q20-shaped nested semi-join chain: suppliers holding
+    * "excess inventory" — a supplier qualifies if, for some part it
+    * supplies, its own shipped volume exceeds 15% of that part's total
+    * shipped volume (a correlated threshold resolved as one grouped
+    * fact aggregate joined at two grains, never a per-row subquery
+    * re-scan), and the supplier list then semi-joins back to names.
+    * The planner workout: fact aggregated at (part, supplier) AND at
+    * (part), the ratio filter between them, then LEFT SEMI into the
+    * supplier dimension — at scale the two aggregates share one
+    * shuffle of lineitem keyed by part (partial aggs), and the semi
+    * join ships only distinct supplier keys. */
+  def q92ExcessInventory(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+    val perPs = l.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("qty")).as("ps_qty"))
+    val perP = l.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("p_qty"))
+    val excess = perPs.join(perP, "l_partkey")
+      .filter(col("ps_qty") > col("p_qty") * 0.15)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .orderBy("s_suppkey")
+  }
+
   /** q91 — small-file compaction planning (the lakehouse OPTIMIZE
     * pre-pass q75's clustering note presumes): given per-file sizes —
     * here orders-per-month as pseudo-files — assign files to
@@ -2145,6 +2173,7 @@ object RelationalQueries extends QueryPack {
     "a05_set_overlap"     -> (a05SetOverlap _),
     "a06_bottomk_sample"  -> (a06BottomkSample _),
     "q91_compaction_plan" -> (q91CompactionPlan _),
+    "q92_excess_inventory" -> (q92ExcessInventory _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
     "q74_incremental_agg" -> (q74IncrementalAgg _),
@@ -2341,6 +2370,21 @@ object RelationalQueries extends QueryPack {
         |      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT))
         |SELECT rule, target, n_bad, n_bad = 0 AS ok FROM r
         |ORDER BY rule, target""".stripMargin,
+    // q92: the same two-grain aggregate + ratio + semi join.
+    "q92_excess_inventory" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS ps_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (
+        |  SELECT l_partkey, sum(l_quantity) AS p_qty
+        |  FROM lineitem GROUP BY 1),
+        |ex AS (
+        |  SELECT DISTINCT ps.l_suppkey
+        |  FROM ps JOIN p USING (l_partkey)
+        |  WHERE ps.ps_qty > p.p_qty * 0.15)
+        |SELECT s_suppkey, s_name, s_nationkey
+        |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM ex)
+        |ORDER BY s_suppkey""".stripMargin,
     // q91: identical running-sum rule — bin from the exclusive cumsum
     // over (size desc, id), per-bin totals joined back.
     "q91_compaction_plan" ->
