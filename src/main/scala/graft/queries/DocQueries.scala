@@ -190,6 +190,7 @@ object DocQueries extends QueryPack {
 
   val queries: Map[String, QueryFn] = Map(
     "q89_entity_extract" -> (q89EntityExtract _),
+    "q93_llm_extract"   -> (q93LlmExtract _),
     "q85_rag_chunks"    -> (q85RagChunks _),
     "q80_doc_extract"   -> (q80DocExtract _),
     "q81_derived_edges" -> (q81DerivedEdges _),
@@ -201,7 +202,85 @@ object DocQueries extends QueryPack {
     * and greedy packing of one paragraph is exactly ceil(len/500)
     * chunks; the SQL states those laws directly. Multi-paragraph and
     * markdown behavior is pinned by DocExtractSpec fixtures instead. */
+  /** q93 — the reference's `llm` extraction slot made real
+    * ([[DocExtract.LuhnExtractor]]): extractive summarization over the
+    * corpus routed through the same Extractor seam as txt/docx/pdf —
+    * per doc, the chosen-sentence count, the Luhn provenance string,
+    * the 120-char title (top sentence) and the md5 of the re-assembled
+    * extract, all gated byte-exactly against an oracle that replays
+    * sentence split, document-frequency scoring, and top-3 selection
+    * in SQL. The abstractive-model swap is one `mk` closure; the
+    * plumbing under gate here is what that client would ride. */
+  def q93LlmExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.documents(s, dir)
+      .select(col("doc_id"), lit("llm").as("source_type"),
+        concat(lit("llm_"), col("doc_id")).as("name"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[DocExtract.RawDoc]
+    DocExtract.extractAll(raw, () => new DocExtract.LuhnExtractor()).toDF()
+      .select(col("doc_id"), col("name"), col("title"),
+        col("n_chunks").cast("long").as("n_extracted"), col("provenance"),
+        md5(col("text")).as("summary_hash"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    // q93: identical sentence split (RE2-safe pattern), identical
+    // length>=4 document-frequency scoring, identical rounded-ratio
+    // top-3, summary re-assembled in position order and md5'd.
+    "q93_llm_extract" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '[.!?]+\s+|[.!?]+$')
+        |      AS arr
+        |  FROM documents),
+        |sent AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+        |      AS INT) AS idx,
+        |    s FROM (
+        |    SELECT doc_id, CAST(i AS INT) AS i, trim(arr[CAST(i AS INT)]) AS s
+        |    FROM sp, unnest(range(1, len(arr) + 1)) t(i))
+        |  WHERE s <> ''),
+        |tok AS (
+        |  SELECT doc_id, idx, w FROM (
+        |    SELECT doc_id, idx,
+        |      unnest(string_split_regex(s, '\s+')) AS w FROM sent)
+        |  WHERE w <> ''),
+        |df AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS f
+        |  FROM tok WHERE length(w) >= 4 GROUP BY doc_id, w),
+        |sc AS (
+        |  SELECT t.doc_id, t.idx,
+        |    round(coalesce(sum(CASE WHEN length(t.w) >= 4 THEN df.f END), 0)
+        |      / count(*)::DOUBLE, 6) AS score
+        |  FROM tok t LEFT JOIN df ON df.doc_id = t.doc_id AND df.w = t.w
+        |  GROUP BY t.doc_id, t.idx),
+        |chosen AS (
+        |  SELECT doc_id, idx FROM (
+        |    SELECT doc_id, idx, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, idx) AS rk FROM sc)
+        |  WHERE rk <= 3),
+        |agg AS (
+        |  SELECT c.doc_id,
+        |    string_agg(s.s, ' ' ORDER BY c.idx) AS summary,
+        |    CAST(count(*) AS BIGINT) AS n_extracted,
+        |    min(c.idx) AS first_idx
+        |  FROM chosen c JOIN sent s ON s.doc_id = c.doc_id AND s.idx = c.idx
+        |  GROUP BY c.doc_id),
+        |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents
+        |  FROM sent GROUP BY doc_id)
+        |SELECT d.doc_id, 'llm_' || d.doc_id AS name,
+        |  substr(coalesce(ts.s, ''), 1, 120) AS title,
+        |  coalesce(a.n_extracted, 0) AS n_extracted,
+        |  'luhn:k=3:' || coalesce(ns.n_sents, 0) || 's' AS provenance,
+        |  md5(coalesce(a.summary, '')) AS summary_hash
+        |FROM documents d
+        |LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN ns USING (doc_id)
+        |LEFT JOIN sent ts ON ts.doc_id = d.doc_id AND ts.idx = a.first_idx
+        |ORDER BY d.doc_id""".stripMargin,
     // q89: same staged sentences, same capitalized-run regex (Java and
     // RE2 agree on this pattern), same Entity: uid law.
     "q89_entity_extract" ->

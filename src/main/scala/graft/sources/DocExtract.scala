@@ -288,8 +288,47 @@ object DocExtract {
     }
   }
 
+  /** Extractive summarization behind the reference's `llm` source type
+    * (`schema.cql:96-97` — the slot its plan reserves for LLM-based
+    * extraction): Luhn's significance method (IBM J. R&D, 1958), the
+    * classical zero-egress stand-in for an abstractive model. Sentences
+    * split on terminal punctuation (an RE2-safe pattern, so the oracle
+    * replays it verbatim); significant words = length ≥ 4 after the
+    * engine-wide lower/trim tokenization; a sentence scores the sum of
+    * its significant words' DOCUMENT frequencies over its own token
+    * count; the top-3 by (rounded score, position) re-assemble in
+    * original order as the extract. Swapping in a real model client is
+    * one `mk` closure at [[extractAll]]'s seam — the Spark plumbing
+    * (per-partition init, no shuffle, payload dropped early) is
+    * exactly what an LLM batch client needs too.
+    */
+  class LuhnExtractor(topK: Int = 3) extends Extractor {
+    def extract(d: RawDoc): Extracted = {
+      val text = new String(d.content, StandardCharsets.UTF_8)
+      val sents = text.toLowerCase.trim.split("[.!?]+\\s+|[.!?]+$")
+        .map(_.trim).filter(_.nonEmpty)
+      val toks: Array[Array[String]] =
+        sents.map(_.split("\\s+").filter(_.nonEmpty))
+      val df = toks.flatten.filter(_.length >= 4)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val scored = toks.zipWithIndex.map { case (ws, i) =>
+        val num = ws.filter(_.length >= 4).map(df(_)).sum
+        val score = if (ws.isEmpty) 0.0
+          else BigDecimal(num.toDouble / ws.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (i, score)
+      }
+      val chosen = scored.sortBy { case (i, sc) => (-sc, i) }.take(topK)
+        .map(_._1).sorted
+      val summary = chosen.map(sents(_)).mkString(" ")
+      Extracted(d.doc_id, d.source_type, d.name, summary,
+        chosen.headOption.map(sents(_)).getOrElse("").take(120),
+        chosen.length, s"luhn:k=$topK:${sents.length}s")
+    }
+  }
+
   /** Deterministic stand-in marking the seam where a real LLM client
-    * would sit (txt/md/docx/pdf all have real extractors). */
+    * would sit for source types with no zero-egress extractor. */
   class StubExtractor(chunkChars: Int = 500) extends Extractor {
     def extract(d: RawDoc): Extracted = {
       val text = new String(d.content, StandardCharsets.UTF_8)
