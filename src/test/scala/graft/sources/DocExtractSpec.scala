@@ -172,6 +172,24 @@ class DocExtractSpec extends SparkSpec {
     assert(packed.head === "a" * 100 + "\n\n" + "b" * 100)
   }
 
+  test("luhn extractor: frequency-heavy sentences win, order preserved, short docs kept whole") {
+    def luhn(text: String): DocExtract.Extracted =
+      new LuhnExtractor().extract(RawDoc(1, "llm", "d", text.getBytes("UTF-8")))
+    // 'green apples' words repeat across 3 sentences; the filler
+    // sentence has unique long words only -> lowest score, dropped
+    val text = "Green apples grow well. Green apples taste good. " +
+      "Completely unrelated filler rambling sentence here honestly. " +
+      "Many green apples everywhere today."
+    val out = luhn(text)
+    assert(out.n_chunks === 3 && out.provenance === "luhn:k=3:4s")
+    assert(!out.text.contains("filler"), s"lowest-scoring sentence must drop: ${out.text}")
+    assert(out.text.indexOf("grow") < out.text.indexOf("taste") &&
+      out.text.indexOf("taste") < out.text.indexOf("everywhere"),
+      "extract must preserve original sentence order")
+    val short = luhn("One tiny doc. Just two sentences!")
+    assert(short.n_chunks === 2 && short.text === "one tiny doc just two sentences")
+  }
+
   test("extractor is constructed once per partition, not per row") {
     val counter = spark.sparkContext.longAccumulator("extractor-inits")
     val many = (1L to 100L).map(i => RawDoc(i, "pdf", s"doc$i", Array[Byte]('a')))
