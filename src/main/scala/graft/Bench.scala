@@ -81,7 +81,9 @@ object Bench {
       "q88_auto_source", "q89_entity_extract", "s17_stream_expectations",
       // round-6 fourth wave
       "d39_exact_substr", "d40_dsir_select", "e15_ivfpq",
-      "g49_cc_bipartite", "m15_phash_clusters", "s18_stream_components")
+      "g49_cc_bipartite", "m15_phash_clusters", "s18_stream_components",
+      // round-6 closing wave
+      "q94_sole_blame", "q95_dormant_balance")
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = jsonMap(results.toSeq.sortBy(_._1))

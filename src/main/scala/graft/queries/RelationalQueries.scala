@@ -2011,6 +2011,78 @@ object RelationalQueries extends QueryPack {
       .orderBy("s_suppkey")
   }
 
+  /** q94 — TPC-H Q21-shaped sole-blame analysis: suppliers who were the
+    * ONLY late shipper on a multi-supplier order (late = shipped more
+    * than 60 days after the order date — the schema's analog of Q21's
+    * receipt-after-commit test). Semantically this is Q21's correlated
+    * EXISTS (another supplier on the order) + NOT EXISTS (another LATE
+    * supplier) pair; implemented in the aggregate form that scales: ONE
+    * explicit order-keyed exchange of lineitem⋈orders, on which BOTH
+    * grains compute without moving a row again — hash(l_orderkey)
+    * satisfies the (order, supplier) aggregate's clustering (subset
+    * rule), and the per-order counts ride a window over the same
+    * partitioning — so the double-EXISTS becomes a row-local predicate
+    * (sup_late=1 ∧ n_sups≥2 ∧ n_late_sups=1). No per-order subquery
+    * re-scan, no fact×fact existential join, no duplicated fact
+    * subtree (the naive two-grain groupBy + self-join plans the
+    * join/scan TWICE — measured before this shape was chosen). The
+    * traded partial aggregate is cheap here: the (order, supplier)
+    * grain is already nearly distinct per row. Supplier names arrive
+    * by broadcast at the final, already-aggregated (supplier) grain. */
+  def q94SoleBlame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lo = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .cast("int").as("late"))
+    val w = Window.partitionBy("l_orderkey")
+    lo.repartition(col("l_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("sup_late"))
+      .withColumn("n_sups", count(lit(1)).over(w))
+      .withColumn("n_late_sups", sum(col("sup_late")).over(w))
+      .filter(col("sup_late") === 1 && col("n_sups") >= 2 && col("n_late_sups") === 1)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_suppkey"))
+  }
+
+  /** q95 — TPC-H Q22-shaped dormant-capital report: customers holding
+    * an above-average positive balance who have NEVER ordered, totaled
+    * per market segment (the schema's analog of Q22's country-code
+    * grouping). The global mean is a two-value scalar (decimal sum +
+    * count over one dimension scan, q79's scalar-subquery discipline);
+    * the threshold test is CROSS-MULTIPLIED — bal·n > Σbal — so both
+    * engines compare exact decimals and no division-order FP noise can
+    * flip a boundary customer (the q21 round-1 lesson applied to a
+    * predicate). "Dormant" is a left-anti against the orders fact
+    * filtered to RECENT activity (orderdate ≥ 2000-01-01 — the
+    * schema's analog of Q22's no-orders test, nonempty at every SF) and
+    * projected to its key — the filter lands in the parquet scan, so
+    * the anti join ships only the recent slice's distinct o_custkey
+    * values. Balances sum as decimal and round once (moneySum). */
+  def q95DormantBalance(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    val scalar = c.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("tot"), count(lit(1)).as("n")).head()
+    val (tot, n) = (scalar.getDecimal(0), scalar.getLong(1))
+    c.filter(col("bal") * n > lit(tot))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), moneySum(col("bal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** q91 — small-file compaction planning (the lakehouse OPTIMIZE
     * pre-pass q75's clustering note presumes): given per-file sizes —
     * here orders-per-month as pseudo-files — assign files to
@@ -2174,6 +2246,8 @@ object RelationalQueries extends QueryPack {
     "a06_bottomk_sample"  -> (a06BottomkSample _),
     "q91_compaction_plan" -> (q91CompactionPlan _),
     "q92_excess_inventory" -> (q92ExcessInventory _),
+    "q94_sole_blame"      -> (q94SoleBlame _),
+    "q95_dormant_balance" -> (q95DormantBalance _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
     "q74_incremental_agg" -> (q74IncrementalAgg _),
@@ -2385,6 +2459,40 @@ object RelationalQueries extends QueryPack {
         |SELECT s_suppkey, s_name, s_nationkey
         |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM ex)
         |ORDER BY s_suppkey""".stripMargin,
+    // q94: same two-grain aggregate rewrite of the EXISTS/NOT-EXISTS
+    // pair — (order, supplier) any-late, then per-order counts.
+    "q94_sole_blame" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |os AS (
+        |  SELECT l_orderkey, l_suppkey, max(late) AS sup_late
+        |  FROM lo GROUP BY 1, 2),
+        |o2 AS (
+        |  SELECT l_orderkey, count(*) AS n_sups, sum(sup_late) AS n_late_sups
+        |  FROM os GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM os JOIN o2 USING (l_orderkey)
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE sup_late = 1 AND n_sups >= 2 AND n_late_sups = 1
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin,
+    // q95: cross-multiplied above-average test + NOT EXISTS orders,
+    // decimal sums rounded once.
+    "q95_dormant_balance" ->
+      """WITH s AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot,
+        |    count(*) AS n
+        |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer, s
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // q91: identical running-sum rule — bin from the exclusive cumsum
     // over (size desc, id), per-bin totals joined back.
     "q91_compaction_plan" ->
