@@ -521,4 +521,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_"),
       s"purity agg not folded map-side in:\n$plan")
   }
+
+  test("q94: one fact scan, one order-keyed exchange serves both grains") {
+    val plan = planOf(RelationalQueries.q94SoleBlame(spark, dir))
+    // the clustering-subset rule holds: the (order, supplier) aggregate
+    // and the per-order window both consume repartition(l_orderkey) —
+    // a regression to the two-grain self-join duplicates the fact
+    // subtree (two lineitem scans) and adds exchanges
+    val lineitemScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"fact subtree duplicated in:\n$plan")
+    assert(plan.contains("Window"), s"per-order grain lost its window in:\n$plan")
+    // orders + supplier broadcast; wide exchanges: order repartition,
+    // final supplier agg, output sort — anything beyond that is drift
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"dimension sides not broadcast in:\n$plan")
+    val wide = plan.linesIterator.count(l =>
+      l.trim.matches("^[+:\\-\\s*()0-9]*Exchange hashpartitioning.*") ||
+        l.trim.matches("^[+:\\-\\s*()0-9]*Exchange rangepartitioning.*"))
+    assert(wide <= 3, s"expected <= 3 wide exchanges, got $wide in:\n$plan")
+  }
+
+  test("q95: the recent-orders bound reaches the scan; the anti join broadcasts") {
+    val plan = planOf(RelationalQueries.q95DormantBalance(spark, dir))
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date bound not pushed to the orders scan in:\n$plan")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"dormancy probe not a broadcast anti join in:\n$plan")
+  }
 }
