@@ -2083,6 +2083,40 @@ object RelationalQueries extends QueryPack {
       .orderBy("c_mktsegment")
   }
 
+  /** q96 — TPC-H Q17-shaped small-quantity revenue: for a selective
+    * part slice (p_size ≤ 5 — the schema's analog of Q17's
+    * brand+container filter), the lineitems whose quantity falls below
+    * 20% of that part's own average quantity, totaled per brand.
+    * Spark-first shape: the part filter broadcasts and prunes the fact
+    * scan FIRST, so the per-part average is computed over an already
+    * joined slice with ONE shuffle — a window over l_partkey yields
+    * (Σqty, n) per part and the detail rows in the same pass, where
+    * Q17's textbook correlated subquery would scan lineitem twice.
+    * The 20%-of-average test is cross-multiplied (5·qty·n < Σqty) in
+    * decimal, q95's discipline: no division, no FP boundary flap
+    * against the oracle. Because the filter keys on the part side
+    * only, the post-join slice IS every lineitem of each surviving
+    * part — the window average equals Q17's per-part correlated
+    * average exactly. */
+  def q96SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, dir).filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        col("l_quantity").cast("decimal(18,6)").as("qty"),
+        col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("qty"), col("l_extendedprice"),
+        sum(col("qty")).over(w).as("sq"), count(lit(1)).over(w).as("n"))
+      .filter(col("qty") * 5 * col("n") < col("sq"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        moneySum(col("l_extendedprice")).as("small_rev"))
+      .orderBy("p_brand")
+  }
+
   /** q91 — small-file compaction planning (the lakehouse OPTIMIZE
     * pre-pass q75's clustering note presumes): given per-file sizes —
     * here orders-per-month as pseudo-files — assign files to
@@ -2248,6 +2282,7 @@ object RelationalQueries extends QueryPack {
     "q92_excess_inventory" -> (q92ExcessInventory _),
     "q94_sole_blame"      -> (q94SoleBlame _),
     "q95_dormant_balance" -> (q95DormantBalance _),
+    "q96_smallqty_revenue" -> (q96SmallQtyRevenue _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
     "q74_incremental_agg" -> (q74IncrementalAgg _),
@@ -2493,6 +2528,22 @@ object RelationalQueries extends QueryPack {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // q96: same window-average rewrite of Q17's correlated subquery —
+    // per-part (Σqty, n) from one window pass, cross-multiplied 20% test.
+    "q96_smallqty_revenue" ->
+      """WITH j AS (
+        |  SELECT p_brand, CAST(l_quantity AS DECIMAL(18,6)) AS qty,
+        |    l_extendedprice,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6)))
+        |      OVER (PARTITION BY l_partkey) AS sq,
+        |    count(*) OVER (PARTITION BY l_partkey) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 5)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+        |    AS DOUBLE) AS small_rev
+        |FROM j WHERE qty * 5 * n < sq
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // q91: identical running-sum rule — bin from the exclusive cumsum
     // over (size desc, id), per-bin totals joined back.
     "q91_compaction_plan" ->

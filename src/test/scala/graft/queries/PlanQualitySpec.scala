@@ -542,6 +542,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(wide <= 3, s"expected <= 3 wide exchanges, got $wide in:\n$plan")
   }
 
+  test("q96: part slice broadcasts; one fact scan feeds the window average") {
+    val df = RelationalQueries.q96SmallQtyRevenue(spark, dir)
+    val plan = planOf(df)
+    // Q17's correlated subquery is rewritten to a window — a regression
+    // to the two-scan aggregate-then-join shape duplicates the fact scan
+    val lineitemScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"fact subtree duplicated in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part slice not broadcast in:\n$plan")
+    assert(plan.contains("LessThanOrEqual(p_size,5)"),
+      s"part filter not pushed to the scan in:\n$plan")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"lineitem scan reads pruned columns: $readSchema")
+  }
+
   test("q95: the recent-orders bound reaches the scan; the anti join broadcasts") {
     val plan = planOf(RelationalQueries.q95DormantBalance(spark, dir))
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
