@@ -2117,6 +2117,99 @@ object RelationalQueries extends QueryPack {
       .orderBy("p_brand")
   }
 
+  /** q97 — TPC-H Q18-shaped large-volume orders: orders whose total
+    * line quantity exceeds 300, with their customer and order detail.
+    * Spark-first shape: the HAVING aggregate is a map-side-combinable
+    * groupBy on l_orderkey over a TWO-column fact projection — at
+    * 100 TB the partial aggregate collapses each order's ~4 lines
+    * before the exchange, and the >300 filter then drops ~99.7% of
+    * the aggregated rows, so the join back to orders ships a sliver
+    * (AQE sees the post-filter size at runtime and converts the
+    * orders join to broadcast; statically it plans a shuffle join —
+    * that runtime re-plan is exactly what AQE is for, and why the
+    * threshold filter must sit UNDER the join, not over it). Customer
+    * names arrive by broadcast at the already-filtered order grain.
+    * Quantities sum as decimal (order-free), the threshold compares
+    * the exact decimal, and the reported total rounds once. */
+  def q97LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("decimal(18,6)").as("qty"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("qty")).as("tq"))
+      .filter(col("tq") > 300)
+      .select(col("l_orderkey"), round(col("tq"), 2).cast("double").as("total_qty"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_odate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+  }
+
+  /** q98 — TPC-H Q13-shaped customer order-count distribution: how many
+    * customers placed exactly k non-urgent orders, for every k
+    * including zero. Spark-first shape: the aggregate is pushed BELOW
+    * the outer join — orders pre-aggregates to (custkey, count) at its
+    * own grain FIRST (map-side combinable, one narrow exchange of the
+    * fact), and customer then LEFT joins the already-tiny count table,
+    * where the textbook plan outer-joins the raw fact to customer and
+    * shuffles every order row WITH its customer payload before
+    * counting. Null counts coalesce to 0 (the never-ordered cohort
+    * Q13 exists to surface). The second groupBy is over the k-grain —
+    * dozens of rows — so its exchange is noise. The customer side
+    * ships only c_custkey; at 100 TB the dominant cost is the one
+    * fact exchange, already at minimum width. */
+  def q98CustDistribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** q99 — TPC-H Q15-shaped top supplier: the supplier(s) with the
+    * maximum revenue over one quarter (1997 Q1). Q15's view-plus-max
+    * correlated pattern, Spark-first: revenue aggregates per supplier
+    * over the date-pruned fact scan ONCE; the scalar max is then a
+    * 1-row aggregate of that supplier-grain frame, broadcast back as
+    * a join — and because both branches hang off the IDENTICAL
+    * aggregate subtree, Spark's ReuseExchange executes the fact scan
+    * and its exchange once (pinned in PlanQualitySpec). This beats
+    * the window-max alternative, which would drag every supplier row
+    * into ONE partition for a global frame; the broadcast carries
+    * exactly one row at any scale. The equality test compares exact
+    * decimal sums — bit-identical on both branches because they ARE
+    * the same exchange — and the reported revenue rounds once. */
+  def q99TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    // The explicit suppkey null guard is load-bearing for plan reuse:
+    // the join branch pushes isnotnull(l_suppkey) into ITS copy of the
+    // subtree anyway — stating it once in the shared base makes both
+    // branches canonically identical, which is what lets AQE reuse the
+    // exchange instead of scanning the fact twice.
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+        col("l_suppkey").isNotNull)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)").as("r"))
+      .groupBy("l_suppkey").agg(sum(col("r")).as("rev"))
+    val mx = rev.agg(max(col("rev")).as("mx"))
+    rev.join(broadcast(mx), rev("rev") === mx("mx"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev"), 2).cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
   /** q91 — small-file compaction planning (the lakehouse OPTIMIZE
     * pre-pass q75's clustering note presumes): given per-file sizes —
     * here orders-per-month as pseudo-files — assign files to
@@ -2283,6 +2376,9 @@ object RelationalQueries extends QueryPack {
     "q94_sole_blame"      -> (q94SoleBlame _),
     "q95_dormant_balance" -> (q95DormantBalance _),
     "q96_smallqty_revenue" -> (q96SmallQtyRevenue _),
+    "q97_large_orders"    -> (q97LargeOrders _),
+    "q98_cust_distribution" -> (q98CustDistribution _),
+    "q99_top_supplier"    -> (q99TopSupplier _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
     "q74_incremental_agg" -> (q74IncrementalAgg _),
@@ -2544,6 +2640,42 @@ object RelationalQueries extends QueryPack {
         |    AS DOUBLE) AS small_rev
         |FROM j WHERE qty * 5 * n < sq
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // q97: HAVING on the exact decimal sum; reported total rounds once.
+    "q97_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS tq
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_odate, o_totalprice,
+        |  CAST(round(tq, 2) AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    // q98: same aggregate-below-outer-join rewrite — per-customer counts
+    // from the filtered fact, zero-filled via the left join.
+    "q98_cust_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+        |SELECT coalesce(cnt, 0) AS c_count, count(*) AS custdist
+        |FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q99: the view-plus-scalar-max pattern; equality on exact decimals.
+    "q99_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(round(r, 2) AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     // q91: identical running-sum rule — bin from the exclusive cumsum
     // over (size desc, id), per-bin totals joined back.
     "q91_compaction_plan" ->

@@ -560,6 +560,46 @@ class PlanQualitySpec extends SparkSpec {
       s"lineitem scan reads pruned columns: $readSchema")
   }
 
+  test("q97: two-column fact scan, partial agg, and AQE broadcasts the filtered side") {
+    val plan = planOf(RelationalQueries.q97LargeOrders(spark, dir))
+    assert(plan.contains("partial_"), s"no map-side combine in:\n$plan")
+    // the >300 survivors are tiny — AQE must turn the orders join into
+    // a broadcast, not keep the static shuffle join
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected both joins broadcast (AQE re-plan) in:\n$plan")
+    val liSchema = plan.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("l_orderkey")).mkString
+    assert(!liSchema.contains("l_extendedprice") && !liSchema.contains("l_shipdate"),
+      s"lineitem scan wider than (orderkey, quantity): $liSchema")
+  }
+
+  test("q98: aggregate sits below the outer join; scans carry only the keyed columns") {
+    val plan = planOf(RelationalQueries.q98CustDistribution(spark, dir))
+    assert(plan.contains("partial_"), s"no map-side combine in:\n$plan")
+    // the pre-aggregated count table (cust grain) must be the build side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-customer counts not broadcast into customer in:\n$plan")
+    val ordSchema = plan.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("o_custkey")).mkString
+    assert(!ordSchema.contains("o_totalprice") && !ordSchema.contains("o_orderdate"),
+      s"orders scan wider than (custkey, priority): $ordSchema")
+  }
+
+  test("q99: date bounds reach the scan; the scalar max reuses the revenue exchange") {
+    val plan = planOf(RelationalQueries.q99TopSupplier(spark, dir))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"),
+      s"quarter bounds not pushed to the parquet scan in:\n$plan")
+    // both branches hang off the identical aggregate subtree — the fact
+    // scan + its exchange must execute once, the second branch reusing it
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 1,
+      s"scalar-max branch re-scans the fact instead of reusing the exchange in:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected the 1-row max and supplier dim broadcast in:\n$plan")
+  }
+
   test("q95: the recent-orders bound reaches the scan; the anti join broadcasts") {
     val plan = planOf(RelationalQueries.q95DormantBalance(spark, dir))
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
