@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   *     shared filler token instead would manufacture fake cross-doc
   *     shingles from any shared word and blow candidates up
   *     quadratically by construction)
+  *   - lineitem/orders: 10 replicas with disjoint orderkey ranges
+  *     (dimension keys unchanged → honest 10× per-group fan-in), plus
+  *     a 200k-line giant order, a 100k-line hot part inside the
+  *     p_size≤5 slice, and one hot supplier in 1997 Q1 — the skew
+  *     hazards of the TPC-H-shaped q94–q99 made concrete
   *   - every other table copied through unchanged, so any SparkEntry
   *     query runs against the dir via SPARK_GRAFT_SF_DIR
   *
@@ -63,8 +68,60 @@ object ScaleGen {
     }.reduce(_.unionByName(_)).repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // 10× relational fact wave with deliberate skew — the TPC-H-shaped
+    // queries' hazards made empirical: a 200k-line GIANT order (q94's
+    // per-order window, q97's HAVING aggregate must collapse it
+    // map-side), a 100k-line HOT part inside q96's p_size≤5 slice (its
+    // window partition), and the same rows pinned to ONE supplier whose
+    // shipdates land in q99's quarter (its rev aggregate's hot key).
+    // Replicas keep orderkeys disjoint but leave cust/part/supp keys
+    // unchanged, so every per-dimension group honestly carries 10× rows.
+    val li = spark.read.parquet(s"$src/lineitem.parquet").localCheckpoint(true)
+    val ord = spark.read.parquet(s"$src/orders.parquet").localCheckpoint(true)
+    val liRep = (0 until 10).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 100000000L))
+    }.reduce(_.unionByName(_))
+    val ordRep = (0 until 10).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 100000000L))
+    }.reduce(_.unionByName(_))
+    val hotPart = spark.read.parquet(s"$src/part.parquet")
+      .filter(col("p_size") <= 5).agg(min("p_partkey")).head().getLong(0)
+    val giantLines = spark.range(200000).select(
+      lit(970000000L).as("l_orderkey"),
+      (col("id") % 2000).cast("long").as("l_partkey"),
+      (col("id") % 1000).cast("long").as("l_suppkey"),
+      col("id").cast("int").as("l_linenumber"),
+      lit(1.0).as("l_quantity"),
+      lit(100.0).as("l_extendedprice"),
+      lit(0.0).as("l_discount"), lit(0.0).as("l_tax"),
+      lit("N").as("l_returnflag"), lit("O").as("l_linestatus"),
+      (lit("1997-02-01").cast("timestamp") +
+        expr("make_interval(0,0,0,CAST(id % 120 AS INT),0,0,0)")).as("l_shipdate"))
+    val hotLines = spark.range(100000).select(
+      (lit(971000000L) + (col("id") / 10)).cast("long").as("l_orderkey"),
+      lit(hotPart).as("l_partkey"),
+      lit(7L).as("l_suppkey"),
+      (col("id") % 10).cast("int").as("l_linenumber"),
+      (col("id") % 50).cast("double").as("l_quantity"),
+      lit(100.0).as("l_extendedprice"),
+      lit(0.0).as("l_discount"), lit(0.0).as("l_tax"),
+      lit("N").as("l_returnflag"), lit("O").as("l_linestatus"),
+      lit("1997-02-15").cast("timestamp").as("l_shipdate"))
+    val skewOrders = spark.range(10001).select(
+      (when(col("id") === 10000, 970000000L)
+        .otherwise(lit(971000000L) + col("id"))).cast("long").as("o_orderkey"),
+      (col("id") % 1000).cast("long").as("o_custkey"),
+      lit("O").as("o_orderstatus"),
+      lit(1000.0).as("o_totalprice"),
+      lit("1997-01-15").cast("timestamp").as("o_orderdate"),
+      lit("3-MEDIUM").as("o_orderpriority"))
+    liRep.unionByName(giantLines).unionByName(hotLines).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    ordRep.unionByName(skewOrders).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "embeddings")) {
+                  "embeddings")) {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"),
@@ -72,7 +129,9 @@ object ScaleGen {
     }
     println(s"[scalegen] wrote $out: events=" +
       spark.read.parquet(s"$out/events.parquet").count() +
-      " documents=" + spark.read.parquet(s"$out/documents.parquet").count())
+      " documents=" + spark.read.parquet(s"$out/documents.parquet").count() +
+      " lineitem=" + spark.read.parquet(s"$out/lineitem.parquet").count() +
+      " orders=" + spark.read.parquet(s"$out/orders.parquet").count())
     spark.stop()
   }
 }
