@@ -1,0 +1,88 @@
+package graft.devtools
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only gap finder for the Cypher front-end: runs a battery of
+  * realistic free-form Cypher strings (the kinds of queries the
+  * reference's arbitrary-Cypher API promises) against a tiny in-memory
+  * graph and prints PASS/FAIL per query — FAILs are the front-end's
+  * actual parity frontier, candidates for the next feature.
+  *
+  * Usage: tools/run.sh graft.devtools.CypherProbe
+  */
+object CypherProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(4, "cypher-probe")
+    import spark.implicits._
+    val nodes = Seq(
+      ("WasteItem", "u:w1", "Bauschutt", null.asInstanceOf[String]),
+      ("WasteItem", "u:w2", "Asche", null.asInstanceOf[String]),
+      ("WasteStream", "u:s1", "Restmuell", null.asInstanceOf[String]),
+      ("Facility", "u:f1", "Wertstoffhof A", "Campusallee 1"))
+      .toDF("label", "uid", "name", "address")
+    val edges = Seq(
+      ("u:w1", "DISPOSED_IN", "u:s1"),
+      ("u:w2", "DISPOSED_IN", "u:s1"),
+      ("u:w1", "DISPOSED_AT", "u:f1"))
+      .toDF("src_uid", "rel_type", "dst_uid")
+
+    val battery: Seq[(String, String)] = Seq(
+      "collect"        -> "MATCH (w:WasteItem) RETURN collect(w.name) AS names",
+      "collect+distinct" -> "MATCH (w:WasteItem)-[:DISPOSED_IN]->(s) RETURN s.name AS s, collect(DISTINCT w.name) AS ws",
+      "size(collect)"  -> "MATCH (w:WasteItem) RETURN size(collect(w.name)) AS n",
+      "coalesce"       -> "MATCH (n:Facility) RETURN coalesce(n.address, 'unknown') AS addr",
+      "exists prop"    -> "MATCH (n) WHERE n.address IS NOT NULL RETURN n.name AS name",
+      "starts with"    -> "MATCH (n) WHERE n.name STARTS WITH 'Wert' RETURN n.name AS name",
+      "ends with"      -> "MATCH (n) WHERE n.name ENDS WITH 'muell' RETURN n.name AS name",
+      "contains"       -> "MATCH (n) WHERE n.name CONTAINS 'schutt' RETURN n.name AS name",
+      "regex"          -> "MATCH (n) WHERE n.name =~ 'A.*' RETURN n.name AS name",
+      "in list"        -> "MATCH (n) WHERE n.name IN ['Asche', 'Laub'] RETURN n.name AS name",
+      "toLower"        -> "MATCH (n:WasteItem) RETURN toLower(n.name) AS lname",
+      "toUpper"        -> "MATCH (n:WasteItem) RETURN toUpper(n.name) AS uname",
+      "trim/replace"   -> "MATCH (n:WasteItem) RETURN replace(trim(n.name), 'sch', 'S') AS r",
+      "substring"      -> "MATCH (n:WasteItem) RETURN substring(n.name, 0, 3) AS pre",
+      "split"          -> "MATCH (f:Facility) RETURN split(f.name, ' ')[1] AS tok",
+      "toString/toInteger" -> "MATCH (n:WasteItem) RETURN toInteger('42') + size(n.name) AS x",
+      "CASE"           -> "MATCH (n) RETURN CASE WHEN n.address IS NULL THEN 'no' ELSE 'yes' END AS has, count(*) AS c",
+      "avg/min/max"    -> "MATCH (n) RETURN avg(size(n.name)) AS a, min(n.name) AS mn, max(n.name) AS mx",
+      "sum"            -> "MATCH (n) RETURN sum(size(n.name)) AS total",
+      "count distinct" -> "MATCH (w)-[:DISPOSED_IN]->(s) RETURN count(DISTINCT s.name) AS n",
+      "optional+agg"   -> "MATCH (w:WasteItem) OPTIONAL MATCH (w)-[:DISPOSED_AT]->(f) RETURN w.name AS w, count(f) AS nf",
+      "with agg chain" -> "MATCH (w)-[:DISPOSED_IN]->(s) WITH s, count(w) AS n WHERE n > 1 RETURN s.name AS name, n",
+      "unwind literal" -> "UNWIND [1,2,3] AS x RETURN x, x*2 AS y",
+      "varlen 1..2"    -> "MATCH (w:WasteItem)-[*1..2]->(x) RETURN w.name AS w, x.name AS x",
+      "not exists pat" -> "MATCH (w:WasteItem) WHERE NOT (w)-[:DISPOSED_IN]->() RETURN w.name AS name",
+      "exists pattern" -> "MATCH (w:WasteItem) WHERE (w)-[:DISPOSED_AT]->() RETURN w.name AS name",
+      "multi rel types" -> "MATCH (w)-[r:DISPOSED_IN|DISPOSED_AT]->(x) RETURN w.name AS w, type(r) AS t, x.name AS x",
+      "named path len" -> "MATCH p = (w:WasteItem)-[*1..2]->(x) RETURN w.name AS w, length(p) AS len",
+      "distinct rows"  -> "MATCH (w)-[:DISPOSED_IN]->(s) RETURN DISTINCT s.name AS name",
+      "order skip limit" -> "MATCH (n) RETURN n.name AS name ORDER BY name SKIP 1 LIMIT 2",
+      "id()"           -> "MATCH (n) RETURN id(n) AS i LIMIT 1",
+      "properties()"   -> "MATCH (n:Facility) RETURN properties(n) AS p",
+      "keys()"         -> "MATCH (n:Facility) RETURN keys(n) AS ks",
+      "list compreh"   -> "MATCH (w:WasteItem) RETURN [x IN split(w.name, 'a') | toUpper(x)] AS parts",
+      "reduce"         -> "MATCH (w:WasteItem) RETURN reduce(acc = 0, x IN [1,2,3] | acc + x) AS r",
+      "range()"        -> "UNWIND range(1, 3) AS i RETURN i",
+      "count(*) group" -> "MATCH (n) RETURN n.label AS l, count(*) AS c",
+      "param compare"  -> "MATCH (n) WHERE n.name = $name RETURN n.uid AS uid",
+      "xor"            -> "MATCH (n) WHERE n.name = 'Asche' XOR n.name = 'Laub' RETURN n.name AS name",
+      "null prop out"  -> "MATCH (n:WasteItem) RETURN n.address AS addr LIMIT 1")
+
+    var pass = 0
+    battery.foreach { case (tag, q) =>
+      try {
+        graft.graph.CypherFrontend.run(q, nodes, edges,
+          Map("name" -> "Asche")).collect()
+        println(f"[probe] PASS $tag%-18s")
+        pass += 1
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            .linesIterator.next().take(100)
+          println(f"[probe] FAIL $tag%-18s $msg")
+      }
+    }
+    println(s"[probe] $pass/${battery.size} pass")
+    spark.stop()
+  }
+}

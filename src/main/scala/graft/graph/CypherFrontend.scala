@@ -21,20 +21,30 @@ import org.apache.spark.sql.functions._
   * `Traversal.reachFixpoint` reachability closure, distinct pairs),
   * `p = shortestPath((a)-[:T*..k]->(b))` with `length(p)` (bounded
   * unrolled BFS: per-depth distinct level sets + one min-depth
-  * aggregate), per-clause
+  * aggregate), general named paths `p = (a)-[:T*1..2]->(b)` whose
+  * `length(p)` is the walk's hop count (fixed hops count 1, a
+  * var-length hop its unrolled depth — a constant column per k-fold
+  * chain, zero data cost), per-clause
   * `WHERE` with Cypher scoping (an OPTIONAL MATCH's predicate filters
   * its matches inside the left join, never the null-padded rows) over
   * comparisons / boolean ops / string
-  * predicates / `IS [NOT] NULL` / `e IN list` / `[NOT] (n)-[:R]->()`
+  * predicates (`CONTAINS`/`STARTS WITH`/`ENDS WITH`, plus `=~`
+  * full-match regex — anchored rlike) / `IS [NOT] NULL` / `e IN list`
+  * / `XOR` / `[NOT] (n)-[:R]->()`
   * pattern predicates, chained `WITH items [WHERE pred]` pipeline
   * stages (projection or implicit-grouping aggregation; the WHERE is
   * HAVING; later MATCHes join on the carried variables, or correlate
   * via WHERE on a scalar alias), `UNWIND list AS x` (literal, `$param`
   * list, or a `collect(...)` alias), `CASE` expressions (searched and
-  * simple forms), list literals, arithmetic (`+ - * / %`), the scalar
+  * simple forms), list literals, postfix `[i]` indexing of any list
+  * expression (0-based, negative from the end), list comprehensions
+  * `[x IN list WHERE p | e]` and `reduce(acc = init, x IN list | e)`
+  * (codegen'd `filter`/`transform`/`aggregate` higher-order
+  * functions), arithmetic (`+ - * / %`), the scalar
   * function battery ([[scalarFns]]: coalesce, case/trim/substring/
   * replace/split/left/right string ops, casts, abs/round/floor/ceil,
-  * size, id), `RETURN [DISTINCT]`
+  * size — chars for strings, elements for lists, by shape — id,
+  * range, properties/keys), `RETURN [DISTINCT]`
   * with `AS` aliases, `count(*)` /
   * `count([DISTINCT] n)` / `min` / `max` / `sum` / `avg` / `collect`,
   * `labels(n)[0]`, `type(r)`, property access, `$param` substitution,
@@ -74,12 +84,26 @@ object CypherFrontend {
   private case class EArith(op: String, l: Expr, r: Expr) extends Expr
   /** Whitelisted scalar function call (see [[scalarFns]]). */
   private case class EFn(fn: String, args: Seq[Expr]) extends Expr
+  /** Postfix list index `base[i]` — Cypher 0-based; a negative index
+    * counts from the end (both map to `element_at`). */
+  private case class EIndex(base: Expr, idx: Expr) extends Expr
+  /** `[x IN list WHERE p | e]` list comprehension — filter and/or map;
+    * compiles to the codegen'd `filter`/`transform` higher-order
+    * functions with `x` bound as a lambda variable. */
+  private case class EComp(v: String, list: Expr, where: Option[Pred],
+                           map: Option[Expr]) extends Expr
+  /** `reduce(acc = init, x IN list | body)` — compiles to the
+    * `aggregate` higher-order function. */
+  private case class EReduce(acc: String, init: Expr, v: String,
+                             list: Expr, body: Expr) extends Expr
 
   private sealed trait Pred
   private case class PCmp(op: String, l: Expr, r: Expr) extends Pred
   private case class PStr(op: String, l: Expr, r: Expr) extends Pred
   private case class PAnd(l: Pred, r: Pred) extends Pred
   private case class POr(l: Pred, r: Pred) extends Pred
+  /** Cypher XOR (precedence between OR and AND). */
+  private case class PXor(l: Pred, r: Pred) extends Pred
   private case class PNot(p: Pred) extends Pred
   private case class PIsNull(e: Expr, negated: Boolean) extends Pred
   /** `e IN list` — literal/param lists compile to `isin` (pushdown-
@@ -106,7 +130,11 @@ object CypherFrontend {
                                  where: Option[Pred],
                                  /** `p = shortestPath((a)-[:T*..k]->(b))`:
                                    * the bound path variable. */
-                                 shortest: Option[String] = None)
+                                 shortest: Option[String] = None,
+                                 /** `p = (a)-[:T*1..2]->(b)`: a named
+                                   * (non-shortest) path on the FIRST
+                                   * chain; only `length(p)` projects. */
+                                 named: Option[String] = None)
   private case class RetItem(expr: Expr, alias: Option[String], text: String)
   /** RETURN-level ORDER BY key: `ref` (the token text) matches output
     * items/aliases; `expr` sorts pre-projection when it doesn't. */
@@ -159,7 +187,7 @@ object CypherFrontend {
   private val scalarFns = Set("coalesce", "tolower", "toupper", "tostring",
     "tointeger", "tofloat", "substring", "replace", "split", "trim",
     "ltrim", "rtrim", "left", "right", "abs", "round", "floor", "ceil",
-    "size", "id", "length")
+    "size", "id", "length", "range", "properties", "keys")
 
   private[graph] def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -193,7 +221,7 @@ object CypherFrontend {
         if (keywords(w.toUpperCase)) out += TKw(w.toUpperCase) else out += TId(w)
       } else {
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
-        if (Set("<>", "<=", ">=", "->", "<-").contains(two)) { out += TSym(two); i += 2 }
+        if (Set("<>", "<=", ">=", "->", "<-", "=~").contains(two)) { out += TSym(two); i += 2 }
         else { out += TSym(c.toString); i += 1 }
       }
     }
@@ -243,11 +271,20 @@ object CypherFrontend {
           val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
           return MatchClause(Seq(ch), optional, w, shortest = Some(pv))
         }
+        // `p = (a)-[:T*1..2]->(b)` — a named path; length(p) projects
+        // the hop count (fixed hops count 1 each, a bounded var-length
+        // hop contributes its unrolled depth)
+        val named =
+          if (peek.exists(_.isInstanceOf[TId]) &&
+              toks.lift(pos + 1).exists(_.text == "=") &&
+              toks.lift(pos + 2).exists(_.text == "(")) {
+            val pv = ident(); eatSym("="); Some(pv)
+          } else None
         val cs = Seq.newBuilder[Chain]
         cs += chain()
         while (atSym(",")) { eatSym(","); cs += chain() }
         val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
-        MatchClause(cs.result(), optional, w)
+        MatchClause(cs.result(), optional, w, named = named)
       }
       // the reading pipeline: MATCH / OPTIONAL MATCH / WITH / UNWIND
       // stages in any order (each feeds the next), one RETURN at the end
@@ -451,7 +488,19 @@ object CypherFrontend {
       l
     }
 
-    private def factor(): Expr = peek match {
+    /** factorBase plus any postfix `[index]` chain (Cypher 0-based
+      * list indexing on any expression: `split(s,' ')[1]`,
+      * `collect(x)[0]`). `labels(v)[0]` keeps its dedicated form. */
+    private def factor(): Expr = {
+      var b = factorBase()
+      while (atSym("[")) {
+        eatSym("["); val ix = expr(); eatSym("]")
+        b = EIndex(b, ix)
+      }
+      b
+    }
+
+    private def factorBase(): Expr = peek match {
       case Some(TKw("CASE")) =>
         eatKw("CASE")
         val operand = if (atKw("WHEN")) None else Some(expr())
@@ -476,6 +525,14 @@ object CypherFrontend {
         ELabels0(v)
       case Some(TId("type")) if toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("("); val v = ident(); eatSym(")"); EType(v)
+      case Some(TId(fn)) if fn.equalsIgnoreCase("reduce")
+          && toks.lift(pos + 1).exists(_.text == "(") =>
+        pos += 1; eatSym("(")
+        val accName = ident(); eatSym("="); val init = expr(); eatSym(",")
+        val v = ident(); eatKw("IN"); val lst = expr()
+        eatSym("|"); val body = expr()
+        eatSym(")")
+        EReduce(accName, init, v, lst, body)
       case Some(TId(fn)) if Set("count", "sum", "min", "max", "avg", "collect")(fn.toLowerCase)
           && toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("(")
@@ -499,13 +556,27 @@ object CypherFrontend {
     private def atom(): Expr = next() match {
       case TSym("$") => EParam(ident())
       case TSym("[") =>
-        val items = Seq.newBuilder[Expr]
-        while (!atSym("]")) {
-          items += expr()
-          if (atSym(",")) eatSym(",")
+        // `[x IN list ...]` is a comprehension, not a list literal —
+        // a literal can't have `IN` after its first element
+        if (peek.exists(_.isInstanceOf[TId]) &&
+            toks.lift(pos + 1).exists { case TKw("IN") => true; case _ => false }) {
+          val v = ident(); eatKw("IN")
+          val lst = expr()
+          val wh = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
+          val mp = if (atSym("|")) { eatSym("|"); Some(expr()) } else None
+          eatSym("]")
+          require(wh.isDefined || mp.isDefined,
+            "comprehension needs a WHERE filter or a | projection")
+          EComp(v, lst, wh, mp)
+        } else {
+          val items = Seq.newBuilder[Expr]
+          while (!atSym("]")) {
+            items += expr()
+            if (atSym(",")) eatSym(",")
+          }
+          eatSym("]")
+          EList(items.result())
         }
-        eatSym("]")
-        EList(items.result())
       case TSym("-") => atom() match { // negative literal (write `< -1` spaced)
         case ELit(v: Long) => ELit(-v)
         case ELit(v: Double) => ELit(-v)
@@ -521,10 +592,15 @@ object CypherFrontend {
       case t => sys.error(s"unexpected token '${t.text}' in expression")
     }
 
-    // predicate grammar with standard precedence: OR < AND < NOT < cmp
+    // predicate grammar with Cypher precedence: OR < XOR < AND < NOT < cmp
     private def pred(): Pred = {
+      var l = xorPred()
+      while (atKw("OR")) { eatKw("OR"); l = POr(l, xorPred()) }
+      l
+    }
+    private def xorPred(): Pred = {
       var l = andPred()
-      while (atKw("OR")) { eatKw("OR"); l = POr(l, andPred()) }
+      while (atKw("XOR")) { eatKw("XOR"); l = PXor(l, andPred()) }
       l
     }
     private def andPred(): Pred = {
@@ -570,6 +646,7 @@ object CypherFrontend {
         case Some(TKw("CONTAINS")) => eatKw("CONTAINS"); PStr("contains", l, atom())
         case Some(TKw("STARTS")) => eatKw("STARTS"); eatKw("WITH"); PStr("starts", l, atom())
         case Some(TKw("ENDS")) => eatKw("ENDS"); eatKw("WITH"); PStr("ends", l, atom())
+        case Some(TSym("=~")) => eatSym("=~"); PStr("regex", l, atom())
         case Some(TSym(op)) if Set("=", "<>", "<", "<=", ">", ">=")(op) =>
           eatSym(op); PCmp(op, l, expr())
         case t => sys.error(s"expected comparison after expression, got '${t.map(_.text)}'")
@@ -629,6 +706,34 @@ object CypherFrontend {
     /** Path variables bound by shortestPath — only `length(p)` (the
       * hop count) is projectable; maps to the min-depth column. */
     private var pathVars = Map.empty[String, String]
+    /** Lambda variables inside comprehension/reduce bodies — bound to
+      * the enclosing higher-order function's element column. Checked
+      * FIRST in exprCol so a lambda shadows an outer binding, matching
+      * Cypher scoping. */
+    private var lambdaVars = Map.empty[String, Column]
+    /** Lambda variables known to iterate STRING elements (split(),
+      * keys(), string-literal lists) — drives size()'s char-vs-element
+      * dispatch inside comprehension/reduce bodies. */
+    private var stringLambdas = Set.empty[String]
+    private def withLambda(binds: (String, Column)*)(body: => Column): Column = {
+      val saved = lambdaVars
+      lambdaVars = lambdaVars ++ binds
+      try body finally lambdaVars = saved
+    }
+    /** Best-effort: does this list expression carry string elements? */
+    private def stringElems(list: Expr): Boolean = list match {
+      case EFn("split", _) | EFn("keys", _) => true
+      case EList(items) if items.nonEmpty =>
+        items.forall { case ELit(_: String) => true; case _ => false }
+      case EComp(_, l2, _, None) => stringElems(l2)
+      case EComp(_, _, _, Some(m)) => m match {
+        case ELit(_: String) | EProp(_, _) |
+             EFn("tolower" | "toupper" | "tostring" | "trim" | "ltrim" |
+                 "rtrim" | "replace" | "substring" | "left" | "right", _) => true
+        case _ => false
+      }
+      case _ => false
+    }
 
     /** One variable's node table, all columns namespaced. */
     private def nodeSide(p: NodePat, v: String): DataFrame = {
@@ -654,12 +759,17 @@ object CypherFrontend {
     }
 
     /** Compile one chain to a DataFrame of namespaced columns; returns
-      * (df, boundVars). */
-    private def compileChain(ch: Chain): (DataFrame, Set[String]) = {
+      * (df, boundVars). A `pathVar` (MATCH p = ...) additionally
+      * materializes the walk's hop count as a `pathlen$p` column —
+      * fixed hops contribute 1 each, a bounded var-length hop its
+      * unrolled depth — and registers it for `length(p)`. */
+    private def compileChain(ch: Chain,
+                             pathVar: Option[String] = None): (DataFrame, Set[String]) = {
       val headVar = ch.head.v.getOrElse(freshVar())
       var df = nodeSide(ch.head, headVar)
       var bound = Set(headVar)
       var cur = headVar
+      val lenParts = Seq.newBuilder[Column]
       ch.hops.foreach { case (rel, nodePat) =>
         rel.varLen match {
           case Some((lo, hi)) =>
@@ -679,6 +789,9 @@ object CypherFrontend {
             val nv = nodePat.v.getOrElse(freshVar())
             val reachDf =
               if (hi == Unbounded) {
+                require(pathVar.isEmpty,
+                  "length(p) over an unbounded `*` hop is not finite " +
+                    "on cyclic graphs; bound the range (*1..k)")
                 var e = edges
                 if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
                 val (fromC, toC) =
@@ -687,7 +800,8 @@ object CypherFrontend {
                   e.select(col(fromC).as("src_uid"), col(toC).as("dst_uid")))
                   .select(col("start").as(s"$endCol$$from"),
                     col("reached").as(s"$endCol$$to"))
-              } else varReach(rel, lo, hi, endCol)
+              } else varReach(rel, lo, hi, endCol, withLen = pathVar.isDefined)
+            if (pathVar.isDefined) lenParts += col(s"$endCol$$len")
             df = df.join(reachDf,
               col(ns(cur, "uid")) === col(s"$endCol$$from"))
               .drop(s"$endCol$$from")
@@ -702,6 +816,7 @@ object CypherFrontend {
             }
             cur = nv
           case None =>
+            if (pathVar.isDefined) lenParts += lit(1)
             val rv = rel.v.getOrElse(freshVar())
             relVars += rv
             val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
@@ -716,6 +831,16 @@ object CypherFrontend {
             bound += rv
             cur = nv
         }
+      }
+      pathVar.foreach { pv =>
+        val parts = lenParts.result()
+        val lenCol = s"pathlen$$$pv"
+        df = df.withColumn(lenCol,
+          if (parts.isEmpty) lit(0) else parts.reduce(_ + _))
+        // the per-hop depth scratch columns fold into the total
+        df = df.drop(df.columns.filter(c =>
+          c.endsWith("$len") && c != lenCol).toIndexedSeq: _*)
+        pathVars += pv -> lenCol
       }
       (df, bound)
     }
@@ -766,20 +891,25 @@ object CypherFrontend {
     /** (from, to) pairs reachable by lo..hi chained hops of `rel`'s
       * edge set: hi-1 chained equi-joins, depths >= lo unioned — path
       * multiplicity preserved, no iteration state on the driver. */
-    private def varReach(rel: RelPat, lo: Int, hi: Int, nsCol: String): DataFrame = {
+    private def varReach(rel: RelPat, lo: Int, hi: Int, nsCol: String,
+                         withLen: Boolean = false): DataFrame = {
       var e = edges
       if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
       val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
       val e1 = e.select(col(fromC).as(s"$nsCol$$from"), col(toC).as(s"$nsCol$$to"))
+      // each k-fold chain tags its constant depth when a named path
+      // needs length(p); the column is a literal, so it costs nothing
+      def tag(df: DataFrame, k: Int): DataFrame =
+        if (withLen) df.withColumn(s"$nsCol$$len", lit(k)) else df
       var step = e1
-      var acc: Option[DataFrame] = if (lo <= 1) Some(step) else None
+      var acc: Option[DataFrame] = if (lo <= 1) Some(tag(step, 1)) else None
       for (k <- 2 to hi) {
         step = step
           .select(col(s"$nsCol$$from"), col(s"$nsCol$$to").as(s"$nsCol$$mid"))
           .join(e1.select(col(s"$nsCol$$from").as(s"$nsCol$$mid"),
             col(s"$nsCol$$to")), s"$nsCol$$mid")
           .select(s"$nsCol$$from", s"$nsCol$$to")
-        if (k >= lo) acc = Some(acc.fold(step)(_.unionByName(step)))
+        if (k >= lo) acc = Some(acc.fold(tag(step, k))(_.unionByName(tag(step, k))))
       }
       acc.get
     }
@@ -807,7 +937,7 @@ object CypherFrontend {
         // a clause's comma chains join on shared vars (inner, one pattern)
         var (cdf, cbound) = cl.shortest match {
           case Some(pv) => compileShortest(cl.chains.head, pv)
-          case None => compileChain(cl.chains.head)
+          case None => compileChain(cl.chains.head, cl.named)
         }
         cl.chains.tail.foreach { ch =>
           val (chDf, chBound) = compileChain(ch)
@@ -1043,6 +1173,12 @@ object CypherFrontend {
       case PStr("contains", l, r) => exprCol(l).contains(exprCol(r))
       case PStr("starts", l, r) => exprCol(l).startsWith(exprCol(r))
       case PStr("ends", l, r) => exprCol(l).endsWith(exprCol(r))
+      case PStr("regex", l, r) => r match {
+        // Cypher `=~` is a FULL match — anchor the pattern (Spark's
+        // rlike is find-anywhere)
+        case ELit(p: String) => exprCol(l).rlike("^(?:" + p + ")$")
+        case _ => sys.error("=~ needs a string-literal pattern")
+      }
       case PStr(op, _, _) => sys.error(s"unknown string predicate $op")
       case PIsNull(EVar(v), neg) if !scalarVars(v) =>
         // a variable's null-ness is its binding's (left-join padding),
@@ -1053,12 +1189,14 @@ object CypherFrontend {
         if (neg) exprCol(e).isNotNull else exprCol(e).isNull
       case PAnd(l, r) => predCol(l) && predCol(r)
       case POr(l, r) => predCol(l) || predCol(r)
+      case PXor(l, r) => predCol(l) =!= predCol(r)
       case PNot(i) => !predCol(i)
       case PPattern(_, _, _, _) =>
         sys.error("pattern predicates under OR are not supported; rewrite as separate queries")
     }
 
     private def exprCol(e: Expr): Column = e match {
+      case EVar(v) if lambdaVars.contains(v) => lambdaVars(v)
       case EVar(v) if scalarVars(v) => col(v) // WITH-bound scalar alias
       case EVar(v) => // a bare node/rel variable projects its identity
         if (relVars(v))
@@ -1085,6 +1223,28 @@ object CypherFrontend {
           case other => sys.error(s"unknown arithmetic operator $other")
         }
       case EFn(fn, args) => fnCol(fn, args)
+      case EIndex(b, ix) =>
+        // Cypher 0-based (element_at is 1-based); negative = from end,
+        // which element_at already speaks
+        val bc = exprCol(b)
+        val ic = exprCol(ix).cast("int")
+        when(ic >= 0, element_at(bc, ic + lit(1))).otherwise(element_at(bc, ic))
+      case EComp(v, lst, wh, mp) =>
+        val lc = exprCol(lst)
+        val savedS = stringLambdas
+        if (stringElems(lst)) stringLambdas += v
+        try {
+          val filtered = wh.fold(lc)(p =>
+            filter(lc, x => withLambda(v -> x)(predCol(p))))
+          mp.fold(filtered)(m =>
+            transform(filtered, x => withLambda(v -> x)(exprCol(m))))
+        } finally stringLambdas = savedS
+      case EReduce(accN, init, v, lst, body) =>
+        val savedS = stringLambdas
+        if (stringElems(lst)) stringLambdas += v
+        try aggregate(exprCol(lst), exprCol(init),
+          (acc, x) => withLambda(accN -> acc, v -> x)(exprCol(body)))
+        finally stringLambdas = savedS
       case ECase(operand, whens, els) =>
         val branches = whens.map {
           case (Left(p), t) => (predCol(p), exprCol(t))
@@ -1139,11 +1299,50 @@ object CypherFrontend {
           }
         case "floor" => arity(args.size == 1); floor(a(0))
         case "ceil" => arity(args.size == 1); ceil(a(0))
-        case "size" => arity(args.size == 1); size(a(0))
+        case "size" =>
+          arity(args.size == 1)
+          // list-size vs string-length by the argument's shape: props,
+          // string literals and string-producing functions measure in
+          // chars; everything list-shaped (literals, split/range/keys,
+          // comprehensions, lifted collect() temps) in elements
+          args(0) match {
+            case EProp(_, _) | ELit(_: String) |
+                 EFn("tolower" | "toupper" | "tostring" | "trim" | "ltrim" |
+                     "rtrim" | "replace" | "substring" | "left" | "right", _) =>
+              length(a(0))
+            case EVar(v) if stringLambdas(v) => length(a(0))
+            case _ => size(a(0))
+          }
+        case "range" =>
+          arity(args.size == 2 || args.size == 3)
+          // Cypher range() is inclusive on both ends, like sequence()
+          if (args.size == 2) sequence(a(0).cast("long"), a(1).cast("long"))
+          else sequence(a(0).cast("long"), a(1).cast("long"), a(2).cast("long"))
+        case "properties" => args match {
+          case Seq(EVar(v)) if !scalarVars(v) && !relVars(v) =>
+            // string-valued property map, absent (null) props filtered
+            // out — Neo4j's map of SET properties. Values cast to
+            // string for a uniform map type (documented divergence for
+            // non-string property columns).
+            map_filter(
+              map(nodeProps.flatMap(p =>
+                Seq(lit(p), col(ns(v, p)).cast("string"))): _*),
+              (_, pv) => pv.isNotNull)
+          case _ => sys.error("properties() takes one bound node variable")
+        }
+        case "keys" => args match {
+          case Seq(EVar(v)) if !scalarVars(v) && !relVars(v) =>
+            map_keys(map_filter(
+              map(nodeProps.flatMap(p =>
+                Seq(lit(p), col(ns(v, p)).cast("string"))): _*),
+              (_, pv) => pv.isNotNull))
+          case _ => sys.error("keys() takes one bound node variable")
+        }
         case "length" => args match {
           case Seq(EVar(pv)) if pathVars.contains(pv) => col(pathVars(pv))
           case _ => sys.error(
-            "length() takes a shortestPath path variable (hop count)")
+            "length() takes a bound path variable (hop count), " +
+              "e.g. MATCH p = (a)-[:T*1..2]->(b) RETURN length(p)")
         }
         case "id" => args match {
           case Seq(EVar(v)) if !scalarVars(v) && !relVars(v) => col(ns(v, "uid"))
@@ -1161,6 +1360,13 @@ object CypherFrontend {
         case EArith(_, l, r) => inE(l) || inE(r)
         case EFn(_, as) => as.exists(inE)
         case EList(items) => items.exists(inE)
+        case EIndex(b, ix) => inE(b) || inE(ix)
+        // lambda-bound names shadow scalars; the over-approximation
+        // (not excluding them) only ever widens the correlated path
+        case EComp(_, lst, wh, mp) =>
+          inE(lst) || wh.exists(inP) || mp.exists(inE)
+        case EReduce(_, init, _, lst, body) =>
+          inE(init) || inE(lst) || inE(body)
         case ECase(op, whens, els) =>
           op.exists(inE) || els.exists(inE) ||
             whens.exists { case (c, t) => c.fold(inP, inE) || inE(t) }
@@ -1173,6 +1379,7 @@ object CypherFrontend {
         case PIn(l, r) => inE(l) || inE(r)
         case PAnd(l, r) => inP(l) || inP(r)
         case POr(l, r) => inP(l) || inP(r)
+        case PXor(l, r) => inP(l) || inP(r)
         case PNot(i) => inP(i)
         case PIsNull(e, _) => inE(e)
         case PPattern(_, _, _, _) => false
@@ -1190,6 +1397,11 @@ object CypherFrontend {
       case EArith(_, l, r) => hasAgg(l) || hasAgg(r)
       case EFn(_, as) => as.exists(hasAgg)
       case EList(xs) => xs.exists(hasAgg)
+      case EIndex(b, ix) => hasAgg(b) || hasAgg(ix)
+      case EComp(_, lst, wh, mp) =>
+        hasAgg(lst) || wh.exists(predHasAgg) || mp.exists(hasAgg)
+      case EReduce(_, init, _, lst, body) =>
+        hasAgg(init) || hasAgg(lst) || hasAgg(body)
       case ECase(op, whens, els) =>
         op.exists(hasAgg) || els.exists(hasAgg) ||
           whens.exists { case (c, t) => hasAgg(t) || c.fold(predHasAgg, hasAgg) }
@@ -1201,6 +1413,7 @@ object CypherFrontend {
       case PIn(l, r) => hasAgg(l) || hasAgg(r)
       case PAnd(l, r) => predHasAgg(l) || predHasAgg(r)
       case POr(l, r) => predHasAgg(l) || predHasAgg(r)
+      case PXor(l, r) => predHasAgg(l) || predHasAgg(r)
       case PNot(i) => predHasAgg(i)
       case PIsNull(e, _) => hasAgg(e)
       case PPattern(_, _, _, _) => false
@@ -1224,6 +1437,13 @@ object CypherFrontend {
       case EArith(op, l, r) => EArith(op, liftAggs(l, acc), liftAggs(r, acc))
       case EFn(fn, as) => EFn(fn, as.map(liftAggs(_, acc)))
       case EList(xs) => EList(xs.map(liftAggs(_, acc)))
+      case EIndex(b, ix) => EIndex(liftAggs(b, acc), liftAggs(ix, acc))
+      case EComp(v, lst, wh, mp) =>
+        EComp(v, liftAggs(lst, acc), wh.map(liftPredAggs(_, acc)),
+          mp.map(liftAggs(_, acc)))
+      case EReduce(an, init, v, lst, body) =>
+        EReduce(an, liftAggs(init, acc), v, liftAggs(lst, acc),
+          liftAggs(body, acc))
       case ECase(op, whens, els) =>
         ECase(op.map(liftAggs(_, acc)),
           whens.map { case (c, t) =>
@@ -1240,6 +1460,7 @@ object CypherFrontend {
       case PIn(l, r) => PIn(liftAggs(l, acc), liftAggs(r, acc))
       case PAnd(l, r) => PAnd(liftPredAggs(l, acc), liftPredAggs(r, acc))
       case POr(l, r) => POr(liftPredAggs(l, acc), liftPredAggs(r, acc))
+      case PXor(l, r) => PXor(liftPredAggs(l, acc), liftPredAggs(r, acc))
       case PNot(i) => PNot(liftPredAggs(i, acc))
       case PIsNull(e2, n) => PIsNull(liftAggs(e2, acc), n)
       case other => other

@@ -1140,6 +1140,44 @@ object GraphQueries extends QueryPack {
         |ORDER BY target""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g50 — Cypher named-path walk profile: every 1..2-hop walk out of
+    * a regex-sliced customer cohort, grouped by target label and hop
+    * count. Exercises the round-6 front-end surface in one gated
+    * query: `MATCH p = ...` named paths with `length(p)` over a
+    * var-length hop (the unrolled union tags each k-fold chain with a
+    * constant depth — zero data cost), and `=~` full-match regex
+    * (anchored rlike — Neo4j's `=~` is a full match, Spark's bare
+    * rlike is find-anywhere; an unanchored compile would silently
+    * match 10× the cohort). The compiled plan is the g32 unrolled
+    * var-length shape plus a constant-depth column: label filter in
+    * the node scan, uid equi-joins per hop, one hash aggregate. */
+  def g50CypherPathProfile(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH p = (c:Customer)-[*1..2]->(x)
+        |WHERE c.name =~ 'Customer#0000000[0-9]{2}'
+        |RETURN labels(x)[0] AS target, length(p) AS hops, count(*) AS walks
+        |ORDER BY target, hops""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
+  /** g51 — Cypher list-kernel aggregation: per-region roll-up whose
+    * measures run THROUGH the collected list — `reduce(acc = 0, x IN
+    * collect(size(n.name)) | acc + x)` (a fold over the group's
+    * collected values) and `size([x IN collect(n.name) WHERE x
+    * CONTAINS '1'])` (a filter comprehension counted). Both compile
+    * to codegen'd higher-order functions (`aggregate`, `filter`) over
+    * ONE `collect_list` per group — the aggregate computes once, the
+    * list kernels are row-local projections on top; no second
+    * aggregation pass, no UDF. size() dispatches by shape: chars for
+    * the property string, elements for the comprehension result. */
+  def g51CypherListKernels(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN r.name AS region,
+        |  reduce(acc = 0, x IN collect(size(n.name)) | acc + x) AS name_chars,
+        |  size([x IN collect(n.name) WHERE x CONTAINS '1']) AS with_1
+        |ORDER BY region""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   /** g47 — time-RESPECTING 2-hop influence paths over the click
     * stream: an edge u→v exists when both click in the same 5-minute
     * bucket and u's first click precedes v's (time gives the
@@ -1234,6 +1272,8 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g50_cypher_path_profile" -> (g50CypherPathProfile _),
+    "g51_cypher_list_kernels" -> (g51CypherListKernels _),
     "g49_cc_bipartite"   -> (g49CcBipartite _),
     "g48_cc_native"      -> (g48CcNative _),
     "g47_temporal_reach" -> (g47TemporalReach _),
@@ -1381,6 +1421,28 @@ object GraphQueries extends QueryPack {
     // at capBuckets).
     // g47: same first-click buckets, same time-directed edges, same
     // at-or-after hop constraint (cap-valid like every co-click gate).
+    // g50: the two walk grains written out — 1 hop lands on the
+    // customer's nation, 2 hops on its region; the regex cohort is the
+    // same full-match slice.
+    "g50_cypher_path_profile" ->
+      """WITH sel AS (
+        |  SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE regexp_full_match(c_name, 'Customer#0000000[0-9]{2}'))
+        |SELECT 'Nation' AS target, CAST(1 AS INT) AS hops,
+        |  CAST(count(*) AS BIGINT) AS walks FROM sel
+        |UNION ALL
+        |SELECT 'Region', CAST(2 AS INT), CAST(count(*) AS BIGINT)
+        |FROM sel JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY target, hops""".stripMargin,
+    // g51: the list kernels ARE plain SQL aggregates — the fold over
+    // collected name lengths is sum(length), the counted comprehension
+    // a filtered count.
+    "g51_cypher_list_kernels" ->
+      """SELECT r_name AS region,
+        |  CAST(sum(length(n_name)) AS BIGINT) AS name_chars,
+        |  CAST(count(*) FILTER (WHERE n_name LIKE '%1%') AS INT) AS with_1
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region""".stripMargin,
     // g49: connectivity is bucket-mediated either way — the bipartite
     // engine must reproduce the pair-closure oracle exactly.
     "g49_cc_bipartite" ->

@@ -650,6 +650,95 @@ class CypherFrontendSpec extends SparkSpec {
     assert(e.getMessage.contains("returned items"))
   }
 
+  test("=~ is a FULL regex match, not find-anywhere") {
+    val got = run(
+      "MATCH (n) WHERE n.name =~ 'Wertstoffhof .' RETURN n.name AS n ORDER BY n")
+      .as[String].collect().toSeq
+    assert(got === Seq("Wertstoffhof A", "Wertstoffhof B"))
+    // 'schutt' appears INSIDE Bauschutt; a full match must reject it
+    assert(run("MATCH (n) WHERE n.name =~ 'schutt' RETURN n.name AS n").count() === 0)
+    assert(run("MATCH (n) WHERE n.name =~ '.*schutt' RETURN n.name AS n")
+      .as[String].collect().toSeq === Seq("Bauschutt"))
+  }
+
+  test("XOR binds between OR and AND") {
+    val got = run(
+      """MATCH (n:WasteItem)
+        |WHERE n.name = 'Asche' XOR n.name STARTS WITH 'A'
+        |RETURN n.name AS n ORDER BY n""".stripMargin)
+      .as[String].collect().toSeq
+    assert(got === Seq("Altlack")) // Asche: true XOR true = false
+  }
+
+  test("size() measures strings in chars and lists in elements") {
+    val s = run("MATCH (n:WasteItem {name: 'Asche'}) RETURN size(n.name) AS c")
+      .as[Long].collect().toSeq
+    assert(s === Seq(5L))
+    val l = run("MATCH (n:WasteItem) RETURN size(collect(n.name)) AS c")
+      .as[Long].collect().toSeq
+    assert(l === Seq(4L))
+    val sp = run("MATCH (f:Facility {name: 'Wertstoffhof A'}) " +
+      "RETURN size(split(f.name, ' ')) AS c").as[Long].collect().toSeq
+    assert(sp === Seq(2L))
+  }
+
+  test("postfix [i] indexes any list expression, 0-based, negative from the end") {
+    val got = run(
+      "MATCH (f:Facility) RETURN split(f.name, ' ')[1] AS t ORDER BY t")
+      .as[String].collect().toSeq
+    assert(got === Seq("A", "B"))
+    val last = run(
+      "MATCH (f:Facility {name: 'Wertstoffhof B'}) RETURN split(f.name, ' ')[-1] AS t")
+      .as[String].collect().toSeq
+    assert(last === Seq("B"))
+  }
+
+  test("list comprehension filters and maps via codegen'd higher-order functions") {
+    val got = run(
+      """MATCH (f:Facility {name: 'Wertstoffhof A'})
+        |RETURN [x IN split(f.address, ' ') WHERE size(x) > 1 | toUpper(x)] AS parts""".stripMargin)
+      .as[Seq[String]].collect().head
+    assert(got === Seq("CAMPUSALLEE")) // '1' filtered by size > 1
+  }
+
+  test("reduce() folds a list; range() is inclusive; UNWIND takes any list expression") {
+    val r = run("UNWIND [1] AS one RETURN reduce(acc = 0, x IN range(1, 4) | acc + x) AS s")
+      .as[Long].collect().toSeq
+    assert(r === Seq(10L))
+    val u = run("UNWIND range(2, 6, 2) AS i RETURN i ORDER BY i")
+      .as[Long].collect().toSeq
+    assert(u === Seq(2L, 4L, 6L))
+  }
+
+  test("properties() maps only the SET properties; keys() lists them") {
+    val p = run("MATCH (f:Facility {name: 'Wertstoffhof B'}) RETURN properties(f) AS p")
+      .as[Map[String, String]].collect().head
+    assert(p === Map("name" -> "Wertstoffhof B", "address" -> "Nordring 7"))
+    // w4 has no address — absent props must not appear
+    val k = run("MATCH (w:WasteItem {name: 'Altlack'}) RETURN keys(w) AS k")
+      .as[Seq[String]].collect().head
+    assert(k === Seq("name"))
+  }
+
+  test("named path: length(p) counts hops across fixed and var-length chains") {
+    val fixed = run(
+      """MATCH p = (w:WasteItem {name: 'Bauschutt'})-[:DISPOSED_IN]->(s)
+        |RETURN s.name AS s, length(p) AS len""".stripMargin)
+      .as[(String, Int)].collect().toSeq
+    assert(fixed === Seq(("Restmuell", 1)))
+    // var-length: every walk of 1..2 hops out of w1 (graph is a DAG of
+    // depth 1 from items, so only depth-1 walks exist)
+    val varlen = run(
+      """MATCH p = (w:WasteItem {name: 'Bauschutt'})-[*1..2]->(x)
+        |RETURN x.name AS x, length(p) AS len ORDER BY x""".stripMargin)
+      .as[(String, Int)].collect().toSeq
+    assert(varlen === Seq(("Restmuell", 1), ("Wertstoffhof A", 1)))
+    // unbounded * with a named path is refused (length not finite)
+    val e = intercept[IllegalArgumentException](run(
+      "MATCH p = (w:WasteItem)-[*]->(x) RETURN length(p) AS l"))
+    assert(e.getMessage.contains("bound the range"))
+  }
+
   test("pipeline aliases cannot leak into property maps") {
     val e = intercept[RuntimeException](run(
       """UNWIND ['Restmuell'] AS nm
