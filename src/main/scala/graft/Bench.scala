@@ -83,7 +83,8 @@ object Bench {
       "d39_exact_substr", "d40_dsir_select", "e15_ivfpq",
       "g49_cc_bipartite", "m15_phash_clusters", "s18_stream_components",
       // round-6 closing wave
-      "q94_sole_blame", "q95_dormant_balance")
+      "q94_sole_blame", "q95_dormant_balance",
+      "q96_smallqty_revenue", "q99_top_supplier")
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = jsonMap(results.toSeq.sortBy(_._1))

@@ -2210,6 +2210,36 @@ object RelationalQueries extends QueryPack {
       .orderBy("s_suppkey")
   }
 
+  /** q100 — ORC round-trip source: the last cell of the format matrix
+    * (CSV/JSON/XLSX/Avro/PDF/DOCX/parquet already covered). Spark's
+    * native ORC reader/writer — column-pruned, predicate-pushing
+    * (the date bound lands in the ORC scan as a pushed filter, same
+    * contract PlanQualitySpec pins for parquet; an OrcSpec case pins
+    * it for this format) — writes a lineitem slice as multi-file ORC
+    * and aggregates it back against the parquet ground truth. At
+    * 100 TB this is the "read someone else's lakehouse" path: ORC
+    * partitions split and prune exactly like parquet, so every scan
+    * law in SCALE.md §2 transfers unchanged. localCheckpoint because
+    * the temp files are gone when the frame is consumed. */
+  def q100OrcSource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q100-orc")
+    try {
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice", "l_shipdate")
+        .repartition(4)
+        .write.mode("overwrite").orc(tmp.toString)
+      s.read.orc(tmp.toString)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
   /** q91 — small-file compaction planning (the lakehouse OPTIMIZE
     * pre-pass q75's clustering note presumes): given per-file sizes —
     * here orders-per-month as pseudo-files — assign files to
@@ -2379,6 +2409,7 @@ object RelationalQueries extends QueryPack {
     "q97_large_orders"    -> (q97LargeOrders _),
     "q98_cust_distribution" -> (q98CustDistribution _),
     "q99_top_supplier"    -> (q99TopSupplier _),
+    "q100_orc_source"     -> (q100OrcSource _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
     "q74_incremental_agg" -> (q74IncrementalAgg _),
@@ -2676,6 +2707,14 @@ object RelationalQueries extends QueryPack {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE r = (SELECT max(r) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    // q100: the ORC bytes carry the same values — the oracle reads the
+    // parquet ground truth with the identical slice + aggregate.
+    "q100_orc_source" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q91: identical running-sum rule — bin from the exclusive cumsum
     // over (size desc, id), per-bin totals joined back.
     "q91_compaction_plan" ->
