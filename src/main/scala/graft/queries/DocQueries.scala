@@ -117,6 +117,40 @@ object DocQueries extends QueryPack {
         col("provenance"))
       .orderBy("doc_id")
 
+  /** The documents corpus re-packaged as REAL web pages (full head +
+    * nav/header/footer chrome, entities, a script the tokenizer must
+    * not leak), built per-row by [[graft.sources.Html.pageBytes]]. Same
+    * no-shuffle contract as the docx/pdf paths: bytes are born and
+    * parsed in one task. */
+  private def rawHtmlDocs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        DocExtract.RawDoc(id, "html", s"html_$id",
+          graft.sources.Html.pageBytes(s"Doc $id", text)) }
+  }
+
+  /** q101 — the real HTML extractor end-to-end: corpus text → full web
+    * page (chrome + entities + script) → tag-tokenizer extraction →
+    * Source-node projection. The round trip pins the writer AND the
+    * extractor to the oracle's laws (escape/decode is lossless, the
+    * boilerplate chrome contributes nothing, the `<title>` tag wins,
+    * ceil(len/500) chunking). Nested skip subtrees, numeric character
+    * references, quoted-'>' attributes, br/block behavior and CDATA
+    * are pinned by HtmlSpec fixtures (not SQL-expressible). */
+  def q101HtmlExtract(s: SparkSession, dir: String): DataFrame =
+    DocExtract.extractAll(rawHtmlDocs(s, dir),
+        () => new DocExtract.HtmlExtractor()).toDF()
+      .select(col("doc_id"), col("name"),
+        graft.core.Uid.uid(col("name")).as("uid"),
+        col("source_type").as("type"),
+        col("title"),
+        length(col("text")).cast("long").as("text_len"),
+        col("n_chunks"),
+        col("provenance"))
+      .orderBy("doc_id")
+
   /** q85 — the RAG chunk TABLE: the reference's extraction → chunk →
     * embedding flow (`README.md:122-127`, `etl_implementation.md:
     * 262-273`) materialized as one declarative plan. Chunks are an
@@ -190,6 +224,7 @@ object DocQueries extends QueryPack {
 
   val queries: Map[String, QueryFn] = Map(
     "q89_entity_extract" -> (q89EntityExtract _),
+    "q101_html_extract" -> (q101HtmlExtract _),
     "q93_llm_extract"   -> (q93LlmExtract _),
     "q85_rag_chunks"    -> (q85RagChunks _),
     "q80_doc_extract"   -> (q80DocExtract _),
@@ -331,6 +366,18 @@ object DocQueries extends QueryPack {
         | length(trim(text)) AS text_len,
         | CAST(ceil(length(trim(text)) / 500.0) AS INT) AS n_chunks,
         | 'docx:1p' AS provenance
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q101: the <title> tag wins over the first body line; the chrome
+    // (nav/header/footer/script/style) contributes nothing; body text
+    // round-trips escape/decode byte-exactly.
+    "q101_html_extract" ->
+      """SELECT doc_id, 'html_' || doc_id AS name,
+        | substr(sha256('html_' || doc_id), 1, 16) AS uid,
+        | 'html' AS type,
+        | substr('Doc ' || doc_id, 1, 120) AS title,
+        | length(trim(text)) AS text_len,
+        | CAST(ceil(length(trim(text)) / 500.0) AS INT) AS n_chunks,
+        | 'html:1p' AS provenance
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q84_pdf_extract" ->
       """SELECT doc_id, 'pdf_' || doc_id AS name,

@@ -2240,6 +2240,108 @@ object RelationalQueries extends QueryPack {
     } finally rmTree(tmp)
   }
 
+  /** q102 — TPC-H Q2-shaped minimum-cost supplier: for every STANDARD
+    * part, the EUROPE supplier(s) offering the lowest observed price,
+    * ranked by account balance. Q2's correlated min subquery
+    * (`min(ps_supplycost) ... where same part`, adapted to this corpus:
+    * offers are a lineitem aggregate since there is no partsupp table),
+    * Spark-first: the offer table aggregates per (part, supplier) ONCE;
+    * the per-part min is then a second aggregate of that SAME subtree
+    * joined back on (partkey, price = min) — both branches hang off the
+    * identical aggregate, so ReuseExchange runs the fact scan once
+    * (q99's discipline at per-group grain instead of global). The
+    * region slice broadcasts as a 3-table dim chain BEFORE the fact
+    * aggregate, shrinking the offer table ~5× at the scan edge; the
+    * part slice broadcasts onto the join-back. Prices are exact
+    * decimal mins (no FP tie flap); ties on the min price all survive,
+    * exactly Q2's semantics. At 100 TB: one fact exchange at
+    * (partkey, suppkey, min-price) width — the offer grain — and
+    * everything after is dim-sized or grouped at part grain. */
+  def q102MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val eur = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,6)").as("price"))
+      .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("price")).as("price"),
+        first(col("s_name")).as("s_name"),
+        first(col("s_acctbal")).as("s_acctbal"),
+        first(col("n_name")).as("n_name"))
+    val best = offers.groupBy(col("l_partkey").as("b_partkey"))
+      .agg(min(col("price")).as("mn"))
+    offers
+      .join(best, col("l_partkey") === col("b_partkey") && col("price") === col("mn"))
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        round(col("price"), 2).cast("double").as("min_price"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+  }
+
+  /** q103 — TPC-H Q11-shaped important stock: parts whose turnover
+    * through one nation's suppliers exceeds a fixed fraction (1/1000)
+    * of that nation's total. Q11's HAVING-vs-global-scalar pattern,
+    * Spark-first: value aggregates per partkey over the
+    * nation-broadcast-pruned fact ONCE; the global total is a 1-row
+    * aggregate of that SAME per-part frame (ReuseExchange executes the
+    * fact scan and its exchange once, q99's pattern) broadcast back as
+    * a single row. The share test cross-multiplies exact decimals
+    * (value·1000 > total) — no division, no FP boundary flap. At
+    * 100 TB the dominant cost is the one fact exchange at
+    * (partkey, value) width; the scalar side is one row at any scale,
+    * where the textbook correlated form re-runs the whole aggregate as
+    * a subquery. */
+  def q103ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val natSup = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir).filter(col("n_name") === "NATION_9"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,6)").as("v"))
+      .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey").agg(sum(col("v")).as("value"))
+    val total = value.agg(sum(col("value")).as("tot"))
+    value.join(broadcast(total), col("value") * 1000 > col("tot"))
+      .select(col("l_partkey"),
+        round(col("value"), 2).cast("double").as("part_value"))
+      .orderBy(desc("part_value"), asc("l_partkey"))
+  }
+
+  /** q104 — TPC-H Q16-shaped supplier diversity: how many distinct
+    * suppliers ship each (brand, size) product class, excluding one
+    * brand and a supplier deny-set (Q16's `NOT IN (... complaints)`
+    * adapted to this corpus: negative-balance suppliers). Spark-first:
+    * the deny-set is dim-sized, so the NOT IN becomes a BROADCAST
+    * left-anti join at the fact's scan edge (never a shuffled anti
+    * join, never a null-trap IN rewrite); the brand exclusion rides
+    * the broadcast part dim; the distinct count then collapses
+    * (brand, size, suppkey) map-side before the final exchange.
+    * At 100 TB: one fact pass, one partial-deduped exchange at the
+    * class grain — the anti join costs nothing because the deny-set
+    * broadcasts everywhere. */
+  def q104SupplierDiversity(s: SparkSession, dir: String): DataFrame = {
+    val denied = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(denied), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#2")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_size"))
+  }
+
   /** q91 — small-file compaction planning (the lakehouse OPTIMIZE
     * pre-pass q75's clustering note presumes): given per-file sizes —
     * here orders-per-month as pseudo-files — assign files to
@@ -2410,6 +2512,9 @@ object RelationalQueries extends QueryPack {
     "q98_cust_distribution" -> (q98CustDistribution _),
     "q99_top_supplier"    -> (q99TopSupplier _),
     "q100_orc_source"     -> (q100OrcSource _),
+    "q102_mincost_supplier" -> (q102MinCostSupplier _),
+    "q103_important_stock" -> (q103ImportantStock _),
+    "q104_supplier_diversity" -> (q104SupplierDiversity _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
     "q75_zorder"          -> (q75Zorder _),
     "q74_incremental_agg" -> (q74IncrementalAgg _),
@@ -2715,6 +2820,51 @@ object RelationalQueries extends QueryPack {
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q102: offers aggregate per (part, supplier) from the region-pruned
+    // fact; the correlated min re-expresses as a min-of-offers join-back;
+    // price ties all survive (Q2 semantics).
+    "q102_mincost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,6))) AS price,
+        |    min(s_name) AS s_name, min(s_acctbal) AS s_acctbal,
+        |    min(n_name) AS n_name
+        |  FROM lineitem JOIN eur ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, min(price) AS mn FROM offers GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  CAST(round(o.price, 2) AS DOUBLE) AS min_price
+        |FROM offers o JOIN best b ON o.l_partkey = b.l_partkey AND o.price = b.mn
+        |JOIN part ON o.l_partkey = p_partkey
+        |WHERE p_type = 'STANDARD'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+    // q103: per-part value over the nation-pruned fact; global total from
+    // the same frame; cross-multiplied share test on exact decimals.
+    "q103_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS value
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_9' GROUP BY 1)
+        |SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
+        |FROM v WHERE value * 1000 > (SELECT sum(value) FROM v)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    // q104: NOT IN deny-set as an anti join; distinct suppliers per
+    // (brand, size) class.
+    "q104_supplier_diversity" ->
+      """SELECT p_brand, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#2' AND l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     // q91: identical running-sum rule — bin from the exclusive cumsum
     // over (size desc, id), per-bin totals joined back.
     "q91_compaction_plan" ->

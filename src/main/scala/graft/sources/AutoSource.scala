@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * mixes formats. `AutoSource` sniffs each file's MAGIC BYTES (never
   * the extension — drops lie) and routes it to the matching zero-egress
   * reader: ZIP (`PK\x03\x04`) → [[XlsxSource]], Avro object container
-  * (`Obj\x01`) → [[AvroSource]], `%PDF` → flagged binary, else
-  * delimited text → Spark's CSV reader.
+  * (`Obj\x01`) → [[AvroSource]], `%PDF` / `<!`|`<h` (HTML page) →
+  * flagged for [[DocExtract]]'s extractors, else delimited text →
+  * Spark's CSV reader.
   *
   * Scale shape: sniffing reads 4 bytes per file from the `binaryFile`
   * listing (the m13 economics — inventory at header cost); each
@@ -27,6 +28,7 @@ object AutoSource {
     if (at(0) == 'P' && at(1) == 'K' && at(2) == 0x03 && at(3) == 0x04) "xlsx"
     else if (at(0) == 'O' && at(1) == 'b' && at(2) == 'j' && at(3) == 0x01) "avro"
     else if (at(0) == '%' && at(1) == 'P' && at(2) == 'D' && at(3) == 'F') "pdf"
+    else if (at(0) == '<' && (at(1) == '!' || at(1) == 'h' || at(1) == 'H')) "html"
     else "csv"
   }
 
@@ -41,6 +43,9 @@ object AutoSource {
         when(h === "504B0304", "xlsx")
           .when(h === "4F626A01", "avro")
           .when(h === "25504446", "pdf")
+          // "<!" (doctype) / "<h"|"<H" (html|head) — page, not table
+          .when(substring(h, 1, 2) === "3C" &&
+            substring(h, 3, 2).isin("21", "68", "48"), "html")
           .otherwise("csv").as("format"))
   }
 

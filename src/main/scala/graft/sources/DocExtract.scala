@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   * provenance out, flowing into the graph as `Source` nodes
   * (`schema.cql:96-98`) with per-chunk `DERIVED_FROM` edges (§1.1).
   *
-  * Three REAL zero-egress extractors run on actual bytes:
+  * REAL zero-egress extractors run on actual bytes:
   * [[PlainTextExtractor]] (UTF-8 decode, BOM strip, newline
   * normalization, paragraph-packed chunking), [[MarkdownExtractor]]
-  * (the same plus markup stripping and heading-derived titles), and
+  * (the same plus markup stripping and heading-derived titles),
   * [[DocxExtractor]] (OOXML `word/document.xml` paragraph runs via the
-  * bounded ZIP + StAX machinery shared with [[XlsxSource]]). Only the
-  * PDF and LLM codecs this container lacks stay behind the same
-  * [[Extractor]] interface ([[StubExtractor]] marks that seam).
+  * bounded ZIP + StAX machinery shared with [[XlsxSource]]),
+  * [[PdfExtractor]] ([[Pdf]]'s object-graph scan + content-stream
+  * replay), [[HtmlExtractor]] ([[Html]]'s tag tokenizer with
+  * boilerplate removal), and [[LuhnExtractor]] (extractive
+  * summarization behind the `llm` slot). [[StubExtractor]] marks the
+  * seam where a real model client would sit.
   *
   * The Spark side is identical for every extractor: partition-batched
   * `mapPartitions` with one extractor instance per partition
@@ -30,7 +33,7 @@ object DocExtract {
 
   /** One raw input document. `source_type` follows the reference's
     * Source.type enum: pdf | csv | docx | llm (`schema.cql:96-97`),
-    * extended with txt | md for the zero-egress extractors. */
+    * extended with txt | md | html for the zero-egress extractors. */
   case class RawDoc(doc_id: Long, source_type: String, name: String,
                     content: Array[Byte])
 
@@ -40,7 +43,7 @@ object DocExtract {
 
   /** Allowed Source.type values: the reference enum (`schema.cql:96-97`)
     * plus the engine's plain-text/markdown extensions. */
-  val SourceTypes: Set[String] = Set("pdf", "csv", "docx", "llm", "txt", "md")
+  val SourceTypes: Set[String] = Set("pdf", "csv", "docx", "llm", "txt", "md", "html")
 
   trait Extractor extends Serializable {
     def extract(doc: RawDoc): Extracted
@@ -285,6 +288,29 @@ object DocExtract {
       Extracted(d.doc_id, d.source_type, d.name, text,
         title.map(_.trim).filter(_.nonEmpty).getOrElse(titleOf(text)).take(120),
         packed.size, s"pdf:${nPages}pg:${paras.size}p")
+    }
+  }
+
+  /** Real HTML extraction — the web-corpus ingestion path (a Graph-RAG
+    * corpus of institutional pages is web content first; the family
+    * slot next to pdf/docx in `etl_implementation.md:262-273`'s
+    * extraction plan): [[Html.toText]]'s single-pass tag tokenizer
+    * drops script/style and the nav/header/footer/aside boilerplate
+    * chrome, turns block boundaries into paragraphs, and decodes
+    * character references. The `<title>` tag wins over the first body
+    * line — the same heading-over-first-line contract as
+    * [[MarkdownExtractor]] / [[DocxExtractor]] / [[PdfExtractor]].
+    * Chunking and empty-doc laws are shared (0 chunks for an empty
+    * body). */
+  class HtmlExtractor(chunkChars: Int = 500) extends Extractor {
+    def extract(d: RawDoc): Extracted = {
+      val (body, title) = Html.toText(new String(d.content, StandardCharsets.UTF_8))
+      val text = normalize(body)
+      val paras = paragraphs(text)
+      val packed = packChunks(paras, chunkChars)
+      Extracted(d.doc_id, d.source_type, d.name, text,
+        Some(title).map(_.trim).filter(_.nonEmpty).getOrElse(titleOf(text)).take(120),
+        packed.size, s"html:${paras.size}p")
     }
   }
 

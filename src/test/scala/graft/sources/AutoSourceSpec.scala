@@ -23,6 +23,10 @@ class AutoSourceSpec extends SparkSpec {
     assert(AutoSource.sniff(Array('O', 'b', 'j', 1).map(_.toByte)) === "avro")
     assert(AutoSource.sniff("%PDF-1.7".getBytes.take(4)) === "pdf")
     assert(AutoSource.sniff("a,b,c\n1,".getBytes.take(4)) === "csv")
+    assert(AutoSource.sniff("<!DOCTYPE html>".getBytes.take(4)) === "html")
+    assert(AutoSource.sniff("<html lang=\"de\">".getBytes.take(4)) === "html")
+    // XML-ish but not a page opener: stays on the text/CSV path
+    assert(AutoSource.sniff("<xml>".getBytes.take(4)) === "csv")
     assert(AutoSource.sniff(Array[Byte]()) === "csv") // empty → text fallback
   }
 
@@ -36,9 +40,11 @@ class AutoSourceSpec extends SparkSpec {
         XlsxSource.writeBytes(Seq(Seq("k", "v"), Seq("3", "z"))))
       Files.write(tmp.resolve("table.txt"), "k,v\n4,w\n".getBytes("UTF-8"))
       Files.write(tmp.resolve("doc.bin"), "%PDF-1.4 fake".getBytes("UTF-8"))
+      Files.write(tmp.resolve("page.dat"),
+        Html.pageBytes("Seite", "kein tabelleninhalt"))
       val inv = AutoSource.inventory(spark, tmp.toString)
         .select("format").as[String].collect().sorted.toSeq
-      assert(inv === Seq("avro", "csv", "pdf", "xlsx"))
+      assert(inv === Seq("avro", "csv", "html", "pdf", "xlsx"))
       val rows = AutoSource.readTabular(spark, tmp.toString)
         .select(col("k").cast("long"), col("v"), col("_format"))
         .as[(Long, String, String)].collect().sortBy(_._1).toSeq
