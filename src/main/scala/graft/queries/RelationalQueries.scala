@@ -2263,19 +2263,30 @@ object RelationalQueries extends QueryPack {
       .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    // The fact aggregate carries NO dim payload — both consumers (the
+    // join-back side and the per-part min) then hang off the IDENTICAL
+    // subtree, so ReuseExchange executes the fact scan + (part, supp)
+    // exchange once. Carrying s_name/acctbal through the aggregate
+    // (the naive shape) makes the two canonical plans differ and
+    // Catalyst scans the fact twice. Names join AFTER the min
+    // join-back, at result grain, by broadcast.
+    // The explicit partkey null guard is load-bearing for plan reuse
+    // (q99's lesson): the join-back branch pushes isnotnull(l_partkey)
+    // into ITS copy of the scan anyway — stating it once in the shared
+    // base makes both branches canonically identical.
     val offers = Tables.lineitem(s, dir)
+      .filter(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
       .select(col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice").cast("decimal(18,6)").as("price"))
-      .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(eur.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey", "l_suppkey")
-      .agg(min(col("price")).as("price"),
-        first(col("s_name")).as("s_name"),
-        first(col("s_acctbal")).as("s_acctbal"),
-        first(col("n_name")).as("n_name"))
+      .agg(min(col("price")).as("price"))
     val best = offers.groupBy(col("l_partkey").as("b_partkey"))
       .agg(min(col("price")).as("mn"))
     offers
       .join(best, col("l_partkey") === col("b_partkey") && col("price") === col("mn"))
+      .join(broadcast(eur), col("l_suppkey") === eur("s_suppkey"))
       .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")
           .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
@@ -2340,6 +2351,166 @@ object RelationalQueries extends QueryPack {
       .groupBy("p_brand", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_size"))
+  }
+
+  /** q105 — TPC-H Q7-shaped volume shipping: bilateral trade between
+    * two nations by ship year. The shape that earns Q7 its place: TWO
+    * fact-side equi-joins at different keys (lineitem→orders on
+    * orderkey, orders→customer on custkey) plus a dim chain on the
+    * supplier side. Spark-first: both nation slices broadcast — the
+    * supplier side PRUNES the fact at the scan edge (only the pair's
+    * suppliers survive, ~1/12 of rows before any wide op), and the
+    * customer side prunes orders the same way; the one irreducible
+    * shuffle is lineitem↔orders on orderkey, carried at minimum width
+    * (orderkey, year, revenue). The textbook plan shuffles the whole
+    * fact to customer grain TWICE; this one exchanges the pruned slice
+    * once. Revenue sums as exact decimal per (supp_nation, cust_nation,
+    * year) — a bounded key space, so the final aggregate is noise. */
+  def q105VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_9", "NATION_11")
+    val supN = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir).filter(col("n_name").isin(pair: _*)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir).filter(col("n_name").isin(pair: _*)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ordersN = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(ordersN, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation")) // bilateral only
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(count(lit(1)).as("n_lines"), moneySum(col("rev")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q106 — TPC-H Q19-shaped disjunctive-predicate revenue: three
+    * (brand, size-range, quantity-range) branches OR'd together, the
+    * classic test of disjunction handling. Spark-first: Catalyst
+    * extracts the part-side disjuncts (brand/size) and pushes the OR
+    * into the part scan as a pushed filter — the part dim arrives
+    * pre-sliced — while the mixed-table quantity conjuncts evaluate
+    * post-join; the part side stays a broadcast, so the fact is
+    * scanned once with no shuffle at all before the final bounded
+    * aggregate. Reported per branch (which OR-arm matched) rather
+    * than Q19's single scalar, so the gate pins each disjunct's
+    * row-routing individually. */
+  def q106DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val b1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 20)
+    val b2 = col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+      col("l_quantity").between(10, 30)
+    val b3 = col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+      col("l_quantity").between(20, 40)
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      // the EXPLICIT disjunction (not `CASE ... IS NOT NULL`, which
+      // Catalyst cannot decompose) — the optimizer extracts the
+      // part-only arms (brand∧size) and pushes their OR into the part
+      // scan, Q19's entire point
+      .filter(b1 || b2 || b3)
+      .select(when(b1, 1).when(b2, 2).when(b3, 3).as("branch"), col("rev"))
+      .groupBy("branch")
+      .agg(count(lit(1)).as("n_lines"), moneySum(col("rev")).as("revenue"))
+      .orderBy("branch")
+  }
+
+  /** q107 — TPC-H Q14-shaped promotion share: per 1997 month, the
+    * percentage of revenue from PROMO parts. The conditional-aggregate
+    * pattern: ONE pass computes both the promo and total sums (a CASE
+    * inside the aggregate, never two scans or a self-join), the date
+    * bound lands in the parquet scan, the part type arrives by
+    * broadcast. Both sums are exact decimal; the share divides the two
+    * AS DOUBLES cast from those exact decimals — the same two values
+    * in both engines, so the one double division is bit-identical —
+    * and rounds once. */
+  def q107PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val promo = sum(when(col("p_type") === "PROMO", col("rev"))).cast("double")
+    val total = sum(col("rev")).cast("double")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_lines"),
+        round(lit(100.0) * promo / total, 2).as("promo_share"),
+        moneySum(col("rev")).as("revenue"))
+      .orderBy("month")
+  }
+
+  /** q108 — TPC-H Q10-shaped returned-item losses: the top-20 customers
+    * by revenue lost to returns in one quarter. Spark-first: the date
+    * bound prunes ORDERS at its scan (the selective side), the
+    * returnflag bound prunes lineitem at its scan, and the join carries
+    * only the two pruned slices on orderkey — the single wide exchange;
+    * customer + nation names arrive by broadcast at the aggregated
+    * customer grain. The top-20 is TakeOrderedAndProject (per-partition
+    * top-k then a 20-row driver merge — never a global sort of the
+    * customer grain; at 100 TB the sort-shuffle a naive
+    * orderBy().limit() plans would move every customer row to one
+    * ordering). Tie-broken on custkey so the cut is deterministic. */
+  def q108ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_returns"), sum(col("rev")).as("revx"))
+      .join(broadcast(Tables.customer(s, dir)
+          .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("n_returns"), round(col("revx"), 2).cast("double").as("lost_revenue"))
+      .orderBy(desc("lost_revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** q109 — TPC-H Q12-shaped priority-class line counts: per return
+    * flag, how many 1997 lines belong to critical-priority orders vs
+    * the rest. Q12's two-conditional-counts-after-the-join shape:
+    * lineitem prunes on the shipdate bound AT THE SCAN, orders ships
+    * only (orderkey, priority), the orderkey join is the one exchange,
+    * and both counts come from a single CASE'd aggregate pass (q107's
+    * law for counts). The group key space is 3 rows — the final
+    * aggregate is noise at any scale. */
+  def q109PriorityClasses(s: SparkSession, dir: String): DataFrame = {
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
   }
 
   /** q91 — small-file compaction planning (the lakehouse OPTIMIZE
@@ -2513,6 +2684,11 @@ object RelationalQueries extends QueryPack {
     "q99_top_supplier"    -> (q99TopSupplier _),
     "q100_orc_source"     -> (q100OrcSource _),
     "q102_mincost_supplier" -> (q102MinCostSupplier _),
+    "q105_volume_shipping" -> (q105VolumeShipping _),
+    "q108_returned_items" -> (q108ReturnedItems _),
+    "q109_priority_classes" -> (q109PriorityClasses _),
+    "q106_disjunctive_revenue" -> (q106DisjunctiveRevenue _),
+    "q107_promo_share"    -> (q107PromoShare _),
     "q103_important_stock" -> (q103ImportantStock _),
     "q104_supplier_diversity" -> (q104SupplierDiversity _),
     "a03_hist_quantile"   -> (a03HistQuantile _),
@@ -2865,6 +3041,81 @@ object RelationalQueries extends QueryPack {
         |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    // q108: identical quarter/flag slices, decimal revenue, custkey
+    // tiebreak on the top-20 cut.
+    "q108_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(count(*) AS BIGINT) AS n_returns,
+        |  CAST(round(sum(CAST(l_extendedprice*(1-l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS lost_revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // q109: one CASE'd aggregate pass for both counts.
+    "q109_priority_classes" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q105: same bilateral slice; revenue as exact decimal, rounded once.
+    "q105_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(round(sum(CAST(l_extendedprice*(1-l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_9', 'NATION_11')
+        |  AND cn.n_name IN ('NATION_9', 'NATION_11')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q106: identical branch routing — first matching OR-arm wins.
+    "q106_disjunctive_revenue" ->
+      """WITH j AS (
+        |  SELECT CASE
+        |    WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |      AND l_quantity BETWEEN 1 AND 20 THEN 1
+        |    WHEN p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |      AND l_quantity BETWEEN 10 AND 30 THEN 2
+        |    WHEN p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |      AND l_quantity BETWEEN 20 AND 40 THEN 3 END AS branch,
+        |    CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT branch, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
+        |FROM j WHERE branch IS NOT NULL
+        |GROUP BY branch ORDER BY branch""".stripMargin,
+    // q107: both sums exact decimal, cast to double, ONE division, one
+    // round — the same arithmetic in both engines bit for bit.
+    "q107_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))
+        |    END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice*(1-l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE), 2) AS promo_share,
+        |  CAST(round(sum(CAST(l_extendedprice*(1-l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q91: identical running-sum rule — bin from the exclusive cumsum
     // over (size desc, id), per-bin totals joined back.
     "q91_compaction_plan" ->

@@ -607,4 +607,88 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
       s"dormancy probe not a broadcast anti join in:\n$plan")
   }
+
+  test("q102: the offers aggregate executes once — one fact scan in the final plan") {
+    val plan = planOf(RelationalQueries.q102MinCostSupplier(spark, dir))
+    // the per-part min branch must REUSE the (part, supplier) offers
+    // exchange, not re-scan the fact (q99's discipline at group grain)
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 1,
+      s"min branch re-scans the fact instead of reusing the offers exchange in:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected region-dim, name-dim and part broadcasts in:\n$plan")
+  }
+
+  // q103/q104 pin at sf0.01: at sf0.001 their dim slices (NATION_9
+  // suppliers / negative-balance suppliers) are EMPTY, and AQE's
+  // empty-relation propagation erases the very operators under pin.
+  test("q103: one fact scan; the 1-row total broadcasts back") {
+    val plan = planOf(RelationalQueries.q103ImportantStock(spark, "/root/testdata/sf0.01"))
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 1,
+      s"global-total branch re-scans the fact instead of reusing the value exchange in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total should arrive by broadcast in:\n$plan")
+  }
+
+  test("q105: nation slices broadcast; one orderkey exchange moves the fact") {
+    val plan = planOf(RelationalQueries.q105VolumeShipping(spark, "/root/testdata/sf0.01"))
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 1, s"fact scanned more than once in:\n$plan")
+    // supplier-nation prune must reach the fact BEFORE the orderkey join
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected broadcast nation slices on both sides in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("q106: the brand/size disjunction pushes into the part scan") {
+    val plan = planOf(RelationalQueries.q106DisjunctiveRevenue(spark, "/root/testdata/sf0.01"))
+    assert(plan.contains("Or(And(EqualTo(p_brand") ||
+      plan.contains("Or(Or(And(EqualTo(p_brand"),
+      s"OR-of-ANDs not pushed to the part scan in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"part side should broadcast in:\n$plan")
+  }
+
+  test("q107: the year bound reaches the fact scan; one pass computes both sums") {
+    val plan = planOf(RelationalQueries.q107PromoShare(spark, "/root/testdata/sf0.01"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"),
+      s"1997 bounds not pushed to the parquet scan in:\n$plan")
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 1,
+      s"conditional aggregate should need exactly one fact pass in:\n$plan")
+  }
+
+  test("q108: both slices prune at their scans; the top-20 is TakeOrdered, not a global sort") {
+    val plan = planOf(RelationalQueries.q108ReturnedItems(spark, "/root/testdata/sf0.01"))
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed to the lineitem scan in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter bound not pushed to the orders scan in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 should be per-partition top-k + driver merge in:\n$plan")
+  }
+
+  test("q109: the year bound prunes the fact; both counts from one pass") {
+    val plan = planOf(RelationalQueries.q109PriorityClasses(spark, "/root/testdata/sf0.01"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"1997 bound not pushed to the lineitem scan in:\n$plan")
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 1,
+      s"both priority counts should need one fact pass in:\n$plan")
+  }
+
+  test("q104: the deny-set is a broadcast anti join at the scan edge") {
+    val plan = planOf(RelationalQueries.q104SupplierDiversity(spark, "/root/testdata/sf0.01"))
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"NOT IN deny-set not planned as a broadcast anti join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact should join only broadcast dims in:\n$plan")
+  }
 }
