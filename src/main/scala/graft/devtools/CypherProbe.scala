@@ -66,7 +66,23 @@ object CypherProbe {
       "count(*) group" -> "MATCH (n) RETURN n.label AS l, count(*) AS c",
       "param compare"  -> "MATCH (n) WHERE n.name = $name RETURN n.uid AS uid",
       "xor"            -> "MATCH (n) WHERE n.name = 'Asche' XOR n.name = 'Laub' RETURN n.name AS name",
-      "null prop out"  -> "MATCH (n:WasteItem) RETURN n.address AS addr LIMIT 1")
+      "null prop out"  -> "MATCH (n:WasteItem) RETURN n.address AS addr LIMIT 1",
+      // frontier hunt, round 6 closing: harder openCypher shapes
+      "shortestPath"   -> "MATCH p = shortestPath((w:WasteItem)-[*..3]->(f:Facility)) RETURN w.name AS w, length(p) AS len",
+      "case in where"  -> "MATCH (n) WHERE (CASE WHEN n.address IS NULL THEN 0 ELSE 1 END) = 1 RETURN n.name AS name",
+      "with orderby limit then match" -> "MATCH (w:WasteItem) WITH w ORDER BY w.name LIMIT 1 MATCH (w)-[:DISPOSED_IN]->(s) RETURN s.name AS s",
+      "exists subquery" -> "MATCH (w:WasteItem) WHERE EXISTS { MATCH (w)-[:DISPOSED_AT]->(:Facility) } RETURN w.name AS name",
+      "call subquery"  -> "CALL { MATCH (n:WasteItem) RETURN n.name AS name } RETURN name ORDER BY name",
+      "map projection" -> "MATCH (f:Facility) RETURN f {.name, .address} AS m",
+      "label pred in where" -> "MATCH (n) WHERE n:WasteItem RETURN n.name AS name",
+      "type(r) in list" -> "MATCH ()-[r]->() WHERE type(r) IN ['DISPOSED_AT'] RETURN count(r) AS n",
+      "arith mod pow"  -> "UNWIND range(1, 5) AS i RETURN i % 2 AS m, i ^ 2 AS sq",
+      "order by agg alias" -> "MATCH (w)-[:DISPOSED_IN]->(s) RETURN s.name AS s, count(w) AS n ORDER BY n DESC, s",
+      "unwind with agg" -> "UNWIND [1,2,2,3] AS x WITH x, count(*) AS c WHERE c > 1 RETURN x, c",
+      "nested list index" -> "MATCH (w:WasteItem) RETURN split(w.name, 'a')[0] AS first, last(split(w.name, 'a')) AS lst",
+      "all/any predicate" -> "MATCH (w:WasteItem) WHERE all(x IN [1,2] WHERE x > 0) AND any(y IN [0,1] WHERE y = 1) RETURN w.name AS name",
+      "none/single"    -> "MATCH (w:WasteItem) WHERE none(x IN [1] WHERE x < 0) AND single(y IN [1,2] WHERE y = 2) RETURN w.name AS name",
+      "optional match where" -> "MATCH (w:WasteItem) OPTIONAL MATCH (w)-[:DISPOSED_AT]->(f) WHERE f.name CONTAINS 'hof' RETURN w.name AS w, f.name AS f")
 
     var pass = 0
     battery.foreach { case (tag, q) =>

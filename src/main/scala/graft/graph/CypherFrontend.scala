@@ -96,6 +96,9 @@ object CypherFrontend {
     * `aggregate` higher-order function. */
   private case class EReduce(acc: String, init: Expr, v: String,
                              list: Expr, body: Expr) extends Expr
+  /** `v {.k1, .k2}` map projection — the selected subset of
+    * properties(v), same string-valued map contract. */
+  private case class EMapProj(v: String, keys: Seq[String]) extends Expr
 
   private sealed trait Pred
   private case class PCmp(op: String, l: Expr, r: Expr) extends Pred
@@ -112,6 +115,13 @@ object CypherFrontend {
   /** (v)-[:T1|T2]->() / ()<-[:T]-(v) existence predicate. */
   private case class PPattern(v: String, types: Seq[String], forward: Boolean,
                               targetLabel: Option[String]) extends Pred
+  /** `n:Label` label predicate in WHERE. */
+  private case class PHasLabel(v: String, label: String) extends Pred
+  /** `all/any/none/single(x IN list WHERE p)` quantified list
+    * predicates — compile to a size() over the `filter` higher-order
+    * function (codegen'd, no explode). */
+  private case class PQuant(q: String, v: String, list: Expr,
+                            where: Pred) extends Pred
 
   private case class NodePat(v: Option[String], label: Option[String],
                              props: Map[String, Expr])
@@ -158,6 +168,12 @@ object CypherFrontend {
   private case class SMatch(cl: MatchClause) extends Stage
   private case class SWith(ws: WithStage) extends Stage
   private case class SUnwind(e: Expr, alias: String) extends Stage
+  /** `CALL { <subquery> }` — an UNCORRELATED subquery stage: compiled
+    * in its own scope; at the pipeline head it seeds the frame, mid-
+    * pipeline its rows cross-multiply the incoming ones (Neo4j's
+    * per-row execution of an import-free block). Correlated imports
+    * (`CALL { WITH x ... }`) are rejected with a pointer. */
+  private case class SCall(inner: Query) extends Stage
   private case class Query(stages: Seq[Stage],
                            distinct: Boolean, items: Seq[RetItem],
                            orderBy: Seq[OrderKey], skip: Option[Long],
@@ -187,7 +203,7 @@ object CypherFrontend {
   private val scalarFns = Set("coalesce", "tolower", "toupper", "tostring",
     "tointeger", "tofloat", "substring", "replace", "split", "trim",
     "ltrim", "rtrim", "left", "right", "abs", "round", "floor", "ceil",
-    "size", "id", "length", "range", "properties", "keys")
+    "size", "id", "length", "range", "properties", "keys", "head", "last")
 
   private[graph] def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -321,6 +337,15 @@ object CypherFrontend {
           val e = expr()
           eatKw("AS")
           stages += SUnwind(e, ident())
+        } else if (peek.exists(t => t.text.equalsIgnoreCase("CALL")) &&
+            toks.lift(pos + 1).exists(_.text == "{")) {
+          pos += 1; eatSym("{")
+          require(!atKw("WITH"),
+            "correlated CALL { WITH ... } imports are not supported; " +
+              "uncorrelated CALL { MATCH/UNWIND ... RETURN ... } is")
+          val inner = query()
+          eatSym("}")
+          stages += SCall(inner)
         } else go = false
       }
       eatKw("RETURN")
@@ -336,7 +361,8 @@ object CypherFrontend {
       }
       val skip = if (atKw("SKIP")) { eatKw("SKIP"); Some(num()) } else None
       val limit = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(num()) } else None
-      require(pos == toks.length || atKw("UNION"),
+      // "}" ends a nested CALL { } subquery's frame
+      require(pos == toks.length || atKw("UNION") || atSym("}"),
         s"trailing tokens from '${peek.map(_.text).getOrElse("")}'")
       val st = stages.result()
       require(st.nonEmpty, "query needs at least one reading clause before RETURN")
@@ -480,12 +506,19 @@ object CypherFrontend {
     }
 
     private def term(): Expr = {
-      var l = factor()
+      var l = power()
       while (atSym("*") || atSym("/") || atSym("%")) {
         val op = next().text
-        l = EArith(op, l, factor())
+        l = EArith(op, l, power())
       }
       l
+    }
+
+    /** `^` exponentiation — binds tighter than * / %, right-associative
+      * (Cypher: 2^3^2 = 2^(3^2)). */
+    private def power(): Expr = {
+      val b = factor()
+      if (atSym("^")) { eatSym("^"); EArith("^", b, power()) } else b
     }
 
     /** factorBase plus any postfix `[index]` chain (Cypher 0-based
@@ -588,7 +621,17 @@ object CypherFrontend {
       case TKw("FALSE") => ELit(false)
       case TKw("NULL") => ELit(null)
       case TId(v) =>
-        if (atSym(".")) { eatSym("."); EProp(v, ident()) } else EVar(v)
+        if (atSym(".")) { eatSym("."); EProp(v, ident()) }
+        else if (atSym("{") && toks.lift(pos + 1).exists(_.text == ".")) {
+          // map projection `v {.k1, .k2}` (the leading '.' separates it
+          // from every other brace form)
+          eatSym("{")
+          val keys = Seq.newBuilder[String]
+          eatSym("."); keys += ident()
+          while (atSym(",")) { eatSym(","); eatSym("."); keys += ident() }
+          eatSym("}")
+          EMapProj(v, keys.result())
+        } else EVar(v)
       case t => sys.error(s"unexpected token '${t.text}' in expression")
     }
 
@@ -618,24 +661,53 @@ object CypherFrontend {
       // the bare form); compiles to the same semi/anti join
       if (atKw("EXISTS") && toks.lift(pos + 1).exists(_.text == "{")) {
         eatKw("EXISTS"); eatSym("{")
+        if (atKw("MATCH")) eatKw("MATCH") // EXISTS { MATCH ... } long form
         val p = patternPredOpt().getOrElse(
           sys.error("EXISTS { ... } supports a single pattern like (v)-[:T]->(:Label)"))
         eatSym("}")
         return p
       }
-      // parenthesized: either (pred) or a pattern predicate (v)-[:T]->()
+      // all/any/none/single(x IN list WHERE p) quantified predicates
+      // ("ALL" tokenizes as a keyword — UNION ALL — the others as ids)
+      val quant = peek match {
+        case Some(TKw("ALL")) => Some("all")
+        case Some(TId(q)) if Set("any", "none", "single")(q.toLowerCase) =>
+          Some(q.toLowerCase)
+        case _ => None
+      }
+      if (quant.isDefined && toks.lift(pos + 1).exists(_.text == "(")) {
+        pos += 1; eatSym("(")
+        val v = ident(); eatKw("IN"); val lst = expr()
+        eatKw("WHERE"); val w = pred()
+        eatSym(")")
+        return PQuant(quant.get, v, lst, w)
+      }
+      // parenthesized: a pattern predicate (v)-[:T]->(), a grouped
+      // (pred), or a parenthesized EXPRESSION under a comparison like
+      // `(CASE ... END) = 1` — tried in that order, backtracking
       if (atSym("(")) {
         val save = pos
         patternPredOpt() match {
           case Some(p) => return p
           case None => pos = save
         }
-        eatSym("(")
-        val p = pred()
-        eatSym(")")
-        return p
+        try {
+          eatSym("(")
+          val p = pred()
+          eatSym(")")
+          return p
+        } catch {
+          case _: Exception => pos = save // expr-comparison fallback
+        }
       }
       val l = expr()
+      // `n:Label` label predicate
+      if (atSym(":")) {
+        l match {
+          case EVar(v) => eatSym(":"); return PHasLabel(v, ident())
+          case _ => sys.error("label predicate needs a node variable, e.g. n:Label")
+        }
+      }
       peek match {
         case Some(TKw("IS")) =>
           eatKw("IS")
@@ -1019,6 +1091,24 @@ object CypherFrontend {
               nodes.sparkSession.range(1).select(explode(exprCol(e)).as(alias))
             else df.withColumn(alias, explode(exprCol(e)))
           scalarVars += alias
+        case SCall(inner) =>
+          // fresh scope, like a UNION part; output columns join the
+          // pipeline as scalar aliases
+          val idf = new Compiler(nodes, edges, params).compile(inner)
+          if (df != null) {
+            val clash = idf.columns.toSet intersect df.columns.toSet
+            require(clash.isEmpty,
+              s"CALL { } returns names already bound: ${clash.mkString(", ")}")
+          }
+          // uncorrelated block: rows cross-multiply the incoming frame
+          // (Neo4j's per-row execution of an import-free subquery). The
+          // inner frame BROADCASTS — a mid-pipeline CALL's result is
+          // dimension-sized by contract (typically a keyless aggregate),
+          // and the broadcast turns the cross-multiply into a
+          // BroadcastNestedLoopJoin, never an unbounded CartesianProduct
+          // (PlanSweepSpec's law)
+          df = if (df == null) idf else df.crossJoin(broadcast(idf))
+          scalarVars ++= idf.columns
       }
 
       val aggItems = q.items.filter(i => hasAgg(i.expr))
@@ -1191,6 +1281,19 @@ object CypherFrontend {
       case POr(l, r) => predCol(l) || predCol(r)
       case PXor(l, r) => predCol(l) =!= predCol(r)
       case PNot(i) => !predCol(i)
+      case PHasLabel(v, label) => col(ns(v, "label")) === label
+      case PQuant(q, v, lst, w) =>
+        // counts over the codegen'd `filter` higher-order function —
+        // no explode, evaluated per row
+        val lc = exprCol(lst)
+        val matches = size(filter(lc, x => withLambda(v -> x)(predCol(w))))
+        q match {
+          case "all" => matches === size(lc)
+          case "any" => matches > 0
+          case "none" => matches === 0
+          case "single" => matches === 1
+          case other => sys.error(s"unknown quantifier $other")
+        }
       case PPattern(_, _, _, _) =>
         sys.error("pattern predicates under OR are not supported; rewrite as separate queries")
     }
@@ -1220,8 +1323,18 @@ object CypherFrontend {
         op match {
           case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
           case "/" => lc / rc; case "%" => lc % rc
+          case "^" => pow(lc, rc) // Cypher ^ returns float, as pow does
           case other => sys.error(s"unknown arithmetic operator $other")
         }
+      case EMapProj(v, keys) =>
+        require(!scalarVars(v) && !relVars(v),
+          s"map projection needs a node variable, got '$v'")
+        keys.foreach(k => require(nodeProps.contains(k),
+          s"unknown property '$k' in map projection on '$v'"))
+        // the selected subset of properties(v): string-valued map,
+        // missing (null) properties kept as null entries (Neo4j map
+        // projection semantics, vs properties()' SET-only map)
+        map(keys.flatMap(k => Seq(lit(k), col(ns(v, k)).cast("string"))): _*)
       case EFn(fn, args) => fnCol(fn, args)
       case EIndex(b, ix) =>
         // Cypher 0-based (element_at is 1-based); negative = from end,
@@ -1284,6 +1397,8 @@ object CypherFrontend {
             case ELit(d: String) => split(a(0), java.util.regex.Pattern.quote(d))
             case _ => sys.error("split() needs a literal string delimiter")
           }
+        case "head" => arity(args.size == 1); element_at(a(0), 1)
+        case "last" => arity(args.size == 1); element_at(a(0), -1)
         case "trim" => arity(args.size == 1); trim(a(0))
         case "ltrim" => arity(args.size == 1); ltrim(a(0))
         case "rtrim" => arity(args.size == 1); rtrim(a(0))

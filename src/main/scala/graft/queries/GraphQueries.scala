@@ -1178,6 +1178,25 @@ object GraphQueries extends QueryPack {
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g52 — round-6 Cypher frontier features in one gated statement:
+    * a LABEL PREDICATE in WHERE (`n:Nation`, compiling to the label
+    * column equality — no pre-labeled pattern needed), a QUANTIFIED
+    * list predicate (`any(x IN split(...) WHERE x IN [...])`, the
+    * codegen'd `filter` + size, no explode), `last()` list access,
+    * the `^` power operator (right-assoc, pow semantics), and an
+    * uncorrelated `CALL { }` subquery whose 1-row aggregate
+    * cross-multiplies the pipeline by BROADCAST (never a cartesian —
+    * PlanSweepSpec's law). All row-local except the CALL's keyless
+    * count; at 100 TB the statement costs one node scan. */
+  def g52CypherFrontier(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n) WHERE n:Nation AND any(x IN split(n.name, '_') WHERE x IN ['1', '2', '3'])
+        |CALL { MATCH (r:Region) RETURN count(r) AS n_regions }
+        |RETURN n.name AS nation, last(split(n.name, '_')) AS suffix,
+        |  toInteger(last(split(n.name, '_'))) ^ 2 AS sq, n_regions
+        |ORDER BY nation""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   /** g47 — time-RESPECTING 2-hop influence paths over the click
     * stream: an edge u→v exists when both click in the same 5-minute
     * bucket and u's first click precedes v's (time gives the
@@ -1274,6 +1293,7 @@ object GraphQueries extends QueryPack {
   val queries: Map[String, QueryFn] = Map(
     "g50_cypher_path_profile" -> (g50CypherPathProfile _),
     "g51_cypher_list_kernels" -> (g51CypherListKernels _),
+    "g52_cypher_frontier" -> (g52CypherFrontier _),
     "g49_cc_bipartite"   -> (g49CcBipartite _),
     "g48_cc_native"      -> (g48CcNative _),
     "g47_temporal_reach" -> (g47TemporalReach _),
@@ -1437,6 +1457,17 @@ object GraphQueries extends QueryPack {
     // g51: the list kernels ARE plain SQL aggregates — the fold over
     // collected name lengths is sum(length), the counted comprehension
     // a filtered count.
+    // g52: label predicate = the label column; any(...) over the split
+    // parts = the suffix membership; ^ = pow (double); CALL count = the
+    // region cardinality on every row.
+    "g52_cypher_frontier" ->
+      """SELECT n_name AS nation,
+        |  split_part(n_name, '_', 2) AS suffix,
+        |  pow(CAST(split_part(n_name, '_', 2) AS BIGINT), 2) AS sq,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM region) AS n_regions
+        |FROM nation
+        |WHERE split_part(n_name, '_', 2) IN ('1', '2', '3')
+        |ORDER BY nation""".stripMargin,
     "g51_cypher_list_kernels" ->
       """SELECT r_name AS region,
         |  CAST(sum(length(n_name)) AS BIGINT) AS name_chars,

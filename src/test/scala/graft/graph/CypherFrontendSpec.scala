@@ -739,6 +739,66 @@ class CypherFrontendSpec extends SparkSpec {
     assert(e.getMessage.contains("bound the range"))
   }
 
+  test("round-6 frontier: label predicate, quantifiers, CASE in WHERE") {
+    // n:Label in WHERE — no pattern label needed
+    val byPred = run("MATCH (n) WHERE n:WasteStream RETURN n.name AS name ORDER BY name")
+      .as[String].collect().toSeq
+    assert(byPred === Seq("Biomuell", "Restmuell"))
+    // quantified list predicates over the filter higher-order function
+    val q = run(
+      """MATCH (w:WasteItem)
+        |WHERE all(x IN [1, 2] WHERE x > 0) AND any(y IN [0, 1] WHERE y = 1)
+        |  AND none(z IN [1] WHERE z < 0) AND single(u IN [1, 2] WHERE u = 2)
+        |RETURN count(*) AS n""".stripMargin).as[Long].head()
+    assert(q === 4) // vacuous-true quantifiers keep all 4 items
+    assert(run(
+      "MATCH (w:WasteItem) WHERE single(u IN [2, 2] WHERE u = 2) RETURN count(*) AS n")
+      .as[Long].head() === 0) // two matches: single() is false
+    // CASE as a parenthesized expression under a comparison
+    val c = run(
+      """MATCH (n) WHERE (CASE WHEN n.address IS NULL THEN 0 ELSE 1 END) = 1
+        |RETURN count(*) AS n""".stripMargin).as[Long].head()
+    assert(c === 2) // the two facilities carry addresses
+  }
+
+  test("round-6 frontier: head/last, power, map projection, EXISTS long form") {
+    val hl = run(
+      """MATCH (f:Facility) WHERE f.name ENDS WITH 'A'
+        |RETURN head(split(f.name, ' ')) AS h, last(split(f.name, ' ')) AS l""".stripMargin)
+      .as[(String, String)].head()
+    assert(hl === ("Wertstoffhof", "A"))
+    // ^ is right-associative: 2^3^2 = 2^9 = 512
+    assert(run("UNWIND [1] AS i RETURN 2 ^ 3 ^ 2 AS p").as[Double].head() === 512.0)
+    // map projection: the selected property subset, nulls kept
+    val m = run("MATCH (f:Facility) RETURN f {.name, .address} AS m ORDER BY f.name LIMIT 1")
+      .as[Map[String, String]].head()
+    assert(m === Map("name" -> "Wertstoffhof A", "address" -> "Campusallee 1"))
+    // EXISTS { MATCH ... } long form = the brace pattern predicate
+    val ex = run(
+      """MATCH (w:WasteItem) WHERE EXISTS { MATCH (w)-[:DISPOSED_AT]->(:Facility) }
+        |RETURN w.name AS name""".stripMargin).as[String].collect().toSeq
+    assert(ex === Seq("Bauschutt"))
+  }
+
+  test("round-6 frontier: uncorrelated CALL subquery") {
+    // head position: seeds the frame
+    val atHead = run(
+      "CALL { MATCH (s:WasteStream) RETURN count(s) AS ns } RETURN ns")
+      .as[Long].head()
+    assert(atHead === 2)
+    // mid-pipeline: the 1-row aggregate cross-multiplies by broadcast
+    val mid = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |CALL { MATCH (f:Facility) RETURN count(f) AS nf }
+        |RETURN w.name AS w, nf ORDER BY w""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(mid === Seq(("Asche", 2L), ("Bauschutt", 2L), ("Laub", 2L)))
+    // correlated imports are rejected with a pointer
+    val e = intercept[IllegalArgumentException](run(
+      "MATCH (w) CALL { WITH w RETURN w.name AS x } RETURN x"))
+    assert(e.getMessage.contains("correlated"))
+  }
+
   test("pipeline aliases cannot leak into property maps") {
     val e = intercept[RuntimeException](run(
       """UNWIND ['Restmuell'] AS nm
