@@ -168,12 +168,19 @@ object CypherFrontend {
   private case class SMatch(cl: MatchClause) extends Stage
   private case class SWith(ws: WithStage) extends Stage
   private case class SUnwind(e: Expr, alias: String) extends Stage
-  /** `CALL { <subquery> }` — an UNCORRELATED subquery stage: compiled
-    * in its own scope; at the pipeline head it seeds the frame, mid-
-    * pipeline its rows cross-multiply the incoming ones (Neo4j's
-    * per-row execution of an import-free block). Correlated imports
-    * (`CALL { WITH x ... }`) are rejected with a pointer. */
-  private case class SCall(inner: Query) extends Stage
+  /** `CALL { <subquery> }` subquery stage. `imports` empty = the
+    * UNCORRELATED form: compiled in its own scope; at the pipeline
+    * head it seeds the frame, mid-pipeline its rows cross-multiply
+    * the incoming ones (Neo4j's per-row execution of an import-free
+    * block). `imports` non-empty = the CORRELATED form
+    * `CALL { WITH a, b ... }` (openCypher's importing WITH — bare
+    * variable references only): the inner plan runs once over the
+    * DISTINCT import bindings and joins back on the correlation key,
+    * with per-binding aggregate grouping and per-binding
+    * ORDER BY + SKIP/LIMIT via a row_number window — the distributed
+    * form of per-row subquery execution (the Graph-RAG per-item
+    * top-k retrieval idiom). */
+  private case class SCall(inner: Query, imports: Seq[String] = Nil) extends Stage
   private case class Query(stages: Seq[Stage],
                            distinct: Boolean, items: Seq[RetItem],
                            orderBy: Seq[OrderKey], skip: Option[Long],
@@ -261,7 +268,7 @@ object CypherFrontend {
       case t => sys.error(s"expected identifier, got '${t.text}'")
     }
 
-    def query(): Query = {
+    def query(allowEmptyStages: Boolean = false): Query = {
       for (w <- Seq("MERGE", "SET", "DELETE", "DETACH", "CREATE", "REMOVE"))
         require(!toks.exists { case TKw(k) => k == w; case _ => false },
           s"$w is a write clause: MERGE templates compile via " +
@@ -340,12 +347,25 @@ object CypherFrontend {
         } else if (peek.exists(t => t.text.equalsIgnoreCase("CALL")) &&
             toks.lift(pos + 1).exists(_.text == "{")) {
           pos += 1; eatSym("{")
-          require(!atKw("WITH"),
-            "correlated CALL { WITH ... } imports are not supported; " +
-              "uncorrelated CALL { MATCH/UNWIND ... RETURN ... } is")
-          val inner = query()
+          // openCypher importing WITH: bare variable references only,
+          // no aliases/expressions/WHERE — anything else is a parse
+          // error here, not a silent reinterpretation
+          val imports =
+            if (atKw("WITH")) {
+              eatKw("WITH")
+              val vs = Seq.newBuilder[String]
+              vs += ident()
+              while (atSym(",")) { eatSym(","); vs += ident() }
+              require(atKw("MATCH") || atKw("OPTIONAL") || atKw("UNWIND") ||
+                  atKw("WITH") || atKw("RETURN") ||
+                  peek.exists(t => t.text.equalsIgnoreCase("CALL")),
+                "CALL { WITH ... } imports are bare variables only " +
+                  "(no AS / expressions / WHERE), followed by a clause")
+              vs.result()
+            } else Nil
+          val inner = query(allowEmptyStages = imports.nonEmpty)
           eatSym("}")
-          stages += SCall(inner)
+          stages += SCall(inner, imports)
         } else go = false
       }
       eatKw("RETURN")
@@ -365,7 +385,9 @@ object CypherFrontend {
       require(pos == toks.length || atKw("UNION") || atSym("}"),
         s"trailing tokens from '${peek.map(_.text).getOrElse("")}'")
       val st = stages.result()
-      require(st.nonEmpty, "query needs at least one reading clause before RETURN")
+      // a correlated CALL body may be RETURN-only (the imports seed it)
+      require(st.nonEmpty || allowEmptyStages,
+        "query needs at least one reading clause before RETURN")
       Query(st, distinct, items.result(), order.result(), skip, limit)
     }
 
@@ -691,15 +713,30 @@ object CypherFrontend {
           case Some(p) => return p
           case None => pos = save
         }
-        try {
-          eatSym("(")
-          val p = pred()
-          eatSym(")")
-          return p
-        } catch {
-          case _: Exception => pos = save // expr-comparison fallback
+        val predErr: Exception =
+          try {
+            eatSym("(")
+            val p = pred()
+            eatSym(")")
+            return p
+          } catch {
+            case e: Exception => pos = save; e
+          }
+        // expr-comparison fallback — narrowed: if the group does NOT
+        // re-parse as a comparison either, surface the ORIGINAL
+        // predicate-parse error (closest to the real fault), not a
+        // misleading 'unexpected token' from the expression re-lex
+        return try exprCmp() catch {
+          case _: Exception => pos = save; throw predErr
         }
       }
+      exprCmp()
+    }
+
+    /** Expression followed by a comparison / string / null / label
+      * predicate — basePred's non-parenthesized tail, shared with the
+      * grouped-predicate fallback. */
+    private def exprCmp(): Pred = {
       val l = expr()
       // `n:Label` label predicate
       if (atSym(":")) {
@@ -1002,9 +1039,20 @@ object CypherFrontend {
       left.join(renamed, cond, joinType).drop(dupCols.map(_ + "#dup").toSeq: _*)
     }
 
-    def compile(q: Query): DataFrame = {
-      var df: DataFrame = null
-      var bound = Set.empty[String]
+    def compile(q: Query): DataFrame = compileWith(q, None, Set.empty, Nil)
+
+    /** Correlated-subquery variant: `seed` pre-binds imported
+      * variables (pattern vars ride their full namespaced column
+      * families so inner clauses still reach `v.prop`; scalar aliases
+      * ride as plain columns), and `corrCols` is the per-outer-row
+      * correlation key the finish stage preserves — aggregates group
+      * by it, ORDER BY + SKIP/LIMIT become a per-key row_number
+      * window. */
+    private def compileWith(q: Query, seed: Option[DataFrame],
+                            seedBound: Set[String],
+                            corrCols: Seq[String]): DataFrame = {
+      var df: DataFrame = seed.orNull
+      var bound = seedBound
       def applyClause(cl: MatchClause): Unit = {
         // a clause's comma chains join on shared vars (inner, one pattern)
         var (cdf, cbound) = cl.shortest match {
@@ -1091,28 +1139,133 @@ object CypherFrontend {
               nodes.sparkSession.range(1).select(explode(exprCol(e)).as(alias))
             else df.withColumn(alias, explode(exprCol(e)))
           scalarVars += alias
-        case SCall(inner) =>
+        case SCall(inner, imports) if imports.nonEmpty =>
+          // correlated subquery: CALL { WITH a, b ... }. The inner
+          // plan runs ONCE over the DISTINCT import bindings (the
+          // subquery is a pure function of its imports) and joins
+          // back on the correlation key — the distributed equivalent
+          // of Neo4j's per-row execution: one shuffle-join instead of
+          // N driver-side invocations, and NOTHING rides a broadcast
+          // unless Catalyst/AQE decides the side is small
+          require(df != null,
+            "correlated CALL { WITH ... } needs rows to import from")
+          imports.foreach { v =>
+            require(!relVars(v),
+              s"CALL { WITH $v }: relationship variables cannot be " +
+                "imported (no stable single-column key); import the " +
+                "endpoint nodes instead")
+            require(bound(v) || scalarVars(v),
+              s"CALL { WITH $v }: '$v' is not bound")
+          }
+          val nodeImports = imports.filter(v => bound(v) && !scalarVars(v))
+          val scalarImports = imports.filterNot(nodeImports.contains)
+          val seedCols = nodeImports.flatMap(v =>
+            df.columns.filter(_.startsWith(v + "$"))) ++ scalarImports
+          val corr = nodeImports.map(v => ns(v, "uid")) ++ scalarImports
+          val seedDf = df.select(seedCols.map(c => col("`" + c + "`")): _*).distinct()
+          val sub = new Compiler(nodes, edges, params)
+          sub.scalarVars ++= scalarImports
+          val idf = sub.compileWith(inner, Some(seedDf), nodeImports.toSet, corr)
+          val newCols = idf.columns.filterNot(corr.contains)
+          // name hygiene: inner outputs must not shadow ANY in-scope
+          // name — materialized columns, pattern variables, scalars
+          val clash = newCols.toSet intersect
+            (df.columns.toSet ++ bound ++ relVars ++ scalarVars)
+          require(clash.isEmpty,
+            s"CALL { } returns names already bound: ${clash.mkString(", ")}")
+          // inner-join semantics: an outer row whose binding yields no
+          // subquery rows is eliminated (openCypher CALL contract)
+          df = df.join(idf, corr, "inner")
+          scalarVars ++= newCols
+        case SCall(inner, _) =>
           // fresh scope, like a UNION part; output columns join the
           // pipeline as scalar aliases
           val idf = new Compiler(nodes, edges, params).compile(inner)
           if (df != null) {
-            val clash = idf.columns.toSet intersect df.columns.toSet
+            val clash = idf.columns.toSet intersect
+              (df.columns.toSet ++ bound ++ relVars ++ scalarVars)
             require(clash.isEmpty,
               s"CALL { } returns names already bound: ${clash.mkString(", ")}")
           }
           // uncorrelated block: rows cross-multiply the incoming frame
           // (Neo4j's per-row execution of an import-free subquery). The
-          // inner frame BROADCASTS — a mid-pipeline CALL's result is
-          // dimension-sized by contract (typically a keyless aggregate),
-          // and the broadcast turns the cross-multiply into a
-          // BroadcastNestedLoopJoin, never an unbounded CartesianProduct
-          // (PlanSweepSpec's law)
-          df = if (df == null) idf else df.crossJoin(broadcast(idf))
+          // inner frame broadcasts ONLY when provably small — a keyless
+          // aggregate (one row by construction) or an explicit LIMIT —
+          // turning the cross-multiply into a BroadcastNestedLoopJoin
+          // (PlanSweepSpec's law). An arbitrary-cardinality inner
+          // result must NOT ship through the driver as a broadcast at
+          // 100 TB: it crossJoins plainly and Catalyst picks the
+          // strategy from its own size estimates.
+          val innerSmall = inner.limit.exists(_ <= 100000) ||
+            inner.items.forall(i => hasAgg(i.expr))
+          df =
+            if (df == null) idf
+            else if (innerSmall) df.crossJoin(broadcast(idf))
+            else df.crossJoin(idf)
           scalarVars ++= idf.columns
       }
 
       val aggItems = q.items.filter(i => hasAgg(i.expr))
       val outName = (i: RetItem) => i.alias.getOrElse(i.text)
+      if (corrCols.nonEmpty) {
+        // ---- correlated-CALL finish: RETURN evaluates once per
+        // import binding — the correlation key survives into the
+        // output frame, aggregates group by it, and ORDER BY +
+        // SKIP/LIMIT compile to a per-key row_number window (one
+        // window shuffle on the key, not N per-row invocations)
+        val corr = corrCols.map(c => col("`" + c + "`"))
+        val isOut = (k: OrderKey) =>
+          q.items.exists(i => i.text == k.ref || i.alias.contains(k.ref))
+        var res =
+          if (aggItems.isEmpty) {
+            // non-returned ORDER BY keys ride as temp columns so the
+            // window can sort by them post-projection
+            val ordTemps = q.orderBy.zipWithIndex.collect {
+              case (k, ix) if !isOut(k) => s"_ord$$$ix" -> exprCol(k.expr)
+            }
+            val base = df.select(corr ++
+              q.items.map(i => exprCol(i.expr).as(outName(i))) ++
+              ordTemps.map { case (n, c) => c.as(n) }: _*)
+            // DISTINCT inside the subquery dedupes per invocation =
+            // per import binding — the key rides the distinct
+            if (q.distinct) base.distinct() else base
+          } else {
+            q.orderBy.foreach(k => require(isOut(k),
+              "correlated CALL: ORDER BY keys must be returned items " +
+                "when RETURN aggregates"))
+            val keys = q.items.filterNot(i => hasAgg(i.expr))
+            val keyCols = keys.map(i => exprCol(i.expr).as(outName(i)))
+            val lifted = scala.collection.mutable.ArrayBuffer[(String, Expr)]()
+            val rewritten = aggItems.map(i => i -> liftAggs(i.expr, lifted))
+            val aggCols = lifted.toSeq.map { case (tmp, agg) => aggCol(agg).as(tmp) }
+            val grouped = df.groupBy(corr ++ keyCols: _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+            scalarVars ++= lifted.map(_._1)
+            val reMap = rewritten.toMap
+            grouped.select(corr ++ q.items.map { i =>
+              if (hasAgg(i.expr)) exprCol(reMap(i)).as(outName(i))
+              else col("`" + outName(i) + "`")
+            }: _*)
+          }
+        if (q.skip.isDefined || q.limit.isDefined) {
+          require(q.orderBy.nonEmpty,
+            "correlated CALL with SKIP/LIMIT needs ORDER BY " +
+              "(per-binding top-k must be deterministic)")
+          val sortCols = q.orderBy.zipWithIndex.map { case (k, ix) =>
+            val name = q.items.find(i => i.text == k.ref || i.alias.contains(k.ref))
+              .map(outName).getOrElse(s"_ord$$$ix")
+            if (k.asc) col("`" + name + "`").asc else col("`" + name + "`").desc
+          }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(corr: _*).orderBy(sortCols: _*)
+          val lo = q.skip.getOrElse(0L)
+          res = res.withColumn("_rn$", row_number().over(w))
+            .filter(col("_rn$") > lit(lo) &&
+              q.limit.fold(lit(true))(n => col("_rn$") <= lit(lo + n)))
+            .drop("_rn$")
+        }
+        return res.drop(res.columns.filter(_.startsWith("_ord$")).toIndexedSeq: _*)
+      }
       val result =
         if (aggItems.isEmpty) {
           val cols = q.items.map(i => exprCol(i.expr).as(outName(i)))

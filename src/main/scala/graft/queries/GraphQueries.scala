@@ -1048,9 +1048,11 @@ object GraphQueries extends QueryPack {
     * Compiles to `collect_list`/`collect_set`; element order is
     * UNSPECIFIED in both Cypher and Spark, so the gate canonicalizes
     * with `array_sort` before hashing (the d-family determinism law:
-    * never let shuffle arrival order reach a gated value). The array
-    * column itself rides through the gate — parquet list vs DuckDB
-    * `list(... ORDER BY ...)` compare element-wise. */
+    * never let shuffle arrival order reach a gated value). The gated
+    * projection serializes the list to a `|`-joined scalar so the
+    * driver's pandas row-sort (which cannot hash numpy arrays) sees a
+    * plain string; the array-typed Cypher surface itself stays
+    * asserted in CypherFrontendSpec. */
   def g43CypherCollect(s: SparkSession, dir: String): DataFrame =
     graft.graph.CypherFrontend.run(
       """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
@@ -1058,7 +1060,8 @@ object GraphQueries extends QueryPack {
         |  count(DISTINCT n) AS n_nations
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
-      .select(col("region"), array_sort(col("nations")).as("nations"),
+      .select(col("region"),
+        array_join(array_sort(col("nations")), "|").as("nations"),
         col("n_nations"))
       .orderBy("region")
 
@@ -1197,6 +1200,36 @@ object GraphQueries extends QueryPack {
         |ORDER BY nation""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g53 — CORRELATED `CALL { WITH ... }` subqueries (openCypher's
+    * importing WITH), the Graph-RAG per-item retrieval idiom: for
+    * every region, a correlated keyless aggregate (nation count) and
+    * a correlated per-binding top-k (first two nations by name —
+    * ORDER BY + LIMIT inside the subquery). Compilation is the
+    * distributed form of Neo4j's per-row execution
+    * (`neo4j_db.py:93-106` promises arbitrary Cypher): each inner
+    * plan runs ONCE over the DISTINCT import bindings — aggregates
+    * group by the correlation key, the top-k becomes one row_number
+    * window partitioned by it — then joins back on the key. No
+    * broadcast of unbounded inner results, no per-row driver loop;
+    * at 100 TB each CALL costs one keyed shuffle. Documented
+    * divergence: a binding with ZERO inner matches is eliminated
+    * (inner-join semantics) even for aggregate bodies, where Neo4j
+    * would keep a count=0 row. Oracle: DuckDB LATERAL. */
+  def g53CypherCallCorrelated(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (r:Region)
+        |CALL { WITH r
+        |  MATCH (n:Nation)-[:IN_REGION]->(r)
+        |  RETURN count(n) AS n_nations }
+        |CALL { WITH r
+        |  MATCH (n:Nation)-[:IN_REGION]->(r)
+        |  RETURN n.name AS top_nation
+        |  ORDER BY top_nation
+        |  LIMIT 2 }
+        |RETURN r.name AS region, n_nations, top_nation
+        |ORDER BY region, top_nation""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   /** g47 — time-RESPECTING 2-hop influence paths over the click
     * stream: an edge u→v exists when both click in the same 5-minute
     * bucket and u's first click precedes v's (time gives the
@@ -1291,6 +1324,7 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g53_cypher_call_correlated" -> (g53CypherCallCorrelated _),
     "g50_cypher_path_profile" -> (g50CypherPathProfile _),
     "g51_cypher_list_kernels" -> (g51CypherListKernels _),
     "g52_cypher_frontier" -> (g52CypherFrontier _),
@@ -1460,6 +1494,17 @@ object GraphQueries extends QueryPack {
     // g52: label predicate = the label column; any(...) over the split
     // parts = the suffix membership; ^ = pow (double); CALL count = the
     // region cardinality on every row.
+    // g53: correlated CALL subqueries vs DuckDB LATERAL — a lateral
+    // count and a lateral ORDER BY + LIMIT 2 per region.
+    "g53_cypher_call_correlated" ->
+      """SELECT r_name AS region, n_nations, top_nation
+        |FROM region,
+        |  LATERAL (SELECT count(*) AS n_nations FROM nation
+        |           WHERE n_regionkey = r_regionkey),
+        |  LATERAL (SELECT n_name AS top_nation FROM nation
+        |           WHERE n_regionkey = r_regionkey
+        |           ORDER BY n_name LIMIT 2)
+        |ORDER BY region, top_nation""".stripMargin,
     "g52_cypher_frontier" ->
       """SELECT n_name AS nation,
         |  split_part(n_name, '_', 2) AS suffix,
@@ -1562,11 +1607,12 @@ object GraphQueries extends QueryPack {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name <> 'AFRICA'
         |ORDER BY region, nation""".stripMargin,
-    // g43: Cypher collect() vs DuckDB list(); both sides canonicalize
-    // element order (array_sort / ORDER BY inside list()).
+    // g43: Cypher collect() vs DuckDB string_agg(); both sides
+    // canonicalize element order (array_sort / ORDER BY) and serialize
+    // to a '|'-joined scalar so the gate compares plain strings.
     "g43_cypher_collect" ->
       """SELECT r_name AS region,
-        |  list(n_name ORDER BY n_name) AS nations,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS nations,
         |  count(DISTINCT n_nationkey) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY region""".stripMargin,

@@ -793,10 +793,61 @@ class CypherFrontendSpec extends SparkSpec {
         |RETURN w.name AS w, nf ORDER BY w""".stripMargin)
       .as[(String, Long)].collect().toSeq
     assert(mid === Seq(("Asche", 2L), ("Bauschutt", 2L), ("Laub", 2L)))
-    // correlated imports are rejected with a pointer
-    val e = intercept[IllegalArgumentException](run(
-      "MATCH (w) CALL { WITH w RETURN w.name AS x } RETURN x"))
-    assert(e.getMessage.contains("correlated"))
+  }
+
+  test("round-7 frontier: correlated CALL { WITH ... } subqueries") {
+    // RETURN-only body: the imports alone seed the inner frame
+    val names = run(
+      "MATCH (w:WasteItem) CALL { WITH w RETURN w.name AS x } RETURN x ORDER BY x")
+      .as[String].collect().toSeq
+    assert(names === Seq("Altlack", "Asche", "Bauschutt", "Laub"))
+    // per-binding keyless aggregate: counts group by the import key;
+    // a binding with zero matches is eliminated (documented divergence
+    // from Neo4j's count=0 row)
+    val counts = run(
+      """MATCH (s:WasteStream)
+        |CALL { WITH s
+        |  MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |  RETURN count(w) AS c }
+        |RETURN s.name AS stream, c ORDER BY stream""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(counts === Seq(("Biomuell", 1L), ("Restmuell", 2L)))
+    // per-binding ORDER BY + LIMIT = top-k per import key (the
+    // Graph-RAG retrieval idiom) — one row_number window, no driver loop
+    val topk = run(
+      """MATCH (s:WasteStream)
+        |CALL { WITH s
+        |  MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |  RETURN w.name AS item ORDER BY item LIMIT 1 }
+        |RETURN s.name AS stream, item ORDER BY stream""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(topk === Seq(("Biomuell", "Laub"), ("Restmuell", "Asche")))
+    // scalar-alias import, correlated via WHERE (equi-join, no cartesian)
+    val scalarImp = run(
+      """MATCH (s:WasteStream) WITH s.name AS sname
+        |CALL { WITH sname
+        |  MATCH (w:WasteItem)-[:DISPOSED_IN]->(x:WasteStream)
+        |  WHERE x.name = sname
+        |  RETURN count(w) AS c }
+        |RETURN sname, c ORDER BY sname""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(scalarImp === Seq(("Biomuell", 1L), ("Restmuell", 2L)))
+    // unbound imports and output-name shadowing stay rejected
+    val e1 = intercept[IllegalArgumentException](run(
+      "MATCH (w:WasteItem) CALL { WITH z RETURN z.name AS x } RETURN x"))
+    assert(e1.getMessage.contains("not bound"))
+    val e2 = intercept[IllegalArgumentException](run(
+      """MATCH (w:WasteItem)
+        |CALL { MATCH (f:Facility) RETURN count(f) AS w }
+        |RETURN w.name AS n""".stripMargin))
+    assert(e2.getMessage.contains("already bound"))
+    // correlated LIMIT without ORDER BY is nondeterministic — rejected
+    val e3 = intercept[IllegalArgumentException](run(
+      """MATCH (s:WasteStream)
+        |CALL { WITH s MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |  RETURN w.name AS item LIMIT 1 }
+        |RETURN item""".stripMargin))
+    assert(e3.getMessage.contains("ORDER BY"))
   }
 
   test("pipeline aliases cannot leak into property maps") {
