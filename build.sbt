@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: the box has 128 GiB and a tight heap turns the
   // broadcast-heavy benchmark queries into GC benchmarks
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 263 bench queries generate thousands of whole-stage-codegen classes;
+  // the JDK-17 default 240m code cache fills mid-suite, C2 shuts off,
+  // and every later query runs interpreted — the uniform ~2.4x suite
+  // inflation seen in round 6. 512m keeps the JIT alive end to end.
+  "-XX:ReservedCodeCacheSize=512m",
 )

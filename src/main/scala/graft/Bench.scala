@@ -22,11 +22,31 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
+    // Session-residue discipline (round-6 verdict: the suite read 2.4x
+    // above like-for-like floors from residue, not plans). Streaming
+    // queries stop their own StreamingQuery handles and delete their
+    // checkpoint/state temp dirs, but loaded StateStoreProviders and the
+    // maintenance thread pool outlive them inside the session — unload
+    // after every s-family query. Between alphabetic families, one
+    // explicit GC lets dead codegen classloaders drop out of metaspace
+    // and the JIT code cache before the next family is timed.
+    var lastFamily = ""
+    def betweenQueries(name: String): Unit = {
+      spark.streams.active.foreach { q =>
+        try q.stop() catch { case _: Throwable => () }
+      }
+      if (name.startsWith("s")) {
+        try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        catch { case _: Throwable => () }
+      }
+      val fam = name.take(1)
+      if (fam != lastFamily) { lastFamily = fam; System.gc() }
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try { fn(spark, wd).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name warmup FAILED: ${e.getMessage}")
       }
-      clearCaches()
+      clearCaches(); betweenQueries(name)
     }
     // Best of 3 timed runs per query: a single local[32] run is noisy
     // (GC pauses, block-manager churn from neighboring queries — round 1
@@ -43,7 +63,7 @@ object Bench {
           case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         val t = (System.nanoTime() - t0) / 1e9
-        clearCaches()
+        clearCaches(); betweenQueries(name)
         t
       }.min
       System.err.println(f"[bench] $name%-22s $dt%.6f s")

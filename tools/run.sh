@@ -12,6 +12,8 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx${GRAFT_MEM:-12g} \
+# 512m code cache: the full bench suite's codegen classes overflow the
+# JDK-17 default 240m, disabling C2 mid-suite (uniform ~2.4x inflation).
+exec java $OPENS -Xmx${GRAFT_MEM:-12g} -XX:ReservedCodeCacheSize=512m \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dfile.encoding=UTF-8 \
   -cp "$CP" "$@"
