@@ -22,13 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object AutoSource {
 
-  /** Magic-byte format tag for a file head. */
+  /** Magic-byte format tag for a file head. The HTML sniff matches the
+    * full case-insensitive page openers (`<!doctype`, `<html`,
+    * `<head`) — a 2-byte `<h`/`<!` test would silently route any
+    * text/CSV file whose first cell is an XML fragment or templated
+    * markup off the tabular path. */
   private[sources] def sniff(head: Array[Byte]): String = {
     def at(i: Int): Int = if (i < head.length) head(i) & 0xFF else -1
+    val prefix = new String(head.take(9),
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
     if (at(0) == 'P' && at(1) == 'K' && at(2) == 0x03 && at(3) == 0x04) "xlsx"
     else if (at(0) == 'O' && at(1) == 'b' && at(2) == 'j' && at(3) == 0x01) "avro"
     else if (at(0) == '%' && at(1) == 'P' && at(2) == 'D' && at(3) == 'F') "pdf"
-    else if (at(0) == '<' && (at(1) == '!' || at(1) == 'h' || at(1) == 'H')) "html"
+    else if (prefix.startsWith("<!doctype") || prefix.startsWith("<html") ||
+      prefix.startsWith("<head")) "html"
     else "csv"
   }
 
@@ -38,14 +45,17 @@ object AutoSource {
     * listing. */
   def inventory(spark: SparkSession, path: String): DataFrame = {
     val h = hex(expr("substring(content, 1, 4)"))
+    // same 9-byte case-insensitive page-opener test as sniff(): the
+    // binary magics are checked first, so a non-UTF-8 head never
+    // reaches the string comparison with meaningful bytes
+    val p9 = lower(expr("cast(substring(content, 1, 9) as string)"))
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("length"),
         when(h === "504B0304", "xlsx")
           .when(h === "4F626A01", "avro")
           .when(h === "25504446", "pdf")
-          // "<!" (doctype) / "<h"|"<H" (html|head) — page, not table
-          .when(substring(h, 1, 2) === "3C" &&
-            substring(h, 3, 2).isin("21", "68", "48"), "html")
+          .when(p9.startsWith("<!doctype") || p9.startsWith("<html") ||
+            p9.startsWith("<head"), "html")
           .otherwise("csv").as("format"))
   }
 

@@ -69,6 +69,15 @@ object Html {
     "Auml" -> "Ä", "Ouml" -> "Ö", "Uuml" -> "Ü",
     "szlig" -> "ß", "euro" -> "€")
 
+  /** Decode one numeric character reference. C0 control codepoints
+    * (except tab/newline) decode to empty — the HTML spec calls them
+    * parse errors, and emitting them would collide with this
+    * extractor's in-band sentinel chars (U+0000 paragraph marks,
+    * U+0001 <br> breaks) in the post-pass. */
+  private def numericRef(cp: Int): String =
+    if (cp < 0x20 && cp != '\t' && cp != '\n' && cp != '\r') ""
+    else Character.toChars(cp).mkString
+
   /** Decode character references in `s`; unknown names pass through
     * verbatim (browsers render `&bogus;` literally too). */
   private[sources] def decodeEntities(s: String): String = {
@@ -84,10 +93,10 @@ object Html {
           val body = s.substring(i + 1, semi)
           val decoded: Option[String] =
             if (body.startsWith("#x") || body.startsWith("#X"))
-              try Some(Character.toChars(Integer.parseInt(body.drop(2), 16)).mkString)
+              try Some(numericRef(Integer.parseInt(body.drop(2), 16)))
               catch { case _: Exception => None }
             else if (body.startsWith("#"))
-              try Some(Character.toChars(Integer.parseInt(body.drop(1))).mkString)
+              try Some(numericRef(Integer.parseInt(body.drop(1))))
               catch { case _: Exception => None }
             else NamedEntities.get(body)
           decoded match {
@@ -138,8 +147,13 @@ object Html {
     */
   def toText(rawHtml: String): (String, String) = {
     // source-newline normalization up front so the collapse rules below
-    // see only '\n'
+    // see only '\n' — and strip every other C0 control char BEFORE
+    // tokenizing: U+0000/U+0001 are this extractor's in-band sentinels
+    // (paragraph mark / <br>), so literal control bytes in the source
+    // must never reach the segment buffer (they are parse errors in
+    // HTML text anyway)
     val html = rawHtml.replace("\r\n", "\n").replace('\r', '\n')
+      .replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
     val out = new StringBuilder // raw body with \u0000 paragraph marks
     val title = new StringBuilder
     var skipDepth = 0

@@ -22,9 +22,14 @@ class AutoSourceSpec extends SparkSpec {
     assert(AutoSource.sniff(Array('P', 'K', 3, 4).map(_.toByte)) === "xlsx")
     assert(AutoSource.sniff(Array('O', 'b', 'j', 1).map(_.toByte)) === "avro")
     assert(AutoSource.sniff("%PDF-1.7".getBytes.take(4)) === "pdf")
-    assert(AutoSource.sniff("a,b,c\n1,".getBytes.take(4)) === "csv")
-    assert(AutoSource.sniff("<!DOCTYPE html>".getBytes.take(4)) === "html")
-    assert(AutoSource.sniff("<html lang=\"de\">".getBytes.take(4)) === "html")
+    assert(AutoSource.sniff("a,b,c\n1,".getBytes.take(16)) === "csv")
+    assert(AutoSource.sniff("<!DOCTYPE html>".getBytes.take(16)) === "html")
+    assert(AutoSource.sniff("<html lang=\"de\">".getBytes.take(16)) === "html")
+    assert(AutoSource.sniff("<HEAD><title>".getBytes.take(16)) === "html")
+    // a CSV whose first cell is an XML fragment must STAY tabular —
+    // the old 2-byte '<h'/'<!' test mis-routed these
+    assert(AutoSource.sniff("<h2>t</h2>,count".getBytes.take(16)) === "csv")
+    assert(AutoSource.sniff("<!-- note -->,x".getBytes.take(16)) === "csv")
     // XML-ish but not a page opener: stays on the text/CSV path
     assert(AutoSource.sniff("<xml>".getBytes.take(4)) === "csv")
     assert(AutoSource.sniff(Array[Byte]()) === "csv") // empty → text fallback

@@ -45,6 +45,19 @@ class HtmlSpec extends AnyFunSuite {
       === "Müll & Wertstoff – ✓ &bogus; A&B")
   }
 
+  test("control chars never alias the in-band sentinels") {
+    // literal U+0000 / U+0001 in source text must not split paragraphs
+    // or materialize line breaks — they are stripped pre-tokenize
+    assert(body("<p>a\u0000b\u0001c</p>") === "abc")
+    // numeric refs for C0 controls decode to empty, not to sentinel
+    // collisions (&#0; / &#1; / &#x1;)
+    assert(body("<p>a&#0;b&#1;c&#x1;d</p>") === "abcd")
+    // CDATA is raw content but still sentinel-safe
+    assert(body("<p><![CDATA[x\u0001y]]></p>") === "xy")
+    // tab/newline survive as whitespace (collapse rules apply)
+    assert(body("<p>a&#9;b</p>") === "a b")
+  }
+
   test("title tag wins and is whitespace-collapsed; head contributes no body text") {
     val h = """<html><head><title>  Abfall
               |   Portal </title><meta charset="utf-8"/></head>
