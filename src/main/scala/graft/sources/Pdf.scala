@@ -33,11 +33,22 @@ import java.util.zip.Inflater
   *   - document `/Info /Title` with PDF text-string decoding (UTF-16BE
   *     BOM, UTF-8 BOM, else PDFDocEncoding ≈ Latin-1).
   *
-  * Known, documented limit: simple-font byte strings decode as
-  * Latin-1 (PDFDocEncoding's printable range). Composite/CID fonts
-  * with `/ToUnicode` CMaps are out of scope — extraction still runs
-  * but multi-byte codes will not map to the original glyphs. The
-  * engine's test corpora and the writer below are single-byte.
+  *   - composite/CID fonts: `/ToUnicode` CMaps (PDF 32000-1 §9.10.3)
+  *     are parsed — `begincodespacerange` fixes the code byte-width,
+  *     `beginbfchar`/`beginbfrange` (including array destinations and
+  *     last-code-unit increment) map codes to UTF-16BE text — and the
+  *     content-stream `Tf` operator switches the active decoder per
+  *     font, with page `/Resources` inherited down the page tree as
+  *     the spec prescribes. This is what real office PDFs
+  *     (Word/LaTeX output, Identity-H 2-byte codes) need for umlauts
+  *     and any non-Latin-1 glyphs to extract faithfully.
+  *
+  * Known, documented limit: a show string in a font WITHOUT a
+  * /ToUnicode CMap decodes as Latin-1 (PDFDocEncoding's printable
+  * range) — recovering text from such fonts requires the font
+  * program's own glyph→char tables, which no text extractor reads
+  * without a font rasterizer. Codes a CMap's codespace covers but
+  * leaves unmapped contribute no text (the pdftotext convention).
   */
 object Pdf {
 
@@ -330,28 +341,53 @@ object Pdf {
       trailers.flatMap(_.get("Root")).flatMap(dictOf).headOption
         .orElse(objects.values.flatMap(dictOf).find(_.get("Type").contains(PName("Catalog"))))
 
-    /** Leaf pages in document order (cycle-guarded /Kids walk). */
+    /** Leaf pages in document order (cycle-guarded /Kids walk).
+      * `/Resources` is an INHERITABLE page attribute (PDF 32000-1
+      * §7.7.3.4): a leaf without its own inherits the nearest
+      * ancestor's, materialized into the returned dict so
+      * [[pageFonts]] sees one flat page. */
     def pages: Seq[PDict] = {
       val seen = scala.collection.mutable.Set[Int]()
-      def walk(node: Obj): Seq[PDict] = {
+      def walk(node: Obj, inhRes: Option[Obj]): Seq[PDict] = {
         node match {
           case PRef(n, _) if !seen.add(n) => return Seq.empty
           case _ =>
         }
         dictOf(node).toSeq.flatMap { d =>
+          val res = d.get("Resources").orElse(inhRes)
+          def leaf: PDict =
+            if (d.m.contains("Resources")) d
+            else res.fold(d)(r => PDict(d.m + ("Resources" -> r)))
           d.get("Type") match {
-            case Some(PName("Page")) => Seq(d)
+            case Some(PName("Page")) => Seq(leaf)
             case _ => resolve(d.get("Kids").getOrElse(PNull)) match {
-              case PArr(kids) => kids.flatMap(walk)
-              case _ if d.get("Type").contains(PName("Page")) => Seq(d)
+              case PArr(kids) => kids.flatMap(walk(_, res))
+              case _ if d.get("Type").contains(PName("Page")) => Seq(leaf)
               case _ => Seq.empty
             }
           }
         }
       }
-      catalog.map(c => walk(c.get("Pages").getOrElse(PNull)))
+      catalog.map(c => walk(c.get("Pages").getOrElse(PNull), None))
         .getOrElse(Seq.empty)
     }
+
+    /** Resource-name → ToUnicode decoder for a page's `/Resources
+      * /Font` entries; fonts without a usable `/ToUnicode` stream are
+      * absent (their show strings take the Latin-1 path). */
+    def pageFonts(page: PDict): Map[String, ToUnicode] =
+      (for {
+        res <- dictOf(page.get("Resources").getOrElse(PNull)).toSeq
+        fonts <- dictOf(res.get("Font").getOrElse(PNull)).toSeq
+        (name, fref) <- fonts.m
+        tu <- dictOf(fref).flatMap(fd =>
+          resolve(fd.get("ToUnicode").getOrElse(PNull)) match {
+            case s: PStream =>
+              try Some(parseToUnicode(decodeStream(s, this)))
+              catch { case _: Exception => None } // corrupt CMap: Latin-1 path
+            case _ => None
+          })
+      } yield name -> tu).toMap
 
     /** A page's decoded content bytes (single stream or array, joined
       * with a newline as the spec prescribes for multi-part content). */
@@ -648,6 +684,136 @@ object Pdf {
     out.toByteArray
   }
 
+  // --------------------------------------------------- ToUnicode CMaps
+
+  /** A parsed `/ToUnicode` CMap (PDF 32000-1 §9.10.3): codespace
+    * byte-lengths plus code → unicode mappings. Composite/CID fonts
+    * (Identity-H et al.) carry 2-byte codes; simple fonts with a
+    * ToUnicode carry 1-byte codes — both decode through the same
+    * structure. */
+  final class ToUnicode(ranges: Seq[(Int, Long, Long)],
+                        map: Map[(Int, Long), String]) {
+    // no codespacerange section (technically malformed, produced by
+    // some generators): assume the Identity-H 2-byte space
+    private val spaces: Seq[(Int, Long, Long)] =
+      if (ranges.nonEmpty) ranges else Seq((2, 0L, 0xFFFFL))
+    private val lens: Seq[Int] = spaces.map(_._1).distinct.sorted
+
+    /** Decode one show string. Per position, the shortest codespace
+      * length whose range contains the prefix wins (codespace ranges
+      * are prefix-disjoint by construction); a code the codespace
+      * covers but the CMap leaves unmapped contributes NO text (the
+      * glyph has no text meaning — pdftotext's convention); a prefix
+      * matching no range falls back to one Latin-1 byte so extraction
+      * never stalls on a malformed string. */
+    def decode(b: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < b.length) {
+        var taken = 0
+        val it = lens.iterator
+        while (taken == 0 && it.hasNext) {
+          val len = it.next()
+          if (i + len <= b.length) {
+            val code = codeValue(b, i, len)
+            if (spaces.exists(r => r._1 == len && code >= r._2 && code <= r._3)) {
+              map.get((len, code)).foreach(sb.append(_))
+              taken = len
+            }
+          }
+        }
+        if (taken == 0) { sb.append((b(i) & 0xFF).toChar); taken = 1 }
+        i += taken
+      }
+      sb.toString
+    }
+  }
+
+  /** Big-endian integer value of `len` bytes at `off`. */
+  private def codeValue(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L; var k = 0
+    while (k < len) { v = (v << 8) | (b(off + k) & 0xFF); k += 1 }
+    v
+  }
+
+  /** A bfrange span is bounded (a crafted CMap must not inflate the
+    * mapping table past the 2-byte space it can address). */
+  private val MaxBfRangeSpan = 0x10000L
+
+  /** Parse a decoded ToUnicode CMap stream. Tokenized with the same
+    * content-mode lexer as page streams (the CMap operators are bare
+    * identifiers, codes and destinations hex strings), so no second
+    * parser: `begincodespacerange <lo> <hi> ... end...` fixes the
+    * code byte-widths, `beginbfchar <code> <dst>` maps single codes,
+    * `beginbfrange <lo> <hi> <dst|[dsts]>` maps spans — the compact
+    * form increments the destination's LAST UTF-16 code unit, per
+    * spec. Destinations are UTF-16BE. Unknown operators (the CMap's
+    * PostScript dict/def scaffolding) are skipped. */
+  def parseToUnicode(cmap: Array[Byte]): ToUnicode = {
+    val p = new Parser(cmap, 0, cmap.length, contentMode = true)
+    val ranges = Seq.newBuilder[(Int, Long, Long)]
+    val map = scala.collection.mutable.Map[(Int, Long), String]()
+    def utf16(b: Array[Byte]): String = new String(b, StandardCharsets.UTF_16BE)
+    var mode: String = null
+    val pend = scala.collection.mutable.ArrayBuffer[Obj]()
+    def flushIfComplete(): Unit = mode match {
+      case "codespace" if pend.size == 2 =>
+        (pend(0), pend(1)) match {
+          case (PStr(lo), PStr(hi)) if lo.length == hi.length && lo.nonEmpty =>
+            ranges += ((lo.length, codeValue(lo, 0, lo.length),
+              codeValue(hi, 0, hi.length)))
+          case _ =>
+        }
+        pend.clear()
+      case "bfchar" if pend.size == 2 =>
+        (pend(0), pend(1)) match {
+          case (PStr(code), PStr(dst)) if code.nonEmpty =>
+            map((code.length, codeValue(code, 0, code.length))) = utf16(dst)
+          case _ =>
+        }
+        pend.clear()
+      case "bfrange" if pend.size == 3 =>
+        (pend(0), pend(1), pend(2)) match {
+          case (PStr(lo), PStr(hi), dst) if lo.length == hi.length && lo.nonEmpty =>
+            val len = lo.length
+            val l = codeValue(lo, 0, len)
+            val h = math.min(codeValue(hi, 0, len), l + MaxBfRangeSpan)
+            dst match {
+              case PStr(d) =>
+                val base = utf16(d)
+                var c = l
+                while (c <= h) {
+                  map((len, c)) =
+                    if (base.isEmpty) ""
+                    else base.init + (base.last + (c - l)).toChar
+                  c += 1
+                }
+              case PArr(items) =>
+                items.zipWithIndex.foreach {
+                  case (PStr(d), k) if l + k <= h => map((len, l + k)) = utf16(d)
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        pend.clear()
+      case _ =>
+    }
+    while (!p.atEnd) {
+      (try p.next() catch { case _: Exception => p.pos = p.end; PNull }) match {
+        case POp("begincodespacerange") => mode = "codespace"; pend.clear()
+        case POp("beginbfchar") => mode = "bfchar"; pend.clear()
+        case POp("beginbfrange") => mode = "bfrange"; pend.clear()
+        case POp(op) if op.startsWith("end") => mode = null; pend.clear()
+        case POp(_) => pend.clear() // scaffolding op: drop its operands
+        case o if mode != null => pend += o; flushIfComplete()
+        case _ => // operand outside a begin-section: scaffolding
+      }
+    }
+    new ToUnicode(ranges.result(), map.toMap)
+  }
+
   // ------------------------------------------------------- text extract
 
   /** Decode a PDF *text string* (title etc.): UTF-16BE with BOM,
@@ -659,9 +825,14 @@ object Pdf {
       new String(b, 3, b.length - 3, StandardCharsets.UTF_8)
     else new String(b, StandardCharsets.ISO_8859_1)
 
-  /** Simple-font show-string bytes → text (documented Latin-1 limit). */
-  private def showString(b: Array[Byte]): String =
-    new String(b, StandardCharsets.ISO_8859_1)
+  /** Show-string bytes → text: through the active font's ToUnicode
+    * CMap when it has one, else Latin-1 (the documented
+    * no-CMap limit). */
+  private def showString(b: Array[Byte], font: Option[ToUnicode]): String =
+    font match {
+      case Some(tu) => tu.decode(b)
+      case None => new String(b, StandardCharsets.ISO_8859_1)
+    }
 
   /** Kern adjustments at or past this (thousandths of an em, negative
     * moves right-ward gap wider) read as an inter-word space. */
@@ -672,17 +843,19 @@ object Pdf {
     * newline; `Tm` after the first positioning in a text object does
     * too (a matrix reset is a line move in every generator that emits
     * it); consecutive shows on one line concatenate. */
-  def contentText(content: Array[Byte]): String = {
+  def contentText(content: Array[Byte],
+                  fonts: Map[String, ToUnicode] = Map.empty): String = {
     val p = new Parser(content, 0, content.length, contentMode = true)
     val operands = scala.collection.mutable.ArrayBuffer[Obj]()
     val sb = new StringBuilder
     var positioned = false // saw a positioning op in this text object
+    var curFont: Option[ToUnicode] = None // set by Tf from the page fonts
     // every line op is a REAL advance: consecutive `T*`s produce a
     // blank line (the writers' paragraph separator), so no deduping
     def newline(): Unit =
       if (sb.nonEmpty) sb.append('\n')
     def show(o: Obj): Unit = o match {
-      case PStr(b) => sb.append(showString(b))
+      case PStr(b) => sb.append(showString(b, curFont))
       case _ =>
     }
     while (!p.atEnd) {
@@ -711,7 +884,10 @@ object Pdf {
             case "Tm" =>
               if (positioned) newline()
               positioned = true
-            case _ => // Tf, Tc, Tw, graphics ops: no text effect
+            case "Tf" => // `/F1 12 Tf`: switch the active show decoder
+              curFont = operands.collectFirst { case PName(n) => n }
+                .flatMap(fonts.get)
+            case _ => // Tc, Tw, graphics ops: no text effect
           }
           operands.clear()
         case operand => operands += operand
@@ -725,7 +901,8 @@ object Pdf {
   def extractText(bytes: Array[Byte]): (String, Option[String], Int) = {
     val doc = new Document(bytes)
     val pages = doc.pages
-    val text = pages.map(pg => contentText(doc.pageContent(pg)).trim)
+    val text = pages
+      .map(pg => contentText(doc.pageContent(pg), doc.pageFonts(pg)).trim)
       .filter(_.nonEmpty).mkString("\n\n")
     (text, doc.title, pages.size)
   }
@@ -793,9 +970,15 @@ object Pdf {
     }
     val infoNum = 4 + 2 * nPages
     title.foreach(t => objs += infoNum -> latin1(s"<< /Title (${esc(t)}) >>"))
+    assemble(objs.toSeq, title.map(_ => infoNum))
+  }
 
+  /** Serialize numbered objects + xref + trailer (shared by both
+    * writers). Object 1 is the catalog by convention. */
+  private def assemble(objs: Seq[(Int, Array[Byte])],
+                       infoNum: Option[Int]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    def w(s: String): Unit = out.write(latin1(s))
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     w("%PDF-1.4\n%âãÏÓ\n")
     val offsets = scala.collection.mutable.Map[Int, Int]()
     objs.foreach { case (num, body) =>
@@ -810,9 +993,98 @@ object Pdf {
       w(offsets.get(n).map(o => f"$o%010d 00000 n \n").getOrElse("0000000000 65535 f \n"))
     }
     w(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R" +
-      title.map(_ => s" /Info $infoNum 0 R").getOrElse("") + " >>\n")
+      infoNum.map(n => s" /Info $n 0 R").getOrElse("") + " >>\n")
     w(s"startxref\n$xrefPos\n%%EOF\n")
     out.toByteArray
+  }
+
+  /** CID-font writer — the round-trip complement of the ToUnicode
+    * reader, shaped like real Word/LaTeX output: a `/Type0`
+    * `/Identity-H` composite font whose 2-byte show-string codes are
+    * deliberately OFFSET from the unicode they map to (code ≠ char
+    * value), so a Latin-1 fallback visibly garbles the text and only
+    * the `/ToUnicode` CMap recovers it. Half the mappings emit as
+    * `bfchar` entries, the rest as array-destination `bfrange` spans,
+    * so a round-trip exercises both CMap operators. Text may be any
+    * BMP unicode (umlauts included — the fixture the reference's
+    * German office-PDF corpus needs). */
+  def pdfBytesCid(pages: Seq[Seq[String]], title: Option[String] = None,
+                  compress: Boolean = true): Array[Byte] = {
+    def latin1(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+    val distinct = pages.flatten.flatMap(_.toSeq).filter(_ != '\n').distinct
+    require(distinct.forall(c => c >= ' ' && !c.isSurrogate),
+      "pdfBytesCid text must be BMP, no control chars")
+    require(distinct.size <= 0xFE00, "too many distinct glyphs for one font")
+    val code: Map[Char, Int] =
+      distinct.sorted.zipWithIndex.map { case (c, i) => c -> (0x0100 + i) }.toMap
+    def hx(line: String): String =
+      line.map(c => f"${code(c)}%04X").mkString
+
+    val entries = code.toSeq.map { case (ch, co) => co -> ch }.sortBy(_._1)
+    val (chars, ranged) = entries.splitAt(math.max(entries.size / 2, 1))
+    val cm = new StringBuilder
+    cm.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+      .append("/CMapName /Graft-UCS def\n/CMapType 2 def\n")
+      .append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    if (chars.nonEmpty) {
+      cm.append(s"${chars.size} beginbfchar\n")
+      chars.foreach { case (co, ch) =>
+        cm.append(f"<$co%04X> <${ch.toInt}%04X>\n")
+      }
+      cm.append("endbfchar\n")
+    }
+    // codes are consecutive by construction, so each group is one
+    // contiguous span with an explicit destination array
+    ranged.grouped(100).foreach { grp =>
+      cm.append("1 beginbfrange\n")
+        .append(f"<${grp.head._1}%04X> <${grp.last._1}%04X> [")
+        .append(grp.map { case (_, ch) => f"<${ch.toInt}%04X>" }.mkString(" "))
+        .append("]\nendbfrange\n")
+    }
+    cm.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    val cmapRaw = latin1(cm.toString)
+    val cmapData = if (compress) deflate(cmapRaw) else cmapRaw
+    val cmapFilter = if (compress) " /Filter /FlateDecode" else ""
+
+    val nPages = pages.size
+    // numbering: 1 catalog, 2 pages, 3 font, 4 descendant, 5 ToUnicode,
+    // [6..] page+content pairs, then optional info
+    val objs = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    val kidRefs = (0 until nPages).map(i => s"${6 + 2 * i} 0 R").mkString(" ")
+    objs += 1 -> latin1("<< /Type /Catalog /Pages 2 0 R >>")
+    objs += 2 -> latin1(s"<< /Type /Pages /Kids [ $kidRefs ] /Count $nPages " +
+      "/Resources << /Font << /F1 3 0 R >> >> >>") // INHERITED by leaves
+    objs += 3 -> latin1("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+      "/Encoding /Identity-H /DescendantFonts [ 4 0 R ] /ToUnicode 5 0 R >>")
+    objs += 4 -> latin1("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>")
+    objs += 5 -> (latin1(s"<< /Length ${cmapData.length}$cmapFilter >>\nstream\n") ++
+      cmapData ++ latin1("\nendstream"))
+    pages.zipWithIndex.foreach { case (paras, i) =>
+      val pageNum = 6 + 2 * i
+      val contNum = pageNum + 1
+      // NO page-level /Resources: exercises the §7.7.3.4 inheritance
+      objs += pageNum -> latin1(
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $contNum 0 R >>")
+      val body = new StringBuilder("BT /F1 12 Tf 72 720 Td 14 TL\n")
+      paras.zipWithIndex.foreach { case (para, pi) =>
+        if (pi > 0) body.append("T*\n")
+        para.split("\n", -1).foreach(line => body.append(s"<${hx(line)}> Tj T*\n"))
+      }
+      body.append("ET")
+      val raw = latin1(body.toString)
+      val data = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      objs += contNum -> (latin1(s"<< /Length ${data.length}$filter >>\nstream\n") ++
+        data ++ latin1("\nendstream"))
+    }
+    val infoNum = 6 + 2 * nPages
+    title.foreach { t =>
+      // titles ride a UTF-16BE hex string so they too survive non-Latin-1
+      val hex = ("FEFF" + t.flatMap(c => f"${c.toInt}%04X")).toUpperCase
+      objs += infoNum -> latin1(s"<< /Title <$hex> >>")
+    }
+    assemble(objs.toSeq, title.map(_ => infoNum))
   }
 
   /** Single-page, paragraph-list convenience. */
