@@ -222,7 +222,27 @@ object DocQueries extends QueryPack {
       .orderBy(desc("n_mentions"), asc("entity"))
   }
 
+  /** q110 — structured rule/condition extraction behind the llm slot
+    * (the reference's actual LLM plan: "Rule extraction, condition
+    * parsing" from bylaw prose, `etl_implementation.md:262-273`,
+    * into `schema.cql`'s DisposalRule/Condition layer). Deterministic
+    * end-to-end: [[graft.sources.RuleExtract.fixtureDocs]] renders one
+    * bylaw-style document per part row (surface form, stream and
+    * condition all picked by the part key; negation + hint distractors
+    * included), [[graft.sources.RuleExtract.candidates]] parses the
+    * prose back with the anchored pattern grammar — sentence explode +
+    * regexp_extract, all codegen, no UDF — and the oracle regenerates
+    * the expected (item, condition, branch, stream, uid) rows from the
+    * same keys in SQL. Conditional sentences emit BOTH branches
+    * (IF_TRUE/IF_FALSE, the reference's decision-tree edges). */
+  def q110RuleExtract(s: SparkSession, dir: String): DataFrame =
+    graft.sources.RuleExtract.candidates(
+      graft.sources.RuleExtract.fixtureDocs(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_name"))))
+      .orderBy("name", "branch", "stream")
+
   val queries: Map[String, QueryFn] = Map(
+    "q110_rule_extract" -> (q110RuleExtract _),
     "q89_entity_extract" -> (q89EntityExtract _),
     "q101_html_extract" -> (q101HtmlExtract _),
     "q93_llm_extract"   -> (q93LlmExtract _),
@@ -261,6 +281,34 @@ object DocQueries extends QueryPack {
   }
 
   val oracles: Map[String, String] = Map(
+    // q110: the oracle REGENERATES the expected candidates from the
+    // same part keys the fixture renderer used (form k%3, stream k%5,
+    // alt (k+2)%5, condition k%4) — the engine must parse the prose
+    // back to exactly these rows; distractor sentences contribute none.
+    "q110_rule_extract" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS k, p_name AS item,
+        |    ['Restmüll','Biomüll','Sondermüll','Papierkorb','Wertstoffhof'] AS ss,
+        |    ['flüssig','getrocknet','leer','verschlossen'] AS cc
+        |  FROM part),
+        |b AS (
+        |  SELECT 'satzung_' || k AS name, CAST(1 AS INT) AS sent_idx, item,
+        |    CASE WHEN k % 3 = 0 THEN cc[CAST(k % 4 AS INT) + 1] END AS condition,
+        |    k, ss
+        |  FROM p),
+        |rws AS (
+        |  SELECT name, sent_idx, item, condition, 'if_true' AS branch,
+        |    ss[CAST(k % 5 AS INT) + 1] AS stream FROM b WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT name, sent_idx, item, condition, 'if_false',
+        |    ss[CAST((k + 2) % 5 AS INT) + 1] FROM b WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT name, sent_idx, item, NULL, NULL,
+        |    ss[CAST(k % 5 AS INT) + 1] FROM b WHERE k % 3 <> 0)
+        |SELECT name, sent_idx, item, condition, branch, stream,
+        |  substr(sha256(name || '|' || item || '|' || coalesce(condition, '')
+        |    || '|' || coalesce(branch, '') || '|' || stream), 1, 16) AS rule_uid
+        |FROM rws ORDER BY name, branch, stream""".stripMargin,
     // q93: identical sentence split (RE2-safe pattern), identical
     // length>=4 document-frequency scoring, identical rounded-ratio
     // top-3, summary re-assembled in position order and md5'd.
