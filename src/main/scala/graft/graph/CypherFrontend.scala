@@ -290,7 +290,9 @@ object CypherFrontend {
           require(ch.hops.head._1.varLen.get._2 != Unbounded,
             "shortestPath needs a bounded hop range (its BFS unrolls hi " +
               "levels); use *..k")
-          require(!optional, "OPTIONAL shortestPath is not supported")
+          // OPTIONAL shortestPath: the compiled (pairs, min-depth)
+          // frame left-joins the pipeline like any optional clause —
+          // unreachable endpoints null-pad r and length(p)
           val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
           return MatchClause(Seq(ch), optional, w, shortest = Some(pv))
         }
@@ -492,8 +494,13 @@ object CypherFrontend {
       val fwd = atSym("->")
       if (fwd) eatSym("->") else eatSym("-")
       require(fwd ^ back0, "undirected relationships are not in the reference surface; write -> or <-")
-      require(varLen.isEmpty || v.isEmpty,
-        "binding a variable to a var-length relationship (a path list) is not supported")
+      // a bounded var-length binding projects its hop count via
+      // size(r); the unbounded reachability closure carries no
+      // per-walk hop list, so binding it stays rejected
+      require(varLen.isEmpty || v.isEmpty || varLen.get._2 != Unbounded,
+        "binding a variable to an unbounded '*' relationship is not " +
+          "supported (reachability pairs carry no per-walk list); " +
+          "bound the range (*lo..hi) and project size(r)")
       (RelPat(v, types, forward = fwd, varLen), nodePat())
     }
 
@@ -815,6 +822,9 @@ object CypherFrontend {
     /** Path variables bound by shortestPath — only `length(p)` (the
       * hop count) is projectable; maps to the min-depth column. */
     private var pathVars = Map.empty[String, String]
+    /** Bounded var-length relationship bindings: var → its per-walk
+      * hop-count column; only `size(r)` projects. */
+    private var varLenVars = Map.empty[String, String]
     /** Lambda variables inside comprehension/reduce bodies — bound to
       * the enclosing higher-order function's element column. Checked
       * FIRST in exprCol so a lambda shadows an outer binding, matching
@@ -909,7 +919,8 @@ object CypherFrontend {
                   e.select(col(fromC).as("src_uid"), col(toC).as("dst_uid")))
                   .select(col("start").as(s"$endCol$$from"),
                     col("reached").as(s"$endCol$$to"))
-              } else varReach(rel, lo, hi, endCol, withLen = pathVar.isDefined)
+              } else varReach(rel, lo, hi, endCol,
+                withLen = pathVar.isDefined || rel.v.isDefined)
             if (pathVar.isDefined) lenParts += col(s"$endCol$$len")
             df = df.join(reachDf,
               col(ns(cur, "uid")) === col(s"$endCol$$from"))
@@ -922,6 +933,15 @@ object CypherFrontend {
                 col(s"$endCol$$to") === col(ns(nv, "uid")))
                 .drop(s"$endCol$$to")
               bound += nv
+            }
+            // a bound var-length variable surfaces its per-walk hop
+            // count as size(r) — the same depth column the k-fold
+            // union tags, a literal per chain (zero data cost)
+            rel.v.foreach { rv =>
+              val c = s"rellen$$$rv"
+              df = df.withColumn(c, col(s"$endCol$$len"))
+              if (pathVar.isEmpty) df = df.drop(s"$endCol$$len")
+              varLenVars += rv -> c
             }
             cur = nv
           case None =>
@@ -1111,12 +1131,33 @@ object CypherFrontend {
         case SMatch(cl) => applyClause(cl)
         case SWith(ws) =>
           require(df != null, "WITH before any MATCH/UNWIND has no rows to project")
-          df = applyWith(ws, df, bound)
+          df = applyWith(ws, df, bound, corrCols)
           // carried pattern variables only — scalar aliases are plain
           // columns, never join keys for later MATCHes
           bound = ws.items.collect {
             case RetItem(EVar(v), None, _) if !scalarVars(v) => v
           }.toSet
+          if (corrCols.nonEmpty && (ws.skip.isDefined || ws.limit.isDefined)) {
+            // per-row execution: an interior WITH ... SKIP/LIMIT inside
+            // a correlated CALL paginates PER IMPORT BINDING, so it
+            // compiles to the same row_number window as the finish
+            // stage, never a global limit
+            require(ws.orderBy.nonEmpty,
+              "correlated CALL: WITH ... SKIP/LIMIT needs ORDER BY " +
+                "(per-binding pagination must be deterministic)")
+            val sortCols = ws.orderBy.map { case (e, asc) =>
+              if (asc) exprCol(e).asc else exprCol(e).desc
+            }
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(corrCols.map(c => col("`" + c + "`")): _*)
+              .orderBy(sortCols: _*)
+            val lo = ws.skip.getOrElse(0L)
+            df = df.withColumn("_rn$", row_number().over(w))
+              .filter(col("_rn$") > lit(lo) &&
+                ws.limit.fold(lit(true))(n => col("_rn$") <= lit(lo + n)))
+              .drop("_rn$")
+            ws.where.foreach(p => df = applyPred(df, p, negated = false))
+          } else {
           // WITH sub-clauses in openCypher order: ORDER BY, then
           // SKIP/LIMIT (ORDER BY + LIMIT = one TakeOrdered top-N),
           // then WHERE (HAVING semantics on the paginated frame;
@@ -1129,6 +1170,7 @@ object CypherFrontend {
           ws.skip.foreach(n => df = df.offset(n.toInt))
           ws.limit.foreach(n => df = df.limit(n.toInt))
           ws.where.foreach(p => df = applyPred(df, p, negated = false))
+          }
         case SUnwind(e, alias) =>
           require(!scalarVars(alias) && !bound(alias),
             s"UNWIND alias '$alias' is already bound")
@@ -1331,7 +1373,8 @@ object CypherFrontend {
       * non-aggregate items — grouping a pass-through variable groups
       * by ALL its columns (functionally dependent on uid, so one hash
       * aggregate, no re-join to recover properties). */
-    private def applyWith(ws: WithStage, in: DataFrame, bound: Set[String]): DataFrame = {
+    private def applyWith(ws: WithStage, in: DataFrame, bound: Set[String],
+                          corrCols: Seq[String] = Nil): DataFrame = {
       val (varItems, exprItems) = ws.items.partition {
         i => i.expr.isInstanceOf[EVar] && i.alias.isEmpty
       }
@@ -1351,6 +1394,15 @@ object CypherFrontend {
         if (scalarVars(v)) Seq(v)
         else in.columns.filter(_.startsWith(v + "$")).toSeq
       } ++ keyExprItems.map(_.alias.get)
+      // inside a correlated CALL body, the correlation key threads
+      // through every interior WITH even when the user's projection
+      // drops the imported variable: aggregates then group PER
+      // BINDING (the per-row execution contract) and the finish stage
+      // still finds its join-back key. Columns already projected
+      // (the import var carried explicitly) are not duplicated.
+      val corrKeep = corrCols.filterNot(keyNames.contains)
+        .filter(in.columns.contains)
+      val corrKeepCols = corrKeep.map(c => col("`" + c + "`"))
       val keyCols = passVars.flatMap(varCols) ++
         keyExprItems.map(i => exprCol(i.expr).as(i.alias.get))
       val out =
@@ -1359,12 +1411,13 @@ object CypherFrontend {
           val lifted = scala.collection.mutable.ArrayBuffer[(String, Expr)]()
           val rewritten = aggItems.map(i => i -> liftAggs(i.expr, lifted))
           val aggCols = lifted.toSeq.map { case (tmp, agg) => aggCol(agg).as(tmp) }
-          val grouped = in.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          val grouped = in.groupBy(corrKeepCols ++ keyCols: _*)
+            .agg(aggCols.head, aggCols.tail: _*)
           scalarVars ++= lifted.map(_._1)
-          grouped.select(keyNames.map(c => col("`" + c + "`")) ++
+          grouped.select(corrKeepCols ++ keyNames.map(c => col("`" + c + "`")) ++
             rewritten.map { case (i, re) => exprCol(re).as(i.alias.get) }: _*)
         } else {
-          val sel = in.select(keyCols: _*)
+          val sel = in.select(corrKeepCols ++ keyCols: _*)
           if (ws.distinct) sel.distinct() else sel
         }
       scalarVars ++= exprItems.flatMap(_.alias)
@@ -1392,11 +1445,59 @@ object CypherFrontend {
         val joinType = if (negated) "left_anti" else "left_semi"
         df.join(probe, df(ns(v, "uid")) === probe("_probe"), joinType)
       case other =>
-        val c = predCol(other)
-        df.filter(if (negated) !c else c)
+        // pattern predicates nested under OR/XOR/NOT-of-OR positions
+        // cannot be whole-frame semi/anti joins — materialize each as
+        // a boolean FLAG column (distinct probe uids, one left join
+        // per distinct pattern, broadcast-eligible) and compile the
+        // boolean expression over the flags. Scale shape: the probe
+        // side is DISTINCT endpoint uids, never the edge multiset.
+        val pats = collectPatterns(other).distinct
+        if (pats.isEmpty) {
+          val c = predCol(other)
+          df.filter(if (negated) !c else c)
+        } else {
+          var d = df
+          patternFlags = pats.zipWithIndex.map { case (pp, i) =>
+            val flag = s"_patflag$$$i"
+            val probeCol = if (pp.forward) "src_uid" else "dst_uid"
+            val otherCol = if (pp.forward) "dst_uid" else "src_uid"
+            var e = edges
+            if (pp.types.nonEmpty) e = e.filter(col("rel_type").isin(pp.types: _*))
+            val probe = (pp.targetLabel match {
+              case Some(l) => e.join(nodes.filter(col("label") === l)
+                  .select(col("uid").as(otherCol)), otherCol)
+              case None => e
+            }).select(col(probeCol).as(s"$flag$$probe")).distinct()
+              .withColumn(flag, lit(true))
+            d = d.join(probe, d(ns(pp.v, "uid")) === probe(s"$flag$$probe"),
+              "left_outer").drop(s"$flag$$probe")
+            pp -> flag
+          }.toMap
+          val c = try predCol(other) finally { patternFlags = Map.empty }
+          d.filter(if (negated) !c else c)
+            .drop(d.columns.filter(_.startsWith("_patflag$")).toIndexedSeq: _*)
+        }
     }
 
+    /** Pattern predicates anywhere inside a boolean tree (they cannot
+      * appear under quantifier lambdas — those bind list elements,
+      * not nodes). */
+    private def collectPatterns(p: Pred): Seq[PPattern] = p match {
+      case pp: PPattern => Seq(pp)
+      case PAnd(l, r) => collectPatterns(l) ++ collectPatterns(r)
+      case POr(l, r) => collectPatterns(l) ++ collectPatterns(r)
+      case PXor(l, r) => collectPatterns(l) ++ collectPatterns(r)
+      case PNot(i) => collectPatterns(i)
+      case _ => Seq.empty
+    }
+
+    /** Flag columns for pattern predicates compiled in the current
+      * applyPred call (empty outside it). */
+    private var patternFlags: Map[PPattern, String] = Map.empty
+
     private def predCol(p: Pred): Column = p match {
+      case pp: PPattern if patternFlags.contains(pp) =>
+        coalesce(col(patternFlags(pp)), lit(false))
       case PCmp("=", l, r) => exprCol(l) === exprCol(r)
       case PCmp("<>", l, r) => exprCol(l) =!= exprCol(r)
       case PCmp("<", l, r) => exprCol(l) < exprCol(r)
@@ -1448,12 +1549,16 @@ object CypherFrontend {
           case other => sys.error(s"unknown quantifier $other")
         }
       case PPattern(_, _, _, _) =>
-        sys.error("pattern predicates under OR are not supported; rewrite as separate queries")
+        sys.error("pattern predicate in a column-only position " +
+          "(OPTIONAL MATCH WHERE / WITH ... WHERE under aggregation)")
     }
 
     private def exprCol(e: Expr): Column = e match {
       case EVar(v) if lambdaVars.contains(v) => lambdaVars(v)
       case EVar(v) if scalarVars(v) => col(v) // WITH-bound scalar alias
+      case EVar(v) if varLenVars.contains(v) => sys.error(
+        s"'$v' binds a var-length relationship: only size($v) projects " +
+          "(the walk's hop count); the relationship list itself is not materialized")
       case EVar(v) => // a bare node/rel variable projects its identity
         if (relVars(v))
           struct(col(ns(v, "rel_type")), col(ns(v, "src_uid")), col(ns(v, "dst_uid")))
@@ -1574,6 +1679,9 @@ object CypherFrontend {
           // chars; everything list-shaped (literals, split/range/keys,
           // comprehensions, lifted collect() temps) in elements
           args(0) match {
+            // a var-length relationship binding: size(r) is the walk's
+            // hop count (the materialized depth column)
+            case EVar(v) if varLenVars.contains(v) => col(varLenVars(v))
             case EProp(_, _) | ELit(_: String) |
                  EFn("tolower" | "toupper" | "tostring" | "trim" | "ltrim" |
                      "rtrim" | "replace" | "substring" | "left" | "right", _) =>

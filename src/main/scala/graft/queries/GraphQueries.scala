@@ -1230,6 +1230,30 @@ object GraphQueries extends QueryPack {
         |ORDER BY region, top_nation""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g54 — the two read-side frontier forms the parser used to refuse
+    * (r6 verdict task 6), gated: OPTIONAL shortestPath (the compiled
+    * pairs+min-depth frame LEFT-joins the pipeline — unreachable
+    * endpoints keep their row with r and length(p) null-padded; the
+    * optional WHERE filters matches INSIDE the join, Cypher scoping)
+    * and pattern predicates under OR/NOT (each distinct pattern
+    * becomes one boolean flag column via a DISTINCT-probe left join —
+    * broadcast-eligible endpoint sets, never the edge multiset — so
+    * arbitrary boolean combinations compile instead of whole-frame
+    * semi/anti joins). */
+  def g54CypherOptionalFrontier(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)
+        |OPTIONAL MATCH p = shortestPath((n)-[:IN_REGION*..2]->(r:Region))
+        |WHERE r.name STARTS WITH 'A'
+        |RETURN n.name AS name, coalesce(r.name, 'none') AS tag,
+        |  coalesce(length(p), -1) AS v
+        |UNION ALL
+        |MATCH (x)
+        |WHERE (x)-[:IN_REGION]->(:Region) OR NOT (x)-[:IN_NATION|IN_REGION]->()
+        |RETURN x.name AS name, labels(x)[0] AS tag, 0 AS v""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("name", "tag", "v")
+
   /** g47 — time-RESPECTING 2-hop influence paths over the click
     * stream: an edge u→v exists when both click in the same 5-minute
     * bucket and u's first click precedes v's (time gives the
@@ -1324,6 +1348,7 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g54_cypher_optional_frontier" -> (g54CypherOptionalFrontier _),
     "g53_cypher_call_correlated" -> (g53CypherCallCorrelated _),
     "g50_cypher_path_profile" -> (g50CypherPathProfile _),
     "g51_cypher_list_kernels" -> (g51CypherListKernels _),
@@ -1494,6 +1519,21 @@ object GraphQueries extends QueryPack {
     // g52: label predicate = the label column; any(...) over the split
     // parts = the suffix membership; ^ = pow (double); CALL count = the
     // region cardinality on every row.
+    // g54: OPTIONAL shortestPath — nations reach their region (depth 1)
+    // only when it starts with 'A', else the row survives null-padded;
+    // the OR-pattern branch keeps nations (have IN_REGION) and regions
+    // (no outgoing edge at all), dropping customers/suppliers.
+    "g54_cypher_optional_frontier" ->
+      """SELECT name, tag, v FROM (
+        |  SELECT n_name AS name,
+        |    CASE WHEN r_name LIKE 'A%' THEN r_name ELSE 'none' END AS tag,
+        |    CASE WHEN r_name LIKE 'A%' THEN 1 ELSE -1 END AS v
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT n_name, 'Nation', 0 FROM nation
+        |  UNION ALL
+        |  SELECT r_name, 'Region', 0 FROM region)
+        |ORDER BY name, tag, v""".stripMargin,
     // g53: correlated CALL subqueries vs DuckDB LATERAL — a lateral
     // count and a lateral ORDER BY + LIMIT 2 per region.
     "g53_cypher_call_correlated" ->

@@ -379,9 +379,11 @@ class CypherFrontendSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](CypherFrontend.run(
       "MATCH (a)-[:CHILD_OF*1..20]->(b) RETURN b.name", chainNodes, chainEdges))
     assert(e2.getMessage.contains("unbounded"))
+    // a BOUND var-length binding is now legal (size(r) projects) —
+    // the round-7 frontier test covers it; only unbounded stays out
     val e3 = intercept[IllegalArgumentException](CypherFrontend.run(
-      "MATCH (a)-[r:CHILD_OF*1..2]->(b) RETURN b.name", chainNodes, chainEdges))
-    assert(e3.getMessage.contains("not supported"))
+      "MATCH (a)-[r:CHILD_OF*]->(b) RETURN size(r)", chainNodes, chainEdges))
+    assert(e3.getMessage.contains("unbounded"))
   }
 
   test("WITH aggregate + WHERE (HAVING) + continuation MATCH on the carried variable") {
@@ -848,6 +850,95 @@ class CypherFrontendSpec extends SparkSpec {
         |  RETURN w.name AS item LIMIT 1 }
         |RETURN item""".stripMargin))
     assert(e3.getMessage.contains("ORDER BY"))
+  }
+
+  test("round-7 frontier: correlated CALL with interior WITH stages") {
+    // the correlation key threads through a projection that drops the
+    // imported variable
+    val t1 = run(
+      """MATCH (s:WasteStream)
+        |CALL { WITH s
+        |  MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |  WITH w.name AS item
+        |  RETURN item ORDER BY item LIMIT 1 }
+        |RETURN s.name AS stream, item ORDER BY stream""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(t1 === Seq(("Biomuell", "Laub"), ("Restmuell", "Asche")))
+    // an interior aggregate groups PER BINDING even when the import is
+    // dropped from the projection
+    val t2 = run(
+      """MATCH (s:WasteStream)
+        |CALL { WITH s
+        |  MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |  WITH count(w) AS c
+        |  RETURN c }
+        |RETURN s.name AS stream, c ORDER BY stream""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(t2 === Seq(("Biomuell", 1L), ("Restmuell", 2L)))
+    // interior WITH ... ORDER BY ... LIMIT paginates per binding
+    val t3 = run(
+      """MATCH (s:WasteStream)
+        |CALL { WITH s
+        |  MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |  WITH w.name AS item ORDER BY item DESC LIMIT 1
+        |  RETURN item }
+        |RETURN s.name AS stream, item ORDER BY stream""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(t3 === Seq(("Biomuell", "Laub"), ("Restmuell", "Bauschutt")))
+  }
+
+  test("round-7 frontier: OPTIONAL shortestPath and pattern predicates under OR") {
+    // only w1 reaches a Facility; the others keep their row null-padded
+    val opt = run(
+      """MATCH (w:WasteItem)
+        |OPTIONAL MATCH p = shortestPath((w)-[:DISPOSED_IN|DISPOSED_AT*..2]->(f:Facility))
+        |RETURN w.name AS item, coalesce(f.name, 'none') AS target,
+        |  coalesce(length(p), -1) AS len
+        |ORDER BY item""".stripMargin)
+      .as[(String, String, Long)].collect().toSeq
+    assert(opt === Seq(
+      ("Altlack", "none", -1L),
+      ("Asche", "none", -1L),
+      ("Bauschutt", "Wertstoffhof A", 1L),
+      ("Laub", "none", -1L)))
+    // pattern predicates under OR, with NOT inside the disjunction:
+    // w1 (has DISPOSED_AT) plus every node with no outgoing disposal
+    // edge at all (w4, both streams, both facilities)
+    val or = run(
+      """MATCH (x)
+        |WHERE (x)-[:DISPOSED_AT]->(:Facility) OR NOT (x)-[:DISPOSED_IN|DISPOSED_AT]->()
+        |RETURN x.name AS name ORDER BY name""".stripMargin)
+      .as[String].collect().toSeq
+    assert(or === Seq("Altlack", "Bauschutt", "Biomuell", "Restmuell",
+      "Wertstoffhof A", "Wertstoffhof B"))
+    // the flags compose with plain predicates under XOR too
+    val mixed = run(
+      """MATCH (w:WasteItem)
+        |WHERE (w)-[:DISPOSED_IN]->(:WasteStream) XOR w.name = 'Altlack'
+        |RETURN count(*) AS c""".stripMargin).as[Long].head()
+    assert(mixed === 4) // w1..w3 via the pattern, w4 via the name
+  }
+
+  test("round-7 frontier: binding a var-length relationship projects size(r)") {
+    val got = run(
+      """MATCH (w:WasteItem)-[r:DISPOSED_IN|DISPOSED_AT*1..2]->(t)
+        |RETURN w.name AS item, t.name AS target, size(r) AS hops
+        |ORDER BY item, target""".stripMargin)
+      .as[(String, String, Int)].collect().toSeq
+    // the graph is depth-1: every walk has exactly one hop
+    assert(got === Seq(
+      ("Asche", "Restmuell", 1),
+      ("Bauschutt", "Restmuell", 1),
+      ("Bauschutt", "Wertstoffhof A", 1),
+      ("Laub", "Biomuell", 1)))
+    // unbounded '*' carries no per-walk list — binding stays rejected
+    val e1 = intercept[IllegalArgumentException](run(
+      "MATCH (w)-[r:DISPOSED_IN*]->(t) RETURN size(r)"))
+    assert(e1.getMessage.contains("unbounded"))
+    // the list itself does not materialize: only size(r) projects
+    val e2 = intercept[RuntimeException](run(
+      "MATCH (w)-[r:DISPOSED_IN*1..2]->(t) RETURN r"))
+    assert(e2.getMessage.contains("size(r)"))
   }
 
   test("pipeline aliases cannot leak into property maps") {

@@ -691,4 +691,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"fact should join only broadcast dims in:\n$plan")
   }
+
+  test("q110: the three-pattern grammar is ONE corpus pass — one part scan, no join") {
+    val plan = planOf(DocQueries.queries("q110_rule_extract")(spark, dir))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("part"))
+    assert(scans == 1,
+      s"grammar branches must share one corpus scan (CASE+explode, not a union) in:\n$plan")
+    assert(!plan.contains("Join"), s"extraction is scan-local, no join in:\n$plan")
+    assert(plan.contains("Generate"), s"expected the candidate explode in:\n$plan")
+  }
+
+  test("g53: correlated CALL compiles to per-binding windows, not N subquery runs") {
+    val plan = planOf(GraphQueries.queries("g53_cypher_call_correlated")(spark, dir))
+    assert(plan.contains("Window"),
+      s"per-binding top-k should be one row_number window in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the import join-back must stay an equi join in:\n$plan")
+  }
 }
