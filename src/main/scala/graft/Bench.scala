@@ -104,7 +104,10 @@ object Bench {
       "g49_cc_bipartite", "m15_phash_clusters", "s18_stream_components",
       // round-6 closing wave
       "q94_sole_blame", "q95_dormant_balance",
-      "q96_smallqty_revenue", "q99_top_supplier")
+      "q96_smallqty_revenue", "q99_top_supplier",
+      // round-7 wave
+      "g53_cypher_call_correlated", "g54_cypher_optional_frontier",
+      "q110_rule_extract", "e19_ivf_sqrtk")
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = jsonMap(results.toSeq.sortBy(_._1))

@@ -120,8 +120,28 @@ object ScaleGen {
     ordRep.unionByName(skewOrders).repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "embeddings")) {
+    // 10× embeddings with DISJOINT vec_id ranges. Each replica applies
+    // a cyclic coordinate rotation — an orthogonal transform, so every
+    // pairwise cosine/dot WITHIN a replica is preserved exactly (the
+    // per-replica ANN structure stays honest, same argument as the
+    // documents token bijection) while replicas occupy rotated
+    // subspaces. Native slice+concat — no UDF even in the devtool.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet").localCheckpoint(true)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    (0 until 10).map { k =>
+      val r = k % dim
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      emb.select(
+        (col("vec_id") + lit(k.toLong * 1000000L)).as("vec_id"),
+        rotated.as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_)).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"),

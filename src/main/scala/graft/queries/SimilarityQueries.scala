@@ -743,7 +743,49 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** e19 — IVF with a DATA-DRIVEN cell count: K = max(4, ⌊√N⌋) cells
+    * (the IVF sizing norm), seeded by the K lowest vec_ids
+    * (deterministic — no rand()), refined by ONE Lloyd step (assign →
+    * per-cell mean, e07's step as an index-build stage), then nprobe=1
+    * search. This is the piece e05's fixed label-cells cannot show:
+    * the quantizer GROWS with the corpus, so per-query candidate work
+    * is N/√N = √N — sublinear in N, the claim SCALE.md's e-family
+    * table rests on. Same plan shapes as e05: two broadcast
+    * assignment joins + a per-vector window, one equi-join search; the
+    * driver-side count() sizes K (one long of metadata, not data). */
+  def e19IvfSqrtK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val k = math.max(4, math.sqrt(e.count().toDouble).toInt)
+    val seeds = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("c_id"))
+      e.join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("c_id"),
+          round(cosine(col("v"), col("cv")), 6).as("cs"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+    }
+    val refined = assign(seeds).groupBy(col("cell").as("c_id"))
+      .agg(graft.functions.VecOps.vecMean(col("v")).as("cv"))
+    val assigned = assign(refined)
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("v").as("xv"), col("cell"))
+    val wRank = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("cand_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("cell"), col("cand_id"),
+        round(cosine(col("qv"), col("xv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("query_id", "cell", "rank", "cand_id", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e19_ivf_sqrtk"       -> (e19IvfSqrtK _),
     "e18_filtered_knn"    -> (e18FilteredKnn _),
     "e17_mips_reduction"  -> (e17MipsReduction _),
     "e16_ivfpq_recall"    -> (e16IvfpqRecall _),
@@ -1190,6 +1232,44 @@ object SimilarityQueries extends QueryPack {
         |  round(n.nv[1], 6) AS c1, round(n.nv[2], 6) AS c2
         |FROM newcent n JOIN cent c ON n.cell = c.c_label
         |ORDER BY n.cell""".stripMargin,
+    // e19: K = max(4, floor(sqrt(N))) seed cells by lowest vec_id, one
+    // Lloyd step (avg per dim over the seed assignment), reassign,
+    // nprobe=1 — both sides round cosines to 6dp before every rank so
+    // double-vs-list mean drift cannot flip an assignment.
+    "e19_ivf_sqrtk" ->
+      s"""WITH p AS (
+        |  SELECT CAST(greatest(4, floor(sqrt((SELECT count(*) FROM embeddings)))) AS BIGINT) AS k),
+        |seeds AS (
+        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM p)),
+        |a0 AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, s.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${sqlCos("e.embedding", "s.cv")}, 6) DESC, s.c_id) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s)
+        |  WHERE rn = 1),
+        |cent AS (
+        |  SELECT cell AS c_id, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT cell, i AS dim, avg(embedding[i]::DOUBLE) AS m
+        |    FROM a0, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell),
+        |a1 AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${sqlCos("e.embedding", "c.cv")}, 6) DESC, c.c_id) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.cell, c.vec_id AS cand_id,
+        |    round(${sqlCos("q.embedding", "c.embedding")}, 6) AS cos_sim
+        |  FROM a1 q JOIN a1 c ON q.cell = c.cell
+        |   AND q.vec_id < 10 AND c.vec_id >= 10),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, cand_id) AS INT) AS rank FROM scored)
+        |SELECT query_id, cell, rank, cand_id, cos_sim FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "e05_ivf_topk" ->
       s"""WITH cent AS (
         |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (
