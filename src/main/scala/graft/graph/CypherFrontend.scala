@@ -99,6 +99,13 @@ object CypherFrontend {
   /** `v {.k1, .k2}` map projection — the selected subset of
     * properties(v), same string-valued map contract. */
   private case class EMapProj(v: String, keys: Seq[String]) extends Expr
+  /** `COUNT { (v)-[:T]->(:L) }` subquery expression (Neo4j 5's
+    * counting sibling of EXISTS {}): the per-row match count of the
+    * pattern. Compiles to a pre-joined per-uid count column —
+    * one grouped count of the (label-filtered) edge set, one left
+    * join, coalesce 0. */
+  private case class ECountSub(v: String, types: Seq[String], forward: Boolean,
+                               targetLabel: Option[String]) extends Expr
 
   private sealed trait Pred
   private case class PCmp(op: String, l: Expr, r: Expr) extends Pred
@@ -595,6 +602,19 @@ object CypherFrontend {
         eatSym("|"); val body = expr()
         eatSym(")")
         EReduce(accName, init, v, lst, body)
+      case Some(TId(fn)) if fn.equalsIgnoreCase("count")
+          && toks.lift(pos + 1).exists(_.text == "{") =>
+        // COUNT { (v)-[:T]->(:L) } subquery expression — EXISTS's
+        // counting sibling (same single-pattern surface)
+        pos += 1; eatSym("{")
+        if (atKw("MATCH")) eatKw("MATCH")
+        val p = patternPredOpt().getOrElse(
+          sys.error("COUNT { ... } supports a single pattern like (v)-[:T]->(:Label)"))
+        eatSym("}")
+        p match {
+          case PPattern(v, types, fwd, tl) => ECountSub(v, types, fwd, tl)
+          case _ => sys.error("COUNT { ... } needs a relationship pattern")
+        }
       case Some(TId(fn)) if Set("count", "sum", "min", "max", "avg", "collect")(fn.toLowerCase)
           && toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("(")
@@ -1111,15 +1131,22 @@ object CypherFrontend {
           if (cl.optional) {
             // Cypher scoping: OPTIONAL MATCH's WHERE filters the
             // matches INSIDE the left join — unmatched rows stay
-            // null-padded instead of being dropped post-join
+            // null-padded instead of being dropped post-join. Pattern
+            // predicates / COUNT {} subqueries in that WHERE pre-join
+            // their flag/count columns onto the CLAUSE frame, so the
+            // whole predicate stays a Column inside the join condition
+            val pats = cl.where.toSeq.flatMap(collectPatterns)
+            val cnts = cl.where.toSeq.flatMap(countSubsP)
+            val (cdf1, flags) = joinPatternFlags(cdf, pats)
+            val (cdf2, cmap) = joinCountSubs(cdf1, cnts)
             val extra = cl.where.map { p => (_: DataFrame) =>
-              p match {
-                case PPattern(_, _, _, _) | PNot(PPattern(_, _, _, _)) =>
-                  sys.error("pattern predicates in an OPTIONAL MATCH WHERE are not supported")
-                case other => predCol(other)
-              }
+              patternFlags = flags; countSubCols = cmap
+              try predCol(p)
+              finally { patternFlags = Map.empty; countSubCols = Map.empty }
             }
-            df = joinOnShared(df, cdf, shared, "left_outer", extra)
+            df = joinOnShared(df, cdf2, shared, "left_outer", extra)
+            val scratch = (flags.values ++ cmap.values).toSeq
+            if (scratch.nonEmpty) df = df.drop(scratch: _*)
           } else {
             df = joinOnShared(df, cdf, shared, "inner", None)
             cl.where.foreach(p => df = applyPred(df, p, negated = false))
@@ -1247,6 +1274,14 @@ object CypherFrontend {
           scalarVars ++= idf.columns
       }
 
+      // COUNT {} subqueries in RETURN items / ORDER BY keys pre-join
+      // their per-uid count columns onto the frame (projection keeps
+      // only the named output, so the scratch columns never surface)
+      val retCnts = (q.items.map(_.expr) ++ q.orderBy.map(_.expr)).flatMap(countSubsE)
+      if (retCnts.nonEmpty) {
+        val (d, cmap) = joinCountSubs(df, retCnts)
+        df = d; countSubCols = countSubCols ++ cmap
+      }
       val aggItems = q.items.filter(i => hasAgg(i.expr))
       val outName = (i: RetItem) => i.alias.getOrElse(i.text)
       if (corrCols.nonEmpty) {
@@ -1373,8 +1408,19 @@ object CypherFrontend {
       * non-aggregate items — grouping a pass-through variable groups
       * by ALL its columns (functionally dependent on uid, so one hash
       * aggregate, no re-join to recover properties). */
-    private def applyWith(ws: WithStage, in: DataFrame, bound: Set[String],
+    private def applyWith(ws: WithStage, in0: DataFrame, bound: Set[String],
                           corrCols: Seq[String] = Nil): DataFrame = {
+      // COUNT {} subqueries among the WITH items pre-join their count
+      // columns, same contract as the RETURN twin
+      val in = {
+        val wCnts = ws.items.map(_.expr).flatMap(countSubsE)
+        if (wCnts.isEmpty) in0
+        else {
+          val (d, cmap) = joinCountSubs(in0, wCnts)
+          countSubCols = countSubCols ++ cmap
+          d
+        }
+      }
       val (varItems, exprItems) = ws.items.partition {
         i => i.expr.isInstanceOf[EVar] && i.alias.isEmpty
       }
@@ -1446,36 +1492,24 @@ object CypherFrontend {
         df.join(probe, df(ns(v, "uid")) === probe("_probe"), joinType)
       case other =>
         // pattern predicates nested under OR/XOR/NOT-of-OR positions
-        // cannot be whole-frame semi/anti joins — materialize each as
-        // a boolean FLAG column (distinct probe uids, one left join
-        // per distinct pattern, broadcast-eligible) and compile the
-        // boolean expression over the flags. Scale shape: the probe
-        // side is DISTINCT endpoint uids, never the edge multiset.
-        val pats = collectPatterns(other).distinct
-        if (pats.isEmpty) {
+        // cannot be whole-frame semi/anti joins, and COUNT {}
+        // subqueries are values, not joins — materialize each as a
+        // flag / count column (one keyed left join per distinct
+        // pattern) and compile the boolean expression over them.
+        val pats = collectPatterns(other)
+        val cnts = countSubsP(other)
+        if (pats.isEmpty && cnts.isEmpty) {
           val c = predCol(other)
           df.filter(if (negated) !c else c)
         } else {
-          var d = df
-          patternFlags = pats.zipWithIndex.map { case (pp, i) =>
-            val flag = s"_patflag$$$i"
-            val probeCol = if (pp.forward) "src_uid" else "dst_uid"
-            val otherCol = if (pp.forward) "dst_uid" else "src_uid"
-            var e = edges
-            if (pp.types.nonEmpty) e = e.filter(col("rel_type").isin(pp.types: _*))
-            val probe = (pp.targetLabel match {
-              case Some(l) => e.join(nodes.filter(col("label") === l)
-                  .select(col("uid").as(otherCol)), otherCol)
-              case None => e
-            }).select(col(probeCol).as(s"$flag$$probe")).distinct()
-              .withColumn(flag, lit(true))
-            d = d.join(probe, d(ns(pp.v, "uid")) === probe(s"$flag$$probe"),
-              "left_outer").drop(s"$flag$$probe")
-            pp -> flag
-          }.toMap
-          val c = try predCol(other) finally { patternFlags = Map.empty }
-          d.filter(if (negated) !c else c)
-            .drop(d.columns.filter(_.startsWith("_patflag$")).toIndexedSeq: _*)
+          val (d1, flags) = joinPatternFlags(df, pats)
+          val (d2, cmap) = joinCountSubs(d1, cnts)
+          patternFlags = flags; countSubCols = cmap
+          val c =
+            try predCol(other)
+            finally { patternFlags = Map.empty; countSubCols = Map.empty }
+          d2.filter(if (negated) !c else c)
+            .drop((flags.values ++ cmap.values).toSeq: _*)
         }
     }
 
@@ -1491,9 +1525,93 @@ object CypherFrontend {
       case _ => Seq.empty
     }
 
+    /** COUNT {} subquery expressions anywhere inside an expression /
+      * predicate tree. */
+    private def countSubsE(e: Expr): Seq[ECountSub] = e match {
+      case cs: ECountSub => Seq(cs)
+      case EArith(_, l, r) => countSubsE(l) ++ countSubsE(r)
+      case EFn(_, as) => as.flatMap(countSubsE)
+      case EAgg(_, a, _) => a.toSeq.flatMap(countSubsE)
+      case EIndex(b, ix) => countSubsE(b) ++ countSubsE(ix)
+      case EList(items) => items.flatMap(countSubsE)
+      case ECase(op, whens, els) =>
+        op.toSeq.flatMap(countSubsE) ++ whens.flatMap { case (c, v) =>
+          (c match {
+            case Left(p) => countSubsP(p)
+            case Right(x) => countSubsE(x)
+          }) ++ countSubsE(v)
+        } ++ els.toSeq.flatMap(countSubsE)
+      case _ => Seq.empty
+    }
+    private def countSubsP(p: Pred): Seq[ECountSub] = p match {
+      case PCmp(_, l, r) => countSubsE(l) ++ countSubsE(r)
+      case PStr(_, l, r) => countSubsE(l) ++ countSubsE(r)
+      case PIn(l, r) => countSubsE(l) ++ countSubsE(r)
+      case PIsNull(e, _) => countSubsE(e)
+      case PAnd(l, r) => countSubsP(l) ++ countSubsP(r)
+      case POr(l, r) => countSubsP(l) ++ countSubsP(r)
+      case PXor(l, r) => countSubsP(l) ++ countSubsP(r)
+      case PNot(i) => countSubsP(i)
+      case _ => Seq.empty
+    }
+
+    /** Left-join one boolean flag column per distinct pattern onto
+      * `df0` (DISTINCT endpoint probes — broadcast-eligible sets,
+      * never the edge multiset); returns the widened frame and the
+      * pattern → flag-column map. */
+    private def joinPatternFlags(df0: DataFrame, pats: Seq[PPattern])
+        : (DataFrame, Map[PPattern, String]) = {
+      var d = df0
+      val m = pats.distinct.zipWithIndex.map { case (pp, i) =>
+        val flag = s"_patflag$$$i"
+        val probeCol = if (pp.forward) "src_uid" else "dst_uid"
+        val otherCol = if (pp.forward) "dst_uid" else "src_uid"
+        var e = edges
+        if (pp.types.nonEmpty) e = e.filter(col("rel_type").isin(pp.types: _*))
+        val probe = (pp.targetLabel match {
+          case Some(l) => e.join(nodes.filter(col("label") === l)
+              .select(col("uid").as(otherCol)), otherCol)
+          case None => e
+        }).select(col(probeCol).as(s"$flag$$probe")).distinct()
+          .withColumn(flag, lit(true))
+        d = d.join(probe, d(ns(pp.v, "uid")) === probe(s"$flag$$probe"),
+          "left_outer").drop(s"$flag$$probe")
+        pp -> flag
+      }.toMap
+      (d, m)
+    }
+
+    /** Left-join one per-uid match-count column per distinct COUNT {}
+      * subquery (one grouped count of the filtered edge set — the
+      * degree table — then a keyed left join). */
+    private def joinCountSubs(df0: DataFrame, subs: Seq[ECountSub])
+        : (DataFrame, Map[ECountSub, String]) = {
+      var d = df0
+      val m = subs.distinct.zipWithIndex.map { case (cs, i) =>
+        val cname = s"_cntsub$$$i"
+        val probeCol = if (cs.forward) "src_uid" else "dst_uid"
+        val otherCol = if (cs.forward) "dst_uid" else "src_uid"
+        var e = edges
+        if (cs.types.nonEmpty) e = e.filter(col("rel_type").isin(cs.types: _*))
+        val base = cs.targetLabel match {
+          case Some(l) => e.join(nodes.filter(col("label") === l)
+              .select(col("uid").as(otherCol)), otherCol)
+          case None => e
+        }
+        val counts = base.groupBy(col(probeCol).as(s"$cname$$probe"))
+          .agg(count(lit(1)).as(cname))
+        d = d.join(counts, d(ns(cs.v, "uid")) === counts(s"$cname$$probe"),
+          "left_outer").drop(s"$cname$$probe")
+        cs -> cname
+      }.toMap
+      (d, m)
+    }
+
     /** Flag columns for pattern predicates compiled in the current
       * applyPred call (empty outside it). */
     private var patternFlags: Map[PPattern, String] = Map.empty
+    /** Count columns for COUNT {} subqueries currently in scope. */
+    private var countSubCols: Map[ECountSub, String] = Map.empty
 
     private def predCol(p: Pred): Column = p match {
       case pp: PPattern if patternFlags.contains(pp) =>
@@ -1559,6 +1677,11 @@ object CypherFrontend {
       case EVar(v) if varLenVars.contains(v) => sys.error(
         s"'$v' binds a var-length relationship: only size($v) projects " +
           "(the walk's hop count); the relationship list itself is not materialized")
+      case cs: ECountSub =>
+        countSubCols.get(cs)
+          .map(n => coalesce(col("`" + n + "`"), lit(0L)))
+          .getOrElse(sys.error(
+            "COUNT { } subqueries are supported in WHERE and RETURN/WITH items"))
       case EVar(v) => // a bare node/rel variable projects its identity
         if (relVars(v))
           struct(col(ns(v, "rel_type")), col(ns(v, "src_uid")), col(ns(v, "dst_uid")))
@@ -1758,7 +1881,7 @@ object CypherFrontend {
         case PXor(l, r) => inP(l) || inP(r)
         case PNot(i) => inP(i)
         case PIsNull(e, _) => inE(e)
-        case PPattern(_, _, _, _) => false
+        case _ => false // PPattern / PHasLabel / PQuant bind no scalars
       }
       inP(p)
     }
@@ -1792,7 +1915,7 @@ object CypherFrontend {
       case PXor(l, r) => predHasAgg(l) || predHasAgg(r)
       case PNot(i) => predHasAgg(i)
       case PIsNull(e, _) => hasAgg(e)
-      case PPattern(_, _, _, _) => false
+      case _ => false // PPattern / PHasLabel / PQuant carry no aggregates
     }
 
     /** Lift every nested EAgg out of `e`: each distinct aggregate gets

@@ -1254,6 +1254,22 @@ object GraphQueries extends QueryPack {
       nodes(s, dir), edges(s, dir))
       .orderBy("name", "tag", "v")
 
+  /** g55 — `COUNT { }` subquery expressions (Neo4j 5's counting
+    * sibling of EXISTS {}), in both WHERE (a degree threshold EXISTS
+    * cannot express) and RETURN positions. Compilation: each distinct
+    * subquery becomes ONE grouped count of the filtered edge set (the
+    * degree table) left-joined on the variable's uid — per-row values
+    * with zero for no matches, never a per-row subquery execution; at
+    * 100 TB it is one keyed aggregate + one keyed join. */
+  def g55CypherCountSub(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)
+        |WHERE COUNT { (n)<-[:IN_NATION]-() } >= 1
+        |RETURN n.name AS nation,
+        |  COUNT { (n)<-[:IN_NATION]-() } AS members
+        |ORDER BY nation""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   /** g47 — time-RESPECTING 2-hop influence paths over the click
     * stream: an edge u→v exists when both click in the same 5-minute
     * bucket and u's first click precedes v's (time gives the
@@ -1348,6 +1364,7 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g55_cypher_count_sub" -> (g55CypherCountSub _),
     "g54_cypher_optional_frontier" -> (g54CypherOptionalFrontier _),
     "g53_cypher_call_correlated" -> (g53CypherCallCorrelated _),
     "g50_cypher_path_profile" -> (g50CypherPathProfile _),
@@ -1519,6 +1536,15 @@ object GraphQueries extends QueryPack {
     // g52: label predicate = the label column; any(...) over the split
     // parts = the suffix membership; ^ = pow (double); CALL count = the
     // region cardinality on every row.
+    // g55: COUNT {} degree = customers + suppliers per nation.
+    "g55_cypher_count_sub" ->
+      """SELECT n_name AS nation, members FROM nation JOIN (
+        |  SELECT k, count(*) AS members FROM (
+        |    SELECT c_nationkey AS k FROM customer
+        |    UNION ALL SELECT s_nationkey FROM supplier) GROUP BY k) m
+        |ON n_nationkey = m.k
+        |WHERE members >= 1
+        |ORDER BY nation""".stripMargin,
     // g54: OPTIONAL shortestPath — nations reach their region (depth 1)
     // only when it starts with 'A', else the row survives null-padded;
     // the OR-pattern branch keeps nations (have IN_REGION) and regions

@@ -941,6 +941,40 @@ class CypherFrontendSpec extends SparkSpec {
     assert(e2.getMessage.contains("size(r)"))
   }
 
+  test("round-7 frontier: COUNT {} subqueries; pattern predicates in OPTIONAL WHERE") {
+    // COUNT {} in WHERE: a degree threshold EXISTS cannot express
+    val deg = run(
+      """MATCH (s:WasteStream)
+        |WHERE COUNT { (s)<-[:DISPOSED_IN]-(:WasteItem) } >= 2
+        |RETURN s.name AS name""".stripMargin).as[String].collect().toSeq
+    assert(deg === Seq("Restmuell"))
+    // COUNT {} as a RETURN item: per-row degree, zero for no matches
+    val ret = run(
+      """MATCH (w:WasteItem)
+        |RETURN w.name AS item,
+        |  COUNT { (w)-[:DISPOSED_IN|DISPOSED_AT]->() } AS d
+        |ORDER BY item""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(ret === Seq(("Altlack", 0L), ("Asche", 1L),
+      ("Bauschutt", 2L), ("Laub", 1L)))
+    // COUNT {} as a WITH item feeding a HAVING-style WHERE
+    val via = run(
+      """MATCH (w:WasteItem)
+        |WITH w.name AS item, COUNT { (w)-[:DISPOSED_IN]->() } AS d
+        |WHERE d = 1
+        |RETURN item ORDER BY item""".stripMargin).as[String].collect().toSeq
+    assert(via === Seq("Asche", "Bauschutt", "Laub"))
+    // pattern predicate in an OPTIONAL MATCH WHERE filters the matches
+    // INSIDE the left join — unmatched streams keep a null-padded row
+    val opt = run(
+      """MATCH (s:WasteStream)
+        |OPTIONAL MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |WHERE (w)-[:DISPOSED_AT]->(:Facility)
+        |RETURN s.name AS stream, w.name AS item ORDER BY stream""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(opt === Seq(("Biomuell", None), ("Restmuell", Some("Bauschutt"))))
+  }
+
   test("pipeline aliases cannot leak into property maps") {
     val e = intercept[RuntimeException](run(
       """UNWIND ['Restmuell'] AS nm
