@@ -977,7 +977,64 @@ object StreamQueries extends QueryPack {
     }
   }
 
+  /** s21 — streaming sketch profile: the a02 mergeable-HLL law under
+    * incremental delivery. Each micro-batch writes its own partition
+    * of per-key PARTIAL sketches ([[StreamingIngest.sketchBatch]] —
+    * replay rewrites the same bytes, so exactly-once holds on top of
+    * a non-idempotent payload), and compact-on-read merges them with
+    * `hll_union_agg`. Gated like a02: the merged row counts must be
+    * EXACT (partial counts are associative), the merged estimate
+    * within 5% of exact distinct — DuckDB's sketch differs from
+    * DataSketches, so the law, not the bits, is the contract. */
+  def s21StreamSketch(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = Files.createTempDirectory("graft-s21-in")
+    val ckpt = Files.createTempDirectory("graft-s21-ckpt")
+    val storeRoot = Files.createTempDirectory("graft-s21-store")
+    val store = storeRoot.resolve("sketches").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val raw = graft.core.Tables.withEventTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString))
+      val q = raw.writeStream
+        .foreachBatch(graft.streaming.StreamingIngest.sketchBatch(store) _)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("s21: stream did not finish within 300s")
+      } finally q.stop()
+      val merged = s.read.parquet(store)
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          sum(col("cnt")).as("n_events"))
+      val exact = graft.core.Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("exact_events"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"), col("n_events"),
+          (col("n_events") === col("exact_events")).as("count_ok"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("sketch_ok"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.core.TempDirs.deleteQuietly(streamDir, "s21")
+      graft.core.TempDirs.deleteQuietly(ckpt, "s21")
+      graft.core.TempDirs.deleteQuietly(storeRoot, "s21")
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s21_stream_sketch" -> (s21StreamSketch _),
     "s20_stream_manifest" -> (s20StreamManifest _),
     "s19_stream_exact_dedup" -> (s19StreamExactDedup _),
     "s18_stream_components" -> (s18StreamComponents _),
@@ -1000,6 +1057,15 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // s21: exact counts + the tolerance booleans; the sketch estimate
+    // itself is engine-internal (DuckDB's HLL differs bit-wise), so
+    // the LAW is the gated value, same contract as a01/a02.
+    "s21_stream_sketch" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | TRUE AS count_ok, TRUE AS sketch_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // s20: d42's one-pass manifest — add/xor folds are order-free, so
     // the incremental state must land on it from any slicing.
     "s20_stream_manifest" ->

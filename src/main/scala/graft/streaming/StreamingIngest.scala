@@ -79,6 +79,21 @@ object StreamingIngest {
         min(col("value")).as("vmin"), max(col("value")).as("vmax"))
       .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
 
+  /** The sketch-state microbatch sink (a02's mergeable-HLL algebra
+    * under streaming delivery): each batch overwrites its OWN
+    * partition with per-key PARTIAL HLL sketches + row counts —
+    * rollupBatch's idempotent-under-replay discipline with a sketch
+    * payload. Compact-on-read merges with `hll_union_agg`: sketch
+    * union is associative and order-free, so any batch split (or a
+    * checkpoint replay, which rewrites the same bytes) yields the
+    * same profile — the shape that lets 1000 executors profile
+    * 100 TB/day with one pass and a few KB of state per key. */
+  def sketchBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"),
+        count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+
   /** CDC micro-batch apply (q63's general MERGE, incrementally): each
     * change row carries (key, full new values, op ∈ U/D, seq). The
     * store keeps per-key (values, seq, deleted) where `deleted` is a

@@ -76,4 +76,35 @@ class StreamingIngestSpec extends SparkSpec {
     val o = onePass.collect().map(_.toString).sorted.toSeq
     assert(m === o)
   }
+
+  test("sketch sink: unioned cross-batch partials estimate like one-pass; replay is idempotent") {
+    val store = Files.createTempDirectory("graft-sketch").toString + "/sk"
+    def ev(t: String, uid: Long) = (t, uid)
+    // users 1..40 on click split across batches WITH overlap (30..35 in
+    // both) — union must not double-count the overlap
+    val b0 = ((1L to 35L).map(ev("click", _)) ++ (1L to 10L).map(ev("view", _)))
+      .toDF("event_type", "user_id")
+    val b1 = ((30L to 40L).map(ev("click", _)) ++ (5L to 12L).map(ev("view", _)))
+      .toDF("event_type", "user_id")
+    StreamingIngest.sketchBatch(store)(b0, 0L)
+    StreamingIngest.sketchBatch(store)(b1, 1L)
+    // checkpoint retry: rewriting batch 1's partition changes nothing
+    StreamingIngest.sketchBatch(store)(b1, 1L)
+    val merged = spark.read.parquet(store)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        sum("cnt").as("cnt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val onePass = b0.unionByName(b1).groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14)).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // counts are exact partial sums; estimates from the union of
+    // same-lgK partials match the one-shot sketch
+    assert(merged("click")._2 === 46L && merged("view")._2 === 18L)
+    assert(merged("click")._1 === onePass("click"))
+    assert(merged("view")._1 === onePass("view"))
+    // at these cardinalities the HLL estimate is exact
+    assert(merged("click")._1 === 40L)
+    assert(merged("view")._1 === 12L)
+  }
 }
