@@ -66,7 +66,13 @@ final class GraphDb private (val spark: SparkSession,
     else if (trimmed.equalsIgnoreCase("CALL db.relationshipTypes()"))
       g.edges.select(col("rel_type").as("relationshipType")).distinct()
         .orderBy("relationshipType")
-    else if (CypherWrite.isWrite(cypher)) {
+    else if (trimmed.length >= 8 && trimmed.substring(0, 8).equalsIgnoreCase("EXPLAIN ")) {
+      // Neo4j's `EXPLAIN <query>` string form: plan rows, no execution
+      val (lo, ph) = explain(trimmed.substring(8), params)
+      val sp = spark
+      import sp.implicits._
+      Seq("optimized_logical" -> lo, "physical" -> ph).toDF("stage", "plan")
+    } else if (CypherWrite.isWrite(cypher)) {
       merge(cypher, oneRow(params))
       spark.emptyDataFrame
     } else CypherFrontend.run(cypher, g.nodes, g.edges, params)
@@ -85,6 +91,20 @@ final class GraphDb private (val spark: SparkSession,
   /** The reference's stats dict as a frame: one row per label plus
     * `_total_nodes` / `_total_relationships` (`neo4j_db.py:117-146`). */
   def getStats: DataFrame = GraphStore.stats(g.nodes, g.edges)
+
+  /** Neo4j's `EXPLAIN <query>` parity for the compiled engine: the
+    * Catalyst plan of a read query, as (optimized logical, physical)
+    * strings — what a reference user pastes to see why a traversal is
+    * slow. Nothing executes; write statements are rejected (Neo4j's
+    * EXPLAIN of a write also plans without applying, but this engine's
+    * write path compiles to sinks, not plans). */
+  def explain(cypher: String, params: Map[String, Any] = Map.empty): (String, String) = {
+    require(!CypherWrite.isWrite(cypher),
+      "EXPLAIN covers read queries; writes compile to upsert sinks")
+    val df = CypherFrontend.run(cypher, g.nodes, g.edges, params)
+    (df.queryExecution.optimizedPlan.toString,
+      df.queryExecution.executedPlan.toString)
+  }
 
   /** `MATCH (n) DETACH DELETE n` — schema-preserving truncate. */
   def clearAll(): Unit = synchronized {

@@ -99,4 +99,22 @@ class GraphDbSpec extends SparkSpec {
     assert(!CypherWrite.isWrite(
       "MATCH (n) WHERE n.name = 'MERGE SET DELETE' RETURN n.name AS x"))
   }
+
+  test("EXPLAIN: plans without executing; writes are rejected") {
+    val db = GraphDb.empty(spark, clock = clk)
+    db.merge(itemTemplate,
+      Seq(("Altholz", uidOf("Altholz"))).toDF("name", "uid"))
+    // the string form routes through query() and returns plan rows
+    val rows = db.query("EXPLAIN MATCH (w:WasteItem) RETURN w.name AS n ORDER BY n")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.keySet === Set("optimized_logical", "physical"))
+    assert(rows("physical").contains("Sort") || rows("physical").contains("TakeOrdered"))
+    // the typed form returns both plan strings
+    val (lo, ph) = db.explain("MATCH (w:WasteItem) RETURN count(*) AS c")
+    assert(lo.nonEmpty && ph.nonEmpty)
+    assert(ph.contains("HashAggregate") || ph.contains("Aggregate"))
+    val e = intercept[IllegalArgumentException](
+      db.explain("MERGE (n:X {uid: $u})"))
+    assert(e.getMessage.contains("read"))
+  }
 }
