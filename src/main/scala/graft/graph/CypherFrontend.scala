@@ -124,6 +124,14 @@ object CypherFrontend {
                               targetLabel: Option[String]) extends Pred
   /** `n:Label` label predicate in WHERE. */
   private case class PHasLabel(v: String, label: String) extends Pred
+  /** `EXISTS { (a)-[:X]->(b)-[:Y]->(c) [, chains] [WHERE pred] }` —
+    * the MULTI-HOP existential subquery (single-hop keeps the
+    * [[PPattern]] fast path). Compiles to a semi/anti join of the
+    * compiled pattern frame on every variable shared with the outer
+    * scope. Same walk semantics as MATCH (no relationship-uniqueness
+    * constraint — the engine-wide divergence documented for
+    * var-length paths). */
+  private case class PExistsChain(chains: Seq[Chain], where: Option[Pred]) extends Pred
   /** `all/any/none/single(x IN list WHERE p)` quantified list
     * predicates — compile to a size() over the `filter` higher-order
     * function (codegen'd, no explode). */
@@ -711,10 +719,21 @@ object CypherFrontend {
       if (atKw("EXISTS") && toks.lift(pos + 1).exists(_.text == "{")) {
         eatKw("EXISTS"); eatSym("{")
         if (atKw("MATCH")) eatKw("MATCH") // EXISTS { MATCH ... } long form
-        val p = patternPredOpt().getOrElse(
-          sys.error("EXISTS { ... } supports a single pattern like (v)-[:T]->(:Label)"))
+        // single-hop (v)-[:T]->(:L) keeps the PPattern fast path
+        // (semi-join on one distinct endpoint set); anything longer —
+        // multi-hop chains, comma patterns, an inner WHERE — parses
+        // as a full existential pattern subquery
+        val save = pos
+        patternPredOpt() match {
+          case Some(p) if atSym("}") => eatSym("}"); return p
+          case _ => pos = save
+        }
+        val cs = Seq.newBuilder[Chain]
+        cs += chain()
+        while (atSym(",")) { eatSym(","); cs += chain() }
+        val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
         eatSym("}")
-        return p
+        return PExistsChain(cs.result(), w)
       }
       // all/any/none/single(x IN list WHERE p) quantified predicates
       // ("ALL" tokenizes as a keyword — UNION ALL — the others as ids)
@@ -1490,6 +1509,33 @@ object CypherFrontend {
         }
         val joinType = if (negated) "left_anti" else "left_semi"
         df.join(probe, df(ns(v, "uid")) === probe("_probe"), joinType)
+      case PExistsChain(chains, wh) =>
+        // multi-hop existential: compile the pattern into its own
+        // frame (the SAME chain compiler MATCH uses), apply the inner
+        // WHERE there, then semi/anti join the outer frame on every
+        // shared variable's uid. The probe ships DISTINCT shared-key
+        // tuples — never the match multiset — so a high-multiplicity
+        // pattern cannot widen the outer frame.
+        var (cdf, cbound) = compileChain(chains.head)
+        chains.tail.foreach { ch =>
+          val (chDf, chBound) = compileChain(ch)
+          val shared = (cbound & chBound).toSeq.sorted
+          require(shared.nonEmpty,
+            "disconnected EXISTS patterns would be a cross product; share a variable")
+          cdf = joinOnShared(cdf, chDf, shared, "inner", None)
+          cbound ++= chBound
+        }
+        wh.foreach(p => cdf = applyPred(cdf, p, negated = false))
+        val shared = cbound.toSeq
+          .filter(v => df.columns.contains(ns(v, "uid"))).sorted
+        require(shared.nonEmpty,
+          "EXISTS { } must share at least one variable with the outer MATCH")
+        val exProbe = cdf
+          .select(shared.map(v => col(ns(v, "uid")).as(s"_ex$$$v")): _*)
+          .distinct()
+        val exCond = shared.map(v => df(ns(v, "uid")) === exProbe(s"_ex$$$v"))
+          .reduce(_ && _)
+        df.join(exProbe, exCond, if (negated) "left_anti" else "left_semi")
       case other =>
         // pattern predicates nested under OR/XOR/NOT-of-OR positions
         // cannot be whole-frame semi/anti joins, and COUNT {}
@@ -1669,6 +1715,10 @@ object CypherFrontend {
       case PPattern(_, _, _, _) =>
         sys.error("pattern predicate in a column-only position " +
           "(OPTIONAL MATCH WHERE / WITH ... WHERE under aggregation)")
+      case PExistsChain(_, _) =>
+        sys.error("multi-hop EXISTS { } composes with AND/NOT; under " +
+          "OR, split the query or use single-hop patterns (which " +
+          "compile to flag columns)")
     }
 
     private def exprCol(e: Expr): Column = e match {

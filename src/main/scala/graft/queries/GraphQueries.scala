@@ -1270,6 +1270,26 @@ object GraphQueries extends QueryPack {
         |ORDER BY nation""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g56 — MULTI-HOP `EXISTS { }` pattern subqueries: comma chains
+    * sharing the outer variable (nations with BOTH a customer and a
+    * supplier) and a 2-hop chain with an inner WHERE (regions
+    * reachable from a '1'-suffixed customer). Each existential
+    * compiles to the chain compiler's frame filtered and reduced to a
+    * DISTINCT shared-key probe, then one semi join — the match
+    * multiset never widens the outer frame. */
+  def g56CypherExistsChain(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)
+        |WHERE EXISTS { (c:Customer)-[:IN_NATION]->(n), (s:Supplier)-[:IN_NATION]->(n) }
+        |RETURN n.name AS name, 'both' AS tag
+        |UNION ALL
+        |MATCH (r:Region)
+        |WHERE EXISTS { (c:Customer)-[:IN_NATION]->(:Nation)-[:IN_REGION]->(r)
+        |  WHERE c.name ENDS WITH '1' }
+        |RETURN r.name AS name, 'reach' AS tag""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("tag", "name")
+
   /** g47 — time-RESPECTING 2-hop influence paths over the click
     * stream: an edge u→v exists when both click in the same 5-minute
     * bucket and u's first click precedes v's (time gives the
@@ -1364,6 +1384,7 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g56_cypher_exists_chain" -> (g56CypherExistsChain _),
     "g55_cypher_count_sub" -> (g55CypherCountSub _),
     "g54_cypher_optional_frontier" -> (g54CypherOptionalFrontier _),
     "g53_cypher_call_correlated" -> (g53CypherCallCorrelated _),
@@ -1536,6 +1557,19 @@ object GraphQueries extends QueryPack {
     // g52: label predicate = the label column; any(...) over the split
     // parts = the suffix membership; ^ = pow (double); CALL count = the
     // region cardinality on every row.
+    // g56: the two existential shapes as plain IN-subqueries.
+    "g56_cypher_exists_chain" ->
+      """SELECT name, tag FROM (
+        |  SELECT n_name AS name, 'both' AS tag FROM nation
+        |  WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+        |    AND n_nationkey IN (SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT r_name, 'reach' FROM region
+        |  WHERE r_regionkey IN (
+        |    SELECT n_regionkey FROM nation
+        |    JOIN customer ON c_nationkey = n_nationkey
+        |    WHERE c_name LIKE '%1'))
+        |ORDER BY tag, name""".stripMargin,
     // g55: COUNT {} degree = customers + suppliers per nation.
     "g55_cypher_count_sub" ->
       """SELECT n_name AS nation, members FROM nation JOIN (

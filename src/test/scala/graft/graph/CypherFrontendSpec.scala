@@ -975,6 +975,41 @@ class CypherFrontendSpec extends SparkSpec {
     assert(opt === Seq(("Biomuell", None), ("Restmuell", Some("Bauschutt"))))
   }
 
+  test("round-7 frontier: multi-hop EXISTS { } pattern subqueries") {
+    // inner WHERE filters the existential match: streams receiving a
+    // 'B'-item
+    val b = run(
+      """MATCH (s:WasteStream)
+        |WHERE EXISTS { (w:WasteItem)-[:DISPOSED_IN]->(s) WHERE w.name STARTS WITH 'B' }
+        |RETURN s.name AS n ORDER BY n""".stripMargin).as[String].collect().toSeq
+    assert(b === Seq("Restmuell"))
+    // the shared variable may sit at the chain's TAIL (reverse probe)
+    val f = run(
+      """MATCH (f:Facility)
+        |WHERE EXISTS { (w:WasteItem)-[:DISPOSED_AT]->(f) }
+        |RETURN f.name AS n""".stripMargin).as[String].collect().toSeq
+    assert(f === Seq("Wertstoffhof A"))
+    // comma chains inside EXISTS join on their shared inner variable
+    val both = run(
+      """MATCH (f:Facility)
+        |WHERE EXISTS { (o:WasteItem)-[:DISPOSED_AT]->(f),
+        |  (o)-[:DISPOSED_IN]->(x:WasteStream {name: 'Restmuell'}) }
+        |RETURN f.name AS n""".stripMargin).as[String].collect().toSeq
+    assert(both === Seq("Wertstoffhof A"))
+    // NOT EXISTS anti-joins on the same distinct probe
+    val not = run(
+      """MATCH (s:WasteStream)
+        |WHERE NOT EXISTS { (w:WasteItem)-[:DISPOSED_IN]->(s) WHERE w.name = 'Laub' }
+        |RETURN s.name AS n""".stripMargin).as[String].collect().toSeq
+    assert(not === Seq("Restmuell"))
+    // an existential that shares nothing with the outer scope is refused
+    val e = intercept[IllegalArgumentException](run(
+      """MATCH (s:WasteStream)
+        |WHERE EXISTS { (w:WasteItem)-[:DISPOSED_AT]->(:Facility) }
+        |RETURN s.name""".stripMargin))
+    assert(e.getMessage.contains("share"))
+  }
+
   test("pipeline aliases cannot leak into property maps") {
     val e = intercept[RuntimeException](run(
       """UNWIND ['Restmuell'] AS nm
