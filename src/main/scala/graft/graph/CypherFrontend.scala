@@ -2055,7 +2055,21 @@ object CypherFrontend {
     * dict, `neo4j_db.py:93-106`). */
   def run(cypher: String, nodes: DataFrame, edges: DataFrame,
           params: Map[String, Any] = Map.empty): DataFrame = {
-    val (parts, all) = new Parser(tokenize(cypher)).unionQuery()
+    val (parts0, all) = new Parser(tokenize(cypher)).unionQuery()
+    // openCypher scoping: a trailing ORDER BY / SKIP / LIMIT after the
+    // last UNION part applies to the WHOLE union, not the last branch
+    // (binding it branch-locally would silently paginate one branch).
+    // Strip it from the last part and re-apply post-union.
+    val tailMods = parts0.last match {
+      case q if parts0.size > 1 &&
+          (q.orderBy.nonEmpty || q.skip.isDefined || q.limit.isDefined) =>
+        Some((q.orderBy, q.skip, q.limit))
+      case _ => None
+    }
+    val parts =
+      if (tailMods.isDefined)
+        parts0.init :+ parts0.last.copy(orderBy = Nil, skip = None, limit = None)
+      else parts0
     // one Compiler per part: var-binding state is per-subquery scope
     val frames = parts.map(q => new Compiler(nodes, edges, params).compile(q))
     frames.tail.foreach { f =>
@@ -2066,6 +2080,17 @@ object CypherFrontend {
           s"${frames.head.columns.mkString(", ")} vs ${f.columns.mkString(", ")}")
     }
     val u = frames.reduce(_ unionByName _)
-    if (parts.size > 1 && !all) u.distinct() else u
+    val base = if (parts.size > 1 && !all) u.distinct() else u
+    tailMods.fold(base) { case (ob, sk, lim) =>
+      var r = base
+      if (ob.nonEmpty) r = r.orderBy(ob.map { k =>
+        require(r.columns.contains(k.ref),
+          s"ORDER BY after UNION must use output column names (got '${k.ref}')")
+        if (k.asc) col("`" + k.ref + "`").asc else col("`" + k.ref + "`").desc
+      }: _*)
+      sk.foreach(n => r = r.offset(n.toInt))
+      lim.foreach(n => r = r.limit(n.toInt))
+      r
+    }
   }
 }

@@ -71,6 +71,14 @@ class CypherFrontendSpec extends SparkSpec {
     val cols = intercept[IllegalArgumentException](run(
       "MATCH (s:WasteStream) RETURN s.name AS a UNION MATCH (f:Facility) RETURN f.name AS b"))
     assert(cols.getMessage.contains("same column"))
+    // trailing ORDER BY + LIMIT scope over the WHOLE union, not the
+    // last branch: the global top-2 spans both branches
+    val top = run(
+      """MATCH (s:WasteStream) RETURN s.name AS name
+        |UNION ALL
+        |MATCH (f:Facility) RETURN f.name AS name
+        |ORDER BY name LIMIT 2""".stripMargin).as[String].collect().toSeq
+    assert(top === Seq("Biomuell", "Restmuell")) // streams sort before facilities
   }
 
   test("unbounded [*]: reachability fixpoint semantics; lo>1 open ranges rejected") {
