@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * Supported subset = every read query shape the reference issues or
   * documents (`etl_implementation.md:229-257`, `neo4j_db.py:29-157`):
   * `MATCH` / `OPTIONAL MATCH` chains with labels, property maps and
-  * directed relationships (incl. `|` type alternation,
+  * directed OR undirected relationships — `-[:T]-` compiles over the
+  * symmetric edge closure, one keyed join, walk orientation defining
+  * the bound rel's src/dst (incl. `|` type alternation,
   * comma-separated chains joined on shared variables, bounded
   * variable-length `-[:R*lo..hi]->` hops compiled to the same
   * unrolled-join union as `GraphDSL.outVar` — walk semantics, depth
@@ -105,7 +107,8 @@ object CypherFrontend {
     * one grouped count of the (label-filtered) edge set, one left
     * join, coalesce 0. */
   private case class ECountSub(v: String, types: Seq[String], forward: Boolean,
-                               targetLabel: Option[String]) extends Expr
+                               targetLabel: Option[String],
+                               undirected: Boolean = false) extends Expr
 
   private sealed trait Pred
   private case class PCmp(op: String, l: Expr, r: Expr) extends Pred
@@ -121,7 +124,8 @@ object CypherFrontend {
   private case class PIn(l: Expr, r: Expr) extends Pred
   /** (v)-[:T1|T2]->() / ()<-[:T]-(v) existence predicate. */
   private case class PPattern(v: String, types: Seq[String], forward: Boolean,
-                              targetLabel: Option[String]) extends Pred
+                              targetLabel: Option[String],
+                              undirected: Boolean = false) extends Pred
   /** `n:Label` label predicate in WHERE. */
   private case class PHasLabel(v: String, label: String) extends Pred
   /** `EXISTS { (a)-[:X]->(b)-[:Y]->(c) [, chains] [WHERE pred] }` —
@@ -145,7 +149,11 @@ object CypherFrontend {
   /** `varLen = Some((lo, hi))` for `-[:R*lo..hi]->` bounded
     * variable-length relationships; `hi == Unbounded` for `*`. */
   private case class RelPat(v: Option[String], types: Seq[String], forward: Boolean,
-                            varLen: Option[(Int, Int)] = None)
+                            varLen: Option[(Int, Int)] = None,
+                            /** `-[:T]-` both-ways match: compiled over
+                              * the symmetric edge closure with
+                              * `forward = true`. */
+                            undirected: Boolean = false)
   private case class Chain(head: NodePat, hops: Seq[(RelPat, NodePat)])
   /** One MATCH / OPTIONAL MATCH clause: comma chains + its own WHERE —
     * Cypher scopes a WHERE to the clause it follows, which matters for
@@ -508,7 +516,9 @@ object CypherFrontend {
       }
       val fwd = atSym("->")
       if (fwd) eatSym("->") else eatSym("-")
-      require(fwd ^ back0, "undirected relationships are not in the reference surface; write -> or <-")
+      require(!(fwd && back0), "a relationship cannot point both ways")
+      // `-[:T]-`: both-ways match over the symmetric edge closure
+      val undirected = !fwd && !back0
       // a bounded var-length binding projects its hop count via
       // size(r); the unbounded reachability closure carries no
       // per-walk hop list, so binding it stays rejected
@@ -516,7 +526,8 @@ object CypherFrontend {
         "binding a variable to an unbounded '*' relationship is not " +
           "supported (reachability pairs carry no per-walk list); " +
           "bound the range (*lo..hi) and project size(r)")
-      (RelPat(v, types, forward = fwd, varLen), nodePat())
+      (RelPat(v, types, forward = fwd || undirected, varLen,
+        undirected = undirected), nodePat())
     }
 
     private def retItem(): RetItem = {
@@ -620,7 +631,7 @@ object CypherFrontend {
           sys.error("COUNT { ... } supports a single pattern like (v)-[:T]->(:Label)"))
         eatSym("}")
         p match {
-          case PPattern(v, types, fwd, tl) => ECountSub(v, types, fwd, tl)
+          case PPattern(v, types, fwd, tl, und) => ECountSub(v, types, fwd, tl, und)
           case _ => sys.error("COUNT { ... } needs a relationship pattern")
         }
       case Some(TId(fn)) if Set("count", "sum", "min", "max", "avg", "collect")(fn.toLowerCase)
@@ -830,11 +841,12 @@ object CypherFrontend {
         }
         val fwd = atSym("->")
         if (fwd) eatSym("->") else eatSym("-")
-        require(fwd ^ back, "undirected pattern predicate")
+        require(!(fwd && back), "a relationship cannot point both ways")
         eatSym("(")
         val tl = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
         eatSym(")")
-        Some(PPattern(v, types, forward = fwd, targetLabel = tl))
+        Some(PPattern(v, types, forward = fwd || (!fwd && !back),
+          targetLabel = tl, undirected = !fwd && !back))
       } catch { case _: Throwable => None }
   }
 
@@ -912,8 +924,19 @@ object CypherFrontend {
     private def edgeSide(r: RelPat, rv: String): DataFrame = {
       var df = edges
       if (r.types.nonEmpty) df = df.filter(col("rel_type").isin(r.types: _*))
-      df.select((Seq("src_uid", "dst_uid", "rel_type") ++ edgeProps)
-        .map(c => col(c).as(ns(rv, c))): _*)
+      val cols = Seq("src_uid", "dst_uid", "rel_type") ++ edgeProps
+      val base =
+        if (!r.undirected) df.select(cols.map(col): _*)
+        else
+          // `-[:T]-`: symmetric closure — each edge matches from both
+          // ends. The bound rel's namespaced src_uid is the traversal
+          // ORIGIN (walk orientation, not storage orientation — the
+          // documented undirected divergence)
+          df.select(cols.map(col): _*).unionByName(
+            df.select((Seq(col("dst_uid").as("src_uid"),
+              col("src_uid").as("dst_uid"), col("rel_type")) ++
+              edgeProps.map(col)): _*))
+      base.select(cols.map(c => col(c).as(ns(rv, c))): _*)
     }
 
     /** Compile one chain to a DataFrame of namespaced columns; returns
@@ -954,8 +977,12 @@ object CypherFrontend {
                 if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
                 val (fromC, toC) =
                   if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
-                Traversal.reachFixpoint(
-                  e.select(col(fromC).as("src_uid"), col(toC).as("dst_uid")))
+                val base = e.select(col(fromC).as("src_uid"), col(toC).as("dst_uid"))
+                val reachEdges =
+                  if (rel.undirected) base.unionByName(base.select(
+                    col("dst_uid").as("src_uid"), col("src_uid").as("dst_uid")))
+                  else base
+                Traversal.reachFixpoint(reachEdges)
                   .select(col("start").as(s"$endCol$$from"),
                     col("reached").as(s"$endCol$$to"))
               } else varReach(rel, lo, hi, endCol,
@@ -1031,7 +1058,10 @@ object CypherFrontend {
       var e = edges
       if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
       val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
-      val e1 = e.select(col(fromC).as(s"$pv$$from"), col(toC).as(s"$pv$$to")).distinct()
+      val e1dir = e.select(col(fromC).as(s"$pv$$from"), col(toC).as(s"$pv$$to"))
+      val e1 = (if (rel.undirected) e1dir.unionByName(e1dir.select(
+        col(s"$pv$$to").as(s"$pv$$from"), col(s"$pv$$from").as(s"$pv$$to")))
+      else e1dir).distinct()
       var step = e1
       var acc: Option[DataFrame] =
         if (lo <= 1) Some(e1.withColumn(s"$pv$$len", lit(1))) else None
@@ -1064,7 +1094,11 @@ object CypherFrontend {
       var e = edges
       if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
       val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
-      val e1 = e.select(col(fromC).as(s"$nsCol$$from"), col(toC).as(s"$nsCol$$to"))
+      val e1dir = e.select(col(fromC).as(s"$nsCol$$from"), col(toC).as(s"$nsCol$$to"))
+      val e1 =
+        if (rel.undirected) e1dir.unionByName(e1dir.select(
+          col(s"$nsCol$$to").as(s"$nsCol$$from"), col(s"$nsCol$$from").as(s"$nsCol$$to")))
+        else e1dir
       // each k-fold chain tags its constant depth when a named path
       // needs length(p); the column is a literal, so it costs nothing
       def tag(df: DataFrame, k: Int): DataFrame =
@@ -1496,17 +1530,8 @@ object CypherFrontend {
     private def applyPred(df: DataFrame, p: Pred, negated: Boolean): DataFrame = p match {
       case PNot(inner) => applyPred(df, inner, !negated)
       case PAnd(l, r) if !negated => applyPred(applyPred(df, l, false), r, false)
-      case PPattern(v, types, fwd, tl) =>
-        val probeCol = if (fwd) "src_uid" else "dst_uid"
-        val otherCol = if (fwd) "dst_uid" else "src_uid"
-        var e = edges
-        if (types.nonEmpty) e = e.filter(col("rel_type").isin(types: _*))
-        val probe = tl match {
-          case Some(l) =>
-            e.join(nodes.filter(col("label") === l).select(col("uid").as(otherCol)), otherCol)
-              .select(col(probeCol).as("_probe"))
-          case None => e.select(col(probeCol).as("_probe"))
-        }
+      case PPattern(v, types, fwd, tl, und) =>
+        val probe = patternProbe(types, fwd, tl, und)
         val joinType = if (negated) "left_anti" else "left_semi"
         df.join(probe, df(ns(v, "uid")) === probe("_probe"), joinType)
       case PExistsChain(chains, wh) =>
@@ -1601,6 +1626,27 @@ object CypherFrontend {
       case _ => Seq.empty
     }
 
+    /** The probe endpoints of one relationship pattern as a 1-column
+      * frame (`_probe`): the variable-side uids of the (type- and
+      * target-label-filtered) edge set; an undirected pattern probes
+      * BOTH endpoint columns (symmetric union). Multiset — callers
+      * distinct()/aggregate as their join shape needs. */
+    private def patternProbe(types: Seq[String], fwd: Boolean,
+                             tl: Option[String], und: Boolean): DataFrame = {
+      var e = edges
+      if (types.nonEmpty) e = e.filter(col("rel_type").isin(types: _*))
+      def oneDir(probeCol: String, otherCol: String): DataFrame = tl match {
+        case Some(l) =>
+          e.join(nodes.filter(col("label") === l)
+            .select(col("uid").as(otherCol)), otherCol)
+            .select(col(probeCol).as("_probe"))
+        case None => e.select(col(probeCol).as("_probe"))
+      }
+      if (und) oneDir("src_uid", "dst_uid").unionByName(oneDir("dst_uid", "src_uid"))
+      else if (fwd) oneDir("src_uid", "dst_uid")
+      else oneDir("dst_uid", "src_uid")
+    }
+
     /** Left-join one boolean flag column per distinct pattern onto
       * `df0` (DISTINCT endpoint probes — broadcast-eligible sets,
       * never the edge multiset); returns the widened frame and the
@@ -1610,15 +1656,8 @@ object CypherFrontend {
       var d = df0
       val m = pats.distinct.zipWithIndex.map { case (pp, i) =>
         val flag = s"_patflag$$$i"
-        val probeCol = if (pp.forward) "src_uid" else "dst_uid"
-        val otherCol = if (pp.forward) "dst_uid" else "src_uid"
-        var e = edges
-        if (pp.types.nonEmpty) e = e.filter(col("rel_type").isin(pp.types: _*))
-        val probe = (pp.targetLabel match {
-          case Some(l) => e.join(nodes.filter(col("label") === l)
-              .select(col("uid").as(otherCol)), otherCol)
-          case None => e
-        }).select(col(probeCol).as(s"$flag$$probe")).distinct()
+        val probe = patternProbe(pp.types, pp.forward, pp.targetLabel, pp.undirected)
+          .select(col("_probe").as(s"$flag$$probe")).distinct()
           .withColumn(flag, lit(true))
         d = d.join(probe, d(ns(pp.v, "uid")) === probe(s"$flag$$probe"),
           "left_outer").drop(s"$flag$$probe")
@@ -1635,16 +1674,8 @@ object CypherFrontend {
       var d = df0
       val m = subs.distinct.zipWithIndex.map { case (cs, i) =>
         val cname = s"_cntsub$$$i"
-        val probeCol = if (cs.forward) "src_uid" else "dst_uid"
-        val otherCol = if (cs.forward) "dst_uid" else "src_uid"
-        var e = edges
-        if (cs.types.nonEmpty) e = e.filter(col("rel_type").isin(cs.types: _*))
-        val base = cs.targetLabel match {
-          case Some(l) => e.join(nodes.filter(col("label") === l)
-              .select(col("uid").as(otherCol)), otherCol)
-          case None => e
-        }
-        val counts = base.groupBy(col(probeCol).as(s"$cname$$probe"))
+        val counts = patternProbe(cs.types, cs.forward, cs.targetLabel, cs.undirected)
+          .groupBy(col("_probe").as(s"$cname$$probe"))
           .agg(count(lit(1)).as(cname))
         d = d.join(counts, d(ns(cs.v, "uid")) === counts(s"$cname$$probe"),
           "left_outer").drop(s"$cname$$probe")
@@ -1712,7 +1743,7 @@ object CypherFrontend {
           case "single" => matches === 1
           case other => sys.error(s"unknown quantifier $other")
         }
-      case PPattern(_, _, _, _) =>
+      case PPattern(_, _, _, _, _) =>
         sys.error("pattern predicate in a column-only position " +
           "(OPTIONAL MATCH WHERE / WITH ... WHERE under aggregation)")
       case PExistsChain(_, _) =>

@@ -1290,6 +1290,21 @@ object GraphQueries extends QueryPack {
       nodes(s, dir), edges(s, dir))
       .orderBy("tag", "name")
 
+  /** g57 — UNDIRECTED relationships (`-[:T]-`, the both-ways match a
+    * Neo4j user writes when edge direction is storage detail): per
+    * nation, every neighbor over IN_NATION|IN_REGION regardless of
+    * orientation — customers and suppliers arrive against the edge
+    * direction, the region along it. Compiles over the symmetric edge
+    * closure (each edge contributes both orientations before the uid
+    * equi-join), so the plan stays one keyed join; no per-direction
+    * union of whole subplans. */
+  def g57CypherUndirected(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)-[:IN_NATION|IN_REGION]-(x)
+        |RETURN n.name AS nation, count(*) AS neighbors
+        |ORDER BY nation""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   /** g47 — time-RESPECTING 2-hop influence paths over the click
     * stream: an edge u→v exists when both click in the same 5-minute
     * bucket and u's first click precedes v's (time gives the
@@ -1384,6 +1399,7 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g57_cypher_undirected" -> (g57CypherUndirected _),
     "g56_cypher_exists_chain" -> (g56CypherExistsChain _),
     "g55_cypher_count_sub" -> (g55CypherCountSub _),
     "g54_cypher_optional_frontier" -> (g54CypherOptionalFrontier _),
@@ -1557,6 +1573,15 @@ object GraphQueries extends QueryPack {
     // g52: label predicate = the label column; any(...) over the split
     // parts = the suffix membership; ^ = pow (double); CALL count = the
     // region cardinality on every row.
+    // g57: undirected neighbors = members (against the edges) + the
+    // region (along it).
+    "g57_cypher_undirected" ->
+      """SELECT n_name AS nation, members + 1 AS neighbors FROM nation JOIN (
+        |  SELECT k, count(*) AS members FROM (
+        |    SELECT c_nationkey AS k FROM customer
+        |    UNION ALL SELECT s_nationkey FROM supplier) GROUP BY k) m
+        |ON n_nationkey = m.k
+        |ORDER BY nation""".stripMargin,
     // g56: the two existential shapes as plain IN-subqueries.
     "g56_cypher_exists_chain" ->
       """SELECT name, tag FROM (

@@ -1018,6 +1018,38 @@ class CypherFrontendSpec extends SparkSpec {
     assert(e.getMessage.contains("share"))
   }
 
+  test("round-7 frontier: undirected relationships match both orientations") {
+    // fixed hop: a stream reaches its items against the edge direction
+    val items = run(
+      """MATCH (s:WasteStream {name: 'Restmuell'})-[:DISPOSED_IN]-(w:WasteItem)
+        |RETURN w.name AS n ORDER BY n""".stripMargin).as[String].collect().toSeq
+    assert(items === Seq("Asche", "Bauschutt"))
+    // undirected var-length (walk semantics: immediate backtrack is a
+    // legal walk, the engine-wide divergence from Neo4j's relationship
+    // uniqueness — so the start node itself appears at depth 2)
+    val two = run(
+      """MATCH (w:WasteItem {name: 'Bauschutt'})-[:DISPOSED_IN|DISPOSED_AT*1..2]-(t)
+        |RETURN DISTINCT t.name AS n ORDER BY n""".stripMargin)
+      .as[String].collect().toSeq
+    assert(two === Seq("Asche", "Bauschutt", "Restmuell", "Wertstoffhof A"))
+    // undirected shortestPath: item → stream → item → facility
+    val sp = run(
+      """MATCH p = shortestPath((a:WasteItem {name: 'Asche'})-[:DISPOSED_IN|DISPOSED_AT*..3]-(b:Facility))
+        |RETURN b.name AS n, length(p) AS l""".stripMargin)
+      .as[(String, Int)].collect().toSeq
+    assert(sp === Seq(("Wertstoffhof A", 3)))
+    // undirected pattern predicate and COUNT {} probe both endpoints
+    val deg = run(
+      "MATCH (x) WHERE (x)-[:DISPOSED_IN]-() RETURN count(*) AS c")
+      .as[Long].head()
+    assert(deg === 5L) // three items + both streams
+    val cnt = run(
+      """MATCH (s:WasteStream)
+        |RETURN s.name AS n, COUNT { (s)-[:DISPOSED_IN]-() } AS d
+        |ORDER BY n""".stripMargin).as[(String, Long)].collect().toSeq
+    assert(cnt === Seq(("Biomuell", 1L), ("Restmuell", 2L)))
+  }
+
   test("pipeline aliases cannot leak into property maps") {
     val e = intercept[RuntimeException](run(
       """UNWIND ['Restmuell'] AS nm
