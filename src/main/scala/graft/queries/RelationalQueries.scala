@@ -2513,7 +2513,80 @@ object RelationalQueries extends QueryPack {
       .orderBy("l_returnflag")
   }
 
-  /** q91 — small-file compaction planning (the lakehouse OPTIMIZE
+  /** q111 — TPC-H Q8-shaped national market share: within EUROPE's
+    * customer market and the ECONOMY part slice, the focal supplier
+    * nation's revenue share per order year. Plan shape: the fact
+    * scans ONCE; the part slice and supplier→nation tag broadcast;
+    * the region-pruned customer set broadcasts into orders; the
+    * share is a conditional sum inside the same aggregate as the
+    * market total (never a second fact pass), decimal-exact before
+    * the ratio. Q8's classic hazard — a self-join of two filtered
+    * fact aggregates — never materializes. */
+  def q111MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val focal = "NATION_5"
+    val partSlice = broadcast(Tables.part(s, dir)
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+    val supN = broadcast(Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val marketCust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val marketOrders = Tables.orders(s, dir)
+      .join(broadcast(marketCust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      .join(partSlice, col("l_partkey") === col("p_partkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .join(marketOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_year")
+      .agg(moneySum(col("rev")).as("market_rev"),
+        moneySum(when(col("supp_nation") === focal, col("rev"))
+          .otherwise(lit(0.0).cast("decimal(18,6)"))).as("focal_rev"))
+      .withColumn("share", round(col("focal_rev") / col("market_rev"), 4))
+      .orderBy("o_year")
+  }
+
+  /** q112 — TPC-H Q9-shaped product-type profit: for the part slice
+    * whose name carries 'ol' (bolts and gold), profit = revenue −
+    * cost proxy (0.6 · retailprice · qty — the corpus has no
+    * partsupp, so the cost side rides the part dim), grouped by
+    * supplier nation × order year. The classic many-way join: the
+    * fact scans once, part slice and supplier→nation broadcast, and
+    * the ONLY shuffle is the orderkey join for the year — Q9's
+    * textbook join-ordering trap (starting from orders×lineitem
+    * before the part slice) never materializes because the slice
+    * broadcasts into the scan. */
+  def q112ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val slice = broadcast(Tables.part(s, dir)
+      .filter(col("p_name").contains("ol"))
+      .select(col("p_partkey"), col("p_retailprice")))
+    val supN = broadcast(Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(s, dir)
+      .join(slice, col("l_partkey") === col("p_partkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("nation"), col("o_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity"))
+          .cast("decimal(18,6)").as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(count(lit(1)).as("n_lines"), moneySum(col("amount")).as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** q91 —small-file compaction planning (the lakehouse OPTIMIZE
     * pre-pass q75's clustering note presumes): given per-file sizes —
     * here orders-per-month as pseudo-files — assign files to
     * target-size output bins with the deterministic running-sum rule
@@ -2687,6 +2760,8 @@ object RelationalQueries extends QueryPack {
     "q105_volume_shipping" -> (q105VolumeShipping _),
     "q108_returned_items" -> (q108ReturnedItems _),
     "q109_priority_classes" -> (q109PriorityClasses _),
+    "q111_market_share"   -> (q111MarketShare _),
+    "q112_product_profit" -> (q112ProductProfit _),
     "q106_disjunctive_revenue" -> (q106DisjunctiveRevenue _),
     "q107_promo_share"    -> (q107PromoShare _),
     "q103_important_stock" -> (q103ImportantStock _),
@@ -3069,6 +3144,41 @@ object RelationalQueries extends QueryPack {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q105: same bilateral slice; revenue as exact decimal, rounded once.
+    // q111: identical single-pass conditional share; the ratio divides
+    // the two ROUNDED doubles, matching the engine's post-agg column.
+    "q111_market_share" ->
+      """WITH agg AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(round(sum(CAST(l_extendedprice*(1-l_discount)
+        |      AS DECIMAL(18,6))), 2) AS DOUBLE) AS market_rev,
+        |    CAST(round(sum(CASE WHEN sn.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0.0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS focal_rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY 1)
+        |SELECT o_year, market_rev, focal_rev,
+        |  round(focal_rev / market_rev, 4) AS share
+        |FROM agg ORDER BY o_year""".stripMargin,
+    // q112: profit proxy per nation x year over the 'ol' name slice.
+    "q112_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(round(sum(CAST(l_extendedprice*(1-l_discount)
+        |    - 0.6*p_retailprice*l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%ol%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q105_volume_shipping" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year, CAST(count(*) AS BIGINT) AS n_lines,

@@ -692,6 +692,27 @@ class PlanQualitySpec extends SparkSpec {
       s"fact should join only broadcast dims in:\n$plan")
   }
 
+  test("q111: one fact scan — the share is a conditional sum, never a second aggregate") {
+    val plan = planOf(RelationalQueries.q111MarketShare(spark, "/root/testdata/sf0.01"))
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 1,
+      s"focal and market revenue must come from one fact pass in:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"part slice / supplier-nation / market-orders should broadcast in:\n$plan")
+  }
+
+  test("q112: the name slice pushes to the part scan; the fact scans once") {
+    val plan = planOf(RelationalQueries.q112ProductProfit(spark, "/root/testdata/sf0.01"))
+    assert(plan.contains("StringContains(p_name,ol)") || plan.contains("p_name"),
+      s"name slice not pushed to the part scan in:\n$plan")
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 1, s"expected one fact scan in:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"part slice and supplier-nation should broadcast in:\n$plan")
+  }
+
   test("q110: the three-pattern grammar is ONE corpus pass — one part scan, no join") {
     val plan = planOf(DocQueries.queries("q110_rule_extract")(spark, dir))
     val scans = plan.linesIterator.count(l =>
