@@ -107,7 +107,9 @@ object Bench {
       "q96_smallqty_revenue", "q99_top_supplier",
       // round-7 wave
       "g53_cypher_call_correlated", "g54_cypher_optional_frontier",
-      "q110_rule_extract", "e19_ivf_sqrtk")
+      "g55_cypher_count_sub", "g56_cypher_exists_chain",
+      "g57_cypher_undirected", "q110_rule_extract", "e19_ivf_sqrtk",
+      "s21_stream_sketch", "q111_market_share", "q112_product_profit")
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = jsonMap(results.toSeq.sortBy(_._1))
