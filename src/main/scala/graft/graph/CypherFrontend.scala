@@ -109,6 +109,12 @@ object CypherFrontend {
   private case class ECountSub(v: String, types: Seq[String], forward: Boolean,
                                targetLabel: Option[String],
                                undirected: Boolean = false) extends Expr
+  /** `COUNT { (a)-[:X]->(b)-[:Y]->(c) [, chains] [WHERE pred] }` —
+    * the multi-hop counting subquery: the number of MATCHES (walks)
+    * of the pattern per binding of the shared variables. Compiles to
+    * one grouped count of the compiled pattern frame, left-joined on
+    * the shared keys (zero for no matches). */
+  private case class ECountChain(chains: Seq[Chain], where: Option[Pred]) extends Expr
 
   private sealed trait Pred
   private case class PCmp(op: String, l: Expr, r: Expr) extends Pred
@@ -623,16 +629,25 @@ object CypherFrontend {
         EReduce(accName, init, v, lst, body)
       case Some(TId(fn)) if fn.equalsIgnoreCase("count")
           && toks.lift(pos + 1).exists(_.text == "{") =>
-        // COUNT { (v)-[:T]->(:L) } subquery expression — EXISTS's
-        // counting sibling (same single-pattern surface)
+        // COUNT { ... } subquery expression — EXISTS's counting
+        // sibling: the single-hop form keeps its degree-table fast
+        // path; multi-hop chains / comma patterns / an inner WHERE
+        // parse as a full counting pattern subquery
         pos += 1; eatSym("{")
         if (atKw("MATCH")) eatKw("MATCH")
-        val p = patternPredOpt().getOrElse(
-          sys.error("COUNT { ... } supports a single pattern like (v)-[:T]->(:Label)"))
-        eatSym("}")
-        p match {
-          case PPattern(v, types, fwd, tl, und) => ECountSub(v, types, fwd, tl, und)
-          case _ => sys.error("COUNT { ... } needs a relationship pattern")
+        val save = pos
+        val fast = patternPredOpt() match {
+          case Some(PPattern(cv, ct, cf, ctl, cund)) if atSym("}") =>
+            eatSym("}"); Some(ECountSub(cv, ct, cf, ctl, cund))
+          case _ => pos = save; None
+        }
+        fast.getOrElse {
+          val cs = Seq.newBuilder[Chain]
+          cs += chain()
+          while (atSym(",")) { eatSym(","); cs += chain() }
+          val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
+          eatSym("}")
+          ECountChain(cs.result(), w)
         }
       case Some(TId(fn)) if Set("count", "sum", "min", "max", "avg", "collect")(fn.toLowerCase)
           && toks.lift(pos + 1).exists(_.text == "(") =>
@@ -1596,10 +1611,11 @@ object CypherFrontend {
       case _ => Seq.empty
     }
 
-    /** COUNT {} subquery expressions anywhere inside an expression /
-      * predicate tree. */
-    private def countSubsE(e: Expr): Seq[ECountSub] = e match {
+    /** COUNT {} subquery expressions (single-hop and chain forms)
+      * anywhere inside an expression / predicate tree. */
+    private def countSubsE(e: Expr): Seq[Expr] = e match {
       case cs: ECountSub => Seq(cs)
+      case cc: ECountChain => Seq(cc)
       case EArith(_, l, r) => countSubsE(l) ++ countSubsE(r)
       case EFn(_, as) => as.flatMap(countSubsE)
       case EAgg(_, a, _) => a.toSeq.flatMap(countSubsE)
@@ -1614,7 +1630,7 @@ object CypherFrontend {
         } ++ els.toSeq.flatMap(countSubsE)
       case _ => Seq.empty
     }
-    private def countSubsP(p: Pred): Seq[ECountSub] = p match {
+    private def countSubsP(p: Pred): Seq[Expr] = p match {
       case PCmp(_, l, r) => countSubsE(l) ++ countSubsE(r)
       case PStr(_, l, r) => countSubsE(l) ++ countSubsE(r)
       case PIn(l, r) => countSubsE(l) ++ countSubsE(r)
@@ -1666,20 +1682,51 @@ object CypherFrontend {
       (d, m)
     }
 
-    /** Left-join one per-uid match-count column per distinct COUNT {}
-      * subquery (one grouped count of the filtered edge set — the
-      * degree table — then a keyed left join). */
-    private def joinCountSubs(df0: DataFrame, subs: Seq[ECountSub])
-        : (DataFrame, Map[ECountSub, String]) = {
+    /** Left-join one per-binding match-count column per distinct
+      * COUNT {} subquery. Single-hop: one grouped count of the
+      * filtered edge set (the degree table) keyed on the variable's
+      * uid. Chain form: the compiled pattern frame (inner WHERE
+      * applied) grouped by every variable shared with the outer
+      * scope — the count of MATCHES per binding, walk multiplicity
+      * included, zero supplied by coalesce at the use site. */
+    private def joinCountSubs(df0: DataFrame, subs: Seq[Expr])
+        : (DataFrame, Map[Expr, String]) = {
       var d = df0
-      val m = subs.distinct.zipWithIndex.map { case (cs, i) =>
+      val m = subs.distinct.zipWithIndex.map { case (sub, i) =>
         val cname = s"_cntsub$$$i"
-        val counts = patternProbe(cs.types, cs.forward, cs.targetLabel, cs.undirected)
-          .groupBy(col("_probe").as(s"$cname$$probe"))
-          .agg(count(lit(1)).as(cname))
-        d = d.join(counts, d(ns(cs.v, "uid")) === counts(s"$cname$$probe"),
-          "left_outer").drop(s"$cname$$probe")
-        cs -> cname
+        sub match {
+          case cs: ECountSub =>
+            val counts = patternProbe(cs.types, cs.forward, cs.targetLabel,
+                cs.undirected)
+              .groupBy(col("_probe").as(s"$cname$$probe"))
+              .agg(count(lit(1)).as(cname))
+            d = d.join(counts, d(ns(cs.v, "uid")) === counts(s"$cname$$probe"),
+              "left_outer").drop(s"$cname$$probe")
+          case cc: ECountChain =>
+            var (cdf, cbound) = compileChain(cc.chains.head)
+            cc.chains.tail.foreach { ch =>
+              val (chDf, chBound) = compileChain(ch)
+              val shared = (cbound & chBound).toSeq.sorted
+              require(shared.nonEmpty,
+                "disconnected COUNT { } patterns would be a cross product; share a variable")
+              cdf = joinOnShared(cdf, chDf, shared, "inner", None)
+              cbound ++= chBound
+            }
+            cc.where.foreach(p => cdf = applyPred(cdf, p, negated = false))
+            val shared = cbound.toSeq
+              .filter(v => d.columns.contains(ns(v, "uid"))).sorted
+            require(shared.nonEmpty,
+              "COUNT { } must share at least one variable with the outer MATCH")
+            val counts = cdf
+              .groupBy(shared.map(v => col(ns(v, "uid")).as(s"$cname$$$v")): _*)
+              .agg(count(lit(1)).as(cname))
+            val cond = shared.map(v => d(ns(v, "uid")) === counts(s"$cname$$$v"))
+              .reduce(_ && _)
+            d = d.join(counts, cond, "left_outer")
+              .drop(shared.map(v => s"$cname$$$v"): _*)
+          case other => sys.error(s"not a COUNT subquery: $other")
+        }
+        sub -> cname
       }.toMap
       (d, m)
     }
@@ -1688,7 +1735,7 @@ object CypherFrontend {
       * applyPred call (empty outside it). */
     private var patternFlags: Map[PPattern, String] = Map.empty
     /** Count columns for COUNT {} subqueries currently in scope. */
-    private var countSubCols: Map[ECountSub, String] = Map.empty
+    private var countSubCols: Map[Expr, String] = Map.empty
 
     private def predCol(p: Pred): Column = p match {
       case pp: PPattern if patternFlags.contains(pp) =>
@@ -1758,8 +1805,8 @@ object CypherFrontend {
       case EVar(v) if varLenVars.contains(v) => sys.error(
         s"'$v' binds a var-length relationship: only size($v) projects " +
           "(the walk's hop count); the relationship list itself is not materialized")
-      case cs: ECountSub =>
-        countSubCols.get(cs)
+      case e @ (_: ECountSub | _: ECountChain) =>
+        countSubCols.get(e)
           .map(n => coalesce(col("`" + n + "`"), lit(0L)))
           .getOrElse(sys.error(
             "COUNT { } subqueries are supported in WHERE and RETURN/WITH items"))

@@ -1305,6 +1305,21 @@ object GraphQueries extends QueryPack {
         |ORDER BY nation""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g58 — multi-hop `COUNT { }` chains: per region, the number of
+    * 2-hop customer→nation→region matches — the counting sibling of
+    * g56's existential chains. One grouped count of the compiled
+    * pattern frame keyed on the shared variable, one left join,
+    * coalesce 0 for empty bindings; walk multiplicity counts, per
+    * Neo4j's match-count semantics. */
+  def g58CypherCountChain(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (r:Region)
+        |RETURN r.name AS region,
+        |  COUNT { (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r) }
+        |    AS customers
+        |ORDER BY region""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   /** g47 — time-RESPECTING 2-hop influence paths over the click
     * stream: an edge u→v exists when both click in the same 5-minute
     * bucket and u's first click precedes v's (time gives the
@@ -1399,6 +1414,7 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g58_cypher_count_chain" -> (g58CypherCountChain _),
     "g57_cypher_undirected" -> (g57CypherUndirected _),
     "g56_cypher_exists_chain" -> (g56CypherExistsChain _),
     "g55_cypher_count_sub" -> (g55CypherCountSub _),
@@ -1573,6 +1589,14 @@ object GraphQueries extends QueryPack {
     // g52: label predicate = the label column; any(...) over the split
     // parts = the suffix membership; ^ = pow (double); CALL count = the
     // region cardinality on every row.
+    // g58: 2-hop match counts per region; empty bindings count 0.
+    "g58_cypher_count_chain" ->
+      """SELECT r_name AS region,
+        |  CAST(count(c_custkey) AS BIGINT) AS customers
+        |FROM region
+        |LEFT JOIN nation ON n_regionkey = r_regionkey
+        |LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY r_name ORDER BY region""".stripMargin,
     // g57: undirected neighbors = members (against the edges) + the
     // region (along it).
     "g57_cypher_undirected" ->

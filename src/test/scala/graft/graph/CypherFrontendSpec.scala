@@ -1050,6 +1050,25 @@ class CypherFrontendSpec extends SparkSpec {
     assert(cnt === Seq(("Biomuell", 1L), ("Restmuell", 2L)))
   }
 
+  test("round-7 frontier: multi-hop COUNT { } counts matches per binding") {
+    // comma chains: per stream, items that ALSO dispose at a facility
+    val cnt = run(
+      """MATCH (s:WasteStream)
+        |RETURN s.name AS n,
+        |  COUNT { (w:WasteItem)-[:DISPOSED_IN]->(s),
+        |          (w)-[:DISPOSED_AT]->(:Facility) } AS d
+        |ORDER BY n""".stripMargin).as[(String, Long)].collect().toSeq
+    assert(cnt === Seq(("Biomuell", 0L), ("Restmuell", 1L))) // only w1
+    // an inner WHERE routes the chain form (trailing tokens after the
+    // single pattern), counting only the filtered matches
+    val wh = run(
+      """MATCH (f:Facility)
+        |WHERE COUNT { (w:WasteItem)-[:DISPOSED_AT]->(f)
+        |  WHERE w.name STARTS WITH 'B' } = 1
+        |RETURN f.name AS n""".stripMargin).as[String].collect().toSeq
+    assert(wh === Seq("Wertstoffhof A"))
+  }
+
   test("pipeline aliases cannot leak into property maps") {
     val e = intercept[RuntimeException](run(
       """UNWIND ['Restmuell'] AS nm
