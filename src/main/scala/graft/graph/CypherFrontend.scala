@@ -1310,9 +1310,32 @@ object CypherFrontend {
             (df.columns.toSet ++ bound ++ relVars ++ scalarVars)
           require(clash.isEmpty,
             s"CALL { } returns names already bound: ${clash.mkString(", ")}")
-          // inner-join semantics: an outer row whose binding yields no
-          // subquery rows is eliminated (openCypher CALL contract)
-          df = df.join(idf, corr, "inner")
+          // Join-back semantics (Neo4j per-row execution): a subquery
+          // whose RETURN items are ALL aggregates yields exactly ONE
+          // row per binding even when zero rows reach its RETURN —
+          // count()/sum() evaluate to 0, collect() to [], min/max/avg
+          // to null. The keyed aggregation above only produces rows
+          // for bindings that matched, so those bodies join back LEFT
+          // and the zero-match bindings are refilled with each item's
+          // zero-row value (aggregate sub-terms replaced by their
+          // empty-input results, folded in the OUTER scope so
+          // imported scalars still resolve). Non-aggregate bodies
+          // keep the inner join: zero subquery rows eliminates the
+          // outer row (the openCypher CALL contract).
+          val aggOnly = inner.items.nonEmpty &&
+            inner.items.forall(i => hasAgg(i.expr))
+          df = df.join(idf, corr, if (aggOnly) "left_outer" else "inner")
+          if (aggOnly) {
+            val joinedSchema = df.schema
+            inner.items.foreach { i =>
+              val n = i.alias.getOrElse(i.text)
+              if (newCols.contains(n))
+                scala.util.Try(exprCol(zeroRowExpr(i.expr))).foreach { zc =>
+                  df = df.withColumn(n, coalesce(col("`" + n + "`"),
+                    zc.cast(joinedSchema(n).dataType)))
+                }
+            }
+          }
           scalarVars ++= newCols
         case SCall(inner, _) =>
           // fresh scope, like a UNION part; output columns join the
@@ -2034,6 +2057,27 @@ object CypherFrontend {
           whens.exists { case (c, t) => hasAgg(t) || c.fold(predHasAgg, hasAgg) }
       case _ => false
     }
+    /** `e` evaluated over ZERO input rows (Neo4j's empty-aggregation
+      * results): count/sum → 0, collect → [], every other aggregate →
+      * null; non-aggregate sub-terms are left intact so imported
+      * scalars resolve in the outer scope. Used to refill zero-match
+      * bindings after a correlated CALL{} left join. */
+    private def zeroRowExpr(e: Expr): Expr = e match {
+      case EAgg("count", _, _) => ELit(0L)
+      case EAgg("sum", _, _) => ELit(0L)
+      case EAgg("collect", _, _) => EList(Nil)
+      case EAgg(_, _, _) => ELit(null)
+      case EArith(op, l, r) => EArith(op, zeroRowExpr(l), zeroRowExpr(r))
+      case EFn(f, as) => EFn(f, as.map(zeroRowExpr))
+      case EList(xs) => EList(xs.map(zeroRowExpr))
+      case EIndex(b, ix) => EIndex(zeroRowExpr(b), zeroRowExpr(ix))
+      case ECase(op, whens, els) =>
+        ECase(op.map(zeroRowExpr),
+          whens.map { case (c, t) => (c, zeroRowExpr(t)) },
+          els.map(zeroRowExpr))
+      case other => other
+    }
+
     private def predHasAgg(p: Pred): Boolean = p match {
       case PCmp(_, l, r) => hasAgg(l) || hasAgg(r)
       case PStr(_, l, r) => hasAgg(l) || hasAgg(r)

@@ -1211,10 +1211,11 @@ object GraphQueries extends QueryPack {
     * group by the correlation key, the top-k becomes one row_number
     * window partitioned by it — then joins back on the key. No
     * broadcast of unbounded inner results, no per-row driver loop;
-    * at 100 TB each CALL costs one keyed shuffle. Documented
-    * divergence: a binding with ZERO inner matches is eliminated
-    * (inner-join semantics) even for aggregate bodies, where Neo4j
-    * would keep a count=0 row. Oracle: DuckDB LATERAL. */
+    * at 100 TB each CALL costs one keyed shuffle. Aggregate-only
+    * bodies keep zero-match bindings (left join + zero-row refill —
+    * Neo4j's one-row-per-binding contract, gated by g59); non-agg
+    * bodies keep openCypher inner-join semantics. Oracle: DuckDB
+    * LATERAL. */
   def g53CypherCallCorrelated(s: SparkSession, dir: String): DataFrame =
     graft.graph.CypherFrontend.run(
       """MATCH (r:Region)
@@ -1228,6 +1229,27 @@ object GraphQueries extends QueryPack {
         |  LIMIT 2 }
         |RETURN r.name AS region, n_nations, top_nation
         |ORDER BY region, top_nation""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
+  /** g59 — correlated CALL{} with an aggregate-only body over a
+    * PLANTED zero-match slice: only region 4's nations end with '4'
+    * (NATION_4/14/24), so four of the five regions reach the inner
+    * RETURN with zero rows. Neo4j's per-binding contract keeps those
+    * rows — count/sum refill to 0, min to null, and the arithmetic
+    * item folds at zero rows (0*10+1 = 1). Compiled as ONE keyed
+    * aggregate + ONE left join with zero-row coalesce; DuckDB oracle
+    * is a plain LATERAL (an ungrouped aggregate subquery always
+    * yields one row — the exact semantics being gated). */
+  def g59CypherCallZeroMatch(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (r:Region)
+        |CALL { WITH r
+        |  MATCH (n:Nation)-[:IN_REGION]->(r)
+        |  WHERE n.name ENDS WITH '4'
+        |  RETURN count(n) AS n4, sum(size(n.name)) AS chars4,
+        |    min(n.name) AS first4, count(n) * 10 + 1 AS scaled }
+        |RETURN r.name AS region, n4, chars4, first4, scaled
+        |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
   /** g54 — the two read-side frontier forms the parser used to refuse
@@ -1414,6 +1436,7 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g59_cypher_call_zero_match" -> (g59CypherCallZeroMatch _),
     "g58_cypher_count_chain" -> (g58CypherCountChain _),
     "g57_cypher_undirected" -> (g57CypherUndirected _),
     "g56_cypher_exists_chain" -> (g56CypherExistsChain _),
@@ -1643,6 +1666,18 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g59: zero-match bindings survive — DuckDB's ungrouped lateral
+    // aggregate returns one row per region even with zero nations.
+    "g59_cypher_call_zero_match" ->
+      """SELECT r_name AS region, n4, chars4, first4, scaled
+        |FROM region, LATERAL (
+        |  SELECT CAST(count(*) AS BIGINT) AS n4,
+        |         CAST(coalesce(sum(length(n_name)), 0) AS BIGINT) AS chars4,
+        |         min(n_name) AS first4,
+        |         CAST(count(*) * 10 + 1 AS BIGINT) AS scaled
+        |  FROM nation
+        |  WHERE n_regionkey = r_regionkey AND n_name LIKE '%4')
+        |ORDER BY region""".stripMargin,
     // g53: correlated CALL subqueries vs DuckDB LATERAL — a lateral
     // count and a lateral ORDER BY + LIMIT 2 per region.
     "g53_cypher_call_correlated" ->

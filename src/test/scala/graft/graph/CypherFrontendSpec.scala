@@ -812,8 +812,8 @@ class CypherFrontendSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(names === Seq("Altlack", "Asche", "Bauschutt", "Laub"))
     // per-binding keyless aggregate: counts group by the import key;
-    // a binding with zero matches is eliminated (documented divergence
-    // from Neo4j's count=0 row)
+    // a binding with zero matches KEEPS its row (Neo4j semantics: an
+    // aggregating subquery returns exactly one row per binding)
     val counts = run(
       """MATCH (s:WasteStream)
         |CALL { WITH s
@@ -822,6 +822,30 @@ class CypherFrontendSpec extends SparkSpec {
         |RETURN s.name AS stream, c ORDER BY stream""".stripMargin)
       .as[(String, Long)].collect().toSeq
     assert(counts === Seq(("Biomuell", 1L), ("Restmuell", 2L)))
+    // zero-match binding (Wertstoffhof B has no DISPOSED_AT edges):
+    // count → 0, sum/arith-over-count folds at zero rows, min → null,
+    // collect → [] — exactly Neo4j's empty-aggregation values
+    val zeroMatch = run(
+      """MATCH (f:Facility)
+        |CALL { WITH f
+        |  MATCH (w:WasteItem)-[:DISPOSED_AT]->(f)
+        |  RETURN count(w) AS c, min(w.name) AS firstw,
+        |    collect(w.name) AS ws, count(w) * 10 + 1 AS scaled }
+        |RETURN f.name AS fac, c, firstw, ws, scaled ORDER BY fac""".stripMargin)
+      .as[(String, Long, Option[String], Seq[String], Long)].collect().toSeq
+    assert(zeroMatch === Seq(
+      ("Wertstoffhof A", 1L, Some("Bauschutt"), Seq("Bauschutt"), 11L),
+      ("Wertstoffhof B", 0L, None, Seq.empty[String], 1L)))
+    // non-aggregate bodies keep the openCypher inner-join contract:
+    // zero subquery rows eliminates the outer row
+    val nonAgg = run(
+      """MATCH (f:Facility)
+        |CALL { WITH f
+        |  MATCH (w:WasteItem)-[:DISPOSED_AT]->(f)
+        |  RETURN w.name AS item }
+        |RETURN f.name AS fac, item ORDER BY fac""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(nonAgg === Seq(("Wertstoffhof A", "Bauschutt")))
     // per-binding ORDER BY + LIMIT = top-k per import key (the
     // Graph-RAG retrieval idiom) — one row_number window, no driver loop
     val topk = run(
