@@ -115,6 +115,19 @@ object CypherFrontend {
     * one grouped count of the compiled pattern frame, left-joined on
     * the shared keys (zero for no matches). */
   private case class ECountChain(chains: Seq[Chain], where: Option[Pred]) extends Expr
+  /** `COLLECT { [MATCH] chains [WHERE p] RETURN expr [ORDER BY ...]
+    * [LIMIT n] }` (Neo4j 5.6's list-building subquery): the inner
+    * RETURN values collected into one list per binding of the shared
+    * variables — the Graph-RAG per-entity list builder. Compiles to
+    * ONE ordered window collect over the compiled pattern frame +
+    * one left join (empty list for no matches), never per-row
+    * subquery execution. Element order: the inner ORDER BY keys, the
+    * returned value appended as a final tiebreaker (deterministic
+    * engine choice — Neo4j leaves tie order unspecified); with no
+    * ORDER BY, ascending by value. */
+  private case class ECollect(chains: Seq[Chain], where: Option[Pred],
+                              ret: Expr, orderBy: Seq[(Expr, Boolean)],
+                              limit: Option[Long]) extends Expr
 
   private sealed trait Pred
   private case class PCmp(op: String, l: Expr, r: Expr) extends Pred
@@ -316,9 +329,10 @@ object CypherFrontend {
           require(ch.hops.size == 1 && ch.hops.head._1.varLen.isDefined,
             "shortestPath needs exactly one var-length relationship, " +
               "e.g. shortestPath((a)-[:T*..4]->(b))")
-          require(ch.hops.head._1.varLen.get._2 != Unbounded,
-            "shortestPath needs a bounded hop range (its BFS unrolls hi " +
-              "levels); use *..k")
+          require(ch.hops.head._1.varLen.get._2 != Unbounded ||
+              ch.hops.head._1.varLen.get._1 <= 1,
+            "shortestPath over an unbounded range needs lo <= 1 " +
+              "(min-depth pairs cannot skip shorter walks); use *..k")
           // OPTIONAL shortestPath: the compiled (pairs, min-depth)
           // frame left-joins the pipeline like any optional clause —
           // unreachable endpoints null-pad r and length(p)
@@ -474,9 +488,10 @@ object CypherFrontend {
     }
 
     /** -[r:T1|T2]->(m), <-[:T]-(m), -[r]->(m), -[:T*1..3]->(m);
-      * undirected rejected. Var-length bounds: `*n` (exact), `*lo..hi`,
-      * `*..hi` (lo=1); a bare unbounded `*` is rejected with a pointer
-      * to the fixpoint operator. */
+      * `-[:T]-` (undirected) matches both orientations over the
+      * symmetric edge closure. Var-length bounds: `*n` (exact),
+      * `*lo..hi`, `*..hi` (lo=1), `*lo..` and bare `*` (unbounded —
+      * the reachability fixpoint). */
     private def hopPat(): (RelPat, NodePat) = {
       val back0 = atSym("<-")
       if (back0) eatSym("<-") else eatSym("-")
@@ -500,13 +515,11 @@ object CypherFrontend {
               pos += 1
               val parts = t.split("\\.\\.", -1)
               require(parts.length == 2 && parts(0).nonEmpty, s"bad hop range *$t")
-              if (parts(1).isEmpty) { // "*lo.." open upper bound
-                require(parts(0).toInt == 1,
-                  s"*${parts(0)}.. is not supported: the unbounded form compiles to a " +
-                    "reachability fixpoint whose min-depth dedup cannot express lo > 1; " +
-                    "use a bounded *lo..hi")
-                Some((1, Unbounded))
-              } else Some((parts(0).toInt, parts(1).toInt))
+              if (parts(1).isEmpty) // "*lo.." open upper bound: lo>1
+                // compiles as an exact (lo-1)-hop prefix into the
+                // reachability closure (∃ walk of length ≥ lo)
+                Some((parts(0).toInt, Unbounded))
+              else Some((parts(0).toInt, parts(1).toInt))
             case Some(TNum(t)) => pos += 1; Some((t.toInt, t.toInt))
             case Some(TSym(".")) => // *..hi
               eatSym("."); eatSym(".")
@@ -649,6 +662,32 @@ object CypherFrontend {
           eatSym("}")
           ECountChain(cs.result(), w)
         }
+      case Some(TId(fn)) if fn.equalsIgnoreCase("collect")
+          && toks.lift(pos + 1).exists(_.text == "{") =>
+        // COLLECT { ... RETURN expr } subquery expression — the
+        // list-building sibling of COUNT {}
+        pos += 1; eatSym("{")
+        if (atKw("MATCH")) eatKw("MATCH")
+        val cs = Seq.newBuilder[Chain]
+        cs += chain()
+        while (atSym(",")) { eatSym(","); cs += chain() }
+        val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
+        eatKw("RETURN")
+        val ret = expr()
+        val ob = Seq.newBuilder[(Expr, Boolean)]
+        if (atKw("ORDER")) {
+          eatKw("ORDER"); eatKw("BY")
+          def key(): (Expr, Boolean) = {
+            val e = expr()
+            if (atKw("DESC")) { eatKw("DESC"); (e, false) }
+            else { if (atKw("ASC")) eatKw("ASC"); (e, true) }
+          }
+          ob += key()
+          while (atSym(",")) { eatSym(","); ob += key() }
+        }
+        val lim = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(num()) } else None
+        eatSym("}")
+        ECollect(cs.result(), w, ret, ob.result(), lim)
       case Some(TId(fn)) if Set("count", "sum", "min", "max", "avg", "collect")(fn.toLowerCase)
           && toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("(")
@@ -946,11 +985,14 @@ object CypherFrontend {
           // `-[:T]-`: symmetric closure — each edge matches from both
           // ends. The bound rel's namespaced src_uid is the traversal
           // ORIGIN (walk orientation, not storage orientation — the
-          // documented undirected divergence)
+          // documented undirected divergence). A self-loop is the same
+          // undirected match from either end, so its reversed copy is
+          // excluded (Neo4j matches an undirected loop once).
           df.select(cols.map(col): _*).unionByName(
-            df.select((Seq(col("dst_uid").as("src_uid"),
-              col("src_uid").as("dst_uid"), col("rel_type")) ++
-              edgeProps.map(col)): _*))
+            df.filter(col("src_uid") =!= col("dst_uid"))
+              .select((Seq(col("dst_uid").as("src_uid"),
+                col("src_uid").as("dst_uid"), col("rel_type")) ++
+                edgeProps.map(col)): _*))
       base.select(cols.map(c => col(c).as(ns(rv, c))): _*)
     }
 
@@ -994,12 +1036,28 @@ object CypherFrontend {
                   if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
                 val base = e.select(col(fromC).as("src_uid"), col(toC).as("dst_uid"))
                 val reachEdges =
-                  if (rel.undirected) base.unionByName(base.select(
-                    col("dst_uid").as("src_uid"), col("src_uid").as("dst_uid")))
+                  // self-loops stay single-orientation: the reversed
+                  // copy is the same undirected edge (Neo4j matches a
+                  // loop once), and a duplicate level-1 row would
+                  // double-count closure pairs
+                  if (rel.undirected) base.unionByName(
+                    base.filter(col("src_uid") =!= col("dst_uid")).select(
+                      col("dst_uid").as("src_uid"), col("src_uid").as("dst_uid")))
                   else base
-                Traversal.reachFixpoint(reachEdges)
+                val closure = Traversal.reachFixpoint(reachEdges)
                   .select(col("start").as(s"$endCol$$from"),
                     col("reached").as(s"$endCol$$to"))
+                if (lo <= 1) closure
+                else
+                  // `*lo..` (lo > 1): an exact (lo-1)-hop walk prefix
+                  // chained into the 1..∞ closure — ∃ walk of length
+                  // ≥ lo; DISTINCT pairs keep reachability semantics
+                  varReach(rel, lo - 1, lo - 1, endCol)
+                    .withColumnRenamed(s"$endCol$$to", s"$endCol$$pre")
+                    .join(closure.withColumnRenamed(
+                      s"$endCol$$from", s"$endCol$$pre"), s"$endCol$$pre")
+                    .drop(s"$endCol$$pre")
+                    .distinct()
               } else varReach(rel, lo, hi, endCol,
                 withLen = pathVar.isDefined || rel.v.isDefined)
             if (pathVar.isDefined) lenParts += col(s"$endCol$$len")
@@ -1077,21 +1135,33 @@ object CypherFrontend {
       val e1 = (if (rel.undirected) e1dir.unionByName(e1dir.select(
         col(s"$pv$$to").as(s"$pv$$from"), col(s"$pv$$from").as(s"$pv$$to")))
       else e1dir).distinct()
-      var step = e1
-      var acc: Option[DataFrame] =
-        if (lo <= 1) Some(e1.withColumn(s"$pv$$len", lit(1))) else None
-      for (k <- 2 to hi) {
-        step = step
-          .select(col(s"$pv$$from"), col(s"$pv$$to").as(s"$pv$$mid"))
-          .join(e1.select(col(s"$pv$$from").as(s"$pv$$mid"), col(s"$pv$$to")), s"$pv$$mid")
-          .select(s"$pv$$from", s"$pv$$to").distinct()
-        if (k >= lo) {
-          val lev = step.withColumn(s"$pv$$len", lit(k))
-          acc = Some(acc.fold(lev)(_.unionByName(lev)))
+      val reach =
+        if (hi == Unbounded)
+          // unbounded shortestPath: the reachability fixpoint already
+          // carries min depth per (start, reached) pair — BFS level
+          // order + the visited-set anti-join guarantee first-reach =
+          // shortest; bounded only by the graph's diameter
+          Traversal.reachFixpoint(e1.select(
+              col(s"$pv$$from").as("src_uid"), col(s"$pv$$to").as("dst_uid")))
+            .select(col("start").as(s"$pv$$from"),
+              col("reached").as(s"$pv$$to"), col("depth").as(s"$pv$$len"))
+        else {
+          var step = e1
+          var acc: Option[DataFrame] =
+            if (lo <= 1) Some(e1.withColumn(s"$pv$$len", lit(1))) else None
+          for (k <- 2 to hi) {
+            step = step
+              .select(col(s"$pv$$from"), col(s"$pv$$to").as(s"$pv$$mid"))
+              .join(e1.select(col(s"$pv$$from").as(s"$pv$$mid"), col(s"$pv$$to")), s"$pv$$mid")
+              .select(s"$pv$$from", s"$pv$$to").distinct()
+            if (k >= lo) {
+              val lev = step.withColumn(s"$pv$$len", lit(k))
+              acc = Some(acc.fold(lev)(_.unionByName(lev)))
+            }
+          }
+          acc.get.groupBy(s"$pv$$from", s"$pv$$to")
+            .agg(min(col(s"$pv$$len")).as(s"$pv$$len"))
         }
-      }
-      val reach = acc.get.groupBy(s"$pv$$from", s"$pv$$to")
-        .agg(min(col(s"$pv$$len")).as(s"$pv$$len"))
       val df = nodeSide(ch.head, headVar)
         .join(reach, col(ns(headVar, "uid")) === col(s"$pv$$from"))
         .drop(s"$pv$$from")
@@ -1111,8 +1181,11 @@ object CypherFrontend {
       val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
       val e1dir = e.select(col(fromC).as(s"$nsCol$$from"), col(toC).as(s"$nsCol$$to"))
       val e1 =
-        if (rel.undirected) e1dir.unionByName(e1dir.select(
-          col(s"$nsCol$$to").as(s"$nsCol$$from"), col(s"$nsCol$$from").as(s"$nsCol$$to")))
+        // reversed half excludes self-loops: an undirected loop is ONE
+        // match per hop, not two (Neo4j parity)
+        if (rel.undirected) e1dir.unionByName(
+          e1dir.filter(col(s"$nsCol$$from") =!= col(s"$nsCol$$to")).select(
+            col(s"$nsCol$$to").as(s"$nsCol$$from"), col(s"$nsCol$$from").as(s"$nsCol$$to")))
         else e1dir
       // each k-fold chain tags its constant depth when a named path
       // needs length(p); the column is a literal, so it costs nothing
@@ -1579,20 +1652,7 @@ object CypherFrontend {
         // shared variable's uid. The probe ships DISTINCT shared-key
         // tuples — never the match multiset — so a high-multiplicity
         // pattern cannot widen the outer frame.
-        var (cdf, cbound) = compileChain(chains.head)
-        chains.tail.foreach { ch =>
-          val (chDf, chBound) = compileChain(ch)
-          val shared = (cbound & chBound).toSeq.sorted
-          require(shared.nonEmpty,
-            "disconnected EXISTS patterns would be a cross product; share a variable")
-          cdf = joinOnShared(cdf, chDf, shared, "inner", None)
-          cbound ++= chBound
-        }
-        wh.foreach(p => cdf = applyPred(cdf, p, negated = false))
-        val shared = cbound.toSeq
-          .filter(v => df.columns.contains(ns(v, "uid"))).sorted
-        require(shared.nonEmpty,
-          "EXISTS { } must share at least one variable with the outer MATCH")
+        val (cdf, shared) = chainFrame(chains, wh, df.columns, "EXISTS { }")
         val exProbe = cdf
           .select(shared.map(v => col(ns(v, "uid")).as(s"_ex$$$v")): _*)
           .distinct()
@@ -1605,21 +1665,84 @@ object CypherFrontend {
         // subqueries are values, not joins — materialize each as a
         // flag / count column (one keyed left join per distinct
         // pattern) and compile the boolean expression over them.
+        // Multi-hop EXISTS {} chains take the same route: each chain's
+        // DISTINCT shared-key probe becomes one boolean flag column.
         val pats = collectPatterns(other)
         val cnts = countSubsP(other)
-        if (pats.isEmpty && cnts.isEmpty) {
+        val exs = collectExistsChains(other)
+        if (pats.isEmpty && cnts.isEmpty && exs.isEmpty) {
           val c = predCol(other)
           df.filter(if (negated) !c else c)
         } else {
           val (d1, flags) = joinPatternFlags(df, pats)
           val (d2, cmap) = joinCountSubs(d1, cnts)
-          patternFlags = flags; countSubCols = cmap
+          val (d3, emap) = joinExistsChainFlags(d2, exs)
+          patternFlags = flags; countSubCols = cmap; existsFlags = emap
           val c =
             try predCol(other)
-            finally { patternFlags = Map.empty; countSubCols = Map.empty }
-          d2.filter(if (negated) !c else c)
-            .drop((flags.values ++ cmap.values).toSeq: _*)
+            finally {
+              patternFlags = Map.empty; countSubCols = Map.empty
+              existsFlags = Map.empty
+            }
+          d3.filter(if (negated) !c else c)
+            .drop((flags.values ++ cmap.values ++ emap.values).toSeq: _*)
         }
+    }
+
+    /** Compile a multi-hop EXISTS/COUNT subquery's chains into one
+      * matched frame (inner WHERE applied) plus the variables shared
+      * with the outer scope — the common front half of the semi-join,
+      * flag-column, and count-column compilations. */
+    private def chainFrame(chains: Seq[Chain], wh: Option[Pred],
+                           outerCols: Array[String], what: String)
+        : (DataFrame, Seq[String]) = {
+      var (cdf, cbound) = compileChain(chains.head)
+      chains.tail.foreach { ch =>
+        val (chDf, chBound) = compileChain(ch)
+        val shared = (cbound & chBound).toSeq.sorted
+        require(shared.nonEmpty,
+          s"disconnected $what patterns would be a cross product; share a variable")
+        cdf = joinOnShared(cdf, chDf, shared, "inner", None)
+        cbound ++= chBound
+      }
+      wh.foreach(p => cdf = applyPred(cdf, p, negated = false))
+      val shared = cbound.toSeq
+        .filter(v => outerCols.contains(ns(v, "uid"))).sorted
+      require(shared.nonEmpty,
+        s"$what must share at least one variable with the outer MATCH")
+      (cdf, shared)
+    }
+
+    /** Multi-hop EXISTS {} chains anywhere inside a boolean tree. */
+    private def collectExistsChains(p: Pred): Seq[PExistsChain] = p match {
+      case pe: PExistsChain => Seq(pe)
+      case PAnd(l, r) => collectExistsChains(l) ++ collectExistsChains(r)
+      case POr(l, r) => collectExistsChains(l) ++ collectExistsChains(r)
+      case PXor(l, r) => collectExistsChains(l) ++ collectExistsChains(r)
+      case PNot(i) => collectExistsChains(i)
+      case _ => Seq.empty
+    }
+
+    /** Left-join one boolean flag column per distinct EXISTS {} chain
+      * (its DISTINCT shared-key probe — never the match multiset), so
+      * the WHERE tree can combine chains under OR/XOR/NOT freely. */
+    private def joinExistsChainFlags(df0: DataFrame, exs: Seq[PExistsChain])
+        : (DataFrame, Map[PExistsChain, String]) = {
+      var d = df0
+      val m = exs.distinct.zipWithIndex.map { case (pe, i) =>
+        val flag = s"_exflag$$$i"
+        val (cdf, shared) = chainFrame(pe.chains, pe.where, d.columns, "EXISTS { }")
+        val probe = cdf
+          .select(shared.map(v => col(ns(v, "uid")).as(s"$flag$$$v")): _*)
+          .distinct()
+          .withColumn(flag, lit(true))
+        val cond = shared.map(v => d(ns(v, "uid")) === probe(s"$flag$$$v"))
+          .reduce(_ && _)
+        d = d.join(probe, cond, "left_outer")
+          .drop(shared.map(v => s"$flag$$$v"): _*)
+        pe -> flag
+      }.toMap
+      (d, m)
     }
 
     /** Pattern predicates anywhere inside a boolean tree (they cannot
@@ -1639,8 +1762,14 @@ object CypherFrontend {
     private def countSubsE(e: Expr): Seq[Expr] = e match {
       case cs: ECountSub => Seq(cs)
       case cc: ECountChain => Seq(cc)
+      case ec: ECollect => Seq(ec) // inner exprs are subquery-scoped
       case EArith(_, l, r) => countSubsE(l) ++ countSubsE(r)
       case EFn(_, as) => as.flatMap(countSubsE)
+      case EReduce(_, init, _, lst, body) =>
+        countSubsE(init) ++ countSubsE(lst) ++ countSubsE(body)
+      case EComp(_, lst, wh, mp) =>
+        countSubsE(lst) ++ wh.toSeq.flatMap(countSubsP) ++
+          mp.toSeq.flatMap(countSubsE)
       case EAgg(_, a, _) => a.toSeq.flatMap(countSubsE)
       case EIndex(b, ix) => countSubsE(b) ++ countSubsE(ix)
       case EList(items) => items.flatMap(countSubsE)
@@ -1674,16 +1803,20 @@ object CypherFrontend {
                              tl: Option[String], und: Boolean): DataFrame = {
       var e = edges
       if (types.nonEmpty) e = e.filter(col("rel_type").isin(types: _*))
-      def oneDir(probeCol: String, otherCol: String): DataFrame = tl match {
-        case Some(l) =>
-          e.join(nodes.filter(col("label") === l)
-            .select(col("uid").as(otherCol)), otherCol)
-            .select(col(probeCol).as("_probe"))
-        case None => e.select(col(probeCol).as("_probe"))
-      }
-      if (und) oneDir("src_uid", "dst_uid").unionByName(oneDir("dst_uid", "src_uid"))
-      else if (fwd) oneDir("src_uid", "dst_uid")
-      else oneDir("dst_uid", "src_uid")
+      def oneDir(ed: DataFrame, probeCol: String, otherCol: String): DataFrame =
+        tl match {
+          case Some(l) =>
+            ed.join(nodes.filter(col("label") === l)
+              .select(col("uid").as(otherCol)), otherCol)
+              .select(col(probeCol).as("_probe"))
+          case None => ed.select(col(probeCol).as("_probe"))
+        }
+      // undirected: a self-loop probes its endpoint ONCE (the reversed
+      // orientation is the same undirected match — Neo4j counts it once)
+      if (und) oneDir(e, "src_uid", "dst_uid").unionByName(
+        oneDir(e.filter(col("src_uid") =!= col("dst_uid")), "dst_uid", "src_uid"))
+      else if (fwd) oneDir(e, "src_uid", "dst_uid")
+      else oneDir(e, "dst_uid", "src_uid")
     }
 
     /** Left-join one boolean flag column per distinct pattern onto
@@ -1726,20 +1859,8 @@ object CypherFrontend {
             d = d.join(counts, d(ns(cs.v, "uid")) === counts(s"$cname$$probe"),
               "left_outer").drop(s"$cname$$probe")
           case cc: ECountChain =>
-            var (cdf, cbound) = compileChain(cc.chains.head)
-            cc.chains.tail.foreach { ch =>
-              val (chDf, chBound) = compileChain(ch)
-              val shared = (cbound & chBound).toSeq.sorted
-              require(shared.nonEmpty,
-                "disconnected COUNT { } patterns would be a cross product; share a variable")
-              cdf = joinOnShared(cdf, chDf, shared, "inner", None)
-              cbound ++= chBound
-            }
-            cc.where.foreach(p => cdf = applyPred(cdf, p, negated = false))
-            val shared = cbound.toSeq
-              .filter(v => d.columns.contains(ns(v, "uid"))).sorted
-            require(shared.nonEmpty,
-              "COUNT { } must share at least one variable with the outer MATCH")
+            val (cdf, shared) =
+              chainFrame(cc.chains, cc.where, d.columns, "COUNT { }")
             val counts = cdf
               .groupBy(shared.map(v => col(ns(v, "uid")).as(s"$cname$$$v")): _*)
               .agg(count(lit(1)).as(cname))
@@ -1747,6 +1868,38 @@ object CypherFrontend {
               .reduce(_ && _)
             d = d.join(counts, cond, "left_outer")
               .drop(shared.map(v => s"$cname$$$v"): _*)
+          case ec: ECollect =>
+            val (cdf, shared) =
+              chainFrame(ec.chains, ec.where, d.columns, "COLLECT { }")
+            // the returned value rides as the FINAL sort key so tie
+            // order (and the no-ORDER-BY default) is deterministic
+            val sortPairs = ec.orderBy :+ (ec.ret, true)
+            val proj = cdf.select(
+              shared.map(v => col(ns(v, "uid")).as(s"$cname$$$v")) ++
+                sortPairs.zipWithIndex.map { case ((e2, _), j) =>
+                  exprCol(e2).as(s"$cname$$s$j") } :+
+                exprCol(ec.ret).as(s"$cname$$v"): _*)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(shared.map(v => col(s"$cname$$$v")): _*)
+              .orderBy(sortPairs.zipWithIndex.map { case ((_, asc), j) =>
+                if (asc) col(s"$cname$$s$j").asc else col(s"$cname$$s$j").desc }: _*)
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.unboundedFollowing)
+            var lists = proj
+              .withColumn(cname, collect_list(col(s"$cname$$v")).over(w))
+              .select(shared.map(v => col(s"$cname$$$v")) :+ col(cname): _*)
+              .dropDuplicates(shared.map(v => s"$cname$$$v"))
+            ec.limit.foreach(n =>
+              lists = lists.withColumn(cname, slice(col(cname), 1, n.toInt)))
+            val dt = lists.schema(cname).dataType
+            val cond = shared.map(v => d(ns(v, "uid")) === lists(s"$cname$$$v"))
+              .reduce(_ && _)
+            // empty-list refill happens HERE, where the element type
+            // is known (the use site cannot type an empty array)
+            d = d.join(lists, cond, "left_outer")
+              .drop(shared.map(v => s"$cname$$$v"): _*)
+              .withColumn(cname, coalesce(col("`" + cname + "`"),
+                array().cast(dt)))
           case other => sys.error(s"not a COUNT subquery: $other")
         }
         sub -> cname
@@ -1759,10 +1912,15 @@ object CypherFrontend {
     private var patternFlags: Map[PPattern, String] = Map.empty
     /** Count columns for COUNT {} subqueries currently in scope. */
     private var countSubCols: Map[Expr, String] = Map.empty
+    /** Flag columns for multi-hop EXISTS {} chains compiled in the
+      * current applyPred call (empty outside it). */
+    private var existsFlags: Map[PExistsChain, String] = Map.empty
 
     private def predCol(p: Pred): Column = p match {
       case pp: PPattern if patternFlags.contains(pp) =>
         coalesce(col(patternFlags(pp)), lit(false))
+      case pe: PExistsChain if existsFlags.contains(pe) =>
+        coalesce(col(existsFlags(pe)), lit(false))
       case PCmp("=", l, r) => exprCol(l) === exprCol(r)
       case PCmp("<>", l, r) => exprCol(l) =!= exprCol(r)
       case PCmp("<", l, r) => exprCol(l) < exprCol(r)
@@ -1817,9 +1975,8 @@ object CypherFrontend {
         sys.error("pattern predicate in a column-only position " +
           "(OPTIONAL MATCH WHERE / WITH ... WHERE under aggregation)")
       case PExistsChain(_, _) =>
-        sys.error("multi-hop EXISTS { } composes with AND/NOT; under " +
-          "OR, split the query or use single-hop patterns (which " +
-          "compile to flag columns)")
+        sys.error("multi-hop EXISTS { } in a column-only position " +
+          "(OPTIONAL MATCH WHERE / WITH ... WHERE under aggregation)")
     }
 
     private def exprCol(e: Expr): Column = e match {
@@ -1833,6 +1990,10 @@ object CypherFrontend {
           .map(n => coalesce(col("`" + n + "`"), lit(0L)))
           .getOrElse(sys.error(
             "COUNT { } subqueries are supported in WHERE and RETURN/WITH items"))
+      case e: ECollect => // empty-list refill applied at the join site
+        countSubCols.get(e).map(n => col("`" + n + "`"))
+          .getOrElse(sys.error(
+            "COLLECT { } subqueries are supported in WHERE and RETURN/WITH items"))
       case EVar(v) => // a bare node/rel variable projects its identity
         if (relVars(v))
           struct(col(ns(v, "rel_type")), col(ns(v, "src_uid")), col(ns(v, "dst_uid")))
@@ -2178,10 +2339,16 @@ object CypherFrontend {
   def run(cypher: String, nodes: DataFrame, edges: DataFrame,
           params: Map[String, Any] = Map.empty): DataFrame = {
     val (parts0, all) = new Parser(tokenize(cypher)).unionQuery()
-    // openCypher scoping: a trailing ORDER BY / SKIP / LIMIT after the
-    // last UNION part applies to the WHOLE union, not the last branch
-    // (binding it branch-locally would silently paginate one branch).
-    // Strip it from the last part and re-apply post-union.
+    // DELIBERATE DIVERGENCE (like the walk-semantics note): a trailing
+    // ORDER BY / SKIP / LIMIT after the last UNION part applies to the
+    // WHOLE union here. The openCypher grammar attaches these
+    // sub-clauses to the last single query's RETURN (branch-local);
+    // Neo4j itself rejects most branch-local forms and tells users to
+    // wrap the union in CALL {} to paginate it. This engine implements
+    // the wrapped meaning directly — a trailing LIMIT caps the combined
+    // result, which is what every observed user query intends —
+    // instead of silently paginating one branch. Strip it from the
+    // last part and re-apply post-union.
     val tailMods = parts0.last match {
       case q if parts0.size > 1 &&
           (q.orderBy.nonEmpty || q.skip.isDefined || q.limit.isDefined) =>

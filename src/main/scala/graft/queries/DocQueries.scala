@@ -241,7 +241,26 @@ object DocQueries extends QueryPack {
         Tables.part(s, dir).select(col("p_partkey"), col("p_name"))))
       .orderBy("name", "branch", "stream")
 
+  /** q113 — the PLUGGABLE model codec behind the llm slot
+    * ([[graft.sources.ModelCodec]], r7 verdict task 4): the same
+    * fixture corpus as q110 run through the external-extractor
+    * contract a production LLM client would implement — per-partition
+    * codec instances, iterator-grouped batches (maxBatch 4 here, so
+    * batching is actually exercised), bounded retry, accumulator cost
+    * accounting — with the deterministic grammar fake in the model
+    * seat. Emits the exact q110 candidate frame (shared rule_uid
+    * expression), so the gate proves grammar path and model path are
+    * config-swappable without drift. */
+  def q113ModelCodec(s: SparkSession, dir: String): DataFrame =
+    graft.sources.ModelCodec.candidates(
+      graft.sources.RuleExtract.fixtureDocs(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_name"))),
+      () => new graft.sources.ModelCodec.GrammarCodec(),
+      graft.sources.ModelCodec.Config(maxBatch = 4))
+      .orderBy("name", "branch", "stream")
+
   val queries: Map[String, QueryFn] = Map(
+    "q113_model_codec"  -> (q113ModelCodec _),
     "q110_rule_extract" -> (q110RuleExtract _),
     "q89_entity_extract" -> (q89EntityExtract _),
     "q101_html_extract" -> (q101HtmlExtract _),
@@ -280,13 +299,11 @@ object DocQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
-  val oracles: Map[String, String] = Map(
-    // q110: the oracle REGENERATES the expected candidates from the
-    // same part keys the fixture renderer used (form k%3, stream k%5,
-    // alt (k+2)%5, condition k%4) — the engine must parse the prose
-    // back to exactly these rows; distractor sentences contribute none.
-    "q110_rule_extract" ->
-      """WITH p AS (
+  /** The expected q110/q113 candidate rows regenerated from the
+    * fixture keys in SQL — both the grammar path and the model-codec
+    * path must hash-match it. */
+  private val ruleCandidateSql: String =
+    """WITH p AS (
         |  SELECT p_partkey AS k, p_name AS item,
         |    ['Restmüll','Biomüll','Sondermüll','Papierkorb','Wertstoffhof'] AS ss,
         |    ['flüssig','getrocknet','leer','verschlossen'] AS cc
@@ -308,7 +325,17 @@ object DocQueries extends QueryPack {
         |SELECT name, sent_idx, item, condition, branch, stream,
         |  substr(sha256(name || '|' || item || '|' || coalesce(condition, '')
         |    || '|' || coalesce(branch, '') || '|' || stream), 1, 16) AS rule_uid
-        |FROM rws ORDER BY name, branch, stream""".stripMargin,
+        |FROM rws ORDER BY name, branch, stream""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // q113: the model-codec path must reproduce the grammar path's
+    // rows EXACTLY — one oracle serves both gates.
+    "q113_model_codec" -> ruleCandidateSql,
+    // q110: the oracle REGENERATES the expected candidates from the
+    // same part keys the fixture renderer used (form k%3, stream k%5,
+    // alt (k+2)%5, condition k%4) — the engine must parse the prose
+    // back to exactly these rows; distractor sentences contribute none.
+    "q110_rule_extract" -> ruleCandidateSql,
     // q93: identical sentence split (RE2-safe pattern), identical
     // length>=4 document-frequency scoring, identical rounded-ratio
     // top-3, summary re-assembled in position order and md5'd.

@@ -1252,6 +1252,73 @@ object GraphQueries extends QueryPack {
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g60 — multi-hop `EXISTS { }` chains under OR / XOR / NOT (the
+    * round-7 refusal, now compiled): each distinct chain becomes ONE
+    * boolean flag column — its DISTINCT shared-key probe left-joined
+    * onto the outer frame — so the WHERE tree combines chains freely
+    * instead of forcing semi/anti-join shapes. The Graph-RAG
+    * "retrievable via either route" idiom. Branch 1: nations with a
+    * '1'-suffixed customer OR no supplier at all. Branch 2: regions
+    * where exactly one of two 2-hop reachability chains holds (XOR).
+    * At 100 TB each flag is one keyed aggregate-free probe join on
+    * uids — never the match multiset. */
+  def g60CypherExistsOr(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)
+        |WHERE EXISTS { (c:Customer)-[:IN_NATION]->(n) WHERE c.name ENDS WITH '1' }
+        |   OR NOT EXISTS { (sp:Supplier)-[:IN_NATION]->(n) }
+        |RETURN n.name AS name, 'or' AS tag
+        |UNION ALL
+        |MATCH (r:Region)
+        |WHERE EXISTS { (c:Customer)-[:IN_NATION]->(:Nation)-[:IN_REGION]->(r)
+        |      WHERE c.name ENDS WITH '1' }
+        |  XOR EXISTS { (sp:Supplier)-[:IN_NATION]->(:Nation)-[:IN_REGION]->(r)
+        |      WHERE sp.name ENDS WITH '01' }
+        |RETURN r.name AS name, 'xor' AS tag""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("tag", "name")
+
+  /** g61 — the OPEN-RANGE var-length surface (extends g46's bare `*`):
+    * `*2..` compiles as an exact (lo−1)-hop walk prefix chained into
+    * the reachability fixpoint (∃ walk of length ≥ lo, DISTINCT
+    * pairs), and UNBOUNDED shortestPath rides the fixpoint's
+    * first-reach depth (BFS level order + the visited-set anti-join
+    * make first-reach = min depth — no unroll bound needed, only the
+    * graph's diameter). Over Customer→Nation→Region, depth ≥ 2 from a
+    * customer is exactly its region, and the shortest customer→region
+    * path is always 2 hops — the oracle is the two dimension joins. */
+  def g61CypherOpenRange(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[*2..]->(t)
+        |RETURN t.name AS target, -1 AS hops, count(*) AS n_sources
+        |UNION ALL
+        |MATCH p = shortestPath((c:Customer)-[*]->(r:Region))
+        |RETURN r.name AS target, length(p) AS hops, count(*) AS n_sources""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("target", "hops")
+
+  /** g62 — `COLLECT { }` subquery expressions (Neo4j 5.6's
+    * list-building sibling of COUNT {}): per region, the ordered
+    * nation list, a DESC + LIMIT top-2, and a filtered collect that is
+    * EMPTY for four of the five regions (only region 4's nations end
+    * with '4') — gating the empty-list refill. Compilation: ONE
+    * ordered window collect over the compiled pattern frame per
+    * distinct subquery + one left join; the returned value rides as
+    * the final sort key so element order is deterministic. At 100 TB
+    * each COLLECT is one keyed window shuffle — never per-row
+    * subquery execution. */
+  def g62CypherCollectSub(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (r:Region)
+        |RETURN r.name AS region,
+        |  COLLECT { (n:Nation)-[:IN_REGION]->(r) RETURN n.name } AS nations,
+        |  COLLECT { (n:Nation)-[:IN_REGION]->(r)
+        |    RETURN n.name ORDER BY n.name DESC LIMIT 2 } AS top2,
+        |  COLLECT { (n:Nation)-[:IN_REGION]->(r)
+        |    WHERE n.name ENDS WITH '4' RETURN n.name } AS four
+        |ORDER BY region""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   /** g54 — the two read-side frontier forms the parser used to refuse
     * (r6 verdict task 6), gated: OPTIONAL shortestPath (the compiled
     * pairs+min-depth frame LEFT-joins the pipeline — unreachable
@@ -1436,6 +1503,9 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g62_cypher_collect_sub" -> (g62CypherCollectSub _),
+    "g61_cypher_open_range" -> (g61CypherOpenRange _),
+    "g60_cypher_exists_or" -> (g60CypherExistsOr _),
     "g59_cypher_call_zero_match" -> (g59CypherCallZeroMatch _),
     "g58_cypher_count_chain" -> (g58CypherCountChain _),
     "g57_cypher_undirected" -> (g57CypherUndirected _),
@@ -1666,6 +1736,52 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g62: DuckDB's ordered list() aggregates in scalar subqueries;
+    // the empty collect coalesces to a typed empty list.
+    "g62_cypher_collect_sub" ->
+      """SELECT r_name AS region,
+        |  (SELECT coalesce(list(n_name ORDER BY n_name), CAST([] AS VARCHAR[]))
+        |   FROM nation WHERE n_regionkey = r_regionkey) AS nations,
+        |  (SELECT coalesce(list(n_name ORDER BY n_name DESC), CAST([] AS VARCHAR[]))[1:2]
+        |   FROM nation WHERE n_regionkey = r_regionkey) AS top2,
+        |  (SELECT coalesce(list(n_name ORDER BY n_name), CAST([] AS VARCHAR[]))
+        |   FROM nation WHERE n_regionkey = r_regionkey
+        |     AND n_name LIKE '%4') AS four
+        |FROM region ORDER BY region""".stripMargin,
+    // g61: depth ≥ 2 from a customer = its region; shortest
+    // customer→region path = always the 2-hop dimension chain.
+    "g61_cypher_open_range" ->
+      """SELECT target, hops, n_sources FROM (
+        |  SELECT r_name AS target, -1 AS hops,
+        |    CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name
+        |  UNION ALL
+        |  SELECT r_name, 2, CAST(count(*) AS BIGINT)
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name)
+        |ORDER BY target, hops""".stripMargin,
+    // g60: the flag-column OR/XOR trees as plain boolean SQL over
+    // IN-subqueries (all keys non-null, NOT IN is safe).
+    "g60_cypher_exists_or" ->
+      """SELECT name, tag FROM (
+        |  SELECT n_name AS name, 'or' AS tag FROM nation
+        |  WHERE n_nationkey IN (
+        |      SELECT c_nationkey FROM customer WHERE c_name LIKE '%1')
+        |    OR n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT r_name, 'xor' FROM region
+        |  WHERE (r_regionkey IN (
+        |      SELECT n_regionkey FROM nation
+        |      JOIN customer ON c_nationkey = n_nationkey
+        |      WHERE c_name LIKE '%1'))
+        |    <> (r_regionkey IN (
+        |      SELECT n_regionkey FROM nation
+        |      JOIN supplier ON s_nationkey = n_nationkey
+        |      WHERE s_name LIKE '%01')))
+        |ORDER BY tag, name""".stripMargin,
     // g59: zero-match bindings survive — DuckDB's ungrouped lateral
     // aggregate returns one row per region even with zero nations.
     "g59_cypher_call_zero_match" ->

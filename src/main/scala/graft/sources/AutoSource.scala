@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * flagged for [[DocExtract]]'s extractors, else delimited text →
   * Spark's CSV reader.
   *
-  * Scale shape: sniffing reads 4 bytes per file from the `binaryFile`
+  * Scale shape: sniffing reads a 256-byte head per file from the `binaryFile`
   * listing (the m13 economics — inventory at header cost); each
   * format's files then load through that source's own distributed path.
   * The union surfaces everything as nullable strings tagged with
@@ -22,40 +22,59 @@ import org.apache.spark.sql.functions._
   */
 object AutoSource {
 
-  /** Magic-byte format tag for a file head. The HTML sniff matches the
-    * full case-insensitive page openers (`<!doctype`, `<html`,
-    * `<head`) — a 2-byte `<h`/`<!` test would silently route any
-    * text/CSV file whose first cell is an XML fragment or templated
-    * markup off the tabular path. */
+  /** The case-insensitive page openers the HTML sniff recognizes:
+    * doctype, the structural tags, and an XHTML XML prolog. Full
+    * multi-byte openers — a 2-byte `<h`/`<!` test would silently
+    * route any text/CSV file whose first cell is an XML fragment or
+    * templated markup off the tabular path. Leading comments are
+    * STRIPPED before the test (a real page may open with a banner
+    * comment; a CSV cell's `<!-- -->` fragment closes inside its cell
+    * and leaves tabular bytes behind), so both route correctly. */
+  private val PageOpeners =
+    Seq("<!doctype", "<html", "<head", "<body", "<?xml")
+
+  /** Leading `<!-- ... -->` comments + surrounding whitespace within
+    * the sniff window (a comment still open at the window's end is
+    * NOT stripped — the opener test then fails and the file stays on
+    * the text/CSV path). */
+  private val LeadingComments = "(?s)^(\\s*<!--.*?-->)*\\s*"
+
+  /** Magic-byte format tag for a file head ([[SniffBytes]] bytes). */
   private[sources] def sniff(head: Array[Byte]): String = {
     def at(i: Int): Int = if (i < head.length) head(i) & 0xFF else -1
-    val prefix = new String(head.take(9),
-      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    val prefix = new String(head.take(SniffBytes),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .toLowerCase.replaceAll(LeadingComments, "")
     if (at(0) == 'P' && at(1) == 'K' && at(2) == 0x03 && at(3) == 0x04) "xlsx"
     else if (at(0) == 'O' && at(1) == 'b' && at(2) == 'j' && at(3) == 0x01) "avro"
     else if (at(0) == '%' && at(1) == 'P' && at(2) == 'D' && at(3) == 'F') "pdf"
-    else if (prefix.startsWith("<!doctype") || prefix.startsWith("<html") ||
-      prefix.startsWith("<head")) "html"
+    else if (PageOpeners.exists(prefix.startsWith)) "html"
     else "csv"
   }
 
-  /** (path, format) for every file under `path` — 4 sniffed bytes per
-    * file, the magic comparison itself a codegen'd hex-prefix
-    * expression (no UDF), computed distributed over the binaryFile
-    * listing. */
+  /** Sniff window: enough for the binary magics, any page opener, and
+    * a short leading comment. */
+  private val SniffBytes = 256
+
+  /** (path, format) for every file under `path` — [[SniffBytes]]
+    * sniffed bytes per file, the magic comparison itself a codegen'd
+    * hex-prefix expression (no UDF), computed distributed over the
+    * binaryFile listing. */
   def inventory(spark: SparkSession, path: String): DataFrame = {
     val h = hex(expr("substring(content, 1, 4)"))
-    // same 9-byte case-insensitive page-opener test as sniff(): the
-    // binary magics are checked first, so a non-UTF-8 head never
-    // reaches the string comparison with meaningful bytes
-    val p9 = lower(expr("cast(substring(content, 1, 9) as string)"))
+    // same windowed case-insensitive page-opener test as sniff()
+    // (leading comments stripped first): the binary magics are
+    // checked first, so a non-UTF-8 head never reaches the string
+    // comparison with meaningful bytes
+    val p = regexp_replace(
+      lower(expr(s"cast(substring(content, 1, $SniffBytes) as string)")),
+      LeadingComments, "")
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("length"),
         when(h === "504B0304", "xlsx")
           .when(h === "4F626A01", "avro")
           .when(h === "25504446", "pdf")
-          .when(p9.startsWith("<!doctype") || p9.startsWith("<html") ||
-            p9.startsWith("<head"), "html")
+          .when(PageOpeners.map(o => p.startsWith(o)).reduce(_ || _), "html")
           .otherwise("csv").as("format"))
   }
 

@@ -704,8 +704,11 @@ object Pdf {
       * are prefix-disjoint by construction); a code the codespace
       * covers but the CMap leaves unmapped contributes NO text (the
       * glyph has no text meaning — pdftotext's convention); a prefix
-      * matching no range falls back to one Latin-1 byte so extraction
-      * never stalls on a malformed string. */
+      * matching no range consumes the SMALLEST declared codespace
+      * width (Latin-1 if single-byte) so one malformed code cannot
+      * shift the frame of the remaining string — in a 2-byte
+      * Identity-H stream a 1-byte fallback would desynchronize every
+      * subsequent code onto odd offsets. */
     def decode(b: Array[Byte]): String = {
       val sb = new StringBuilder
       var i = 0
@@ -722,7 +725,12 @@ object Pdf {
             }
           }
         }
-        if (taken == 0) { sb.append((b(i) & 0xFF).toChar); taken = 1 }
+        if (taken == 0) {
+          taken = lens.headOption.getOrElse(1)
+          if (taken == 1) sb.append((b(i) & 0xFF).toChar)
+          // multi-byte out-of-codespace codes contribute no text but
+          // keep the stream framed
+        }
         i += taken
       }
       sb.toString

@@ -51,6 +51,15 @@ object RuleExtract {
   /** `<item> ist als <S> zu entsorgen.` */
   private[sources] val AlsPat = s"^(.+) ist als ($word) zu entsorgen\\.$$"
 
+  /** The candidate identity: engine uid over the full candidate key,
+    * shared by the grammar path ([[candidates]]) and the model path
+    * ([[ModelCodec.candidates]]) so re-extraction by EITHER is
+    * idempotent against the same DisposalRule nodes (MERGE contract). */
+  def ruleUid: Column = Uid.uid(concat_ws("|",
+    col("name"), col("item"),
+    coalesce(col("condition"), lit("")),
+    coalesce(col("branch"), lit("")), col("stream")))
+
   /** Deterministic bylaw-prose renderer — the fixture complement of
     * [[candidates]] (as [[Pdf.pdfBytesCid]] is to the CMap reader):
     * per part row, the key picks the surface form (k%3), stream (k%5),
@@ -119,10 +128,7 @@ object RuleExtract {
       .select(col("name"), col("sent_idx"), col("c.item").as("item"),
         col("c.condition").as("condition"), col("c.branch").as("branch"),
         col("c.stream").as("stream"))
-      .withColumn("rule_uid", Uid.uid(concat_ws("|",
-        col("name"), col("item"),
-        coalesce(col("condition"), lit("")),
-        coalesce(col("branch"), lit("")), col("stream"))))
+      .withColumn("rule_uid", ruleUid)
   }
 
   /** Candidates → the reference's rule-layer graph shape

@@ -81,7 +81,7 @@ class CypherFrontendSpec extends SparkSpec {
     assert(top === Seq("Biomuell", "Restmuell")) // streams sort before facilities
   }
 
-  test("unbounded [*]: reachability fixpoint semantics; lo>1 open ranges rejected") {
+  test("unbounded [*]: reachability fixpoint semantics; *lo.. open ranges; unbounded shortestPath") {
     // w1 reaches s1 and f1 (depth 1); the graph is depth-1, so [*]
     // equals the one-hop closure here — the semantics check is that
     // pairs are DISTINCT (reachability), not per-walk
@@ -95,12 +95,34 @@ class CypherFrontendSpec extends SparkSpec {
       "MATCH (w:WasteItem)-[:DISPOSED_IN*]->(t) RETURN count(*) AS n")
       .as[Long].head()
     assert(typed === 3L)
-    val open = intercept[RuntimeException](run(
-      "MATCH (w:WasteItem)-[:DISPOSED_IN*2..]->(t) RETURN t.name"))
-    assert(open.getMessage.contains("not supported"))
-    val sp = intercept[IllegalArgumentException](run(
-      "MATCH p = shortestPath((a:WasteItem)-[:DISPOSED_IN*]->(b:WasteStream)) RETURN length(p)"))
-    assert(sp.getMessage.contains("bounded"))
+    // `*lo..` (open upper bound, lo > 1): ∃ walk of length ≥ lo.
+    // The waste graph is depth-1 → zero rows at *2..
+    val open = run(
+      "MATCH (w:WasteItem)-[:DISPOSED_IN*2..]->(t) RETURN t.name AS name")
+    assert(open.count() === 0L)
+    // chain graph A->B->C->D (+ diamond): depth ≥ 2 from A is {C, D};
+    // depth ≥ 3 is {D}
+    val deep2 = CypherFrontend.run(
+      "MATCH (a:Cat {name: 'A'})-[:CHILD_OF*2..]->(b) RETURN DISTINCT b.name AS n ORDER BY n",
+      chainNodes, chainEdges).as[String].collect().toSeq
+    assert(deep2 === Seq("C", "D"))
+    val deep3 = CypherFrontend.run(
+      "MATCH (a:Cat {name: 'A'})-[:CHILD_OF*3..]->(b) RETURN DISTINCT b.name AS n ORDER BY n",
+      chainNodes, chainEdges).as[String].collect().toSeq
+    assert(deep3 === Seq("D"))
+    // unbounded shortestPath: the BFS fixpoint's first-reach depth IS
+    // the shortest length; A->C is 2 hops (diamond), A->D is 3
+    val sp = CypherFrontend.run(
+      """MATCH p = shortestPath((a:Cat {name: 'A'})-[:CHILD_OF*]->(b:Cat))
+        |RETURN b.name AS n, length(p) AS len ORDER BY n""".stripMargin,
+      chainNodes, chainEdges).as[(String, Long)].collect().toSeq
+    assert(sp === Seq(("B", 1L), ("C", 2L), ("D", 3L), ("X", 1L), ("Y", 1L)))
+    // lo > 1 + unbounded shortestPath stays rejected (min-depth pairs
+    // cannot skip shorter walks)
+    val bad = intercept[IllegalArgumentException](CypherFrontend.run(
+      "MATCH p = shortestPath((a:Cat)-[:CHILD_OF*2..]->(b)) RETURN length(p)",
+      chainNodes, chainEdges))
+    assert(bad.getMessage.contains("lo <= 1"))
   }
 
   test("collect() and collect(DISTINCT ...) list aggregates") {
@@ -1091,6 +1113,108 @@ class CypherFrontendSpec extends SparkSpec {
         |  WHERE w.name STARTS WITH 'B' } = 1
         |RETURN f.name AS n""".stripMargin).as[String].collect().toSeq
     assert(wh === Seq("Wertstoffhof A"))
+  }
+
+  test("round-8 frontier: multi-hop EXISTS { } under OR / XOR / mixed boolean trees") {
+    // chains as flag columns: reachable one way OR the other — the
+    // Graph-RAG "retrievable via either route" idiom. Restmuell gets a
+    // 'B'-item; Biomuell gets an item that also disposes at a facility?
+    // (no — only w1 does, and w1 is in Restmuell) → only Restmuell
+    val or = run(
+      """MATCH (s:WasteStream)
+        |WHERE EXISTS { (w:WasteItem)-[:DISPOSED_IN]->(s) WHERE w.name STARTS WITH 'B' }
+        |   OR EXISTS { (o:WasteItem)-[:DISPOSED_IN]->(s),
+        |               (o)-[:DISPOSED_AT]->(:Facility) }
+        |RETURN s.name AS n ORDER BY n""".stripMargin).as[String].collect().toSeq
+    assert(or === Seq("Restmuell"))
+    // one arm true for each stream → both survive the OR
+    val or2 = run(
+      """MATCH (s:WasteStream)
+        |WHERE EXISTS { (w:WasteItem)-[:DISPOSED_IN]->(s) WHERE w.name = 'Laub' }
+        |   OR EXISTS { (o:WasteItem)-[:DISPOSED_IN]->(s) WHERE o.name = 'Asche' }
+        |RETURN s.name AS n ORDER BY n""".stripMargin).as[String].collect().toSeq
+    assert(or2 === Seq("Biomuell", "Restmuell"))
+    // NOT over an OR'd chain, mixed with a plain predicate
+    val mixed = run(
+      """MATCH (s:WasteStream)
+        |WHERE NOT EXISTS { (w:WasteItem)-[:DISPOSED_IN]->(s) WHERE w.name = 'Laub' }
+        |   AND (s.name CONTAINS 'muell' OR EXISTS { (x)-[:DISPOSED_IN]->(s) })
+        |RETURN s.name AS n""".stripMargin).as[String].collect().toSeq
+    assert(mixed === Seq("Restmuell"))
+    // XOR: exactly one of the two chains holds
+    val xor = run(
+      """MATCH (s:WasteStream)
+        |WHERE EXISTS { (w:WasteItem)-[:DISPOSED_IN]->(s) }
+        |  XOR EXISTS { (w2:WasteItem)-[:DISPOSED_IN]->(s) WHERE w2.name = 'Laub' }
+        |RETURN s.name AS n""".stripMargin).as[String].collect().toSeq
+    assert(xor === Seq("Restmuell")) // Biomuell: true XOR true = false
+  }
+
+  test("round-8 frontier: COLLECT { } subqueries build per-binding lists") {
+    // per stream, its item names (no ORDER BY → ascending by value,
+    // the engine's deterministic default)
+    val lists = run(
+      """MATCH (s:WasteStream)
+        |RETURN s.name AS stream,
+        |  COLLECT { (w:WasteItem)-[:DISPOSED_IN]->(s) RETURN w.name } AS items
+        |ORDER BY stream""".stripMargin)
+      .as[(String, Seq[String])].collect().toSeq
+    assert(lists === Seq(
+      ("Biomuell", Seq("Laub")),
+      ("Restmuell", Seq("Asche", "Bauschutt"))))
+    // inner ORDER BY DESC + LIMIT: top-1 per binding; a facility with
+    // zero matches keeps its row with an EMPTY list (not null)
+    val top = run(
+      """MATCH (f:Facility)
+        |RETURN f.name AS fac,
+        |  COLLECT { (w:WasteItem)-[:DISPOSED_AT]->(f)
+        |    RETURN w.name ORDER BY w.name DESC LIMIT 1 } AS top
+        |ORDER BY fac""".stripMargin)
+      .as[(String, Seq[String])].collect().toSeq
+    assert(top === Seq(
+      ("Wertstoffhof A", Seq("Bauschutt")),
+      ("Wertstoffhof B", Seq.empty)))
+    // inner WHERE + reduce() over the collected list; size() in WHERE
+    val red = run(
+      """MATCH (s:WasteStream)
+        |WHERE size(COLLECT { (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |  WHERE w.name STARTS WITH 'B' RETURN w.name }) >= 1
+        |RETURN s.name AS stream,
+        |  reduce(acc = 0, x IN COLLECT { (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |    RETURN size(w.name) } | acc + x) AS chars""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(red === Seq(("Restmuell", 14L))) // Asche(5) + Bauschutt(9)
+    // 2-hop chain body: per facility, the streams its items also use
+    val chain2 = run(
+      """MATCH (f:Facility)
+        |RETURN f.name AS fac,
+        |  COLLECT { (w:WasteItem)-[:DISPOSED_AT]->(f),
+        |            (w)-[:DISPOSED_IN]->(x:WasteStream)
+        |    RETURN x.name } AS streams
+        |ORDER BY fac""".stripMargin)
+      .as[(String, Seq[String])].collect().toSeq
+    assert(chain2 === Seq(
+      ("Wertstoffhof A", Seq("Restmuell")),
+      ("Wertstoffhof B", Seq.empty)))
+  }
+
+  test("round-8 frontier: an undirected self-loop matches once (Neo4j parity)") {
+    val loopEdges = edges.unionByName(
+      Seq(("u:s1", "FEEDS", "u:s1")).toDF("src_uid", "rel_type", "dst_uid"))
+    // fixed undirected hop: one row for the loop, not two
+    val m = CypherFrontend.run(
+      "MATCH (a:WasteStream)-[:FEEDS]-(b) RETURN count(*) AS c",
+      nodes, loopEdges).as[Long].head()
+    assert(m === 1L)
+    // undirected COUNT {} degree and pattern-predicate probe agree
+    val d = CypherFrontend.run(
+      "MATCH (s:WasteStream {name: 'Restmuell'}) RETURN COUNT { (s)-[:FEEDS]-() } AS d",
+      nodes, loopEdges).as[Long].head()
+    assert(d === 1L)
+    val p = CypherFrontend.run(
+      "MATCH (x) WHERE (x)-[:FEEDS]-() RETURN count(*) AS c",
+      nodes, loopEdges).as[Long].head()
+    assert(p === 1L)
   }
 
   test("pipeline aliases cannot leak into property maps") {

@@ -33,6 +33,18 @@ class AutoSourceSpec extends SparkSpec {
     // XML-ish but not a page opener: stays on the text/CSV path
     assert(AutoSource.sniff("<xml>".getBytes.take(4)) === "csv")
     assert(AutoSource.sniff(Array[Byte]()) === "csv") // empty → text fallback
+    // real pages that open with chrome the 9-byte sniff used to miss:
+    // a banner comment before the doctype, <body>, an XHTML prolog
+    assert(AutoSource.sniff(
+      "<!-- generated 2026 -->\n<!DOCTYPE html><html>".getBytes) === "html")
+    assert(AutoSource.sniff(
+      "<!--a--> <!--b--><html lang=\"de\">".getBytes) === "html")
+    assert(AutoSource.sniff("<body><p>x</p>".getBytes) === "html")
+    assert(AutoSource.sniff(
+      "<?xml version=\"1.0\"?><html xmlns=\"...\">".getBytes) === "html")
+    // a comment still open at the sniff window's end is NOT a page
+    assert(AutoSource.sniff(
+      ("<!-- " + "x" * 300).getBytes) === "csv")
   }
 
   test("mixed drop: inventory tags by magic; readTabular routes and skips PDFs") {
