@@ -113,10 +113,36 @@ object Bench {
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = jsonMap(results.toSeq.sortBy(_._1))
+    // Self-adjudication (r7 verdict task 6): fold the fresh-JVM
+    // isolated floors (bench_floors.json, written by
+    // devtools.FloorDump for the heaviest queries) into the artifact
+    // together with the in-suite/floor ratio — a future session-residue
+    // inflation then shows as gap > ~1.3x by READING bench_full.json,
+    // no judge re-run needed.
+    val floors: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("bench_floors.json")
+        if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+        else graft.devtools.FloorDump.parseFlat(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          .filter(kv => results.contains(kv._1))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] bench_floors.json unreadable: ${e.getMessage}")
+        Map.empty
+      }
+    val floorJson =
+      if (floors.isEmpty) ""
+      else {
+        val gaps = floors.toSeq.sortBy(_._1).map { case (k, f) =>
+          k -> (if (f > 0) results(k) / f else 0.0)
+        }
+        val maxGap = gaps.map(_._2).max
+        s""","floors":${jsonMap(floors.toSeq.sortBy(_._1))},"floor_gaps":${jsonMap(gaps)},"max_floor_gap":${sec(maxGap)}"""
+      }
     try {
       val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
       try w.println(
-        s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$full$floorJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch {
       case e: Exception => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")

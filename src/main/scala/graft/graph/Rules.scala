@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -81,6 +81,66 @@ object Rules {
       when(level === 3, substring(col("code"), 1, 5))
         .when(level === 2, substring(col("code"), 1, 2))
         .otherwise(lit(null)).as("parent_code"))
+  }
+
+  /** Hazard roll-up over the 3-level AVV hierarchy (`schema.cql:31`
+    * `is_hazardous`, PDF §6: the trailing '*' marks hazardous
+    * entries): a code CONTAINS hazard when itself or any descendant is
+    * starred — the derived flag the reference spec'd but never
+    * exercised. The hierarchy is exactly 3 levels by construction
+    * (avvHierarchy), so propagation is two grouped boolean ors (one
+    * per parent hop), not a fixpoint; each is one keyed aggregate +
+    * one left join — 100 TB-safe by shape. Input: avvHierarchy output
+    * (code, level, is_hazardous, parent_code); output adds
+    * `contains_hazard`. */
+  def avvHazardRollup(hier: DataFrame): DataFrame = {
+    def up(children: DataFrame, flag: Column): DataFrame = children
+      .filter(col("parent_code").isNotNull)
+      .groupBy(col("parent_code").as("code"))
+      .agg(max(flag).as("desc_haz")) // bool max = any
+    val l3 = hier.filter(col("level") === 3)
+      .withColumn("contains_hazard", col("is_hazardous"))
+    val l2 = hier.filter(col("level") === 2)
+      .join(up(l3, col("contains_hazard")), Seq("code"), "left_outer")
+      .withColumn("contains_hazard",
+        col("is_hazardous") || coalesce(col("desc_haz"), lit(false)))
+      .drop("desc_haz")
+    val l1 = hier.filter(col("level") === 1)
+      .join(up(l2, col("contains_hazard")), Seq("code"), "left_outer")
+      .withColumn("contains_hazard",
+        col("is_hazardous") || coalesce(col("desc_haz"), lit(false)))
+      .drop("desc_haz")
+    l3.unionByName(l2).unionByName(l1)
+  }
+
+  /** The rolled-up hierarchy as graph shape (`schema.cql:26-57,
+    * 119-122` + PDF §4.5 hazard layer): AVVCode nodes carrying
+    * level/is_hazardous/contains_hazard, HAS_PARENT edges up the code
+    * chain, and IMPLIES_HAZARD edges from every starred code to the
+    * singleton HazardType node — uid-keyed projections ready for
+    * [[GraphStore]] upserts, same contract as
+    * [[graft.sources.RuleExtract.toGraph]]. */
+  def avvGraph(rollup: DataFrame): (DataFrame, DataFrame) = {
+    val uid = (c: Column) => graft.core.Uid.uid(c)
+    val codeNodes = rollup.select(
+      lit("AVVCode").as("label"), uid(concat(lit("AVVCode:"), col("code"))).as("uid"),
+      col("code").as("name"), col("level"),
+      col("is_hazardous"), col("contains_hazard"))
+    val hazardNode = rollup.sparkSession.range(1).toDF()
+      .select(lit("HazardType").as("label"),
+        uid(lit("HazardType:starred")).as("uid"),
+        lit("starred").as("name"), lit(0).as("level"),
+        lit(false).as("is_hazardous"), lit(false).as("contains_hazard"))
+    val hasParent = rollup.filter(col("parent_code").isNotNull)
+      .select(uid(concat(lit("AVVCode:"), col("code"))).as("src_uid"),
+        lit("HAS_PARENT").as("rel_type"),
+        uid(concat(lit("AVVCode:"), col("parent_code"))).as("dst_uid"))
+    val implies = rollup.filter(col("is_hazardous"))
+      .select(uid(concat(lit("AVVCode:"), col("code"))).as("src_uid"),
+        lit("IMPLIES_HAZARD").as("rel_type"),
+        uid(lit("HazardType:starred")).as("dst_uid"))
+    (codeNodes.unionByName(hazardNode),
+      hasParent.unionByName(implies))
   }
 
   /** ALLOWS_AVV consistency validator (PDF §4.10): every WasteItem

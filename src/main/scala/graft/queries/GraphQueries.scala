@@ -1319,6 +1319,38 @@ object GraphQueries extends QueryPack {
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g63 — AVV star-suffix hazard derivation END-TO-END (the one
+    * spec'd-but-never-exercised reference rule, `schema.cql:31` +
+    * PDF §6: trailing '*' ⇒ hazardous): leaf codes synthesized from
+    * part keys (deterministic `%02d %02d %02d` triples, every 5th
+    * starred; a base generated both ways is hazardous if ANY generator
+    * starred it), the 2-/1-level parents derived from the leaf
+    * prefixes, [[graft.graph.Rules.avvHierarchy]] assigning
+    * level/is_hazardous/parent_code, and
+    * [[graft.graph.Rules.avvHazardRollup]] propagating the star UP the
+    * HAS_PARENT chain — a level-1 code reports contains_hazard exactly
+    * when some starred leaf sits under it. Two grouped boolean ors +
+    * two keyed joins; no fixpoint (the hierarchy is 3 levels by
+    * spec). */
+  def g63AvvHazard(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val leaves = Tables.part(s, dir)
+      .select(format_string("%02d %02d %02d",
+          (k % 18 + 1).cast("int"), (k % 9 + 1).cast("int"),
+          (k % 9 + 1).cast("int")).as("base"),
+        (k % 5 === 0).as("star"))
+      .groupBy("base").agg(max(col("star")).as("star"))
+      .select(concat(col("base"),
+        when(col("star"), "*").otherwise("")).as("code"))
+    val l2 = leaves.select(substring(col("code"), 1, 5).as("code")).distinct()
+    val l1 = leaves.select(substring(col("code"), 1, 2).as("code")).distinct()
+    val hier = graft.graph.Rules.avvHierarchy(
+      leaves.unionByName(l2).unionByName(l1))
+    graft.graph.Rules.avvHazardRollup(hier)
+      .select("code", "level", "is_hazardous", "contains_hazard", "parent_code")
+      .orderBy("code")
+  }
+
   /** g54 — the two read-side frontier forms the parser used to refuse
     * (r6 verdict task 6), gated: OPTIONAL shortestPath (the compiled
     * pairs+min-depth frame LEFT-joins the pipeline — unreachable
@@ -1503,6 +1535,7 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g63_avv_hazard" -> (g63AvvHazard _),
     "g62_cypher_collect_sub" -> (g62CypherCollectSub _),
     "g61_cypher_open_range" -> (g61CypherOpenRange _),
     "g60_cypher_exists_or" -> (g60CypherExistsOr _),
@@ -1736,6 +1769,35 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g63: regenerate the synthetic hierarchy and roll the star up by
+    // prefix EXISTS — contains_hazard at level 1/2 ⇔ a starred leaf
+    // under the prefix.
+    "g63_avv_hazard" ->
+      """WITH leaf0 AS (
+        |  SELECT printf('%02d %02d %02d', p_partkey % 18 + 1,
+        |           p_partkey % 9 + 1, p_partkey % 9 + 1) AS base,
+        |         bool_or(p_partkey % 5 = 0) AS star
+        |  FROM part GROUP BY base),
+        |leaves AS (
+        |  SELECT base, base || CASE WHEN star THEN '*' ELSE '' END AS code,
+        |         star FROM leaf0),
+        |l2 AS (SELECT DISTINCT substr(base, 1, 5) AS code FROM leaves),
+        |l1 AS (SELECT DISTINCT substr(base, 1, 2) AS code FROM leaves)
+        |SELECT code, level, is_hazardous, contains_hazard, parent_code FROM (
+        |  SELECT code, 3 AS level, star AS is_hazardous,
+        |         star AS contains_hazard, substr(base, 1, 5) AS parent_code
+        |  FROM leaves
+        |  UNION ALL
+        |  SELECT l2.code, 2, FALSE,
+        |         EXISTS (SELECT 1 FROM leaves
+        |                 WHERE substr(base, 1, 5) = l2.code AND star),
+        |         substr(l2.code, 1, 2) FROM l2
+        |  UNION ALL
+        |  SELECT l1.code, 1, FALSE,
+        |         EXISTS (SELECT 1 FROM leaves
+        |                 WHERE substr(base, 1, 2) = l1.code AND star),
+        |         NULL FROM l1)
+        |ORDER BY code""".stripMargin,
     // g62: DuckDB's ordered list() aggregates in scalar subqueries;
     // the empty collect coalesces to a typed empty list.
     "g62_cypher_collect_sub" ->

@@ -87,6 +87,38 @@ class RulesSpec extends SparkSpec {
     assert(h("20 01 38") === ((3, false, "20 01")))
   }
 
+  test("AVV hazard roll-up: the star propagates up HAS_PARENT; clean branches stay clean") {
+    // two level-1 families: '08' has a starred leaf, '20' is clean
+    val codes = Seq("08 01 11*", "08 01 13", "08 01", "08 03", "08",
+      "20 01 38", "20 01", "20").toDF("code")
+    val roll = Rules.avvHazardRollup(Rules.avvHierarchy(codes)).collect()
+      .map(r => r.getAs[String]("code") ->
+        ((r.getAs[Boolean]("is_hazardous"), r.getAs[Boolean]("contains_hazard")))).toMap
+    assert(roll("08 01 11*") === ((true, true)))
+    assert(roll("08 01 13") === ((false, false)))
+    assert(roll("08 01") === ((false, true)))  // starred child
+    assert(roll("08 03") === ((false, false))) // sibling branch untouched
+    assert(roll("08") === ((false, true)))     // starred grandchild
+    assert(roll("20 01") === ((false, false)))
+    assert(roll("20") === ((false, false)))
+    // graph emission: AVVCode nodes carry the derived flags, HAS_PARENT
+    // follows the chain, IMPLIES_HAZARD only from the starred code
+    val (nodes, edges) = Rules.avvGraph(
+      Rules.avvHazardRollup(Rules.avvHierarchy(codes)))
+    assert(nodes.filter($"label" === "AVVCode").count() === 8L)
+    assert(nodes.filter($"label" === "HazardType").count() === 1L)
+    val byType = edges.groupBy("rel_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("HAS_PARENT") === 6L)    // 3 leaves + 3 level-2s
+    assert(byType("IMPLIES_HAZARD") === 1L)
+    // the starred leaf's IMPLIES_HAZARD points at the HazardType node
+    val hazUid = nodes.filter($"label" === "HazardType")
+      .select("uid").as[String].head()
+    val imp = edges.filter($"rel_type" === "IMPLIES_HAZARD")
+      .select("dst_uid").as[String].head()
+    assert(imp === hazUid)
+  }
+
   test("AVV consistency: item classified under code with no allowing stream") {
     val itemsAvv = Seq(("i1", "08 01 11*"), ("i2", "20 01 38")).toDF("item_uid", "code")
     val itemStream = Seq(("i1", "s1"), ("i2", "s2")).toDF("item_uid", "stream_uid")
