@@ -37,9 +37,16 @@ object ScaleGen {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scalegen")
     import spark.implicits._
     new java.io.File(out).mkdirs()
+    // Replica multipliers (r7 verdict task 5: a 100x wave for the
+    // heaviest families — set EVENTS_X/DOCS_X/EMB_X to 100). Defaults
+    // reproduce the 10-20x corpus of SCALE.md 7b.
+    val evX = sys.env.getOrElse("SPARK_GRAFT_EVENTS_X", "20").toInt
+    val docX = sys.env.getOrElse("SPARK_GRAFT_DOCS_X", "10").toInt
+    val factX = sys.env.getOrElse("SPARK_GRAFT_FACT_X", "10").toInt
+    val embX = sys.env.getOrElse("SPARK_GRAFT_EMB_X", "10").toInt
 
     val ev = graft.core.Tables.events(spark, src).localCheckpoint(true)
-    val replicas = (0 until 20).map { k =>
+    val replicas = (0 until evX).map { k =>
       ev.select(
         (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
         (col("ts") + expr(s"INTERVAL $k HOURS")).cast("timestamp").as("ts"),
@@ -59,7 +66,7 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     val docs = graft.core.Tables.documents(spark, src).localCheckpoint(true)
-    (0 until 10).map { k =>
+    (0 until docX).map { k =>
       docs.select(
         (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"$$1r$k").as("text"),
@@ -78,10 +85,10 @@ object ScaleGen {
     // unchanged, so every per-dimension group honestly carries 10× rows.
     val li = spark.read.parquet(s"$src/lineitem.parquet").localCheckpoint(true)
     val ord = spark.read.parquet(s"$src/orders.parquet").localCheckpoint(true)
-    val liRep = (0 until 10).map { k =>
+    val liRep = (0 until factX).map { k =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 100000000L))
     }.reduce(_.unionByName(_))
-    val ordRep = (0 until 10).map { k =>
+    val ordRep = (0 until factX).map { k =>
       ord.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 100000000L))
     }.reduce(_.unionByName(_))
     val hotPart = spark.read.parquet(s"$src/part.parquet")
@@ -128,15 +135,22 @@ object ScaleGen {
     // subspaces. Native slice+concat — no UDF even in the devtool.
     val emb = spark.read.parquet(s"$src/embeddings.parquet").localCheckpoint(true)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    (0 until 10).map { k =>
+    (0 until embX).map { k =>
       val r = k % dim
       val rotated =
         if (r == 0) col("embedding")
         else concat(slice(col("embedding"), r + 1, dim - r),
           slice(col("embedding"), 1, r))
+      // past dim replicas the rotation repeats — compose a global sign
+      // flip (also orthogonal: intra-replica cosines exactly preserved)
+      // so replica k and k+dim never carry IDENTICAL vectors
+      val oriented =
+        if ((k / dim) % 2 == 1)
+          transform(rotated, x => (x * lit(-1.0)).cast("float"))
+        else rotated
       emb.select(
         (col("vec_id") + lit(k.toLong * 1000000L)).as("vec_id"),
-        rotated.as("embedding"),
+        oriented.as("embedding"),
         col("label"))
     }.reduce(_.unionByName(_)).repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
