@@ -1278,15 +1278,20 @@ object CypherFrontend {
             // whole predicate stays a Column inside the join condition
             val pats = cl.where.toSeq.flatMap(collectPatterns)
             val cnts = cl.where.toSeq.flatMap(countSubsP)
+            val exs = cl.where.toSeq.flatMap(collectExistsChains)
             val (cdf1, flags) = joinPatternFlags(cdf, pats)
             val (cdf2, cmap) = joinCountSubs(cdf1, cnts)
+            val (cdf3, emap) = joinExistsChainFlags(cdf2, exs)
             val extra = cl.where.map { p => (_: DataFrame) =>
-              patternFlags = flags; countSubCols = cmap
+              patternFlags = flags; countSubCols = cmap; existsFlags = emap
               try predCol(p)
-              finally { patternFlags = Map.empty; countSubCols = Map.empty }
+              finally {
+                patternFlags = Map.empty; countSubCols = Map.empty
+                existsFlags = Map.empty
+              }
             }
-            df = joinOnShared(df, cdf2, shared, "left_outer", extra)
-            val scratch = (flags.values ++ cmap.values).toSeq
+            df = joinOnShared(df, cdf3, shared, "left_outer", extra)
+            val scratch = (flags.values ++ cmap.values ++ emap.values).toSeq
             if (scratch.nonEmpty) df = df.drop(scratch: _*)
           } else {
             df = joinOnShared(df, cdf, shared, "inner", None)
@@ -1446,6 +1451,19 @@ object CypherFrontend {
         val (d, cmap) = joinCountSubs(df, retCnts)
         df = d; countSubCols = countSubCols ++ cmap
       }
+      // pattern predicates / EXISTS chains inside RETURN/ORDER BY
+      // expressions (CASE conditions etc.) pre-join flag columns the
+      // same way — the projection keeps only named outputs, so the
+      // scratch columns never surface
+      val retPats = (q.items.map(_.expr) ++ q.orderBy.map(_.expr)).flatMap(patternsE)
+      val retExs = (q.items.map(_.expr) ++ q.orderBy.map(_.expr)).flatMap(existsChainsE)
+      if (retPats.nonEmpty || retExs.nonEmpty) {
+        val (d1, flags) = joinPatternFlags(df, retPats)
+        val (d2, emap) = joinExistsChainFlags(d1, retExs)
+        df = d2
+        patternFlags = patternFlags ++ flags
+        existsFlags = existsFlags ++ emap
+      }
       val aggItems = q.items.filter(i => hasAgg(i.expr))
       val outName = (i: RetItem) => i.alias.getOrElse(i.text)
       if (corrCols.nonEmpty) {
@@ -1578,11 +1596,25 @@ object CypherFrontend {
       // columns, same contract as the RETURN twin
       val in = {
         val wCnts = ws.items.map(_.expr).flatMap(countSubsE)
-        if (wCnts.isEmpty) in0
+        val withCnts =
+          if (wCnts.isEmpty) in0
+          else {
+            val (d, cmap) = joinCountSubs(in0, wCnts)
+            countSubCols = countSubCols ++ cmap
+            d
+          }
+        // pattern predicates / EXISTS chains inside WITH item
+        // expressions (CASE conditions etc.): same flag pre-join as
+        // the RETURN twin
+        val wPats = ws.items.map(_.expr).flatMap(patternsE)
+        val wExs = ws.items.map(_.expr).flatMap(existsChainsE)
+        if (wPats.isEmpty && wExs.isEmpty) withCnts
         else {
-          val (d, cmap) = joinCountSubs(in0, wCnts)
-          countSubCols = countSubCols ++ cmap
-          d
+          val (d1, flags) = joinPatternFlags(withCnts, wPats)
+          val (d2, emap) = joinExistsChainFlags(d1, wExs)
+          patternFlags = patternFlags ++ flags
+          existsFlags = existsFlags ++ emap
+          d2
         }
       }
       val (varItems, exprItems) = ws.items.partition {
@@ -1782,6 +1814,52 @@ object CypherFrontend {
         } ++ els.toSeq.flatMap(countSubsE)
       case _ => Seq.empty
     }
+    /** Pattern predicates nested inside EXPRESSIONS (CASE conditions,
+      * comprehension filters) — the column-only positions that used to
+      * refuse; they pre-join flag columns exactly like WHERE trees.
+      * Quantifier lambdas are excluded (they bind list elements). */
+    private def patternsE(e: Expr): Seq[PPattern] = e match {
+      case EArith(_, l, r) => patternsE(l) ++ patternsE(r)
+      case EFn(_, as) => as.flatMap(patternsE)
+      case EAgg(_, a, _) => a.toSeq.flatMap(patternsE)
+      case EIndex(b, ix) => patternsE(b) ++ patternsE(ix)
+      case EList(items) => items.flatMap(patternsE)
+      case EReduce(_, init, _, lst, body) =>
+        patternsE(init) ++ patternsE(lst) ++ patternsE(body)
+      case EComp(_, lst, wh, mp) =>
+        patternsE(lst) ++ wh.toSeq.flatMap(collectPatterns) ++
+          mp.toSeq.flatMap(patternsE)
+      case ECase(op, whens, els) =>
+        op.toSeq.flatMap(patternsE) ++ whens.flatMap { case (c, v) =>
+          (c match {
+            case Left(p) => collectPatterns(p)
+            case Right(x) => patternsE(x)
+          }) ++ patternsE(v)
+        } ++ els.toSeq.flatMap(patternsE)
+      case _ => Seq.empty
+    }
+    /** Multi-hop EXISTS {} chains nested inside expressions. */
+    private def existsChainsE(e: Expr): Seq[PExistsChain] = e match {
+      case EArith(_, l, r) => existsChainsE(l) ++ existsChainsE(r)
+      case EFn(_, as) => as.flatMap(existsChainsE)
+      case EAgg(_, a, _) => a.toSeq.flatMap(existsChainsE)
+      case EIndex(b, ix) => existsChainsE(b) ++ existsChainsE(ix)
+      case EList(items) => items.flatMap(existsChainsE)
+      case EReduce(_, init, _, lst, body) =>
+        existsChainsE(init) ++ existsChainsE(lst) ++ existsChainsE(body)
+      case EComp(_, lst, wh, mp) =>
+        existsChainsE(lst) ++ wh.toSeq.flatMap(collectExistsChains) ++
+          mp.toSeq.flatMap(existsChainsE)
+      case ECase(op, whens, els) =>
+        op.toSeq.flatMap(existsChainsE) ++ whens.flatMap { case (c, v) =>
+          (c match {
+            case Left(p) => collectExistsChains(p)
+            case Right(x) => existsChainsE(x)
+          }) ++ existsChainsE(v)
+        } ++ els.toSeq.flatMap(existsChainsE)
+      case _ => Seq.empty
+    }
+
     private def countSubsP(p: Pred): Seq[Expr] = p match {
       case PCmp(_, l, r) => countSubsE(l) ++ countSubsE(r)
       case PStr(_, l, r) => countSubsE(l) ++ countSubsE(r)

@@ -302,7 +302,7 @@ object DocQueries extends QueryPack {
   /** The expected q110/q113 candidate rows regenerated from the
     * fixture keys in SQL — both the grammar path and the model-codec
     * path must hash-match it. */
-  private val ruleCandidateSql: String =
+  private[queries] val ruleCandidateSql: String =
     """WITH p AS (
         |  SELECT p_partkey AS k, p_name AS item,
         |    ['Restmüll','Biomüll','Sondermüll','Papierkorb','Wertstoffhof'] AS ss,

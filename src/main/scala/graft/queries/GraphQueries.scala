@@ -1319,6 +1319,27 @@ object GraphQueries extends QueryPack {
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g64 — pattern predicates and EXISTS {} chains in EXPRESSION
+    * positions (the round-7 column-only refusal, now compiled): a
+    * CASE over a pattern predicate used as a GROUPING key under
+    * aggregation, and a CASE over a 2-hop EXISTS chain — each distinct
+    * pattern/chain pre-joins ONE boolean flag column (DISTINCT-probe
+    * left join) onto the frame before projection, so the CASE is a
+    * plain codegen'd expression and the aggregate groups by it; the
+    * scratch flag never surfaces past the projection. */
+  def g64CypherPatternExpr(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)
+        |RETURN CASE WHEN (n)<-[:IN_NATION]-(:Supplier) THEN 'supplied'
+        |       ELSE 'bare' END AS tag, count(*) AS n
+        |UNION ALL
+        |MATCH (r:Region)
+        |RETURN CASE WHEN EXISTS { (c:Customer)-[:IN_NATION]->(:Nation)-[:IN_REGION]->(r)
+        |                          WHERE c.name ENDS WITH '1' }
+        |       THEN 'reached' ELSE 'dark' END AS tag, count(*) AS n""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("tag", "n")
+
   /** g63 — AVV star-suffix hazard derivation END-TO-END (the one
     * spec'd-but-never-exercised reference rule, `schema.cql:31` +
     * PDF §6: trailing '*' ⇒ hazardous): leaf codes synthesized from
@@ -1535,6 +1556,7 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g64_cypher_pattern_expr" -> (g64CypherPatternExpr _),
     "g63_avv_hazard" -> (g63AvvHazard _),
     "g62_cypher_collect_sub" -> (g62CypherCollectSub _),
     "g61_cypher_open_range" -> (g61CypherOpenRange _),
@@ -1769,6 +1791,22 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g64: the flag columns as plain CASE-over-IN-subquery SQL.
+    "g64_cypher_pattern_expr" ->
+      """SELECT tag, n FROM (
+        |  SELECT CASE WHEN n_nationkey IN (SELECT s_nationkey FROM supplier)
+        |         THEN 'supplied' ELSE 'bare' END AS tag,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM nation GROUP BY 1
+        |  UNION ALL
+        |  SELECT CASE WHEN r_regionkey IN (
+        |           SELECT n_regionkey FROM nation
+        |           JOIN customer ON c_nationkey = n_nationkey
+        |           WHERE c_name LIKE '%1')
+        |         THEN 'reached' ELSE 'dark' END,
+        |         CAST(count(*) AS BIGINT)
+        |  FROM region GROUP BY 1)
+        |ORDER BY tag, n""".stripMargin,
     // g63: regenerate the synthetic hierarchy and roll the star up by
     // prefix EXISTS — contains_hazard at level 1/2 ⇔ a starred leaf
     // under the prefix.

@@ -1033,7 +1033,58 @@ object StreamQueries extends QueryPack {
     }
   }
 
+  /** s22 — STREAMING structured rule extraction (q110's incremental
+    * twin, the reference's planned LLM ingestion run as documents
+    * arrive): the bylaw fixture corpus staged as three parquet slices,
+    * replayed one file per micro-batch through
+    * [[graft.sources.RuleExtract.candidates]] — sentence explode +
+    * anchored grammar, ALL stateless narrow ops, so the same codegen'd
+    * plan runs per batch in append mode with zero state — into a
+    * memory sink. Extraction is per-document, so incremental ≡ batch
+    * from any slicing or arrival order; the gate hash-matches q110's
+    * oracle exactly. The operational story: rules land in the graph as
+    * their source documents ingest, no batch re-run. */
+  def s22StreamRuleExtract(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = Files.createTempDirectory("graft-s22-in")
+    val ckpt = Files.createTempDirectory("graft-s22-ckpt")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      val docs = graft.sources.RuleExtract.fixtureDocs(
+        graft.core.Tables.part(s, dir).select(col("p_partkey"), col("p_name")))
+      // three part-files = three micro-batches (order is irrelevant:
+      // extraction is stateless, unlike s19's order-pinned dedup)
+      docs.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+      val schema = s.read.parquet(streamDir.toString).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val sink = "s22_sink_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.sources.RuleExtract.candidates(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("s22: stream did not finish within 300s")
+      } finally q.stop()
+      val out = s.table(sink)
+        .orderBy("name", "branch", "stream")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.core.TempDirs.deleteQuietly(streamDir, "s22")
+      graft.core.TempDirs.deleteQuietly(ckpt, "s22")
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s22_stream_rule_extract" -> (s22StreamRuleExtract _),
     "s21_stream_sketch" -> (s21StreamSketch _),
     "s20_stream_manifest" -> (s20StreamManifest _),
     "s19_stream_exact_dedup" -> (s19StreamExactDedup _),
@@ -1057,6 +1108,9 @@ object StreamQueries extends QueryPack {
     "s05_stream_upsert" -> (s05StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // s22: stateless per-doc extraction ⇒ the stream's append union
+    // must hash-match q110's batch oracle row-for-row.
+    "s22_stream_rule_extract" -> DocQueries.ruleCandidateSql,
     // s21: exact counts + the tolerance booleans; the sketch estimate
     // itself is engine-internal (DuckDB's HLL differs bit-wise), so
     // the LAW is the gated value, same contract as a01/a02.

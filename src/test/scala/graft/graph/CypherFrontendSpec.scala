@@ -1198,6 +1198,49 @@ class CypherFrontendSpec extends SparkSpec {
       ("Wertstoffhof B", Seq.empty)))
   }
 
+  test("round-8 frontier: pattern predicates and EXISTS chains in expression positions") {
+    // CASE condition in a RETURN item: the flag column rides the
+    // projection (the former column-only refusal)
+    val tags = run(
+      """MATCH (w:WasteItem)
+        |RETURN w.name AS name,
+        |  CASE WHEN (w)-[:DISPOSED_AT]->(:Facility) THEN 'facility'
+        |       WHEN (w)-[:DISPOSED_IN]->() THEN 'stream'
+        |       ELSE 'orphan' END AS route
+        |ORDER BY name""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(tags === Seq(("Altlack", "orphan"), ("Asche", "stream"),
+      ("Bauschutt", "facility"), ("Laub", "stream")))
+    // CASE over pattern flags as a GROUPING key under aggregation
+    val grouped = run(
+      """MATCH (w:WasteItem)
+        |RETURN CASE WHEN (w)-[:DISPOSED_IN]->() THEN 'routed'
+        |       ELSE 'orphan' END AS tag, count(*) AS n
+        |ORDER BY tag""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(grouped === Seq(("orphan", 1L), ("routed", 3L)))
+    // multi-hop EXISTS chain inside a WITH item's CASE; the alias
+    // then filters downstream (HAVING shape)
+    val withCase = run(
+      """MATCH (s:WasteStream)
+        |WITH s, CASE WHEN EXISTS { (w:WasteItem)-[:DISPOSED_IN]->(s),
+        |                           (w)-[:DISPOSED_AT]->(:Facility) }
+        |        THEN 1 ELSE 0 END AS reachable
+        |WHERE reachable = 1
+        |RETURN s.name AS name""".stripMargin)
+      .as[String].collect().toSeq
+    assert(withCase === Seq("Restmuell"))
+    // pattern predicate inside OPTIONAL MATCH WHERE still filters the
+    // matches, not the rows (regression guard for the shared machinery)
+    val opt = run(
+      """MATCH (s:WasteStream)
+        |OPTIONAL MATCH (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |  WHERE (w)-[:DISPOSED_AT]->(:Facility)
+        |RETURN s.name AS name, count(w) AS n ORDER BY name""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(opt === Seq(("Biomuell", 0L), ("Restmuell", 1L)))
+  }
+
   test("round-8 frontier: an undirected self-loop matches once (Neo4j parity)") {
     val loopEdges = edges.unionByName(
       Seq(("u:s1", "FEEDS", "u:s1")).toDF("src_uid", "rel_type", "dst_uid"))
