@@ -731,4 +731,27 @@ class PlanQualitySpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"the import join-back must stay an equi join in:\n$plan")
   }
+
+  test("g60/g64: EXISTS-chain and pattern flags stay equi probe joins, never loops") {
+    for (q <- Seq("g60_cypher_exists_or", "g64_cypher_pattern_expr")) {
+      val plan = planOf(GraphQueries.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: each flag must be one keyed DISTINCT-probe join in:\n$plan")
+    }
+  }
+
+  test("g62: each COLLECT {} is one window collect + one join — no per-row subqueries") {
+    val df = GraphQueries.queries("g62_cypher_collect_sub")(spark, dir)
+    val plan = planOf(df)
+    // three distinct subqueries ⇒ exactly three window operators (the
+    // logical plan — AQE's executed string collapses finished stages)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(windows === 3, s"expected 3 window collects, got $windows in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the list join-back must stay an equi join in:\n$plan")
+  }
 }
