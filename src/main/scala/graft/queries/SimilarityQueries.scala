@@ -126,6 +126,40 @@ object SimilarityQueries extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** e20 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): cluster
+    * the embeddings (the e05 coarse quantizer), compare cosines only
+    * WITHIN a cluster, and mark a vector a semantic duplicate when an
+    * earlier (lower-id) cluster-mate sits above the threshold — the
+    * greedy keep-first rule, `dup_of` = the earliest such mate for a
+    * deterministic removal plan. The cluster equi-join bounds the pair
+    * work to Σ cell² instead of N² — the paper's own scaling argument,
+    * in the same no-cross-join shape as e04/d07/d09; at 100 TB the
+    * cells come from k-means over a sample and this exact plan runs
+    * per cell. */
+  def e20SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("c_label"))
+    val assigned = e.join(broadcast(centroids(e)))
+      .select(col("vec_id"), col("v"),
+        col("c_label"), round(cosine(col("v"), col("cv")), 6).as("cs"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("c_label").as("cell"))
+      .localCheckpoint(true)
+    val earlier = assigned.select(col("cell"),
+      col("vec_id").as("earlier"), col("v").as("ev"))
+    val dups = assigned.join(earlier, Seq("cell"))
+      .filter(col("earlier") < col("vec_id"))
+      .filter(round(cosine(col("ev"), col("v")), 6) >= 0.45)
+      .groupBy("vec_id").agg(min("earlier").as("dup_of"))
+    assigned.join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label centroid table (the IVF coarse quantizer): elementwise
     * mean via the [[graft.functions.VecOps.vecMean]] Aggregator — one
     * shuffle of fixed-size sum buffers, versus the posexplode
@@ -799,6 +833,7 @@ object SimilarityQueries extends QueryPack {
     "e08_pq_adc"          -> (e08PqAdc _),
     "e07_kmeans_step"     -> (e07KmeansStep _),
     "e05_ivf_topk"        -> (e05IvfTopk _),
+    "e20_semdedup"        -> (e20SemDedup _),
     "e04_cosine_neardup"  -> (e04CosineNeardup _),
     "e01_knn_brute"       -> (e01KnnBrute _),
     "e02_centroid_assign" -> (e02CentroidAssign _),
@@ -1328,6 +1363,30 @@ object SimilarityQueries extends QueryPack {
         |  round(coalesce(h.n_hits, 0) / 3.0, 4) AS recall_at_3
         |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
         |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin,
+    // e20: the e05 assignment CTE + a per-vector min-earlier-mate
+    // aggregate over the within-cell pair join.
+    "e20_semdedup" ->
+      s"""WITH cent AS (
+        |  SELECT label AS c_label, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS m
+        |    FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label),
+        |assigned AS (
+        |  SELECT vec_id, embedding, c_label AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.c_label,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${sqlCos("e.embedding", "c.cv")}, 6) DESC, c.c_label) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |dups AS (
+        |  SELECT v.vec_id, min(u.vec_id) AS dup_of
+        |  FROM assigned v JOIN assigned u ON v.cell = u.cell
+        |   AND u.vec_id < v.vec_id
+        |  WHERE round(${sqlCos("u.embedding", "v.embedding")}, 6) >= 0.45
+        |  GROUP BY v.vec_id)
+        |SELECT a.vec_id, a.cell, d.dup_of,
+        |  d.dup_of IS NOT NULL AS is_dup
+        |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     "e04_cosine_neardup" ->
       s"""WITH b AS (
         |  SELECT vec_id, embedding,

@@ -1150,6 +1150,62 @@ object TextQueries extends QueryPack {
       .orderBy("epoch", "shard", "pos")
   }
 
+  /** d45 — training-sequence PACKING (the GPT-style pre-training
+    * shape): the corpus in deterministic shuffled order (md5 of
+    * doc_id, d38's law) is concatenated and cut into fixed 2048-token
+    * sequences, documents spanning boundaries — the packing every
+    * autoregressive trainer runs between dedup and tokenization.
+    * Output per sequence: document count, token fill (== 2048 except
+    * the last), and how many documents CARRIED OVER from the previous
+    * sequence (split docs).
+    *
+    * The global running token offset is computed DISTRIBUTED, never as
+    * one single-partition window: range-repartition on the shuffle
+    * key, per-partition partial sums, a broadcast P-row prefix-offset
+    * table, then a per-partition cumsum window — the two-pass
+    * parallel-prefix-sum shape that holds at 100 TB (the result is
+    * boundary-independent: off + within-partition cumsum is the same
+    * global cumsum wherever the range cuts fall). Each doc then
+    * explodes over exactly the sequences its [start, end) span
+    * touches — interval arithmetic, no per-token rows ever exist. */
+  def d45SeqPack(s: SparkSession, dir: String): DataFrame =
+    seqPack(docs(s, dir), 2048L, parallelism(s))
+
+  /** The d45 kernel on a caller-supplied (doc_id, text) frame —
+    * SeqPackSpec drives hand-built corpora and proves the result is
+    * independent of the range-partition count. */
+  private[queries] def seqPack(docsDf: DataFrame, B: Long,
+                               parts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docsDf.select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .filter(col("n") > 0)
+    val ranged = t.repartitionByRange(parts, col("h"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // P rows — the only global window runs over the tiny offset table
+    val offs = ranged.groupBy("pid").agg(sum("n").as("psum"))
+      .withColumn("off", coalesce(sum("psum").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    val cum = ranged.join(broadcast(offs), "pid")
+      .withColumn("cend", sum("n").over(
+        Window.partitionBy("pid").orderBy("h", "doc_id")) + col("off"))
+      .withColumn("cstart", col("cend") - col("n"))
+    cum.select(col("cstart"), col("cend"),
+        explode(sequence(floor(col("cstart") / B).cast("long"),
+          floor((col("cend") - 1) / B).cast("long"))).as("seq_id"))
+      .withColumn("tok",
+        least(col("cend"), (col("seq_id") + 1) * B) -
+          greatest(col("cstart"), col("seq_id") * B))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+        count(when(col("cstart") < col("seq_id") * B, 1)).as("n_carried"))
+      .orderBy("seq_id")
+  }
+
   /** d39 — exact-substring span dedup (the ExactSubstr shape of Lee et
     * al., "Deduplicating Training Data Makes Language Models Better"):
     * every SLIDING k=8-word window is hashed; any window whose hash was
@@ -1374,6 +1430,7 @@ object TextQueries extends QueryPack {
     "d41_exactsubstr_clean" -> (d41ExactSubstrClean _),
     "d40_dsir_select"   -> (d40DsirSelect _),
     "d39_exact_substr"  -> (d39ExactSubstr _),
+    "d45_seq_pack" -> (d45SeqPack _),
     "d38_epoch_shuffle" -> (d38EpochShuffle _),
     "d37_encoding_quality" -> (d37EncodingQuality _),
     "d36_bpe_apply"     -> (d36BpeApply _),
@@ -1649,6 +1706,34 @@ object TextQueries extends QueryPack {
     // d38: same md5(doc_id:epoch) salt, same nibble->shard map, same
     // (h, doc_id) rank — the permutation is engine-independent by
     // construction.
+    // d45: the same concat-and-cut law as one global window cumsum
+    // (the oracle can afford the single-threaded form) + a lateral
+    // unnest over each doc's touched sequence range.
+    "d45_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    sum(n) OVER (ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cend
+        |  FROM t WHERE n > 0),
+        |spans AS (SELECT doc_id, n, cend - n AS cstart, cend FROM o),
+        |x AS (
+        |  SELECT s.cstart, s.cend, g.seq_id,
+        |    least(s.cend, (g.seq_id + 1) * 2048)
+        |      - greatest(s.cstart, g.seq_id * 2048) AS tok
+        |  FROM spans s, LATERAL (
+        |    SELECT unnest(range(CAST(floor(s.cstart / 2048) AS BIGINT),
+        |      CAST(floor((s.cend - 1) / 2048) AS BIGINT) + 1)) AS seq_id) g)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE cstart < seq_id * 2048) AS BIGINT)
+        |    AS n_carried
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "d38_epoch_shuffle" ->
       """WITH e AS (SELECT unnest([0, 1]) AS epoch),
         |h AS (
