@@ -304,7 +304,57 @@ object MultimodalQueries extends QueryPack {
       .orderBy("id")
   }
 
+  /** m16 — ASPECT-RATIO bucket batching (the SDXL-style image-training
+    * preprocessing step): decode width/height from the real PNG bytes
+    * (the m13 header reads), assign each image to the ladder bucket
+    * minimizing |ln(ar) − ln(bucket)| (log-space distance, round(…,6)
+    * for cross-engine determinism, smaller bucket on ties), then pack
+    * each bucket's images into batches of 8 in id order — a training
+    * batch never mixes aspect ratios, so no crop/pad waste.
+    *
+    * The per-bucket position is NOT one global window per bucket (5
+    * giant partitions at 100 TB): it is the d45 two-pass prefix sum —
+    * range-partition on (bucket, id), per-(bucket, partition) counts,
+    * a broadcast offset table windowed only over the tiny
+    * buckets×partitions frame, then a per-partition row_number plus
+    * offset. Output per batch: size (8 except each bucket's last),
+    * id range, and the batch's true AR spread. */
+  def m16ArBucketBatches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val dims = graft.functions.Multimodal.pngMedia(s, dir).toDF()
+      .select(col("id"),
+        conv(hex(expr("substring(media, 17, 4)")), 16, 10).cast("int").as("w"),
+        conv(hex(expr("substring(media, 21, 4)")), 16, 10).cast("int").as("h"))
+    val ladder = s.createDataFrame(
+      Seq(0.5, 0.75, 1.0, 1.333333, 2.0).map(Tuple1(_))).toDF("b")
+    val ar = col("w").cast("double") / col("h")
+    val wAssign = Window.partitionBy("id").orderBy(asc("dist"), asc("b"))
+    val assigned = dims.crossJoin(broadcast(ladder))
+      .withColumn("dist", round(abs(log(ar) - log(col("b"))), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("w"), col("h"), col("b"))
+    val ranged = assigned.repartitionByRange(parts, col("b"), col("id"))
+      .withColumn("pid", spark_partition_id())
+    val offs = ranged.groupBy("b", "pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.partitionBy("b").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "pid", "off")
+    ranged.join(broadcast(offs), Seq("b", "pid"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("b", "pid").orderBy("id")) - 1 + col("off"))
+      .withColumn("batch_id", floor(col("pos") / 8).cast("long"))
+      .groupBy(col("b").as("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_imgs"),
+        min("id").as("first_id"), max("id").as("last_id"),
+        round(min(ar), 6).as("min_ar"), round(max(ar), 6).as("max_ar"))
+      .orderBy("bucket", "batch_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "m16_ar_bucket_batches" -> (m16ArBucketBatches _),
     "m15_phash_clusters"  -> (m15PhashClusters _),
     "m14_audio_segments"  -> (m14AudioSegments _),
     "m13_png_metadata"    -> (m13PngMetadata _),
@@ -325,6 +375,30 @@ object MultimodalQueries extends QueryPack {
     "CASE WHEN doc_id % 3 = 0 THEN 'txt' WHEN doc_id % 3 = 1 THEN 'img' ELSE 'aud' END"
 
   val oracles: Map[String, String] = Map(
+    // m16: width/height from the generator law, the same log-space
+    // ladder assignment, one global per-bucket window (oracle scale).
+    "m16_ar_bucket_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 8 + doc_id % 9 AS w,
+        |    8 + (doc_id // 3) % 7 AS h FROM documents),
+        |lad AS (SELECT unnest(CAST([0.5, 0.75, 1.0, 1.333333, 2.0]
+        |  AS DOUBLE[])) AS b),
+        |scored AS (
+        |  SELECT id, w, h, b,
+        |    round(abs(ln(w::DOUBLE / h) - ln(b)), 6) AS dist FROM d, lad),
+        |assigned AS (
+        |  SELECT id, w, h, b FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id
+        |      ORDER BY dist, b) AS rn FROM scored) WHERE rn = 1),
+        |pos AS (
+        |  SELECT *, row_number() OVER (PARTITION BY b ORDER BY id) - 1 AS p
+        |  FROM assigned)
+        |SELECT b AS bucket, CAST(p // 8 AS BIGINT) AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_imgs,
+        |  min(id) AS first_id, max(id) AS last_id,
+        |  round(min(w::DOUBLE / h), 6) AS min_ar,
+        |  round(max(w::DOUBLE / h), 6) AS max_ar
+        |FROM pos GROUP BY b, p // 8 ORDER BY bucket, batch_id""".stripMargin,
     // m15: m08's pair CTE + the g48-style recursive min-origin closure.
     "m15_phash_clusters" ->
       """WITH RECURSIVE b AS (
