@@ -928,8 +928,12 @@ object CypherFrontend {
       * hop count) is projectable; maps to the min-depth column. */
     private var pathVars = Map.empty[String, String]
     /** Bounded var-length relationship bindings: var → its per-walk
-      * hop-count column; only `size(r)` projects. */
+      * hop-count column (`size(r)`'s fast path). */
     private var varLenVars = Map.empty[String, String]
+    /** Bounded var-length relationship bindings: var → the walk's
+      * materialized hop list ((src, rel_type, dst) structs, walk
+      * orientation) — what a bare `r` / `r[i]` projects. */
+    private var varLenHops = Map.empty[String, String]
     /** Lambda variables inside comprehension/reduce bodies — bound to
       * the enclosing higher-order function's element column. Checked
       * FIRST in exprCol so a lambda shadows an outer binding, matching
@@ -1059,7 +1063,8 @@ object CypherFrontend {
                     .drop(s"$endCol$$pre")
                     .distinct()
               } else varReach(rel, lo, hi, endCol,
-                withLen = pathVar.isDefined || rel.v.isDefined)
+                withLen = pathVar.isDefined || rel.v.isDefined,
+                withHops = rel.v.isDefined)
             if (pathVar.isDefined) lenParts += col(s"$endCol$$len")
             df = df.join(reachDf,
               col(ns(cur, "uid")) === col(s"$endCol$$from"))
@@ -1074,13 +1079,18 @@ object CypherFrontend {
               bound += nv
             }
             // a bound var-length variable surfaces its per-walk hop
-            // count as size(r) — the same depth column the k-fold
-            // union tags, a literal per chain (zero data cost)
+            // count as size(r) (the tagged depth column, a literal per
+            // chain) AND its hop list as `r` — the materialized
+            // (src, rel_type, dst) struct array, walk orientation
             rel.v.foreach { rv =>
               val c = s"rellen$$$rv"
               df = df.withColumn(c, col(s"$endCol$$len"))
               if (pathVar.isEmpty) df = df.drop(s"$endCol$$len")
               varLenVars += rv -> c
+              val hc = s"relhops$$$rv"
+              df = df.withColumn(hc, col(s"$endCol$$hops"))
+                .drop(s"$endCol$$hops")
+              varLenHops += rv -> hc
             }
             cur = nv
           case None =>
@@ -1175,18 +1185,29 @@ object CypherFrontend {
       * edge set: hi-1 chained equi-joins, depths >= lo unioned — path
       * multiplicity preserved, no iteration state on the driver. */
     private def varReach(rel: RelPat, lo: Int, hi: Int, nsCol: String,
-                         withLen: Boolean = false): DataFrame = {
+                         withLen: Boolean = false,
+                         withHops: Boolean = false): DataFrame = {
       var e = edges
       if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
       val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
-      val e1dir = e.select(col(fromC).as(s"$nsCol$$from"), col(toC).as(s"$nsCol$$to"))
+      val from = s"$nsCol$$from"; val to = s"$nsCol$$to"
+      val hops = s"$nsCol$$hops"; val mid = s"$nsCol$$mid"
+      // `withHops`: a BOUND rel variable materializes the walk's hop
+      // list — one (src, rel_type, dst) struct per hop, walk
+      // orientation (the undirected divergence) — accumulated by array
+      // concat through the k-fold joins. Cost is walks × depth rows of
+      // fixed-width structs, exactly the result Neo4j returns for `r`.
+      def sel(a: String, b: String, src: DataFrame): DataFrame =
+        if (withHops) src.select(col(a).as(from), col(b).as(to),
+          array(struct(col(a).as("src"), col("rel_type"),
+            col(b).as("dst"))).as(hops))
+        else src.select(col(a).as(from), col(b).as(to))
       val e1 =
         // reversed half excludes self-loops: an undirected loop is ONE
         // match per hop, not two (Neo4j parity)
-        if (rel.undirected) e1dir.unionByName(
-          e1dir.filter(col(s"$nsCol$$from") =!= col(s"$nsCol$$to")).select(
-            col(s"$nsCol$$to").as(s"$nsCol$$from"), col(s"$nsCol$$from").as(s"$nsCol$$to")))
-        else e1dir
+        if (rel.undirected) sel(fromC, toC, e).unionByName(
+          sel(toC, fromC, e.filter(col(fromC) =!= col(toC))))
+        else sel(fromC, toC, e)
       // each k-fold chain tags its constant depth when a named path
       // needs length(p); the column is a literal, so it costs nothing
       def tag(df: DataFrame, k: Int): DataFrame =
@@ -1194,11 +1215,15 @@ object CypherFrontend {
       var step = e1
       var acc: Option[DataFrame] = if (lo <= 1) Some(tag(step, 1)) else None
       for (k <- 2 to hi) {
-        step = step
-          .select(col(s"$nsCol$$from"), col(s"$nsCol$$to").as(s"$nsCol$$mid"))
-          .join(e1.select(col(s"$nsCol$$from").as(s"$nsCol$$mid"),
-            col(s"$nsCol$$to")), s"$nsCol$$mid")
-          .select(s"$nsCol$$from", s"$nsCol$$to")
+        val joined = step
+          .select((Seq(col(from), col(to).as(mid)) ++
+            (if (withHops) Seq(col(hops)) else Nil)): _*)
+          .join(e1.select((Seq(col(from).as(mid), col(to)) ++
+            (if (withHops) Seq(col(hops).as(s"$hops#2")) else Nil)): _*), mid)
+        step =
+          if (withHops) joined.select(col(from), col(to),
+            concat(col(hops), col(s"$hops#2")).as(hops))
+          else joined.select(from, to)
         if (k >= lo) acc = Some(acc.fold(tag(step, k))(_.unionByName(tag(step, k))))
       }
       acc.get
@@ -2060,9 +2085,11 @@ object CypherFrontend {
     private def exprCol(e: Expr): Column = e match {
       case EVar(v) if lambdaVars.contains(v) => lambdaVars(v)
       case EVar(v) if scalarVars(v) => col(v) // WITH-bound scalar alias
+      case EVar(v) if varLenHops.contains(v) =>
+        col("`" + varLenHops(v) + "`") // the walk's hop-struct list
       case EVar(v) if varLenVars.contains(v) => sys.error(
-        s"'$v' binds a var-length relationship: only size($v) projects " +
-          "(the walk's hop count); the relationship list itself is not materialized")
+        s"'$v' binds a var-length relationship whose hop list was not " +
+          "materialized; project size($v) instead")
       case e @ (_: ECountSub | _: ECountChain) =>
         countSubCols.get(e)
           .map(n => coalesce(col("`" + n + "`"), lit(0L)))
@@ -2076,6 +2103,8 @@ object CypherFrontend {
         if (relVars(v))
           struct(col(ns(v, "rel_type")), col(ns(v, "src_uid")), col(ns(v, "dst_uid")))
         else struct(col(ns(v, "label")), col(ns(v, "uid")))
+      case EProp(v, k) if lambdaVars.contains(v) =>
+        lambdaVars(v).getField(k) // struct element inside a lambda body
       case EProp(v, k) => col(ns(v, k))
       case ELit(null) => lit(null)
       case ELit(x) => lit(x)

@@ -1319,6 +1319,22 @@ object GraphQueries extends QueryPack {
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g65 — var-length relationship BINDINGS materialize their hop
+    * list (the last round-7 refusal): `r` is the walk's ordered
+    * (src, rel_type, dst) struct array — accumulated by array concat
+    * through the k-fold joins, walks × depth fixed-width rows, exactly
+    * what Neo4j returns — and comprehensions/indexing project from it
+    * per hop. Per region: the 2-hop walk count, the (constant) type
+    * sequence, and the distinct second-hop sources (= nations). */
+  def g65CypherRelBinding(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[r*2..2]->(t:Region)
+        |RETURN t.name AS region, [h IN r | h.rel_type] AS types,
+        |  count(*) AS walks,
+        |  count(DISTINCT [h IN r | h.src][1]) AS via_nations
+        |ORDER BY region""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   /** g64 — pattern predicates and EXISTS {} chains in EXPRESSION
     * positions (the round-7 column-only refusal, now compiled): a
     * CASE over a pattern predicate used as a GROUPING key under
@@ -1556,6 +1572,7 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g65_cypher_rel_binding" -> (g65CypherRelBinding _),
     "g64_cypher_pattern_expr" -> (g64CypherPatternExpr _),
     "g63_avv_hazard" -> (g63AvvHazard _),
     "g62_cypher_collect_sub" -> (g62CypherCollectSub _),
@@ -1791,6 +1808,17 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g65: every 2-hop customer walk is cust→nation→region; the hop
+    // types are constant and the second hop's source is the nation.
+    "g65_cypher_rel_binding" ->
+      """SELECT r_name AS region,
+        |  ['IN_NATION', 'IN_REGION'] AS types,
+        |  CAST(count(*) AS BIGINT) AS walks,
+        |  CAST(count(DISTINCT 'Nation:' || n_nationkey) AS BIGINT)
+        |    AS via_nations
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region""".stripMargin,
     // g64: the flag columns as plain CASE-over-IN-subquery SQL.
     "g64_cypher_pattern_expr" ->
       """SELECT tag, n FROM (

@@ -989,10 +989,25 @@ class CypherFrontendSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException](run(
       "MATCH (w)-[r:DISPOSED_IN*]->(t) RETURN size(r)"))
     assert(e1.getMessage.contains("unbounded"))
-    // the list itself does not materialize: only size(r) projects
-    val e2 = intercept[RuntimeException](run(
-      "MATCH (w)-[r:DISPOSED_IN*1..2]->(t) RETURN r"))
-    assert(e2.getMessage.contains("size(r)"))
+    // round 8: the hop list ITSELF materializes — (src, rel_type, dst)
+    // structs in walk order; r[i] indexes it
+    val hops = run(
+      """MATCH (w:WasteItem {name: 'Bauschutt'})-[r:DISPOSED_IN*1..2]->(t)
+        |RETURN r AS walk, r[0] AS first""".stripMargin)
+      .select(col("walk.rel_type"), col("first.src"), col("first.dst"))
+      .as[(Seq[String], String, String)].collect().toSeq
+    assert(hops === Seq((Seq("DISPOSED_IN"), "u:w1", "u:s1")))
+    // a 2-hop walk lists both hops in order (chain graph A->B->C)
+    val two = CypherFrontend.run(
+      """MATCH (a:Cat {name: 'A'})-[r:CHILD_OF*2]->(b:Cat {name: 'C'})
+        |RETURN b.name AS n, r[0] AS h0, r[1] AS h1""".stripMargin,
+      chainNodes, chainEdges)
+      .select(col("h0.src"), col("h0.dst"), col("h1.src"), col("h1.dst"))
+      .as[(String, String, String, String)].collect().toSeq.sorted
+    assert(two === Seq(
+      ("u:a", "u:b", "u:b", "u:c"),
+      ("u:a", "u:x", "u:x", "u:c"),
+      ("u:a", "u:y", "u:y", "u:c")))
   }
 
   test("round-7 frontier: COUNT {} subqueries; pattern predicates in OPTIONAL WHERE") {
