@@ -183,6 +183,10 @@ object CypherFrontend {
                                  /** `p = shortestPath((a)-[:T*..k]->(b))`:
                                    * the bound path variable. */
                                  shortest: Option[String] = None,
+                                 /** allShortestPaths: keep EVERY walk
+                                   * tied at the min depth (one row per
+                                   * path), not one row per pair. */
+                                 shortestAll: Boolean = false,
                                  /** `p = (a)-[:T*1..2]->(b)`: a named
                                    * (non-shortest) path on the FIRST
                                    * chain; only `length(p)` projects. */
@@ -322,22 +326,28 @@ object CypherFrontend {
         if (peek.exists(_.isInstanceOf[TId]) &&
             toks.lift(pos + 1).exists(_.text == "=") &&
             toks.lift(pos + 2).exists(t => t.isInstanceOf[TId] &&
-              t.text.equalsIgnoreCase("shortestPath"))) {
-          val pv = ident(); eatSym("="); ident(); eatSym("(")
+              (t.text.equalsIgnoreCase("shortestPath") ||
+                t.text.equalsIgnoreCase("allShortestPaths")))) {
+          val pv = ident(); eatSym("=")
+          val all = ident().equalsIgnoreCase("allShortestPaths")
+          eatSym("(")
           val ch = chain()
           eatSym(")")
           require(ch.hops.size == 1 && ch.hops.head._1.varLen.isDefined,
             "shortestPath needs exactly one var-length relationship, " +
               "e.g. shortestPath((a)-[:T*..4]->(b))")
           require(ch.hops.head._1.varLen.get._2 != Unbounded ||
-              ch.hops.head._1.varLen.get._1 <= 1,
-            "shortestPath over an unbounded range needs lo <= 1 " +
-              "(min-depth pairs cannot skip shorter walks); use *..k")
+              (ch.hops.head._1.varLen.get._1 <= 1 && !all),
+            (if (all) "allShortestPaths needs a bounded hop range " +
+              "(tied-path multiplicity rides the unrolled walks); use *..k"
+            else "shortestPath over an unbounded range needs lo <= 1 " +
+              "(min-depth pairs cannot skip shorter walks); use *..k"))
           // OPTIONAL shortestPath: the compiled (pairs, min-depth)
           // frame left-joins the pipeline like any optional clause —
           // unreachable endpoints null-pad r and length(p)
           val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
-          return MatchClause(Seq(ch), optional, w, shortest = Some(pv))
+          return MatchClause(Seq(ch), optional, w, shortest = Some(pv),
+            shortestAll = all)
         }
         // `p = (a)-[:T*1..2]->(b)` — a named path; length(p) projects
         // the hop count (fixed hops count 1 each, a bounded var-length
@@ -1132,12 +1142,32 @@ object CypherFrontend {
       * aggregate; no driver iteration (the unbounded form is
       * `graph.Traversal.reachFixpoint`). `length(p)` projects the
       * min depth. */
-    private def compileShortest(ch: Chain, pv: String): (DataFrame, Set[String]) = {
+    private def compileShortest(ch: Chain, pv: String,
+                                all: Boolean = false): (DataFrame, Set[String]) = {
       val (rel, tailPat) = ch.hops.head
       val (lo, hi) = rel.varLen.get
       val headVar = ch.head.v.getOrElse(freshVar())
       val tailVar = tailPat.v.getOrElse(freshVar())
       require(headVar != tailVar, "shortestPath endpoints must be distinct variables")
+      if (all) {
+        // allShortestPaths: EVERY walk tied at the pair's min depth —
+        // walk multiplicity from the unrolled varReach (no level
+        // dedup), one endpoint-pair window to find the min, one filter.
+        // Neo4j's cardinality: one row per tied shortest path.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(s"$pv$$from", s"$pv$$to")
+        val walks = varReach(rel, lo, hi, pv, withLen = true)
+          .withColumn(s"$pv$$minlen", min(col(s"$pv$$len")).over(w))
+          .filter(col(s"$pv$$len") === col(s"$pv$$minlen"))
+          .drop(s"$pv$$minlen")
+        val df = nodeSide(ch.head, headVar)
+          .join(walks, col(ns(headVar, "uid")) === col(s"$pv$$from"))
+          .drop(s"$pv$$from")
+          .join(nodeSide(tailPat, tailVar), col(s"$pv$$to") === col(ns(tailVar, "uid")))
+          .drop(s"$pv$$to")
+        pathVars += (pv -> s"$pv$$len")
+        return (df, Set(headVar, tailVar))
+      }
       var e = edges
       if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
       val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
@@ -1262,7 +1292,7 @@ object CypherFrontend {
       def applyClause(cl: MatchClause): Unit = {
         // a clause's comma chains join on shared vars (inner, one pattern)
         var (cdf, cbound) = cl.shortest match {
-          case Some(pv) => compileShortest(cl.chains.head, pv)
+          case Some(pv) => compileShortest(cl.chains.head, pv, cl.shortestAll)
           case None => compileChain(cl.chains.head, cl.named)
         }
         cl.chains.tail.foreach { ch =>

@@ -1319,6 +1319,25 @@ object GraphQueries extends QueryPack {
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g66 — `allShortestPaths` (Neo4j's tied-paths sibling of
+    * shortestPath): one row PER tied shortest walk, compiled as the
+    * unrolled walk frame (multiplicity preserved) + one endpoint-pair
+    * window min + a filter — never a per-pair subsearch. Undirected
+    * form: suppliers reach the '1'-suffixed customers of their nation
+    * in exactly one tied 2-hop path each (supplier—nation—customer),
+    * so the path count per supplier equals the customer count the
+    * oracle joins directly; diamond-shaped tie multiplicity is pinned
+    * by the ScalaTest spec (the TPC-H graph is a tree — no ties
+    * exist to plant). */
+  def g66CypherAllShortest(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH p = allShortestPaths((sp:Supplier)-[*..2]-(c:Customer))
+        |WHERE c.name ENDS WITH '1'
+        |RETURN sp.name AS supplier, count(*) AS reachable,
+        |  min(length(p)) AS len
+        |ORDER BY supplier""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   /** g65 — var-length relationship BINDINGS materialize their hop
     * list (the last round-7 refusal): `r` is the walk's ordered
     * (src, rel_type, dst) struct array — accumulated by array concat
@@ -1572,6 +1591,7 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g66_cypher_all_shortest" -> (g66CypherAllShortest _),
     "g65_cypher_rel_binding" -> (g65CypherRelBinding _),
     "g64_cypher_pattern_expr" -> (g64CypherPatternExpr _),
     "g63_avv_hazard" -> (g63AvvHazard _),
@@ -1808,6 +1828,14 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g66: each supplier's tied shortest paths to '1'-customers are
+    // the single 2-hop route through its nation.
+    "g66_cypher_all_shortest" ->
+      """SELECT s_name AS supplier, CAST(count(*) AS BIGINT) AS reachable,
+        |  CAST(2 AS INT) AS len
+        |FROM supplier JOIN customer ON s_nationkey = c_nationkey
+        |WHERE c_name LIKE '%1'
+        |GROUP BY s_name ORDER BY supplier""".stripMargin,
     // g65: every 2-hop customer walk is cust→nation→region; the hop
     // types are constant and the second hop's source is the nation.
     "g65_cypher_rel_binding" ->

@@ -1213,6 +1213,33 @@ class CypherFrontendSpec extends SparkSpec {
       ("Wertstoffhof B", Seq.empty)))
   }
 
+  test("round-8 frontier: allShortestPaths keeps every tied shortest walk") {
+    // diamond: A reaches C in 2 hops via B, X, or Y — three tied paths
+    val all = CypherFrontend.run(
+      """MATCH p = allShortestPaths((a:Cat {name: 'A'})-[:CHILD_OF*..3]->(b:Cat {name: 'C'}))
+        |RETURN b.name AS n, length(p) AS len""".stripMargin,
+      chainNodes, chainEdges).as[(String, Long)].collect().toSeq
+    assert(all === Seq.fill(3)(("C", 2L)))
+    // shortestPath collapses the same pairs to ONE row each
+    val one = CypherFrontend.run(
+      """MATCH p = shortestPath((a:Cat {name: 'A'})-[:CHILD_OF*..3]->(b:Cat {name: 'C'}))
+        |RETURN b.name AS n, length(p) AS len""".stripMargin,
+      chainNodes, chainEdges).as[(String, Long)].collect().toSeq
+    assert(one === Seq(("C", 2L)))
+    // longer walks to the same pair (A->B->C->D vs tied A->*->C->D) do
+    // not survive; D has three tied 3-hop paths
+    val d = CypherFrontend.run(
+      """MATCH p = allShortestPaths((a:Cat {name: 'A'})-[:CHILD_OF*..3]->(b:Cat {name: 'D'}))
+        |RETURN count(*) AS paths, min(length(p)) AS len""".stripMargin,
+      chainNodes, chainEdges).as[(Long, Long)].collect().head
+    assert(d === ((3L, 3L)))
+    // unbounded allShortestPaths is rejected with a pointer
+    val e = intercept[IllegalArgumentException](CypherFrontend.run(
+      "MATCH p = allShortestPaths((a:Cat)-[:CHILD_OF*]->(b)) RETURN length(p)",
+      chainNodes, chainEdges))
+    assert(e.getMessage.contains("bounded"))
+  }
+
   test("round-8 frontier: pattern predicates and EXISTS chains in expression positions") {
     // CASE condition in a RETURN item: the flag column rides the
     // projection (the former column-only refusal)
