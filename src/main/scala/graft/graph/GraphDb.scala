@@ -66,6 +66,16 @@ final class GraphDb private (val spark: SparkSession,
     else if (trimmed.equalsIgnoreCase("CALL db.relationshipTypes()"))
       g.edges.select(col("rel_type").as("relationshipType")).distinct()
         .orderBy("relationshipType")
+    else if (trimmed.equalsIgnoreCase("CALL db.propertyKeys()")) {
+      // property keys = the held frames' non-identity columns (this
+      // engine's schema is columnar, so key presence is schema-level)
+      val keys = (g.nodes.columns.filterNot(Set("label", "uid")) ++
+        g.edges.columns.filterNot(Set("src_uid", "dst_uid", "rel_type")))
+        .distinct.sorted.toIndexedSeq
+      val sp = spark
+      import sp.implicits._
+      keys.toDF("propertyKey")
+    }
     else if (trimmed.length >= 8 && trimmed.substring(0, 8).equalsIgnoreCase("EXPLAIN ")) {
       // Neo4j's `EXPLAIN <query>` string form: plan rows, no execution
       val (lo, ph) = explain(trimmed.substring(8), params)

@@ -65,6 +65,11 @@ class GraphDbSpec extends SparkSpec {
       Seq("WasteItem", "WasteStream"))
     assert(db.query("CALL db.relationshipTypes()").as[String].collect().toSeq ===
       Seq("DISPOSED_IN"))
+    // property keys: the non-identity columns of the held frames
+    val keys = db.query("CALL db.propertyKeys()").as[String].collect().toSeq
+    assert(keys.nonEmpty && !keys.contains("uid") && !keys.contains("label")
+      && !keys.contains("src_uid") && !keys.contains("rel_type"))
+    assert(keys === keys.sorted && keys.distinct === keys)
 
     // getStats = the reference's label histogram + relationship count
     val stats = db.getStats.as[(String, Long)].collect().toMap
