@@ -1149,18 +1149,23 @@ object CypherFrontend {
       val headVar = ch.head.v.getOrElse(freshVar())
       val tailVar = tailPat.v.getOrElse(freshVar())
       require(headVar != tailVar, "shortestPath endpoints must be distinct variables")
+      val headFrame = nodeSide(ch.head, headVar)
+      val headSeed = headFrame
+        .select(col(ns(headVar, "uid")).as(s"$pv$$from")).distinct()
       if (all) {
         // allShortestPaths: EVERY walk tied at the pair's min depth —
         // walk multiplicity from the unrolled varReach (no level
-        // dedup), one endpoint-pair window to find the min, one filter.
-        // Neo4j's cardinality: one row per tied shortest path.
+        // dedup, SEEDED from the head set), one endpoint-pair window
+        // to find the min, one filter. Neo4j's cardinality: one row
+        // per tied shortest path.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(s"$pv$$from", s"$pv$$to")
-        val walks = varReach(rel, lo, hi, pv, withLen = true)
+        val walks = varReach(rel, lo, hi, pv, withLen = true,
+            seedFrom = Some(headSeed))
           .withColumn(s"$pv$$minlen", min(col(s"$pv$$len")).over(w))
           .filter(col(s"$pv$$len") === col(s"$pv$$minlen"))
           .drop(s"$pv$$minlen")
-        val df = nodeSide(ch.head, headVar)
+        val df = headFrame
           .join(walks, col(ns(headVar, "uid")) === col(s"$pv$$from"))
           .drop(s"$pv$$from")
           .join(nodeSide(tailPat, tailVar), col(s"$pv$$to") === col(ns(tailVar, "uid")))
@@ -1186,9 +1191,12 @@ object CypherFrontend {
             .select(col("start").as(s"$pv$$from"),
               col("reached").as(s"$pv$$to"), col("depth").as(s"$pv$$len"))
         else {
-          var step = e1
+          // level sets seeded from the head endpoint's node set: only
+          // walks FROM relevant sources enumerate (hub-safe)
+          val e1s = e1.join(headSeed, Seq(s"$pv$$from"), "left_semi")
+          var step = e1s
           var acc: Option[DataFrame] =
-            if (lo <= 1) Some(e1.withColumn(s"$pv$$len", lit(1))) else None
+            if (lo <= 1) Some(e1s.withColumn(s"$pv$$len", lit(1))) else None
           for (k <- 2 to hi) {
             step = step
               .select(col(s"$pv$$from"), col(s"$pv$$to").as(s"$pv$$mid"))
@@ -1202,7 +1210,7 @@ object CypherFrontend {
           acc.get.groupBy(s"$pv$$from", s"$pv$$to")
             .agg(min(col(s"$pv$$len")).as(s"$pv$$len"))
         }
-      val df = nodeSide(ch.head, headVar)
+      val df = headFrame
         .join(reach, col(ns(headVar, "uid")) === col(s"$pv$$from"))
         .drop(s"$pv$$from")
         .join(nodeSide(tailPat, tailVar), col(s"$pv$$to") === col(ns(tailVar, "uid")))
@@ -1216,7 +1224,8 @@ object CypherFrontend {
       * multiplicity preserved, no iteration state on the driver. */
     private def varReach(rel: RelPat, lo: Int, hi: Int, nsCol: String,
                          withLen: Boolean = false,
-                         withHops: Boolean = false): DataFrame = {
+                         withHops: Boolean = false,
+                         seedFrom: Option[DataFrame] = None): DataFrame = {
       var e = edges
       if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
       val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
@@ -1242,7 +1251,11 @@ object CypherFrontend {
       // needs length(p); the column is a literal, so it costs nothing
       def tag(df: DataFrame, k: Int): DataFrame =
         if (withLen) df.withColumn(s"$nsCol$$len", lit(k)) else df
-      var step = e1
+      // seeded enumeration: when the head endpoint is restricted (a
+      // labeled/filtered start set), the FIRST hop semi-joins it so
+      // walks from irrelevant sources never materialize — a hub graph
+      // makes the unseeded 2-hop frame O(hub degree squared) per hub
+      var step = seedFrom.fold(e1)(sd => e1.join(sd, Seq(from), "left_semi"))
       var acc: Option[DataFrame] = if (lo <= 1) Some(tag(step, 1)) else None
       for (k <- 2 to hi) {
         val joined = step
