@@ -787,8 +787,11 @@ object SimilarityQueries extends QueryPack {
     * table rests on. Same plan shapes as e05: two broadcast
     * assignment joins + a per-vector window, one equi-join search; the
     * driver-side count() sizes K (one long of metadata, not data). */
-  def e19IvfSqrtK(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+  /** The e19 coarse quantizer, shared with e21: K = max(4, ⌊√N⌋)
+    * cells — deterministic first-K seeds, one Lloyd refinement,
+    * nearest-cell by rounded cosine — so per-cell lists stay ~√N and
+    * the index PARAMETER scales with the data. */
+  private def sqrtKAssigned(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = math.max(4, math.sqrt(e.count().toDouble).toInt)
     val seeds = e.orderBy("vec_id").limit(k)
@@ -803,7 +806,32 @@ object SimilarityQueries extends QueryPack {
     }
     val refined = assign(seeds).groupBy(col("cell").as("c_id"))
       .agg(graft.functions.VecOps.vecMean(col("v")).as("cv"))
-    val assigned = assign(refined)
+    assign(refined)
+  }
+
+  /** e21 — SemDeDup over the √N-cell index (e20's SCALE path): the
+    * same greedy keep-first dedup, but the cluster count grows with
+    * the corpus, so per-cell pair work is ~(√N)² = N per cell and
+    * N^1.5 total instead of the fixed-cell quadratic — the paper's
+    * own regime (cell size roughly constant as clusters scale out).
+    * Same verdict frame as e20. */
+  def e21SemDedupSqrtK(s: SparkSession, dir: String): DataFrame = {
+    val assigned = sqrtKAssigned(emb(s, dir)).localCheckpoint(true)
+    val earlier = assigned.select(col("cell"),
+      col("vec_id").as("earlier"), col("v").as("ev"))
+    val dups = assigned.join(earlier, Seq("cell"))
+      .filter(col("earlier") < col("vec_id"))
+      .filter(round(cosine(col("ev"), col("v")), 6) >= 0.45)
+      .groupBy("vec_id").agg(min("earlier").as("dup_of"))
+    assigned.join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  def e19IvfSqrtK(s: SparkSession, dir: String): DataFrame = {
+    val assigned = sqrtKAssigned(emb(s, dir))
+    import org.apache.spark.sql.expressions.Window
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
     val c = assigned.filter(col("vec_id") >= 10)
@@ -819,6 +847,7 @@ object SimilarityQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "e21_semdedup_sqrtk"  -> (e21SemDedupSqrtK _),
     "e19_ivf_sqrtk"       -> (e19IvfSqrtK _),
     "e18_filtered_knn"    -> (e18FilteredKnn _),
     "e17_mips_reduction"  -> (e17MipsReduction _),
@@ -1271,6 +1300,39 @@ object SimilarityQueries extends QueryPack {
     // Lloyd step (avg per dim over the seed assignment), reassign,
     // nprobe=1 — both sides round cosines to 6dp before every rank so
     // double-vs-list mean drift cannot flip an assignment.
+    // e21: the e19 assignment CTEs + e20's greedy keep-first dups.
+    "e21_semdedup_sqrtk" ->
+      s"""WITH p AS (
+        |  SELECT CAST(greatest(4, floor(sqrt((SELECT count(*) FROM embeddings)))) AS BIGINT) AS k),
+        |seeds AS (
+        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM p)),
+        |a0 AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, s.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${sqlCos("e.embedding", "s.cv")}, 6) DESC, s.c_id) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s)
+        |  WHERE rn = 1),
+        |cent AS (
+        |  SELECT cell AS c_id, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT cell, i AS dim, avg(embedding[i]::DOUBLE) AS m
+        |    FROM a0, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell),
+        |a1 AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${sqlCos("e.embedding", "c.cv")}, 6) DESC, c.c_id) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |dups AS (
+        |  SELECT v.vec_id, min(u.vec_id) AS dup_of
+        |  FROM a1 v JOIN a1 u ON v.cell = u.cell AND u.vec_id < v.vec_id
+        |  WHERE round(${sqlCos("u.embedding", "v.embedding")}, 6) >= 0.45
+        |  GROUP BY v.vec_id)
+        |SELECT a.vec_id, a.cell, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+        |FROM a1 a LEFT JOIN dups d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     "e19_ivf_sqrtk" ->
       s"""WITH p AS (
         |  SELECT CAST(greatest(4, floor(sqrt((SELECT count(*) FROM embeddings)))) AS BIGINT) AS k),
