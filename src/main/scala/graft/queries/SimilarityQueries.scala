@@ -148,11 +148,20 @@ object SimilarityQueries extends QueryPack {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("c_label").as("cell"))
       .localCheckpoint(true)
+    semDup(assigned, 0.45)
+  }
+
+  /** The SemDeDup verdict kernel on a caller-supplied assignment
+    * (vec_id, v, cell) — shared by e20/e21 and driven directly by
+    * SemDedupSpec: within-cell pairs only, greedy keep-first (a vector
+    * is a dup when an earlier cluster-mate clears `tau`; dup_of = the
+    * earliest such mate, the deterministic removal plan). */
+  private[queries] def semDup(assigned: DataFrame, tau: Double): DataFrame = {
     val earlier = assigned.select(col("cell"),
       col("vec_id").as("earlier"), col("v").as("ev"))
     val dups = assigned.join(earlier, Seq("cell"))
       .filter(col("earlier") < col("vec_id"))
-      .filter(round(cosine(col("ev"), col("v")), 6) >= 0.45)
+      .filter(round(cosine(col("ev"), col("v")), 6) >= tau)
       .groupBy("vec_id").agg(min("earlier").as("dup_of"))
     assigned.join(dups, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"), col("dup_of"),
@@ -815,19 +824,8 @@ object SimilarityQueries extends QueryPack {
     * N^1.5 total instead of the fixed-cell quadratic — the paper's
     * own regime (cell size roughly constant as clusters scale out).
     * Same verdict frame as e20. */
-  def e21SemDedupSqrtK(s: SparkSession, dir: String): DataFrame = {
-    val assigned = sqrtKAssigned(emb(s, dir)).localCheckpoint(true)
-    val earlier = assigned.select(col("cell"),
-      col("vec_id").as("earlier"), col("v").as("ev"))
-    val dups = assigned.join(earlier, Seq("cell"))
-      .filter(col("earlier") < col("vec_id"))
-      .filter(round(cosine(col("ev"), col("v")), 6) >= 0.45)
-      .groupBy("vec_id").agg(min("earlier").as("dup_of"))
-    assigned.join(dups, Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("cell"), col("dup_of"),
-        col("dup_of").isNotNull.as("is_dup"))
-      .orderBy("vec_id")
-  }
+  def e21SemDedupSqrtK(s: SparkSession, dir: String): DataFrame =
+    semDup(sqrtKAssigned(emb(s, dir)).localCheckpoint(true), 0.45)
 
   def e19IvfSqrtK(s: SparkSession, dir: String): DataFrame = {
     val assigned = sqrtKAssigned(emb(s, dir))
