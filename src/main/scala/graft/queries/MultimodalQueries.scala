@@ -320,13 +320,23 @@ object MultimodalQueries extends QueryPack {
     * offset. Output per batch: size (8 except each bucket's last),
     * id range, and the batch's true AR spread. */
   def m16ArBucketBatches(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val dims = graft.functions.Multimodal.pngMedia(s, dir).toDF()
       .select(col("id"),
         conv(hex(expr("substring(media, 17, 4)")), 16, 10).cast("int").as("w"),
         conv(hex(expr("substring(media, 21, 4)")), 16, 10).cast("int").as("h"))
-    val ladder = s.createDataFrame(
+    arBatches(dims, parts, batchSize = 8)
+  }
+
+  /** The m16 kernel on a caller-supplied (id, w, h) frame — driven by
+    * ArBucketSpec on hand-built dimensions with varying partition
+    * counts. Ladder assignment by rounded log-space distance (smaller
+    * bucket on ties), per-bucket positions via the d45 two-pass prefix
+    * sum, fixed-size batches in id order. */
+  private[queries] def arBatches(dims: DataFrame, parts: Int,
+                                 batchSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ladder = dims.sparkSession.createDataFrame(
       Seq(0.5, 0.75, 1.0, 1.333333, 2.0).map(Tuple1(_))).toDF("b")
     val ar = col("w").cast("double") / col("h")
     val wAssign = Window.partitionBy("id").orderBy(asc("dist"), asc("b"))
@@ -345,7 +355,7 @@ object MultimodalQueries extends QueryPack {
     ranged.join(broadcast(offs), Seq("b", "pid"))
       .withColumn("pos", row_number().over(
         Window.partitionBy("b", "pid").orderBy("id")) - 1 + col("off"))
-      .withColumn("batch_id", floor(col("pos") / 8).cast("long"))
+      .withColumn("batch_id", floor(col("pos") / batchSize).cast("long"))
       .groupBy(col("b").as("bucket"), col("batch_id"))
       .agg(count(lit(1)).as("n_imgs"),
         min("id").as("first_id"), max("id").as("last_id"),
