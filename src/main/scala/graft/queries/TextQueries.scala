@@ -1206,6 +1206,38 @@ object TextQueries extends QueryPack {
       .orderBy("seq_id")
   }
 
+  /** d46 — train→eval NOVELTY probe (the memorization metric an
+    * LLM-eval pipeline reports: what fraction of an eval document's
+    * 8-word windows already appear in the training split — windows
+    * "seen in training" are candidates for memorized, not generalized,
+    * performance). Split by doc-id hash (deterministic 25% eval), the
+    * d39 sliding-window hashing, one DISTINCT train-window set, one
+    * hash equi-join. At 100 TB the train set is the big side of a
+    * plain keyed join — bucketable on the window hash, never an
+    * all-pairs comparison; the same shape as decontamination (d18) run
+    * in the opposite direction. */
+  def d46NoveltyProbe(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val base = docs(s, dir).select(col("doc_id"), words.as("w"))
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "4", "eval")
+          .otherwise("train"))
+    val wins = base.filter(size(col("w")) >= k)
+      .select(col("doc_id"), col("split"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
+          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))).as("h"))
+    val train = wins.filter(col("split") === "train")
+      .select(col("h").as("th")).distinct()
+    wins.filter(col("split") === "eval")
+      .join(train, col("h") === col("th"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("th")).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_windows"), 6))
+      .orderBy("doc_id")
+  }
+
   /** d39 — exact-substring span dedup (the ExactSubstr shape of Lee et
     * al., "Deduplicating Training Data Makes Language Models Better"):
     * every SLIDING k=8-word window is hashed; any window whose hash was
@@ -1430,6 +1462,7 @@ object TextQueries extends QueryPack {
     "d41_exactsubstr_clean" -> (d41ExactSubstrClean _),
     "d40_dsir_select"   -> (d40DsirSelect _),
     "d39_exact_substr"  -> (d39ExactSubstr _),
+    "d46_novelty_probe" -> (d46NoveltyProbe _),
     "d45_seq_pack" -> (d45SeqPack _),
     "d38_epoch_shuffle" -> (d38EpochShuffle _),
     "d37_encoding_quality" -> (d37EncodingQuality _),
@@ -1706,6 +1739,29 @@ object TextQueries extends QueryPack {
     // d38: same md5(doc_id:epoch) salt, same nibble->shard map, same
     // (h, doc_id) rank — the permutation is engine-independent by
     // construction.
+    // d46: same split law, same window hash string, an IN-subquery
+    // for the train set.
+    "d46_novelty_probe" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+        |      THEN 'eval' ELSE 'train' END AS split
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, split,
+        |    md5(array_to_string(w[i:i+7], ' ')) AS h
+        |  FROM t, LATERAL (
+        |    SELECT unnest(range(1, len(w) - 8 + 2)) AS i) g
+        |  WHERE len(w) >= 8),
+        |tr AS (SELECT DISTINCT h FROM wins WHERE split = 'train'),
+        |ev AS (SELECT doc_id, h FROM wins WHERE split = 'eval')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(count(*) FILTER (WHERE h IN (SELECT h FROM tr)) AS BIGINT)
+        |    AS n_seen,
+        |  round(1.0 - (count(*) FILTER (WHERE h IN (SELECT h FROM tr)))
+        |    ::DOUBLE / count(*), 6) AS novelty
+        |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // d45: the same concat-and-cut law as one global window cumsum
     // (the oracle can afford the single-threaded form) + a lateral
     // unnest over each doc's touched sequence range.
