@@ -82,7 +82,17 @@ object CypherProbe {
       "nested list index" -> "MATCH (w:WasteItem) RETURN split(w.name, 'a')[0] AS first, last(split(w.name, 'a')) AS lst",
       "all/any predicate" -> "MATCH (w:WasteItem) WHERE all(x IN [1,2] WHERE x > 0) AND any(y IN [0,1] WHERE y = 1) RETURN w.name AS name",
       "none/single"    -> "MATCH (w:WasteItem) WHERE none(x IN [1] WHERE x < 0) AND single(y IN [1,2] WHERE y = 2) RETURN w.name AS name",
-      "optional match where" -> "MATCH (w:WasteItem) OPTIONAL MATCH (w)-[:DISPOSED_AT]->(f) WHERE f.name CONTAINS 'hof' RETURN w.name AS w, f.name AS f")
+      "optional match where" -> "MATCH (w:WasteItem) OPTIONAL MATCH (w)-[:DISPOSED_AT]->(f) WHERE f.name CONTAINS 'hof' RETURN w.name AS w, f.name AS f",
+      "null order asc"  -> "MATCH (n) RETURN n.address AS a ORDER BY a LIMIT 2",
+      "string concat +" -> "MATCH (n:Facility) RETURN n.name + '!' AS x, 'k=' + n.name AS y, n.name + 1 AS z",
+      "list concat +"   -> "UNWIND [0] AS z RETURN [1] + [2, 3] AS a, [1] + 2 AS b",
+      "pattern compreh" -> "MATCH (s:WasteStream) RETURN s.name AS s, [(w:WasteItem)-[:DISPOSED_IN]->(s) | w.name] AS ws",
+      "pattern compreh WHERE" -> "MATCH (s:WasteStream) RETURN [(w)-[:DISPOSED_IN]->(s) WHERE w.name STARTS WITH 'A' | w.name] AS ws",
+      "stDev/stDevP"    -> "UNWIND [1, 2, 3, 4] AS x RETURN stDev(x) AS sd, stDevP(x) AS sdp",
+      "percentileCont/Disc" -> "UNWIND [1, 2, 3, 4] AS x RETURN percentileCont(x, 0.5) AS pc, percentileDisc(x, 0.5) AS pd",
+      "exists(prop)"    -> "MATCH (n) WHERE exists(n.address) RETURN count(*) AS c",
+      "bare bool alias" -> "MATCH (n) WITH n, exists(n.address) AS has WHERE has RETURN count(*) AS c",
+      "toBoolean"       -> "UNWIND [0] AS z RETURN toBoolean('true') AS t")
 
     var pass = 0
     battery.foreach { case (tag, q) =>

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, LongType, StringType}
 
 /** Cypher-string front-end over node/edge DataFrames — the reference's
   * arbitrary-Cypher query API (`neo4j_db.py:93-106`) for its READ
@@ -138,6 +139,10 @@ object CypherFrontend {
   private case class PXor(l: Pred, r: Pred) extends Pred
   private case class PNot(p: Pred) extends Pred
   private case class PIsNull(e: Expr, negated: Boolean) extends Pred
+  /** Bare boolean expression in predicate position (`WHERE flag`,
+    * `WHERE exists(n.prop)`) — Cypher truthiness is boolean-only:
+    * compiles to `expr = true`, so a null stays null and filters out. */
+  private case class PBoolE(e: Expr) extends Pred
   /** `e IN list` — literal/param lists compile to `isin` (pushdown-
     * friendly), column-valued lists to `array_contains`. */
   private case class PIn(l: Expr, r: Expr) extends Pred
@@ -254,9 +259,10 @@ object CypherFrontend {
     * numeric ids are storage-internal); `size` is list-size for list
     * literals and string-length otherwise. */
   private val scalarFns = Set("coalesce", "tolower", "toupper", "tostring",
-    "tointeger", "tofloat", "substring", "replace", "split", "trim",
-    "ltrim", "rtrim", "left", "right", "abs", "round", "floor", "ceil",
-    "size", "id", "length", "range", "properties", "keys", "head", "last")
+    "tointeger", "tofloat", "toboolean", "substring", "replace", "split",
+    "trim", "ltrim", "rtrim", "left", "right", "abs", "round", "floor",
+    "ceil", "size", "id", "length", "range", "properties", "keys", "head",
+    "last", "exists")
 
   private[graph] def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -642,6 +648,11 @@ object CypherFrontend {
         ELabels0(v)
       case Some(TId("type")) if toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("("); val v = ident(); eatSym(")"); EType(v)
+      case Some(TKw("EXISTS")) if toks.lift(pos + 1).exists(_.text == "(") =>
+        // legacy exists(n.prop) — EXISTS lexes as a keyword, so the
+        // generic scalar-function branch can't reach it
+        pos += 1; eatSym("("); val a = expr(); eatSym(")")
+        EFn("exists", Seq(a))
       case Some(TId(fn)) if fn.equalsIgnoreCase("reduce")
           && toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("(")
@@ -698,13 +709,31 @@ object CypherFrontend {
         val lim = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(num()) } else None
         eatSym("}")
         ECollect(cs.result(), w, ret, ob.result(), lim)
-      case Some(TId(fn)) if Set("count", "sum", "min", "max", "avg", "collect")(fn.toLowerCase)
+      case Some(TId(fn)) if Set("count", "sum", "min", "max", "avg", "collect",
+          "stdev", "stdevp")(fn.toLowerCase)
           && toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("(")
         val distinct = if (atKw("DISTINCT")) { eatKw("DISTINCT"); true } else false
         val arg = if (atSym("*")) { eatSym("*"); None } else Some(expr())
         eatSym(")")
         EAgg(fn.toLowerCase, arg, distinct)
+      case Some(TId(fn)) if Set("percentilecont", "percentiledisc")(fn.toLowerCase)
+          && toks.lift(pos + 1).exists(_.text == "(") =>
+        // percentileCont(x, p) / percentileDisc(x, p): the literal
+        // fraction rides INSIDE the fn name (`percentilecont:0.5`) so
+        // every EAgg traversal (hasAgg, liftAggs, zeroRowExpr) stays
+        // single-argument — fn is opaque to all of them
+        pos += 1; eatSym("(")
+        val arg = expr()
+        eatSym(",")
+        val p = atom() match {
+          case ELit(d: Double) => d
+          case ELit(n: Long) => n.toDouble
+          case other => sys.error(s"percentile fraction must be a literal, got $other")
+        }
+        require(p >= 0.0 && p <= 1.0, s"percentile fraction out of [0,1]: $p")
+        eatSym(")")
+        EAgg(fn.toLowerCase + ":" + p, Some(arg), distinct = false)
       case Some(TId(fn)) if scalarFns(fn.toLowerCase)
           && toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("(")
@@ -723,6 +752,15 @@ object CypherFrontend {
       case TSym("[") =>
         // `[x IN list ...]` is a comprehension, not a list literal —
         // a literal can't have `IN` after its first element
+        def listLiteral(): Expr = {
+          val items = Seq.newBuilder[Expr]
+          while (!atSym("]")) {
+            items += expr()
+            if (atSym(",")) eatSym(",")
+          }
+          eatSym("]")
+          EList(items.result())
+        }
         if (peek.exists(_.isInstanceOf[TId]) &&
             toks.lift(pos + 1).exists { case TKw("IN") => true; case _ => false }) {
           val v = ident(); eatKw("IN")
@@ -733,15 +771,23 @@ object CypherFrontend {
           require(wh.isDefined || mp.isDefined,
             "comprehension needs a WHERE filter or a | projection")
           EComp(v, lst, wh, mp)
-        } else {
-          val items = Seq.newBuilder[Expr]
-          while (!atSym("]")) {
-            items += expr()
-            if (atSym(",")) eatSym(",")
-          }
-          eatSym("]")
-          EList(items.result())
-        }
+        } else if (peek.exists(_.text == "(")) {
+          // pattern comprehension `[(a)-[:R]->(b) WHERE p | e]` —
+          // sugar for COLLECT { MATCH ... RETURN e }, parsed into the
+          // same ECollect node (one ordered window collect + left
+          // join with empty-list refill at the use site). A
+          // parenthesized first element (`[(1+2), 3]`) fails the
+          // pattern parse and backtracks to the list literal.
+          val save = pos
+          scala.util.Try {
+            val ch = chain()
+            val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
+            eatSym("|")
+            val ret = expr()
+            eatSym("]")
+            ECollect(Seq(ch), w, ret, Nil, None)
+          }.getOrElse { pos = save; listLiteral() }
+        } else listLiteral()
       case TSym("-") => atom() match { // negative literal (write `< -1` spaced)
         case ELit(v: Long) => ELit(-v)
         case ELit(v: Double) => ELit(-v)
@@ -879,8 +925,21 @@ object CypherFrontend {
         case Some(TSym("=~")) => eatSym("=~"); PStr("regex", l, atom())
         case Some(TSym(op)) if Set("=", "<>", "<", "<=", ">", ">=")(op) =>
           eatSym(op); PCmp(op, l, expr())
+        // bare boolean expression as the whole predicate — only forms
+        // that can plausibly BE boolean (a literal, a bound alias, a
+        // boolean-returning function); anything else keeps the
+        // comparison-expected error
+        case _ if boolishExpr(l) => PBoolE(l)
         case t => sys.error(s"expected comparison after expression, got '${t.map(_.text)}'")
       }
+    }
+
+    /** Can this expression plausibly be a bare boolean predicate? */
+    private def boolishExpr(e: Expr): Boolean = e match {
+      case ELit(_: Boolean) => true
+      case EVar(_) => true // a WITH-bound boolean alias (typed at analysis)
+      case EFn("exists" | "toboolean", _) => true
+      case _ => false
     }
 
     /** Try `(v)-[:T1|T2]->()` / `(v)<-[:T]-(:Label)`; None if not that shape. */
@@ -1387,7 +1446,7 @@ object CypherFrontend {
               "correlated CALL: WITH ... SKIP/LIMIT needs ORDER BY " +
                 "(per-binding pagination must be deterministic)")
             val sortCols = ws.orderBy.map { case (e, asc) =>
-              if (asc) exprCol(e).asc else exprCol(e).desc
+              if (asc) exprCol(e).asc_nulls_last else exprCol(e).desc_nulls_first
             }
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(corrCols.map(c => col("`" + c + "`")): _*)
@@ -1406,7 +1465,7 @@ object CypherFrontend {
           // semi/anti joins on their uid)
           if (ws.orderBy.nonEmpty)
             df = df.orderBy(ws.orderBy.map { case (e, asc) =>
-              if (asc) exprCol(e).asc else exprCol(e).desc
+              if (asc) exprCol(e).asc_nulls_last else exprCol(e).desc_nulls_first
             }: _*)
           ws.skip.foreach(n => df = df.offset(n.toInt))
           ws.limit.foreach(n => df = df.limit(n.toInt))
@@ -1581,7 +1640,8 @@ object CypherFrontend {
           val sortCols = q.orderBy.zipWithIndex.map { case (k, ix) =>
             val name = q.items.find(i => i.text == k.ref || i.alias.contains(k.ref))
               .map(outName).getOrElse(s"_ord$$$ix")
-            if (k.asc) col("`" + name + "`").asc else col("`" + name + "`").desc
+            if (k.asc) col("`" + name + "`").asc_nulls_last
+            else col("`" + name + "`").desc_nulls_first
           }
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(corr: _*).orderBy(sortCols: _*)
@@ -1632,7 +1692,8 @@ object CypherFrontend {
           result.orderBy(q.orderBy.map { k =>
             val alias = q.items.find(i => i.text == k.ref || i.alias.contains(k.ref))
               .map(outName).getOrElse(k.ref)
-            if (k.asc) col("`" + alias + "`").asc else col("`" + alias + "`").desc
+            if (k.asc) col("`" + alias + "`").asc_nulls_last
+            else col("`" + alias + "`").desc_nulls_first
           }: _*)
         } else {
           // some key is NOT a returned item (ORDER BY n.age with only
@@ -1641,7 +1702,7 @@ object CypherFrontend {
           val keyCols = q.orderBy.map { k =>
             val e = q.items.find(i => i.alias.contains(k.ref) || i.text == k.ref)
               .map(_.expr).getOrElse(k.expr)
-            if (k.asc) exprCol(e).asc else exprCol(e).desc
+            if (k.asc) exprCol(e).asc_nulls_last else exprCol(e).desc_nulls_first
           }
           df.orderBy(keyCols: _*)
             .select(q.items.map(i => exprCol(i.expr).as(outName(i))): _*)
@@ -1820,6 +1881,7 @@ object CypherFrontend {
       case POr(l, r) => collectExistsChains(l) ++ collectExistsChains(r)
       case PXor(l, r) => collectExistsChains(l) ++ collectExistsChains(r)
       case PNot(i) => collectExistsChains(i)
+      case PBoolE(e) => existsChainsE(e)
       case _ => Seq.empty
     }
 
@@ -1854,6 +1916,7 @@ object CypherFrontend {
       case POr(l, r) => collectPatterns(l) ++ collectPatterns(r)
       case PXor(l, r) => collectPatterns(l) ++ collectPatterns(r)
       case PNot(i) => collectPatterns(i)
+      case PBoolE(e) => patternsE(e)
       case _ => Seq.empty
     }
 
@@ -1933,6 +1996,7 @@ object CypherFrontend {
       case PStr(_, l, r) => countSubsE(l) ++ countSubsE(r)
       case PIn(l, r) => countSubsE(l) ++ countSubsE(r)
       case PIsNull(e, _) => countSubsE(e)
+      case PBoolE(e) => countSubsE(e)
       case PAnd(l, r) => countSubsP(l) ++ countSubsP(r)
       case POr(l, r) => countSubsP(l) ++ countSubsP(r)
       case PXor(l, r) => countSubsP(l) ++ countSubsP(r)
@@ -2028,7 +2092,8 @@ object CypherFrontend {
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(shared.map(v => col(s"$cname$$$v")): _*)
               .orderBy(sortPairs.zipWithIndex.map { case ((_, asc), j) =>
-                if (asc) col(s"$cname$$s$j").asc else col(s"$cname$$s$j").desc }: _*)
+                if (asc) col(s"$cname$$s$j").asc_nulls_last
+                else col(s"$cname$$s$j").desc_nulls_first }: _*)
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                 org.apache.spark.sql.expressions.Window.unboundedFollowing)
             var lists = proj
@@ -2100,6 +2165,7 @@ object CypherFrontend {
         if (neg) c.isNotNull else c.isNull
       case PIsNull(e, neg) =>
         if (neg) exprCol(e).isNotNull else exprCol(e).isNull
+      case PBoolE(e) => exprCol(e) === lit(true)
       case PAnd(l, r) => predCol(l) && predCol(r)
       case POr(l, r) => predCol(l) || predCol(r)
       case PXor(l, r) => predCol(l) =!= predCol(r)
@@ -2123,6 +2189,52 @@ object CypherFrontend {
       case PExistsChain(_, _) =>
         sys.error("multi-hop EXISTS { } in a column-only position " +
           "(OPTIONAL MATCH WHERE / WITH ... WHERE under aggregation)")
+    }
+
+    /** Best-effort STATIC type of an expression — drives Cypher's
+      * overloaded `+` (concatenation vs addition). None = unknown
+      * (WITH-bound scalars, opaque params): both-unknown operands keep
+      * numeric addition, so only provably-string/list operands change
+      * the compiled form. Property types come from the node/edge
+      * frame schemas, so a string property concatenates without any
+      * annotation. */
+    private def staticType(e: Expr): Option[DataType] = e match {
+      case ELit(_: String) => Some(StringType)
+      case ELit(_: Long) => Some(LongType)
+      case ELit(_: Double) => Some(DoubleType)
+      case ELit(_: Boolean) => Some(BooleanType)
+      case EProp(v, k) if !lambdaVars.contains(v) && !scalarVars(v) =>
+        val sch = if (relVars(v)) edges.schema else nodes.schema
+        sch.fields.find(_.name == k).map(_.dataType)
+      case EList(xs) =>
+        Some(ArrayType(xs.flatMap(staticType).headOption.getOrElse(StringType)))
+      case ELabels0(_) | EType(_) => Some(StringType)
+      case EFn(f, as) => f match {
+        case "tolower" | "toupper" | "tostring" | "trim" | "ltrim" |
+             "rtrim" | "replace" | "substring" | "left" | "right" =>
+          Some(StringType)
+        case "tointeger" | "size" | "length" | "abs" | "round" |
+             "floor" | "ceil" => Some(LongType)
+        case "tofloat" => Some(DoubleType)
+        case "split" => Some(ArrayType(StringType))
+        case "range" => Some(ArrayType(LongType))
+        case "coalesce" => as.flatMap(staticType).headOption
+        case "head" | "last" => as.headOption.flatMap(staticType).collect {
+          case ArrayType(et, _) => et
+        }
+        case _ => None
+      }
+      case EArith("+", l, r) =>
+        (staticType(l), staticType(r)) match {
+          case (Some(a: ArrayType), _) => Some(a)
+          case (_, Some(a: ArrayType)) => Some(a)
+          case (a, b) if a.contains(StringType) || b.contains(StringType) =>
+            Some(StringType)
+          case (a, _) => a
+        }
+      case ECase(_, whens, els) =>
+        (whens.map(_._2) ++ els).flatMap(staticType).headOption
+      case _ => None
     }
 
     private def exprCol(e: Expr): Column = e match {
@@ -2164,7 +2276,21 @@ object CypherFrontend {
       case EArith(op, l, r) =>
         val (lc, rc) = (exprCol(l), exprCol(r))
         op match {
-          case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+          case "+" =>
+            // Cypher's overloaded `+`: list ++ element/list, string
+            // concatenation when EITHER operand is a string ('a'+1 =
+            // 'a1'), numeric addition otherwise. Resolved statically
+            // from literal/property/function types — both-unknown
+            // operands (WITH scalars, params) stay numeric addition.
+            (staticType(l), staticType(r)) match {
+              case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
+              case (Some(_: ArrayType), _) => concat(lc, array(rc))
+              case (_, Some(_: ArrayType)) => concat(array(lc), rc)
+              case (a, b) if a.contains(StringType) || b.contains(StringType) =>
+                concat(lc.cast("string"), rc.cast("string"))
+              case _ => lc + rc
+            }
+          case "-" => lc - rc; case "*" => lc * rc
           case "/" => lc / rc; case "%" => lc % rc
           case "^" => pow(lc, rc) // Cypher ^ returns float, as pow does
           case other => sys.error(s"unknown arithmetic operator $other")
@@ -2229,6 +2355,14 @@ object CypherFrontend {
         case "tostring" => arity(args.size == 1); a(0).cast("string")
         case "tointeger" => arity(args.size == 1); a(0).cast("long")
         case "tofloat" => arity(args.size == 1); a(0).cast("double")
+        case "toboolean" => arity(args.size == 1); a(0).cast("boolean")
+        case "exists" => args match {
+          // legacy exists(n.prop) property-existence form
+          case Seq(EProp(_, _)) => a(0).isNotNull
+          case _ => sys.error(
+            "exists() takes a property access (exists(n.prop)); " +
+              "pattern existence is EXISTS { ... }")
+        }
         case "substring" =>
           arity(args.size == 2 || args.size == 3)
           val len = if (args.size == 3) a(2) else lit(Int.MaxValue)
@@ -2343,6 +2477,7 @@ object CypherFrontend {
         case PXor(l, r) => inP(l) || inP(r)
         case PNot(i) => inP(i)
         case PIsNull(e, _) => inE(e)
+        case PBoolE(e) => inE(e)
         case _ => false // PPattern / PHasLabel / PQuant bind no scalars
       }
       inP(p)
@@ -2398,6 +2533,7 @@ object CypherFrontend {
       case PXor(l, r) => predHasAgg(l) || predHasAgg(r)
       case PNot(i) => predHasAgg(i)
       case PIsNull(e, _) => hasAgg(e)
+      case PBoolE(e) => hasAgg(e)
       case _ => false // PPattern / PHasLabel / PQuant carry no aggregates
     }
 
@@ -2445,6 +2581,7 @@ object CypherFrontend {
       case PXor(l, r) => PXor(liftPredAggs(l, acc), liftPredAggs(r, acc))
       case PNot(i) => PNot(liftPredAggs(i, acc))
       case PIsNull(e2, n) => PIsNull(liftAggs(e2, acc), n)
+      case PBoolE(e2) => PBoolE(liftAggs(e2, acc))
       case other => other
     }
 
@@ -2469,6 +2606,22 @@ object CypherFrontend {
         fn match {
           case "sum" => sum(c); case "min" => min(c); case "max" => max(c)
           case "avg" => avg(c)
+          case "stdev" => stddev_samp(c) // Neo4j stDev = sample (n-1)
+          case "stdevp" => stddev_pop(c)
+          case pc if pc.startsWith("percentilecont:") =>
+            // linear interpolation — Spark's exact `percentile`
+            call_function("percentile", c,
+              lit(pc.stripPrefix("percentilecont:").toDouble))
+          case pd if pd.startsWith("percentiledisc:") =>
+            // Neo4j percentileDisc: the ceil(p*n)-th smallest VALUE
+            // (1-based, nearest-rank). Materializes the group as a
+            // sorted list — group-sized memory, the same cost Neo4j
+            // pays; fine for analytics-sized groups, not for a
+            // billion-row group (use percentileCont there).
+            val p = pd.stripPrefix("percentiledisc:").toDouble
+            val sorted = sort_array(collect_list(c))
+            element_at(sorted,
+              greatest(lit(1), ceil(size(sorted) * lit(p))).cast("int"))
           case other => sys.error(s"unsupported aggregate $other")
         }
       case other => sys.error(s"not an aggregate: $other")
@@ -2525,7 +2678,8 @@ object CypherFrontend {
       if (ob.nonEmpty) r = r.orderBy(ob.map { k =>
         require(r.columns.contains(k.ref),
           s"ORDER BY after UNION must use output column names (got '${k.ref}')")
-        if (k.asc) col("`" + k.ref + "`").asc else col("`" + k.ref + "`").desc
+        if (k.asc) col("`" + k.ref + "`").asc_nulls_last
+        else col("`" + k.ref + "`").desc_nulls_first
       }: _*)
       sk.foreach(n => r = r.offset(n.toInt))
       lim.foreach(n => r = r.limit(n.toInt))

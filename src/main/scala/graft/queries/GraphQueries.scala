@@ -1590,7 +1590,88 @@ object GraphQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** g67 — ORDER BY null-ordering parity (Neo4j: null sorts as the
+    * LARGEST value — last ascending, first descending; Spark's default
+    * is the opposite). The CASE plants nulls on the '2'-suffixed
+    * nations; the LIMITs make the ordering observable through WHICH
+    * rows survive (the driver compare is row-order-insensitive).
+    * Compiled as `asc_nulls_last` / `desc_nulls_first` at every
+    * ORDER BY site, so the fix rides windows, UNION tails and
+    * correlated-CALL pagination too. */
+  def g67CypherNullOrder(s: SparkSession, dir: String): DataFrame = {
+    def q(dirWord: String, tag: String, lim: Int) =
+      graft.graph.CypherFrontend.run(
+        s"""MATCH (n:Nation)
+           |RETURN n.name AS name,
+           |  CASE WHEN n.name ENDS WITH '2' THEN NULL
+           |       ELSE toInteger(size(n.name)) END AS k,
+           |  '$tag' AS tag
+           |ORDER BY k $dirWord, name LIMIT $lim""".stripMargin,
+        nodes(s, dir), edges(s, dir))
+    q("ASC", "asc", 12).unionByName(q("DESC", "desc", 3))
+  }
+
+  /** g68 — Cypher's overloaded `+`: string concatenation when either
+    * operand is a string ('a'+1 = 'a1'), list concatenation for list
+    * operands, numeric addition otherwise — resolved STATICALLY from
+    * literal/property/function types (the node frame's schema types
+    * the properties), so the concat compiles to codegen'd `concat`,
+    * never a UDF. Pre-fix this compiled to numeric addition and
+    * silently returned null. */
+  def g68CypherConcat(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        |WHERE n.name ENDS WITH '3'
+        |RETURN n.name + '@' + r.name AS tagged,
+        |  'key=' + n.name AS keyed,
+        |  size([n.name] + [r.name]) AS n_both,
+        |  n.name + '#' + toInteger(size(n.name)) AS numtail
+        |ORDER BY tagged""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
+  /** g69 — pattern comprehensions `[(a)-[:R]->(b) WHERE p | e]`
+    * (Neo4j's inline neighbor-list idiom, the form a Graph-RAG prompt
+    * builder writes before reaching for COLLECT {}): parsed into the
+    * SAME ECollect node as COLLECT { } subqueries — one ordered window
+    * collect per distinct comprehension + one left join with
+    * empty-list refill — so the 100 TB cost is one keyed shuffle,
+    * never per-row subquery execution. The filtered comprehension is
+    * empty for four of five regions (gating the refill through
+    * size()). */
+  def g69CypherPatternComp(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (r:Region)
+        |RETURN r.name AS region,
+        |  [(n:Nation)-[:IN_REGION]->(r) | n.name] AS nations,
+        |  size([(n:Nation)-[:IN_REGION]->(r)
+        |    WHERE n.name ENDS WITH '4' | n.name]) AS fours
+        |ORDER BY region""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
+  /** g70 — statistics aggregates (Neo4j's stDev/stDevP/
+    * percentileCont/percentileDisc): sample/population stddev map to
+    * Spark's codegen'd partial-merge aggregates; percentileCont to
+    * exact interpolated `percentile`; percentileDisc to Neo4j's
+    * nearest-rank contract (the ceil(p·n)-th smallest value) via a
+    * sorted group list. Rounded to 6 decimals on both sides so the
+    * gate checks semantics, not float ulps. */
+  def g70CypherStatsAggs(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        |RETURN n.name AS nation,
+        |  round(stDev(size(c.name)), 6) AS sd,
+        |  round(stDevP(size(c.name)), 6) AS sdp,
+        |  round(percentileCont(size(c.name), 0.5), 6) AS med,
+        |  percentileDisc(size(c.name), 0.5) AS medd,
+        |  count(c) AS n_cust
+        |ORDER BY nation""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "g70_cypher_stats_aggs" -> (g70CypherStatsAggs _),
+    "g69_cypher_pattern_comp" -> (g69CypherPatternComp _),
+    "g68_cypher_concat" -> (g68CypherConcat _),
+    "g67_cypher_null_order" -> (g67CypherNullOrder _),
     "g66_cypher_all_shortest" -> (g66CypherAllShortest _),
     "g65_cypher_rel_binding" -> (g65CypherRelBinding _),
     "g64_cypher_pattern_expr" -> (g64CypherPatternExpr _),
@@ -1828,6 +1909,51 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g70: stddev/percentile aggregates; quantile_cont matches
+    // Spark's exact interpolated percentile, and at p=0.5 the
+    // discrete forms (Neo4j ceil(p*n) nearest-rank, DuckDB/Postgres
+    // first-value-at-cume>=p) coincide for every n.
+    "g70_cypher_stats_aggs" ->
+      """SELECT n_name AS nation,
+        |  round(stddev_samp(length(c_name)), 6) AS sd,
+        |  round(stddev_pop(length(c_name)), 6) AS sdp,
+        |  round(quantile_cont(length(c_name), 0.5), 6) AS med,
+        |  CAST(quantile_disc(length(c_name), 0.5) AS INT) AS medd,
+        |  count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    // g69: the comprehension lists as ordered list() scalar
+    // subqueries; the empty filtered comprehension counts 0.
+    "g69_cypher_pattern_comp" ->
+      """SELECT r_name AS region,
+        |  (SELECT coalesce(list(n_name ORDER BY n_name), CAST([] AS VARCHAR[]))
+        |   FROM nation WHERE n_regionkey = r_regionkey) AS nations,
+        |  (SELECT CAST(count(*) AS INT) FROM nation
+        |   WHERE n_regionkey = r_regionkey AND n_name LIKE '%4') AS fours
+        |FROM region ORDER BY region""".stripMargin,
+    // g68: Cypher + = SQL || for strings, list concat sized directly.
+    "g68_cypher_concat" ->
+      """SELECT n_name || '@' || r_name AS tagged,
+        |  'key=' || n_name AS keyed,
+        |  CAST(2 AS INT) AS n_both,
+        |  n_name || '#' || CAST(length(n_name) AS VARCHAR) AS numtail
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE n_name LIKE '%3'
+        |ORDER BY tagged""".stripMargin,
+    // g67: Neo4j null ordering made explicit (NULLS LAST asc / NULLS
+    // FIRST desc); the LIMITs make null placement row-observable.
+    "g67_cypher_null_order" ->
+      """SELECT name, k, tag FROM (
+        |  SELECT n_name AS name,
+        |    CASE WHEN n_name LIKE '%2' THEN NULL ELSE length(n_name) END AS k,
+        |    'asc' AS tag
+        |  FROM nation ORDER BY k ASC NULLS LAST, name LIMIT 12)
+        |UNION ALL
+        |SELECT name, k, tag FROM (
+        |  SELECT n_name AS name,
+        |    CASE WHEN n_name LIKE '%2' THEN NULL ELSE length(n_name) END AS k,
+        |    'desc' AS tag
+        |  FROM nation ORDER BY k DESC NULLS FIRST, name LIMIT 3)""".stripMargin,
     // g66: each supplier's tied shortest paths to '1'-customers are
     // the single 2-hop route through its nation.
     "g66_cypher_all_shortest" ->

@@ -1312,4 +1312,94 @@ class CypherFrontendSpec extends SparkSpec {
       """MATCH (w:WasteItem) MATCH (f:Facility) RETURN count(*) AS c"""))
     assert(e2.getMessage.contains("cross product"))
   }
+
+  test("ORDER BY sorts null as the LARGEST value (Neo4j null ordering)") {
+    // ascending: the two facilities with addresses come first; the six
+    // address-less nodes sort LAST (Spark's default would lead with them)
+    val asc = run(
+      "MATCH (n) RETURN n.name AS name, n.address AS addr ORDER BY addr LIMIT 2")
+      .as[(String, String)].collect().toSeq
+    assert(asc === Seq(("Wertstoffhof A", "Campusallee 1"),
+      ("Wertstoffhof B", "Nordring 7")))
+    // descending: nulls FIRST (null is largest)
+    val desc = run(
+      "MATCH (n) RETURN n.address AS addr ORDER BY addr DESC LIMIT 6")
+      .as[String].collect().toSeq
+    assert(desc.count(_ == null) === 6)
+  }
+
+  test("Cypher + concatenates strings and lists, adds numbers (static types)") {
+    val row = run(
+      """MATCH (f:Facility {name: 'Wertstoffhof A'})
+        |RETURN f.name + '!' AS bang,
+        |  'at: ' + f.address AS at,
+        |  f.name + 1 AS mixed,
+        |  [1] + [2, 3] AS lst,
+        |  [1, 2] + 3 AS lstel,
+        |  1 + 2 AS num""".stripMargin)
+      .collect().head
+    assert(row.getString(0) === "Wertstoffhof A!")
+    assert(row.getString(1) === "at: Campusallee 1")
+    assert(row.getString(2) === "Wertstoffhof A1") // string side wins
+    assert(row.getSeq[Long](3) === Seq(1L, 2L, 3L))
+    assert(row.getSeq[Long](4) === Seq(1L, 2L, 3L))
+    assert(row.getLong(5) === 3L)
+  }
+
+  test("pattern comprehensions are COLLECT {} sugar (ordered, empty-refilled)") {
+    val got = run(
+      """MATCH (s:WasteStream)
+        |RETURN s.name AS s,
+        |  [(w:WasteItem)-[:DISPOSED_IN]->(s) | w.name] AS ws,
+        |  [(w:WasteItem)-[:DISPOSED_IN]->(s)
+        |    WHERE w.name STARTS WITH 'A' | toLower(w.name)] AS a_ws,
+        |  size([(x)-[:DISPOSED_AT]->(s) | x.name]) AS at_deg
+        |ORDER BY s""".stripMargin)
+      .as[(String, Seq[String], Seq[String], Int)].collect().toSeq
+    assert(got === Seq(
+      ("Biomuell", Seq("Laub"), Seq(), 0),
+      ("Restmuell", Seq("Asche", "Bauschutt"), Seq("asche"), 0)))
+    // backtracking: a parenthesized first element is still a list literal
+    val lit = run("MATCH (f:Facility) RETURN [(1+2), 3] AS xs LIMIT 1")
+      .as[Seq[Long]].head()
+    assert(lit === Seq(3L, 3L))
+  }
+
+  test("stDev / stDevP / percentileCont / percentileDisc (Neo4j contracts)") {
+    val row = run(
+      """UNWIND [2, 4, 4, 4, 5, 5, 7, 9] AS x
+        |RETURN round(stDev(x), 6) AS sd, stDevP(x) AS sdp,
+        |  percentileCont(x, 0.5) AS med, percentileDisc(x, 0.5) AS medd""".stripMargin)
+      .collect().head
+    assert(row.getDouble(0) === 2.13809) // sample: n-1
+    assert(row.getDouble(1) === 2.0) // population: n
+    assert(row.getDouble(2) === 4.5) // interpolated
+    assert(row.getLong(3) === 4L) // nearest-rank: ceil(0.5*8) = 4th value
+    // percentileDisc at a boundary fraction: ceil(0.25*4) = 1st value
+    val d25 = run(
+      "UNWIND [10, 20, 30, 40] AS x RETURN percentileDisc(x, 0.25) AS p")
+      .as[Long].head()
+    assert(d25 === 10L)
+  }
+
+  test("exists(n.prop), toBoolean, and bare boolean predicates") {
+    val withAddr = run(
+      "MATCH (n) WHERE exists(n.address) RETURN count(*) AS c").as[Long].head()
+    assert(withAddr === 2L)
+    // bare WITH-bound boolean alias as the whole predicate
+    val viaAlias = run(
+      """MATCH (n) WITH n, exists(n.address) AS has
+        |WHERE has RETURN count(*) AS c""".stripMargin).as[Long].head()
+    assert(viaAlias === 2L)
+    val tb = run(
+      "MATCH (f:Facility) WHERE toBoolean('true') RETURN count(*) AS c")
+      .as[Long].head()
+    assert(tb === 2L)
+    // exists() in a RETURN item (expression position)
+    val flags = run(
+      """MATCH (n:Facility) RETURN n.name AS name, exists(n.address) AS has
+        |ORDER BY name""".stripMargin)
+      .as[(String, Boolean)].collect().toSeq
+    assert(flags === Seq(("Wertstoffhof A", true), ("Wertstoffhof B", true)))
+  }
 }
