@@ -1083,7 +1083,50 @@ object StreamQueries extends QueryPack {
     }
   }
 
+  /** s23 — the d48 quality classifier at INGEST: the same
+    * hashed-feature linear scorer running per micro-batch over a
+    * document stream. Stateless — each score depends only on its row —
+    * so streaming ≡ batch by construction, and the gate enforces it
+    * hash-exactly against d48's oracle. The 100 TB shape: corpus
+    * filtering runs ON the firehose (each batch one narrow codegen'd
+    * scan, no state store, no shuffle) instead of as a post-hoc
+    * full-corpus pass. */
+  def s23StreamQuality(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = Files.createTempDirectory("graft-s23-in")
+    val ckpt = Files.createTempDirectory("graft-s23-ckpt")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      graft.core.Tables.documents(s, dir).select("doc_id", "text")
+        .repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+      val schema = s.read.parquet(streamDir.toString).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val sink = "s23_sink_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = TextQueries.qualityClassify(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("s23: stream did not finish within 300s")
+      } finally q.stop()
+      val out = s.table(sink).orderBy("doc_id").localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.core.TempDirs.deleteQuietly(streamDir, "s23")
+      graft.core.TempDirs.deleteQuietly(ckpt, "s23")
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s23_stream_quality" -> (s23StreamQuality _),
     "s22_stream_rule_extract" -> (s22StreamRuleExtract _),
     "s21_stream_sketch" -> (s21StreamSketch _),
     "s20_stream_manifest" -> (s20StreamManifest _),
@@ -1110,6 +1153,8 @@ object StreamQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     // s22: stateless per-doc extraction ⇒ the stream's append union
     // must hash-match q110's batch oracle row-for-row.
+    // s23: stateless classifier — streaming result ≡ d48's batch oracle
+    "s23_stream_quality" -> TextQueries.qualitySql,
     "s22_stream_rule_extract" -> DocQueries.ruleCandidateSql,
     // s21: exact counts + the tolerance booleans; the sketch estimate
     // itself is engine-internal (DuckDB's HLL differs bit-wise), so

@@ -1206,6 +1206,84 @@ object TextQueries extends QueryPack {
       .orderBy("seq_id")
   }
 
+  /** d47 — RAG / context-window CHUNKING with overlap: each document
+    * splits into fixed-size token windows on a fixed stride (size 32,
+    * stride 24 → 8-token overlap), the retrieval-index preprocessing
+    * step every RAG pipeline runs before embedding. Pure per-row
+    * higher-order functions — split once, `sequence` enumerates chunk
+    * starts, `posexplode` + `slice` emit the windows — so the 100 TB
+    * cost is one narrow codegen'd scan with NO shuffle (output
+    * partitioning inherits the input); chunk count scales with
+    * tokens/stride, never with pairwise anything. */
+  def d47ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    chunkOverlap(docs(s, dir), C = 32, S = 24) // 8-token overlap
+
+  /** The d47 kernel on a caller-supplied (doc_id, text) frame —
+    * ChunkSpec drives hand corpora (coverage, overlap, tail chunks). */
+  private[queries] def chunkOverlap(docsDf: DataFrame, C: Int, S: Int): DataFrame =
+    docsDf
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(S)))
+          .as(Seq("chunk_ix", "start")))
+      .select(col("doc_id"), col("chunk_ix"), col("start"),
+        least(lit(C), size(col("toks")) - col("start")).as("n_toks"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(C)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_ix")
+
+  /** d48 — fastText-style LINEAR QUALITY CLASSIFIER over hashed
+    * unigram+bigram features: every gram maps to a deterministic
+    * weight (a mixed char/length hash into [-1, 1] — the stand-in for
+    * trained weights; a real model swaps the weight expression, the
+    * plan shape is identical), the document score is the mean feature
+    * weight, and `pass` is the sign — the cheap-model corpus filter
+    * that runs BEFORE expensive LLM scoring in a pretraining pipeline.
+    * Per-row `zip_with` bigrams + one codegen'd `aggregate` fold: no
+    * UDF, no shuffle, no vocabulary broadcast — at 100 TB this is a
+    * single narrow scan whose throughput is the parquet read. */
+  def d48QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qualityClassify(docs(s, dir)).orderBy("doc_id")
+
+  /** d48's DuckDB oracle — shared verbatim by the s23 streaming twin
+    * (stateless classifier: streaming ≡ batch). */
+  private[queries] val qualitySql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, list_concat(toks,
+      |        [p[1] || '_' || p[2]
+      |         FOR p IN list_zip(toks[1:-2], toks[2:])]) AS grams FROM t),
+      |sc AS (SELECT doc_id, CAST(len(grams) AS INT) AS n_feats,
+      |  CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+      |    round(list_sum([CAST((length(x)*131 + ascii(substr(x,1,1))*7919
+      |      + ascii(substr(x,-1,1))*104729) % 997 - 498 AS DOUBLE)/498.0
+      |      FOR x IN grams]) / len(grams), 6) END AS score
+      |  FROM g)
+      |SELECT doc_id, n_feats, score, score > 0 AS pass
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** The d48 kernel on a caller-supplied (doc_id, text) frame —
+    * unordered, so the s23 streaming twin can run it per micro-batch
+    * (stateless: the score depends only on the row). */
+  private[queries] def qualityClassify(docsDf: DataFrame): DataFrame = {
+    val w: Column => Column = g =>
+      ((length(g) * 131 + ascii(substring(g, 1, 1)) * 7919 +
+        ascii(substring(g, -1, 1)) * 104729) % 997 - 498).cast("double") / 498.0
+    val pairLen = greatest(lit(0), size(col("toks")) - 1)
+    docsDf
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("toks"))
+      .withColumn("grams", concat(col("toks"),
+        zip_with(slice(col("toks"), lit(1), pairLen),
+          slice(col("toks"), lit(2), pairLen),
+          (a, b) => concat(a, lit("_"), b))))
+      .select(col("doc_id"), size(col("grams")).as("n_feats"),
+        when(size(col("grams")) === 0, lit(0.0)).otherwise(
+          round(aggregate(col("grams"), lit(0.0), (acc, g) => acc + w(g)) /
+            size(col("grams")), 6)).as("score"))
+      .withColumn("pass", col("score") > 0)
+  }
+
   /** d46 — train→eval NOVELTY probe (the memorization metric an
     * LLM-eval pipeline reports: what fraction of an eval document's
     * 8-word windows already appear in the training split — windows
@@ -1462,6 +1540,8 @@ object TextQueries extends QueryPack {
     "d41_exactsubstr_clean" -> (d41ExactSubstrClean _),
     "d40_dsir_select"   -> (d40DsirSelect _),
     "d39_exact_substr"  -> (d39ExactSubstr _),
+    "d48_quality_classifier" -> (d48QualityClassifier _),
+    "d47_chunk_overlap" -> (d47ChunkOverlap _),
     "d46_novelty_probe" -> (d46NoveltyProbe _),
     "d45_seq_pack" -> (d45SeqPack _),
     "d38_epoch_shuffle" -> (d38EpochShuffle _),
@@ -1741,6 +1821,22 @@ object TextQueries extends QueryPack {
     // construction.
     // d46: same split law, same window hash string, an IN-subquery
     // for the train set.
+    // d47: lateral chunk starts via unnest(range(...)); DuckDB list
+    // slicing is 1-based inclusive like Spark's slice.
+    "d47_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        unnest(range(0, len(toks), 24)) AS start FROM t)
+        |SELECT doc_id, CAST(start/24 AS INT) AS chunk_ix,
+        |  CAST(start AS INT) AS start,
+        |  CAST(least(32, len(toks) - start) AS INT) AS n_toks,
+        |  array_to_string(toks[start+1 : start+32], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_ix""".stripMargin,
+    // d48: the same hash-weight fold as a DuckDB list comprehension;
+    // identical left-to-right double addition makes the score
+    // bit-exact, round(6) is belt and braces.
+    "d48_quality_classifier" -> qualitySql,
     "d46_novelty_probe" ->
       """WITH t AS (
         |  SELECT doc_id,
