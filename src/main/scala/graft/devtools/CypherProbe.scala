@@ -92,7 +92,9 @@ object CypherProbe {
       "percentileCont/Disc" -> "UNWIND [1, 2, 3, 4] AS x RETURN percentileCont(x, 0.5) AS pc, percentileDisc(x, 0.5) AS pd",
       "exists(prop)"    -> "MATCH (n) WHERE exists(n.address) RETURN count(*) AS c",
       "bare bool alias" -> "MATCH (n) WITH n, exists(n.address) AS has WHERE has RETURN count(*) AS c",
-      "toBoolean"       -> "UNWIND [0] AS z RETURN toBoolean('true') AS t")
+      "toBoolean"       -> "UNWIND [0] AS z RETURN toBoolean('true') AS t",
+      "list slice"      -> "UNWIND [0] AS z RETURN [1,2,3,4][1..3] AS m, [1,2,3][..2] AS h, [1,2,3][-1..] AS t",
+      "map literal"     -> "MATCH (f:Facility) RETURN {name: f.name, k: 1} AS m LIMIT 1")
 
     var pass = 0
     battery.foreach { case (tag, q) =>

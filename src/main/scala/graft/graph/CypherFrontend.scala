@@ -90,6 +90,12 @@ object CypherFrontend {
   /** Postfix list index `base[i]` — Cypher 0-based; a negative index
     * counts from the end (both map to `element_at`). */
   private case class EIndex(base: Expr, idx: Expr) extends Expr
+  /** `list[lo..hi]` range slice — Cypher 0-based, end-EXCLUSIVE, open
+    * ends allowed (`[..2]`, `[1..]`), negatives count from the end. */
+  private case class ESlice(base: Expr, lo: Option[Expr], hi: Option[Expr]) extends Expr
+  /** `{k: expr, ...}` map literal — compiles to a struct (Cypher maps
+    * are heterogeneous; a Spark map would force one value type). */
+  private case class EMapLit(entries: Seq[(String, Expr)]) extends Expr
   /** `[x IN list WHERE p | e]` list comprehension — filter and/or map;
     * compiles to the codegen'd `filter`/`transform` higher-order
     * functions with `x` bound as a lambda variable. */
@@ -615,10 +621,55 @@ object CypherFrontend {
       * list indexing on any expression: `split(s,' ')[1]`,
       * `collect(x)[0]`). `labels(v)[0]` keeps its dedicated form. */
     private def factor(): Expr = {
+      // the lexer folds digit ranges into ONE number token ("0..2",
+      // "1.."), same as the var-length hop parse — peel those apart
+      def numRange(t: String, negLo: Boolean): (Expr, Option[Expr]) = {
+        val parts = t.split("\\.\\.", -1)
+        require(parts.length == 2 && parts(0).nonEmpty, s"bad slice range $t")
+        val lo = ELit(if (negLo) -parts(0).toLong else parts(0).toLong)
+        val hi =
+          if (parts(1).nonEmpty) Some(ELit(parts(1).toLong))
+          else if (atSym("]")) None
+          else Some(expr()) // "1..n": the number token ends at the ident
+        (lo, hi)
+      }
       var b = factorBase()
       while (atSym("[")) {
-        eatSym("["); val ix = expr(); eatSym("]")
-        b = EIndex(b, ix)
+        eatSym("[")
+        if (atSym(".")) { // l[..hi] — ".." lexes as two dot symbols
+          eatSym("."); eatSym(".")
+          val hi = if (atSym("]")) None else Some(expr())
+          eatSym("]")
+          b = ESlice(b, None, hi)
+        } else {
+          val negRange = atSym("-") && toks.lift(pos + 1).exists {
+            case TNum(t) => t.contains(".."); case _ => false
+          }
+          peek match {
+            case _ if negRange => // l[-2..] / l[-3..-1]
+              pos += 1
+              val t = toks(pos) match {
+                case TNum(x) => pos += 1; x
+                case other => sys.error(s"number expected, got $other")
+              }
+              val (lo, hi) = numRange(t, negLo = true)
+              eatSym("]")
+              b = ESlice(b, Some(lo), hi)
+            case Some(TNum(t)) if t.contains("..") => // l[0..2] / l[1..]
+              pos += 1
+              val (lo, hi) = numRange(t, negLo = false)
+              eatSym("]")
+              b = ESlice(b, Some(lo), hi)
+            case _ =>
+              val first = expr()
+              if (atSym(".")) { // l[x..y] with expression bounds
+                eatSym("."); eatSym(".")
+                val hi = if (atSym("]")) None else Some(expr())
+                eatSym("]")
+                b = ESlice(b, Some(first), hi)
+              } else { eatSym("]"); b = EIndex(b, first) }
+          }
+        }
       }
       b
     }
@@ -749,6 +800,19 @@ object CypherFrontend {
 
     private def atom(): Expr = next() match {
       case TSym("$") => EParam(ident())
+      case TSym("{") =>
+        // map literal {k: expr, ...} — expression position only (a
+        // pattern's property map is parsed by the pattern grammar)
+        val entries = Seq.newBuilder[(String, Expr)]
+        if (!atSym("}")) {
+          def entry(): Unit = {
+            val k = ident(); eatSym(":"); entries += k -> expr()
+          }
+          entry()
+          while (atSym(",")) { eatSym(","); entry() }
+        }
+        eatSym("}")
+        EMapLit(entries.result())
       case TSym("[") =>
         // `[x IN list ...]` is a comprehension, not a list literal —
         // a literal can't have `IN` after its first element
@@ -1935,6 +1999,9 @@ object CypherFrontend {
           mp.toSeq.flatMap(countSubsE)
       case EAgg(_, a, _) => a.toSeq.flatMap(countSubsE)
       case EIndex(b, ix) => countSubsE(b) ++ countSubsE(ix)
+      case ESlice(b, lo, hi) =>
+        countSubsE(b) ++ (lo.toSeq ++ hi.toSeq).flatMap(countSubsE)
+      case EMapLit(es) => es.flatMap(kv => countSubsE(kv._2))
       case EList(items) => items.flatMap(countSubsE)
       case ECase(op, whens, els) =>
         op.toSeq.flatMap(countSubsE) ++ whens.flatMap { case (c, v) =>
@@ -1954,6 +2021,9 @@ object CypherFrontend {
       case EFn(_, as) => as.flatMap(patternsE)
       case EAgg(_, a, _) => a.toSeq.flatMap(patternsE)
       case EIndex(b, ix) => patternsE(b) ++ patternsE(ix)
+      case ESlice(b, lo, hi) =>
+        patternsE(b) ++ (lo.toSeq ++ hi.toSeq).flatMap(patternsE)
+      case EMapLit(es) => es.flatMap(kv => patternsE(kv._2))
       case EList(items) => items.flatMap(patternsE)
       case EReduce(_, init, _, lst, body) =>
         patternsE(init) ++ patternsE(lst) ++ patternsE(body)
@@ -1975,6 +2045,9 @@ object CypherFrontend {
       case EFn(_, as) => as.flatMap(existsChainsE)
       case EAgg(_, a, _) => a.toSeq.flatMap(existsChainsE)
       case EIndex(b, ix) => existsChainsE(b) ++ existsChainsE(ix)
+      case ESlice(b, lo, hi) =>
+        existsChainsE(b) ++ (lo.toSeq ++ hi.toSeq).flatMap(existsChainsE)
+      case EMapLit(es) => es.flatMap(kv => existsChainsE(kv._2))
       case EList(items) => items.flatMap(existsChainsE)
       case EReduce(_, init, _, lst, body) =>
         existsChainsE(init) ++ existsChainsE(lst) ++ existsChainsE(body)
@@ -2232,6 +2305,8 @@ object CypherFrontend {
             Some(StringType)
           case (a, _) => a
         }
+      case ESlice(b, _, _) => staticType(b)
+      case EIndex(b, _) => staticType(b).collect { case ArrayType(et, _) => et }
       case ECase(_, whens, els) =>
         (whens.map(_._2) ++ els).flatMap(staticType).headOption
       case _ => None
@@ -2305,6 +2380,22 @@ object CypherFrontend {
         // projection semantics, vs properties()' SET-only map)
         map(keys.flatMap(k => Seq(lit(k), col(ns(v, k)).cast("string"))): _*)
       case EFn(fn, args) => fnCol(fn, args)
+      case ESlice(b, lo, hi) =>
+        // Cypher range slice: 0-based, end-exclusive, negatives from
+        // the end, out-of-range clamped (Neo4j returns the overlap,
+        // never an error) — normalize then one codegen'd slice()
+        val bc = exprCol(b)
+        val n = size(bc)
+        def norm(e: Option[Expr], dflt: Column): Column = e.map { x =>
+          val c = exprCol(x).cast("int")
+          when(c < 0, c + n).otherwise(c)
+        }.getOrElse(dflt)
+        val loC = greatest(lit(0), norm(lo, lit(0)))
+        val hiC = least(n, norm(hi, n))
+        slice(bc, loC + 1, greatest(lit(0), hiC - loC))
+      case EMapLit(entries) =>
+        // Cypher maps are heterogeneous → struct, field per key
+        struct(entries.map { case (k, v) => exprCol(v).as(k) }: _*)
       case EIndex(b, ix) =>
         // Cypher 0-based (element_at is 1-based); negative = from end,
         // which element_at already speaks
@@ -2456,6 +2547,9 @@ object CypherFrontend {
         case EFn(_, as) => as.exists(inE)
         case EList(items) => items.exists(inE)
         case EIndex(b, ix) => inE(b) || inE(ix)
+        case ESlice(b, lo, hi) =>
+          inE(b) || lo.exists(inE) || hi.exists(inE)
+        case EMapLit(es) => es.exists(kv => inE(kv._2))
         // lambda-bound names shadow scalars; the over-approximation
         // (not excluding them) only ever widens the correlated path
         case EComp(_, lst, wh, mp) =>
@@ -2494,6 +2588,8 @@ object CypherFrontend {
       case EFn(_, as) => as.exists(hasAgg)
       case EList(xs) => xs.exists(hasAgg)
       case EIndex(b, ix) => hasAgg(b) || hasAgg(ix)
+      case ESlice(b, lo, hi) => hasAgg(b) || lo.exists(hasAgg) || hi.exists(hasAgg)
+      case EMapLit(es) => es.exists(kv => hasAgg(kv._2))
       case EComp(_, lst, wh, mp) =>
         hasAgg(lst) || wh.exists(predHasAgg) || mp.exists(hasAgg)
       case EReduce(_, init, _, lst, body) =>
@@ -2517,6 +2613,10 @@ object CypherFrontend {
       case EFn(f, as) => EFn(f, as.map(zeroRowExpr))
       case EList(xs) => EList(xs.map(zeroRowExpr))
       case EIndex(b, ix) => EIndex(zeroRowExpr(b), zeroRowExpr(ix))
+      case ESlice(b, lo, hi) =>
+        ESlice(zeroRowExpr(b), lo.map(zeroRowExpr), hi.map(zeroRowExpr))
+      case EMapLit(es) =>
+        EMapLit(es.map { case (k, v) => (k, zeroRowExpr(v)) })
       case ECase(op, whens, els) =>
         ECase(op.map(zeroRowExpr),
           whens.map { case (c, t) => (c, zeroRowExpr(t)) },
@@ -2556,6 +2656,10 @@ object CypherFrontend {
       case EFn(fn, as) => EFn(fn, as.map(liftAggs(_, acc)))
       case EList(xs) => EList(xs.map(liftAggs(_, acc)))
       case EIndex(b, ix) => EIndex(liftAggs(b, acc), liftAggs(ix, acc))
+      case ESlice(b, lo, hi) =>
+        ESlice(liftAggs(b, acc), lo.map(liftAggs(_, acc)), hi.map(liftAggs(_, acc)))
+      case EMapLit(es) =>
+        EMapLit(es.map { case (k, v) => (k, liftAggs(v, acc)) })
       case EComp(v, lst, wh, mp) =>
         EComp(v, liftAggs(lst, acc), wh.map(liftPredAggs(_, acc)),
           mp.map(liftAggs(_, acc)))

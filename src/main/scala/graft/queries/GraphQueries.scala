@@ -1667,7 +1667,27 @@ object GraphQueries extends QueryPack {
         |ORDER BY nation""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g71 — map literals `{k: expr}` (heterogeneous → struct, the
+    * result-shaping idiom a Graph-RAG API layer writes) and LIST RANGE
+    * SLICES `l[lo..hi]` (0-based, end-exclusive, negative-from-end,
+    * out-of-range clamped — Neo4j's contract). The three slices of the
+    * same pattern comprehension compile against ONE shared window
+    * collect (structural dedup), then slice as codegen'd expressions:
+    * zero extra shuffles for any number of views over the list. */
+  def g71CypherMapSlice(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (r:Region)
+        |RETURN r.name AS region,
+        |  {region: r.name,
+        |   n_nations: size([(x:Nation)-[:IN_REGION]->(r) | x.name])} AS info,
+        |  [(x:Nation)-[:IN_REGION]->(r) | x.name][0..2] AS first2,
+        |  [(x:Nation)-[:IN_REGION]->(r) | x.name][-1..] AS last1,
+        |  [(x:Nation)-[:IN_REGION]->(r) | x.name][1..][..2] AS mid
+        |ORDER BY region""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "g71_cypher_map_slice" -> (g71CypherMapSlice _),
     "g70_cypher_stats_aggs" -> (g70CypherStatsAggs _),
     "g69_cypher_pattern_comp" -> (g69CypherPatternComp _),
     "g68_cypher_concat" -> (g68CypherConcat _),
@@ -1909,6 +1929,20 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g71: DuckDB struct literals + 1-based-inclusive list slicing
+    // mirror the Cypher 0-based-exclusive forms.
+    "g71_cypher_map_slice" ->
+      """WITH nl AS (
+        |  SELECT r_name,
+        |    (SELECT coalesce(list(n_name ORDER BY n_name), CAST([] AS VARCHAR[]))
+        |     FROM nation WHERE n_regionkey = r_regionkey) AS L,
+        |    (SELECT CAST(count(*) AS INT) FROM nation
+        |     WHERE n_regionkey = r_regionkey) AS n
+        |  FROM region)
+        |SELECT r_name AS region,
+        |  {'region': r_name, 'n_nations': n} AS info,
+        |  L[1:2] AS first2, L[-1:] AS last1, L[2:][1:2] AS mid
+        |FROM nl ORDER BY region""".stripMargin,
     // g70: stddev/percentile aggregates; quantile_cont matches
     // Spark's exact interpolated percentile, and at p=0.5 the
     // discrete forms (Neo4j ceil(p*n) nearest-rank, DuckDB/Postgres

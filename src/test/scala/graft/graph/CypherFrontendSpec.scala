@@ -1382,6 +1382,33 @@ class CypherFrontendSpec extends SparkSpec {
     assert(d25 === 10L)
   }
 
+  test("list range slices (0-based, end-exclusive, clamped) and map literals") {
+    val row = run(
+      """MATCH (f:Facility {name: 'Wertstoffhof A'})
+        |RETURN [1,2,3,4,5][1..3] AS mid, [1,2,3][..2] AS head2,
+        |  [1,2,3][1..] AS tail2, [1,2,3,4][-2..] AS last2,
+        |  [1,2,3][1..99] AS clampedHi, [1,2,3][-9..1] AS clampedLo,
+        |  [1,2,3][2..1] AS emptyRange,
+        |  {name: f.name, deg: 1 + 1} AS m""".stripMargin)
+      .collect().head
+    assert(row.getSeq[Long](0) === Seq(2L, 3L))
+    assert(row.getSeq[Long](1) === Seq(1L, 2L))
+    assert(row.getSeq[Long](2) === Seq(2L, 3L))
+    assert(row.getSeq[Long](3) === Seq(3L, 4L))
+    assert(row.getSeq[Long](4) === Seq(2L, 3L))
+    assert(row.getSeq[Long](5) === Seq(1L))
+    assert(row.getSeq[Long](6) === Seq())
+    val m = row.getStruct(7)
+    assert(m.getAs[String]("name") === "Wertstoffhof A")
+    assert(m.getAs[Long]("deg") === 2L)
+    // slicing a property-derived list + expression bounds
+    val got = run(
+      """MATCH (s:WasteStream) WITH s, size(s.name) - 7 AS k
+        |RETURN s.name AS n, split(s.name, 'm')[0..k] AS pre ORDER BY n""".stripMargin)
+      .as[(String, Seq[String])].collect().toSeq
+    assert(got.map(_._1) === Seq("Biomuell", "Restmuell"))
+  }
+
   test("exists(n.prop), toBoolean, and bare boolean predicates") {
     val withAddr = run(
       "MATCH (n) WHERE exists(n.address) RETURN count(*) AS c").as[Long].head()
