@@ -94,7 +94,8 @@ object CypherProbe {
       "bare bool alias" -> "MATCH (n) WITH n, exists(n.address) AS has WHERE has RETURN count(*) AS c",
       "toBoolean"       -> "UNWIND [0] AS z RETURN toBoolean('true') AS t",
       "list slice"      -> "UNWIND [0] AS z RETURN [1,2,3,4][1..3] AS m, [1,2,3][..2] AS h, [1,2,3][-1..] AS t",
-      "map literal"     -> "MATCH (f:Facility) RETURN {name: f.name, k: 1} AS m LIMIT 1")
+      "map literal"     -> "MATCH (f:Facility) RETURN {name: f.name, k: 1} AS m LIMIT 1",
+      "nodes/rels of p" -> "MATCH p = (w:WasteItem)-[:DISPOSED_IN]->(s) RETURN [x IN nodes(p) | x.label] AS ls, size(relationships(p)) AS nr")
 
     var pass = 0
     battery.foreach { case (tag, q) =>

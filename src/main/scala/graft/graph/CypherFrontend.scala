@@ -268,7 +268,7 @@ object CypherFrontend {
     "tointeger", "tofloat", "toboolean", "substring", "replace", "split",
     "trim", "ltrim", "rtrim", "left", "right", "abs", "round", "floor",
     "ceil", "size", "id", "length", "range", "properties", "keys", "head",
-    "last", "exists")
+    "last", "exists", "nodes", "relationships")
 
   private[graph] def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -1060,6 +1060,14 @@ object CypherFrontend {
     /** Path variables bound by shortestPath — only `length(p)` (the
       * hop count) is projectable; maps to the min-depth column. */
     private var pathVars = Map.empty[String, String]
+
+    /** Fixed-length named paths only: the chain's node variables in
+      * walk order / its relationship variables in hop order — the
+      * nodes(p)/relationships(p) surface. Var-length and shortestPath
+      * paths are absent (their walk interior is not per-row columns;
+      * they expose length(p) and the bound rel's hop list instead). */
+    private var pathNodeSeq = Map.empty[String, Seq[String]]
+    private var pathRelSeq = Map.empty[String, Seq[String]]
     /** Bounded var-length relationship bindings: var → its per-walk
       * hop-count column (`size(r)`'s fast path). */
     private var varLenVars = Map.empty[String, String]
@@ -1145,6 +1153,11 @@ object CypherFrontend {
       var bound = Set(headVar)
       var cur = headVar
       val lenParts = Seq.newBuilder[Column]
+      // nodes(p)/relationships(p) bookkeeping (fixed-length chains)
+      val nodeOrder = Seq.newBuilder[String]
+      nodeOrder += headVar
+      val relOrder = Seq.newBuilder[String]
+      var hasVarLen = false
       ch.hops.foreach { case (rel, nodePat) =>
         rel.varLen match {
           case Some((lo, hi)) =>
@@ -1162,6 +1175,8 @@ object CypherFrontend {
             // lo == 1 for this form).
             val endCol = freshVar() // unique reach-endpoint column per hop
             val nv = nodePat.v.getOrElse(freshVar())
+            hasVarLen = true
+            nodeOrder += nv
             val reachDf =
               if (hi == Unbounded) {
                 require(pathVar.isEmpty,
@@ -1230,9 +1245,11 @@ object CypherFrontend {
             if (pathVar.isDefined) lenParts += lit(1)
             val rv = rel.v.getOrElse(freshVar())
             relVars += rv
+            relOrder += rv
             val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
             df = df.join(edgeSide(rel, rv), col(ns(cur, "uid")) === col(ns(rv, fromC)))
             val nv = nodePat.v.getOrElse(freshVar())
+            nodeOrder += nv
             if (bound(nv)) { // cycle back to an already-bound variable
               df = df.filter(col(ns(rv, toC)) === col(ns(nv, "uid")))
             } else {
@@ -1252,6 +1269,10 @@ object CypherFrontend {
         df = df.drop(df.columns.filter(c =>
           c.endsWith("$len") && c != lenCol).toIndexedSeq: _*)
         pathVars += pv -> lenCol
+        if (!hasVarLen) {
+          pathNodeSeq += pv -> nodeOrder.result()
+          pathRelSeq += pv -> relOrder.result()
+        }
       }
       (df, bound)
     }
@@ -2533,6 +2554,30 @@ object CypherFrontend {
         case "id" => args match {
           case Seq(EVar(v)) if !scalarVars(v) && !relVars(v) => col(ns(v, "uid"))
           case _ => sys.error("id() takes one bound node variable (returns the string uid)")
+        }
+        case "nodes" => args match {
+          // fixed-length path: the walk's nodes as (label, uid)
+          // structs in order — pure projection, zero extra data cost
+          case Seq(EVar(pv)) if pathNodeSeq.contains(pv) =>
+            array(pathNodeSeq(pv).map(v => struct(
+              col(ns(v, "label")).as("label"),
+              col(ns(v, "uid")).as("uid"))): _*)
+          case Seq(EVar(pv)) if pathVars.contains(pv) => sys.error(
+            "nodes(p) needs a fixed-length path; a var-length/" +
+              "shortestPath walk exposes length(p) and the bound " +
+              "relationship's hop list instead")
+          case _ => sys.error("nodes() takes a named path variable")
+        }
+        case "relationships" => args match {
+          case Seq(EVar(pv)) if pathRelSeq.contains(pv) =>
+            array(pathRelSeq(pv).map(rv => struct(
+              col(ns(rv, "rel_type")).as("rel_type"),
+              col(ns(rv, "src_uid")).as("src_uid"),
+              col(ns(rv, "dst_uid")).as("dst_uid"))): _*)
+          case Seq(EVar(pv)) if pathVars.contains(pv) => sys.error(
+            "relationships(p) needs a fixed-length path; a var-length " +
+              "walk's hops are the bound relationship variable's list")
+          case _ => sys.error("relationships() takes a named path variable")
         }
         case other => sys.error(s"unsupported function $other()")
       }

@@ -1686,7 +1686,25 @@ object GraphQueries extends QueryPack {
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g72 — nodes(p) / relationships(p) over fixed-length named paths:
+    * the walk's nodes/relationships as ordered struct arrays (the path
+    * rendering a Graph-RAG answer cites). Pure projection over columns
+    * the chain join already carries — zero extra joins, zero extra
+    * data cost; var-length walks refuse with a pointer to length(p) +
+    * the bound rel's hop list (their interior is not per-row columns). */
+  def g72CypherPathFns(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH p = (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |WHERE c.name ENDS WITH '01'
+        |RETURN c.name AS customer,
+        |  [x IN nodes(p) | x.label] AS labels,
+        |  [e IN relationships(p) | e.rel_type] AS rels,
+        |  size(nodes(p)) AS n_nodes, length(p) AS len
+        |ORDER BY customer""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "g72_cypher_path_fns" -> (g72CypherPathFns _),
     "g71_cypher_map_slice" -> (g71CypherMapSlice _),
     "g70_cypher_stats_aggs" -> (g70CypherStatsAggs _),
     "g69_cypher_pattern_comp" -> (g69CypherPatternComp _),
@@ -1929,6 +1947,15 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g72: every customer has exactly one nation→region chain, so the
+    // path arrays are the constant label/type sequences.
+    "g72_cypher_path_fns" ->
+      """SELECT c_name AS customer,
+        |  ['Customer', 'Nation', 'Region'] AS labels,
+        |  ['IN_NATION', 'IN_REGION'] AS rels,
+        |  CAST(3 AS INT) AS n_nodes, CAST(2 AS INT) AS len
+        |FROM customer WHERE c_name LIKE '%01'
+        |ORDER BY customer""".stripMargin,
     // g71: DuckDB struct literals + 1-based-inclusive list slicing
     // mirror the Cypher 0-based-exclusive forms.
     "g71_cypher_map_slice" ->

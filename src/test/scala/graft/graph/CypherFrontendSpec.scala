@@ -1382,6 +1382,23 @@ class CypherFrontendSpec extends SparkSpec {
     assert(d25 === 10L)
   }
 
+  test("nodes(p) / relationships(p) on fixed-length named paths") {
+    val got = run(
+      """MATCH p = (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |RETURN w.name AS w, [x IN nodes(p) | x.label] AS ls,
+        |  [e IN relationships(p) | e.rel_type] AS rs, length(p) AS len
+        |ORDER BY w""".stripMargin)
+      .as[(String, Seq[String], Seq[String], Int)].collect().toSeq
+    assert(got.map(_._1) === Seq("Asche", "Bauschutt", "Laub"))
+    assert(got.forall(_._2 === Seq("WasteItem", "WasteStream")))
+    assert(got.forall(_._3 === Seq("DISPOSED_IN")))
+    assert(got.forall(_._4 === 1))
+    // var-length walks refuse with a pointer (interior isn't columns)
+    val e = intercept[RuntimeException](run(
+      "MATCH p = (w:WasteItem)-[:DISPOSED_IN*1..2]->(x) RETURN nodes(p) AS ns"))
+    assert(e.getMessage.contains("fixed-length"))
+  }
+
   test("list range slices (0-based, end-exclusive, clamped) and map literals") {
     val row = run(
       """MATCH (f:Facility {name: 'Wertstoffhof A'})
