@@ -95,7 +95,14 @@ object CypherProbe {
       "toBoolean"       -> "UNWIND [0] AS z RETURN toBoolean('true') AS t",
       "list slice"      -> "UNWIND [0] AS z RETURN [1,2,3,4][1..3] AS m, [1,2,3][..2] AS h, [1,2,3][-1..] AS t",
       "map literal"     -> "MATCH (f:Facility) RETURN {name: f.name, k: 1} AS m LIMIT 1",
-      "nodes/rels of p" -> "MATCH p = (w:WasteItem)-[:DISPOSED_IN]->(s) RETURN [x IN nodes(p) | x.label] AS ls, size(relationships(p)) AS nr")
+      "nodes/rels of p" -> "MATCH p = (w:WasteItem)-[:DISPOSED_IN]->(s) RETURN [x IN nodes(p) | x.label] AS ls, size(relationships(p)) AS nr",
+      "RETURN *"        -> "MATCH (w:WasteItem) RETURN *",
+      "WITH *"          -> "MATCH (w:WasteItem) WITH * MATCH (w)-[:DISPOSED_IN]->(s) RETURN s.name AS s",
+      "labels(n) full"  -> "MATCH (n:Facility) RETURN labels(n) AS ls",
+      "reverse"         -> "MATCH (n:Facility) RETURN reverse(n.name) AS r, reverse([1,2]) AS rl",
+      "bound-target pattern" -> "MATCH (w:WasteItem) MATCH (s:WasteStream) WHERE NOT (w)-[:DISPOSED_IN]->(s) RETURN count(*) AS c",
+      "properties(r)"   -> "MATCH ()-[r]->() RETURN properties(r) AS p LIMIT 1",
+      "chained cmp"     -> "UNWIND [1,2,3] AS x WITH x WHERE 1 < x <= 2 RETURN x")
 
     var pass = 0
     battery.foreach { case (tag, q) =>

@@ -153,9 +153,15 @@ object CypherFrontend {
     * friendly), column-valued lists to `array_contains`. */
   private case class PIn(l: Expr, r: Expr) extends Pred
   /** (v)-[:T1|T2]->() / ()<-[:T]-(v) existence predicate. */
+  /** Single-hop pattern predicate `(v)-[:T]->(target)`. `targetVar`
+    * is the target's variable name when one is written — if that
+    * variable is BOUND in the outer frame the predicate correlates
+    * both endpoints (edge-pair probe); unbound names are existential
+    * (same as `()`). */
   private case class PPattern(v: String, types: Seq[String], forward: Boolean,
                               targetLabel: Option[String],
-                              undirected: Boolean = false) extends Pred
+                              undirected: Boolean = false,
+                              targetVar: Option[String] = None) extends Pred
   /** `n:Label` label predicate in WHERE. */
   private case class PHasLabel(v: String, label: String) extends Pred
   /** `EXISTS { (a)-[:X]->(b)-[:Y]->(c) [, chains] [WHERE pred] }` —
@@ -216,7 +222,8 @@ object CypherFrontend {
   private case class WithStage(distinct: Boolean, items: Seq[RetItem],
                                orderBy: Seq[(Expr, Boolean)],
                                skip: Option[Long], limit: Option[Long],
-                               where: Option[Pred])
+                               where: Option[Pred],
+                               star: Boolean = false)
   /** Reading clauses compose as a PIPELINE of stages (openCypher's
     * "query is a sequence of clauses, each feeding the next"): any
     * interleaving of MATCH groups, WITH projections, and UNWINDs,
@@ -241,7 +248,8 @@ object CypherFrontend {
   private case class Query(stages: Seq[Stage],
                            distinct: Boolean, items: Seq[RetItem],
                            orderBy: Seq[OrderKey], skip: Option[Long],
-                           limit: Option[Long])
+                           limit: Option[Long],
+                           star: Boolean = false)
 
   // ---------------------------------------------------------- tokenizer
 
@@ -268,7 +276,8 @@ object CypherFrontend {
     "tointeger", "tofloat", "toboolean", "substring", "replace", "split",
     "trim", "ltrim", "rtrim", "left", "right", "abs", "round", "floor",
     "ceil", "size", "id", "length", "range", "properties", "keys", "head",
-    "last", "exists", "nodes", "relationships")
+    "last", "exists", "nodes", "relationships", "reverse", "labels",
+    "startnode", "endnode")
 
   private[graph] def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -389,7 +398,8 @@ object CypherFrontend {
           eatKw("WITH")
           val wd = if (atKw("DISTINCT")) { eatKw("DISTINCT"); true } else false
           val wi = Seq.newBuilder[RetItem]
-          wi += retItem()
+          var wstar = false
+          if (atSym("*")) { eatSym("*"); wstar = true } else wi += retItem()
           while (atSym(",")) { eatSym(","); wi += retItem() }
           val wo = Seq.newBuilder[(Expr, Boolean)]
           if (atKw("ORDER")) {
@@ -405,7 +415,8 @@ object CypherFrontend {
           val wskip = if (atKw("SKIP")) { eatKw("SKIP"); Some(num()) } else None
           val wlimit = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(num()) } else None
           val ww = if (atKw("WHERE")) { eatKw("WHERE"); Some(pred()) } else None
-          stages += SWith(WithStage(wd, wi.result(), wo.result(), wskip, wlimit, ww))
+          stages += SWith(WithStage(wd, wi.result(), wo.result(), wskip,
+            wlimit, ww, star = wstar))
         } else if (atKw("UNWIND")) {
           eatKw("UNWIND")
           val e = expr()
@@ -438,7 +449,8 @@ object CypherFrontend {
       eatKw("RETURN")
       val distinct = if (atKw("DISTINCT")) { eatKw("DISTINCT"); true } else false
       val items = Seq.newBuilder[RetItem]
-      items += retItem()
+      var star = false
+      if (atSym("*")) { eatSym("*"); star = true } else items += retItem()
       while (atSym(",")) { eatSym(","); items += retItem() }
       val order = Seq.newBuilder[OrderKey]
       if (atKw("ORDER")) {
@@ -455,7 +467,8 @@ object CypherFrontend {
       // a correlated CALL body may be RETURN-only (the imports seed it)
       require(st.nonEmpty || allowEmptyStages,
         "query needs at least one reading clause before RETURN")
-      Query(st, distinct, items.result(), order.result(), skip, limit)
+      Query(st, distinct, items.result(), order.result(), skip, limit,
+        star = star)
     }
 
     /** `query [UNION [ALL] query]*` — Cypher's top level. Mixing UNION
@@ -695,8 +708,10 @@ object CypherFrontend {
         eatSym("("); val e = expr(); eatSym(")"); e
       case Some(TId("labels")) if toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("("); val v = ident(); eatSym(")")
-        eatSym("["); require(num() == 0L, "only labels(n)[0] is supported"); eatSym("]")
-        ELabels0(v)
+        if (atSym("[")) { // labels(n)[0] fast form — the scalar label
+          eatSym("["); require(num() == 0L, "labels(n)[i]: only index 0 exists (single-label engine)"); eatSym("]")
+          ELabels0(v)
+        } else EFn("labels", Seq(EVar(v))) // full list: [label]
       case Some(TId("type")) if toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("("); val v = ident(); eatSym(")"); EType(v)
       case Some(TKw("EXISTS")) if toks.lift(pos + 1).exists(_.text == "(") =>
@@ -722,7 +737,9 @@ object CypherFrontend {
         if (atKw("MATCH")) eatKw("MATCH")
         val save = pos
         val fast = patternPredOpt() match {
-          case Some(PPattern(cv, ct, cf, ctl, cund)) if atSym("}") =>
+          // a named target (bound or not) routes through the chain
+          // form, which binds shared variables correctly
+          case Some(PPattern(cv, ct, cf, ctl, cund, None)) if atSym("}") =>
             eatSym("}"); Some(ECountSub(cv, ct, cf, ctl, cund))
           case _ => pos = save; None
         }
@@ -988,7 +1005,21 @@ object CypherFrontend {
         case Some(TKw("ENDS")) => eatKw("ENDS"); eatKw("WITH"); PStr("ends", l, atom())
         case Some(TSym("=~")) => eatSym("=~"); PStr("regex", l, atom())
         case Some(TSym(op)) if Set("=", "<>", "<", "<=", ">", ">=")(op) =>
-          eatSym(op); PCmp(op, l, expr())
+          // chained comparisons (1 < x <= 2) desugar to AND of pairs
+          // (openCypher's non-associative comparison chain)
+          eatSym(op)
+          var r = expr()
+          var acc: Pred = PCmp(op, l, r)
+          while (peek.exists {
+            case TSym(o2) => Set("=", "<>", "<", "<=", ">", ">=")(o2)
+            case _ => false
+          }) {
+            val o2 = next().text
+            val r2 = expr()
+            acc = PAnd(acc, PCmp(o2, r, r2))
+            r = r2
+          }
+          acc
         // bare boolean expression as the whole predicate — only forms
         // that can plausibly BE boolean (a literal, a bound alias, a
         // boolean-returning function); anything else keeps the
@@ -1030,10 +1061,14 @@ object CypherFrontend {
         if (fwd) eatSym("->") else eatSym("-")
         require(!(fwd && back), "a relationship cannot point both ways")
         eatSym("(")
+        val tv = peek match {
+          case Some(TId(_)) => Some(ident())
+          case _ => None
+        }
         val tl = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
         eatSym(")")
         Some(PPattern(v, types, forward = fwd || (!fwd && !back),
-          targetLabel = tl, undirected = !fwd && !back))
+          targetLabel = tl, undirected = !fwd && !back, targetVar = tv))
       } catch { case _: Throwable => None }
   }
 
@@ -1123,7 +1158,13 @@ object CypherFrontend {
     private def edgeSide(r: RelPat, rv: String): DataFrame = {
       var df = edges
       if (r.types.nonEmpty) df = df.filter(col("rel_type").isin(r.types: _*))
-      val cols = Seq("src_uid", "dst_uid", "rel_type") ++ edgeProps
+      // endpoint labels ride along when the edge frame carries them —
+      // startNode(r)/endNode(r) project them as the node's label
+      val labelCols =
+        if (Seq("src_label", "dst_label").forall(edges.columns.contains))
+          Seq("src_label", "dst_label")
+        else Nil
+      val cols = Seq("src_uid", "dst_uid", "rel_type") ++ labelCols ++ edgeProps
       val base =
         if (!r.undirected) df.select(cols.map(col): _*)
         else
@@ -1137,6 +1178,8 @@ object CypherFrontend {
             df.filter(col("src_uid") =!= col("dst_uid"))
               .select((Seq(col("dst_uid").as("src_uid"),
                 col("src_uid").as("dst_uid"), col("rel_type")) ++
+                labelCols.map(c => // labels swap with the orientation
+                  col(if (c == "src_label") "dst_label" else "src_label").as(c)) ++
                 edgeProps.map(col)): _*))
       base.select(cols.map(c => col(c).as(ns(rv, c))): _*)
     }
@@ -1441,11 +1484,21 @@ object CypherFrontend {
       * correlation key the finish stage preserves — aggregates group
       * by it, ORDER BY + SKIP/LIMIT become a per-key row_number
       * window. */
-    private def compileWith(q: Query, seed: Option[DataFrame],
+    private def compileWith(q0: Query, seed: Option[DataFrame],
                             seedBound: Set[String],
                             corrCols: Seq[String]): DataFrame = {
       var df: DataFrame = seed.orNull
       var bound = seedBound
+      // RETURN * / WITH * expansion: every NAMED pattern/relationship
+      // variable in scope plus the live scalar aliases, name-sorted
+      // (deterministic; the driver compare is column-order-blind)
+      def starItems(frame: DataFrame): Seq[RetItem] = {
+        val pats = bound.toSeq.filterNot(_.startsWith("_anon")).sorted
+        val scals = frame.columns
+          .filter(c => scalarVars(c) && !c.contains("$") && !c.startsWith("_"))
+          .sorted.toSeq
+        (pats ++ scals).distinct.map(v => RetItem(EVar(v), None, v))
+      }
       def applyClause(cl: MatchClause): Unit = {
         // a clause's comma chains join on shared vars (inner, one pattern)
         var (cdf, cbound) = cl.shortest match {
@@ -1455,9 +1508,15 @@ object CypherFrontend {
         cl.chains.tail.foreach { ch =>
           val (chDf, chBound) = compileChain(ch)
           val shared = (cbound & chBound).toSeq.sorted
-          require(shared.nonEmpty,
-            "disconnected comma patterns would be a cross product; share a variable")
-          cdf = joinOnShared(cdf, chDf, shared, "inner", None)
+          if (shared.isEmpty) {
+            // legal only when the clause WHERE correlates the chains
+            // (pattern predicate spanning both / EXISTS {} touching
+            // both) — applied right after the join below
+            require(cl.where.exists(p => predLinks(p, cbound, chBound)),
+              "disconnected comma patterns would be a cross product; " +
+                "share a variable or correlate them in WHERE")
+            cdf = cdf.crossJoin(chDf)
+          } else cdf = joinOnShared(cdf, chDf, shared, "inner", None)
           cbound ++= chBound
         }
         if (df == null) {
@@ -1473,9 +1532,11 @@ object CypherFrontend {
             // an equi-join, not a cartesian (PlanSweepSpec's law)
             require(!cl.optional,
               "OPTIONAL MATCH needs a shared variable with the rows so far")
-            require(cl.where.exists(refsScalar),
+            require(cl.where.exists(refsScalar) ||
+                cl.where.exists(p => predLinks(p, bound, cbound)),
               "disconnected MATCH patterns would be a cross product; " +
-                "share a variable or correlate via WHERE on a WITH/UNWIND alias")
+                "share a variable or correlate via WHERE on a WITH/UNWIND " +
+                "alias or a pattern predicate spanning both")
             df = df.crossJoin(cdf)
             cl.where.foreach(p => df = applyPred(df, p, negated = false))
             bound ++= cbound
@@ -1489,6 +1550,19 @@ object CypherFrontend {
             // their flag/count columns onto the CLAUSE frame, so the
             // whole predicate stays a Column inside the join condition
             val pats = cl.where.toSeq.flatMap(collectPatterns)
+            // a pattern predicate here compiles against the CLAUSE
+            // frame; an endpoint bound only in the OUTER pipeline
+            // would silently degrade to an existential — refuse and
+            // point at the correlated form instead
+            pats.foreach { pp =>
+              (Seq(pp.v) ++ pp.targetVar).foreach { r =>
+                require(!(df.columns.contains(ns(r, "uid")) &&
+                    !cdf.columns.contains(ns(r, "uid"))),
+                  s"OPTIONAL MATCH WHERE: pattern predicate endpoint '$r' " +
+                    "is bound outside this clause; write the pattern into " +
+                    "the OPTIONAL MATCH itself")
+              }
+            }
             val cnts = cl.where.toSeq.flatMap(countSubsP)
             val exs = cl.where.toSeq.flatMap(collectExistsChains)
             val (cdf1, flags) = joinPatternFlags(cdf, pats)
@@ -1512,10 +1586,13 @@ object CypherFrontend {
         }
         bound ++= cbound
       }
-      q.stages.foreach {
+      q0.stages.foreach {
         case SMatch(cl) => applyClause(cl)
-        case SWith(ws) =>
+        case SWith(ws0) =>
           require(df != null, "WITH before any MATCH/UNWIND has no rows to project")
+          val ws =
+            if (!ws0.star) ws0
+            else ws0.copy(items = starItems(df) ++ ws0.items)
           df = applyWith(ws, df, bound, corrCols)
           // carried pattern variables only — scalar aliases are plain
           // columns, never join keys for later MATCHes
@@ -1655,6 +1732,19 @@ object CypherFrontend {
           scalarVars ++= idf.columns
       }
 
+      // RETURN *: expand to the in-scope variables now that every
+      // stage has run (the set is only known post-pipeline)
+      val q =
+        if (!q0.star) q0
+        else {
+          require(df != null, "RETURN * needs a reading clause")
+          val expanded = starItems(df)
+          val clash = expanded.map(_.text).toSet intersect
+            q0.items.map(i => i.alias.getOrElse(i.text)).toSet
+          require(clash.isEmpty,
+            s"RETURN *: extra items shadow variables: ${clash.mkString(", ")}")
+          q0.copy(items = expanded ++ q0.items)
+        }
       // COUNT {} subqueries in RETURN items / ORDER BY keys pre-join
       // their per-uid count columns onto the frame (projection keeps
       // only the named output, so the scratch columns never surface)
@@ -1887,10 +1977,26 @@ object CypherFrontend {
     private def applyPred(df: DataFrame, p: Pred, negated: Boolean): DataFrame = p match {
       case PNot(inner) => applyPred(df, inner, !negated)
       case PAnd(l, r) if !negated => applyPred(applyPred(df, l, false), r, false)
-      case PPattern(v, types, fwd, tl, und) =>
-        val probe = patternProbe(types, fwd, tl, und)
+      case pp @ PPattern(v, types, fwd, tl, und, tv0) =>
         val joinType = if (negated) "left_anti" else "left_semi"
-        df.join(probe, df(ns(v, "uid")) === probe("_probe"), joinType)
+        val vBound = df.columns.contains(ns(v, "uid"))
+        val tBound = tv0.filter(tv => df.columns.contains(ns(tv, "uid")))
+        tBound match {
+          case Some(tv) if vBound =>
+            // both endpoints bound: (w)-[:R]->(s) correlates the PAIR —
+            // one distinct edge-pair probe, two-key semi/anti join
+            val pair = pairProbe(types, fwd, tl, und)
+            df.join(pair, df(ns(v, "uid")) === pair("_src") &&
+              df(ns(tv, "uid")) === pair("_dst"), joinType)
+          case Some(tv) =>
+            // only the TARGET is bound ((x)-[:R]->(s), x existential):
+            // flip the orientation and probe the target's endpoint set
+            val probe = patternProbe(types, !fwd, None, und)
+            df.join(probe, df(ns(tv, "uid")) === probe("_probe"), joinType)
+          case None => // unbound/absent target = existential, like ()
+            val probe = patternProbe(types, fwd, tl, und)
+            df.join(probe, df(ns(v, "uid")) === probe("_probe"), joinType)
+        }
       case PExistsChain(chains, wh) =>
         // multi-hop existential: compile the pattern into its own
         // frame (the SAME chain compiler MATCH uses), apply the inner
@@ -1995,6 +2101,24 @@ object CypherFrontend {
     /** Pattern predicates anywhere inside a boolean tree (they cannot
       * appear under quantifier lambdas — those bind list elements,
       * not nodes). */
+    /** Does the predicate CORRELATE variable sets `a` and `b` — a
+      * pattern predicate whose endpoints span both, or an EXISTS {}
+      * chain touching both? Gates the disconnected-pattern relaxation:
+      * `MATCH (w) MATCH (s) WHERE NOT (w)-[:R]->(s)` is the
+      * set-difference idiom (inherently pairwise, same as Neo4j), so
+      * the cross join is the semantics, not an accident. */
+    private def predLinks(p: Pred, a: Set[String], b: Set[String]): Boolean = {
+      def chainVars(cs: Seq[Chain]): Set[String] =
+        cs.flatMap(c => c.head.v.toSeq ++
+          c.hops.flatMap { case (r, n) => r.v.toSeq ++ n.v.toSeq }).toSet
+      collectPatterns(p).exists(pp => pp.targetVar.exists(tv =>
+        (a(pp.v) && b(tv)) || (b(pp.v) && a(tv)))) ||
+      collectExistsChains(p).exists { pe =>
+        val vs = chainVars(pe.chains)
+        (vs & a).nonEmpty && (vs & b).nonEmpty
+      }
+    }
+
     private def collectPatterns(p: Pred): Seq[PPattern] = p match {
       case pp: PPattern => Seq(pp)
       case PAnd(l, r) => collectPatterns(l) ++ collectPatterns(r)
@@ -2132,14 +2256,59 @@ object CypherFrontend {
       var d = df0
       val m = pats.distinct.zipWithIndex.map { case (pp, i) =>
         val flag = s"_patflag$$$i"
-        val probe = patternProbe(pp.types, pp.forward, pp.targetLabel, pp.undirected)
-          .select(col("_probe").as(s"$flag$$probe")).distinct()
-          .withColumn(flag, lit(true))
-        d = d.join(probe, d(ns(pp.v, "uid")) === probe(s"$flag$$probe"),
-          "left_outer").drop(s"$flag$$probe")
+        val vBound = d.columns.contains(ns(pp.v, "uid"))
+        val tBound = pp.targetVar.filter(tv => d.columns.contains(ns(tv, "uid")))
+        def oneKeyFlag(keyVar: String, flipped: Boolean): Unit = {
+          val probe = patternProbe(pp.types,
+              if (flipped) !pp.forward else pp.forward,
+              if (flipped) None else pp.targetLabel, pp.undirected)
+            .select(col("_probe").as(s"$flag$$probe")).distinct()
+            .withColumn(flag, lit(true))
+          d = d.join(probe, d(ns(keyVar, "uid")) === probe(s"$flag$$probe"),
+            "left_outer").drop(s"$flag$$probe")
+        }
+        tBound match {
+          case Some(tv) if vBound => // both bound: 2-key pair flag
+            val pair = pairProbe(pp.types, pp.forward, pp.targetLabel,
+                pp.undirected)
+              .select(col("_src").as(s"$flag$$s"), col("_dst").as(s"$flag$$d"))
+              .distinct().withColumn(flag, lit(true))
+            d = d.join(pair, d(ns(pp.v, "uid")) === pair(s"$flag$$s") &&
+              d(ns(tv, "uid")) === pair(s"$flag$$d"), "left_outer")
+              .drop(s"$flag$$s", s"$flag$$d")
+          case Some(tv) => // target-only bound: flipped 1-key flag
+            oneKeyFlag(tv, flipped = true)
+          case None =>
+            oneKeyFlag(pp.v, flipped = false)
+        }
         pp -> flag
       }.toMap
       (d, m)
+    }
+
+    /** Distinct (source, target) uid pairs of the (type- and
+      * target-label-filtered) edge set, walk orientation applied —
+      * the probe for pattern predicates whose BOTH endpoints are
+      * bound. Undirected: a self-loop pairs once. */
+    private def pairProbe(types: Seq[String], fwd: Boolean,
+                          tl: Option[String], und: Boolean): DataFrame = {
+      var e = edges
+      if (types.nonEmpty) e = e.filter(col("rel_type").isin(types: _*))
+      def orient(ed: DataFrame, srcC: String, dstC: String): DataFrame = {
+        val base = ed.select(col(srcC).as("_src"), col(dstC).as("_dst"))
+        tl match {
+          case Some(l) => base.join(nodes.filter(col("label") === l)
+            .select(col("uid").as("_dst")), Seq("_dst"), "left_semi")
+          case None => base
+        }
+      }
+      val oriented =
+        if (und) orient(e, "src_uid", "dst_uid").unionByName(
+          orient(e.filter(col("src_uid") =!= col("dst_uid")),
+            "dst_uid", "src_uid"))
+        else if (fwd) orient(e, "src_uid", "dst_uid")
+        else orient(e, "dst_uid", "src_uid")
+      oriented.distinct()
     }
 
     /** Left-join one per-binding match-count column per distinct
@@ -2277,7 +2446,7 @@ object CypherFrontend {
           case "single" => matches === 1
           case other => sys.error(s"unknown quantifier $other")
         }
-      case PPattern(_, _, _, _, _) =>
+      case PPattern(_, _, _, _, _, _) =>
         sys.error("pattern predicate in a column-only position " +
           "(OPTIONAL MATCH WHERE / WITH ... WHERE under aggregation)")
       case PExistsChain(_, _) =>
@@ -2535,7 +2704,30 @@ object CypherFrontend {
               map(nodeProps.flatMap(p =>
                 Seq(lit(p), col(ns(v, p)).cast("string"))): _*),
               (_, pv) => pv.isNotNull)
-          case _ => sys.error("properties() takes one bound node variable")
+          case Seq(EVar(v)) if relVars(v) =>
+            // relationship property map: the non-identity edge columns
+            if (edgeProps.isEmpty) map()
+            else map_filter(
+              map(edgeProps.flatMap(p =>
+                Seq(lit(p), col(ns(v, p)).cast("string"))): _*),
+              (_, pv) => pv.isNotNull)
+          case _ => sys.error("properties() takes one bound node or relationship variable")
+        }
+        case "labels" => args match {
+          // full label list — single-label engine, so a 1-element array
+          case Seq(EVar(v)) if !scalarVars(v) && !relVars(v) =>
+            array(col(ns(v, "label")))
+          case _ => sys.error("labels() takes one bound node variable")
+        }
+        case "reverse" => arity(args.size == 1); reverse(a(0))
+        case "startnode" | "endnode" => args match {
+          // the endpoint as a node entity — needs src_label/dst_label
+          // on the edge frame (GraphStore edges carry them)
+          case Seq(EVar(v)) if relVars(v) =>
+            val side = if (fn == "startnode") "src" else "dst"
+            struct(col(ns(v, s"${side}_label")).as("label"),
+              col(ns(v, s"${side}_uid")).as("uid"))
+          case _ => sys.error(s"$fn() takes one bound relationship variable")
         }
         case "keys" => args match {
           case Seq(EVar(v)) if !scalarVars(v) && !relVars(v) =>

@@ -1703,7 +1703,55 @@ object GraphQueries extends QueryPack {
         |ORDER BY customer""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g73 — pattern predicates with BOTH endpoints bound (the
+    * set-difference idiom `MATCH (a) MATCH (b) WHERE NOT (a)-[:R]->(b)`
+    * — inherently pairwise, same cost Neo4j pays): the predicate
+    * compiles to ONE distinct edge-pair probe anti/semi-joined on both
+    * uids. Under OR it becomes a two-key boolean flag column, so the
+    * WHERE tree still combines freely. Disconnected MATCH clauses are
+    * accepted exactly when the WHERE correlates them. */
+  def g73CypherBoundPattern(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (sp:Supplier) MATCH (n:Nation)
+        |WHERE n.name ENDS WITH '2' AND NOT (sp)-[:IN_NATION]->(n)
+        |RETURN n.name AS nation, count(sp) AS cnt, 'not' AS tag
+        |UNION ALL
+        |MATCH (sp:Supplier) MATCH (n:Nation)
+        |WHERE n.name ENDS WITH '2'
+        |  AND ((sp)-[:IN_NATION]->(n) OR sp.name ENDS WITH '9')
+        |RETURN n.name AS nation, count(sp) AS cnt, 'or' AS tag""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("tag", "nation")
+
+  /** g74 — entity functions: labels(n) (full list), reverse (string),
+    * startNode(r)/endNode(r) (endpoint entities off the edge frame's
+    * carried labels — pure projection, no node join). */
+  def g74CypherEntityFns(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)-[r:IN_REGION]->(rg:Region)
+        |WHERE n.name ENDS WITH '3'
+        |RETURN n.name AS nation, labels(n) AS ls, reverse(n.name) AS rev,
+        |  [x IN [startNode(r), endNode(r)] | x.label] AS endpoints
+        |ORDER BY nation""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
+  /** g75 — `RETURN *` / `WITH *`: expansion to every in-scope named
+    * variable (name-sorted), the REPL idiom every Neo4j user types
+    * first. Expansion happens post-pipeline where the scope is known;
+    * extra items compose (`WITH *, expr AS x`). */
+  def g75CypherStar(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)-[r:IN_REGION]->(rg:Region)
+        |WITH n.name AS nation, rg.name AS region, type(r) AS rel
+        |WITH *, replace(nation, 'NATION', 'N') AS k
+        |WHERE nation ENDS WITH '3'
+        |RETURN * ORDER BY nation""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "g75_cypher_star" -> (g75CypherStar _),
+    "g74_cypher_entity_fns" -> (g74CypherEntityFns _),
+    "g73_cypher_bound_pattern" -> (g73CypherBoundPattern _),
     "g72_cypher_path_fns" -> (g72CypherPathFns _),
     "g71_cypher_map_slice" -> (g71CypherMapSlice _),
     "g70_cypher_stats_aggs" -> (g70CypherStatsAggs _),
@@ -1947,6 +1995,34 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g73: pair anti-join = total minus in-nation; OR-flag branch =
+    // in-nation or '9'-suffixed suppliers, per '2'-nation.
+    "g73_cypher_bound_pattern" ->
+      """SELECT nation, cnt, tag FROM (
+        |  SELECT n_name AS nation,
+        |    (SELECT count(*) FROM supplier) -
+        |    (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS cnt,
+        |    'not' AS tag
+        |  FROM nation WHERE n_name LIKE '%2'
+        |  UNION ALL
+        |  SELECT n_name,
+        |    (SELECT count(*) FROM supplier
+        |     WHERE s_nationkey = n_nationkey OR s_name LIKE '%9'),
+        |    'or'
+        |  FROM nation WHERE n_name LIKE '%2')
+        |ORDER BY tag, nation""".stripMargin,
+    // g74: entity functions are constants/string ops over the chain.
+    "g74_cypher_entity_fns" ->
+      """SELECT n_name AS nation, ['Nation'] AS ls, reverse(n_name) AS rev,
+        |  ['Nation', 'Region'] AS endpoints
+        |FROM nation WHERE n_name LIKE '%3' ORDER BY nation""".stripMargin,
+    // g75: RETURN * expands to the name-sorted scope (k, nation,
+    // region, rel) — the compare sorts columns by name anyway.
+    "g75_cypher_star" ->
+      """SELECT replace(n_name, 'NATION', 'N') AS k, n_name AS nation, r_name AS region,
+        |  'IN_REGION' AS rel
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE n_name LIKE '%3' ORDER BY nation""".stripMargin,
     // g72: every customer has exactly one nation→region chain, so the
     // path arrays are the constant label/type sequences.
     "g72_cypher_path_fns" ->

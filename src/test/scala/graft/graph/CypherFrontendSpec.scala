@@ -1382,6 +1382,72 @@ class CypherFrontendSpec extends SparkSpec {
     assert(d25 === 10L)
   }
 
+  test("bound-target pattern predicates: set difference and OR flags") {
+    // items NOT disposed in Restmuell: w3 (Biomuell) and w4 (orphan)
+    val diff = run(
+      """MATCH (w:WasteItem) MATCH (s:WasteStream {name: 'Restmuell'})
+        |WHERE NOT (w)-[:DISPOSED_IN]->(s)
+        |RETURN w.name AS w ORDER BY w""".stripMargin)
+      .as[String].collect().toSeq
+    assert(diff === Seq("Altlack", "Laub"))
+    // positive form under OR compiles to a two-key flag column
+    val or = run(
+      """MATCH (w:WasteItem) MATCH (s:WasteStream {name: 'Biomuell'})
+        |WHERE (w)-[:DISPOSED_IN]->(s) OR w.name = 'Asche'
+        |RETURN w.name AS w ORDER BY w""".stripMargin)
+      .as[String].collect().toSeq
+    assert(or === Seq("Asche", "Laub"))
+    // EXISTS {} fast path with a bound target correlates the pair too
+    val ex = run(
+      """MATCH (w:WasteItem) MATCH (f:Facility)
+        |WHERE EXISTS { (w)-[:DISPOSED_AT]->(f) }
+        |RETURN w.name AS w, f.name AS f""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(ex === Seq(("Bauschutt", "Wertstoffhof A")))
+    // an UNCORRELATED disconnected pair is still refused
+    val e = intercept[IllegalArgumentException](run(
+      "MATCH (w:WasteItem) MATCH (f:Facility) WHERE w.name = 'Asche' RETURN w.name"))
+    assert(e.getMessage.contains("cross product"))
+  }
+
+  test("RETURN * / WITH * expand to the named scope; entity functions") {
+    val star = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH w.name AS item, s.name AS stream
+        |RETURN * ORDER BY item""".stripMargin)
+    assert(star.columns.toSeq === Seq("item", "stream"))
+    assert(star.count() === 3)
+    // WITH * carries pattern vars forward for later MATCHes
+    val carried = run(
+      """MATCH (w:WasteItem {name: 'Bauschutt'}) WITH *
+        |MATCH (w)-[:DISPOSED_AT]->(f) RETURN f.name AS f""".stripMargin)
+      .as[String].collect().toSeq
+    assert(carried === Seq("Wertstoffhof A"))
+    val fns = run(
+      """MATCH (w:WasteItem {name: 'Bauschutt'})-[r:DISPOSED_IN]->(s)
+        |RETURN labels(w) AS ls, reverse(w.name) AS rev,
+        |  reverse([1, 2, 3]) AS rl""".stripMargin).collect().head
+    assert(fns.getSeq[String](0) === Seq("WasteItem"))
+    assert(fns.getString(1) === "ttuhcsuaB")
+    assert(fns.getSeq[Long](2) === Seq(3L, 2L, 1L))
+    // startNode/endNode need carried endpoint labels on the edge frame
+    val labeled = edges.unionByName(edges.limit(0))
+      .withColumn("src_label", lit("WasteItem"))
+      .withColumn("dst_label",
+        when(col("rel_type") === "DISPOSED_AT", "Facility")
+          .otherwise("WasteStream"))
+    val ends = CypherFrontend.run(
+      """MATCH ()-[r:DISPOSED_AT]->()
+        |RETURN [x IN [startNode(r), endNode(r)] | x.label] AS ls""".stripMargin,
+      nodes, labeled).as[Seq[String]].head()
+    assert(ends === Seq("WasteItem", "Facility"))
+    // chained comparisons desugar to AND of adjacent pairs
+    val chain = run(
+      "UNWIND [1, 2, 3] AS x WITH x WHERE 1 < x <= 2 RETURN x")
+      .as[Long].collect().toSeq
+    assert(chain === Seq(2L))
+  }
+
   test("nodes(p) / relationships(p) on fixed-length named paths") {
     val got = run(
       """MATCH p = (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
