@@ -102,7 +102,9 @@ object CypherProbe {
       "reverse"         -> "MATCH (n:Facility) RETURN reverse(n.name) AS r, reverse([1,2]) AS rl",
       "bound-target pattern" -> "MATCH (w:WasteItem) MATCH (s:WasteStream) WHERE NOT (w)-[:DISPOSED_IN]->(s) RETURN count(*) AS c",
       "properties(r)"   -> "MATCH ()-[r]->() RETURN properties(r) AS p LIMIT 1",
-      "chained cmp"     -> "UNWIND [1,2,3] AS x WITH x WHERE 1 < x <= 2 RETURN x")
+      "chained cmp"     -> "UNWIND [1,2,3] AS x WITH x WHERE 1 < x <= 2 RETURN x",
+      "varlen pattern pred" -> "MATCH (w:WasteItem) WHERE (w)-[*1..2]->(:Facility) RETURN w.name AS n",
+      "multi-hop bare pred" -> "MATCH (w:WasteItem) WHERE NOT (w)-[:DISPOSED_IN]->()-[:FEEDS]->() RETURN count(*) AS c")
 
     var pass = 0
     battery.foreach { case (tag, q) =>

@@ -189,7 +189,11 @@ object CypherFrontend {
                             /** `-[:T]-` both-ways match: compiled over
                               * the symmetric edge closure with
                               * `forward = true`. */
-                            undirected: Boolean = false)
+                            undirected: Boolean = false,
+                            /** `-[r:T {key: val}]->` relationship
+                              * property map — equality filters on the
+                              * edge frame's columns. */
+                            props: Map[String, Expr] = Map.empty)
   private case class Chain(head: NodePat, hops: Seq[(RelPat, NodePat)])
   /** One MATCH / OPTIONAL MATCH clause: comma chains + its own WHERE —
     * Cypher scopes a WHERE to the clause it follows, which matters for
@@ -533,6 +537,7 @@ object CypherFrontend {
       var v: Option[String] = None
       var types: Seq[String] = Nil
       var varLen: Option[(Int, Int)] = None
+      var props: Map[String, Expr] = Map.empty
       if (atSym("[")) {
         eatSym("[")
         peek match { case Some(TId(_)) => v = Some(ident()); case _ => }
@@ -566,6 +571,19 @@ object CypherFrontend {
           require(hi <= 10 || hi == Unbounded,
             s"*..$hi unrolls $hi chained joins; depth > 10 belongs to the unbounded '*'")
         }
+        if (atSym("{")) { // relationship property map
+          eatSym("{")
+          val m = Map.newBuilder[String, Expr]
+          while (!atSym("}")) {
+            val k = ident(); eatSym(":"); m += (k -> atom())
+            if (atSym(",")) eatSym(",")
+          }
+          eatSym("}")
+          props = m.result()
+          require(varLen.isEmpty,
+            "property maps on var-length relationships are not supported; " +
+              "filter the hop list instead")
+        }
         eatSym("]")
       }
       val fwd = atSym("->")
@@ -581,7 +599,7 @@ object CypherFrontend {
           "supported (reachability pairs carry no per-walk list); " +
           "bound the range (*lo..hi) and project size(r)")
       (RelPat(v, types, forward = fwd || undirected, varLen,
-        undirected = undirected), nodePat())
+        undirected = undirected, props = props), nodePat())
     }
 
     private def retItem(): RetItem = {
@@ -958,8 +976,23 @@ object CypherFrontend {
       if (atSym("(")) {
         val save = pos
         patternPredOpt() match {
-          case Some(p) => return p
-          case None => pos = save
+          // a trailing -/<- means the single-hop parse stopped short
+          // of a longer chain — fall through to the chain form
+          case Some(p) if !atSym("-") && !atSym("<-") => return p
+          case _ => pos = save
+        }
+        // bare MULTI-HOP or VAR-LENGTH pattern predicate:
+        // (a)-[:X]->()-[:Y]->(b), (w)-[*1..2]->(:F) — parse the full
+        // chain and compile as the equivalent EXISTS {} subquery
+        // (shared-variable semi/anti join; both endpoints correlate
+        // when bound)
+        scala.util.Try {
+          val ch = chain()
+          require(ch.hops.nonEmpty, "not a pattern")
+          ch
+        } match {
+          case scala.util.Success(ch) => return PExistsChain(Seq(ch), None)
+          case _ => pos = save
         }
         val predErr: Exception =
           try {
@@ -1158,6 +1191,15 @@ object CypherFrontend {
     private def edgeSide(r: RelPat, rv: String): DataFrame = {
       var df = edges
       if (r.types.nonEmpty) df = df.filter(col("rel_type").isin(r.types: _*))
+      r.props.foreach { case (k, e) =>
+        e match {
+          case EVar(sv) if scalarVars(sv) => sys.error(
+            s"property map cannot reference pipeline alias '$sv' (it lives " +
+              "outside the pattern's frame); correlate with WHERE instead")
+          case _ =>
+        }
+        df = df.filter(col(k) === exprCol(e))
+      }
       // endpoint labels ride along when the edge frame carries them —
       // startNode(r)/endNode(r) project them as the node's label
       val labelCols =

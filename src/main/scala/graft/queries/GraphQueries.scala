@@ -1748,7 +1748,25 @@ object GraphQueries extends QueryPack {
         |RETURN * ORDER BY nation""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g76 — VAR-LENGTH and multi-hop bare pattern predicates:
+    * `WHERE (c)-[*2..2]->(:Region)` / `WHERE (c)-[*1..2]->(r)` with a
+    * bound target — parsed as full chains and compiled to the SAME
+    * EXISTS{} machinery (distinct shared-key probes, semi joins), so
+    * the var-length walk frame never widens the outer row set. */
+  def g76CypherVarlenPred(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)
+        |WHERE (c)-[*2..2]->(:Region) AND c.name ENDS WITH '00'
+        |RETURN c.name AS customer, 'reach2' AS tag
+        |UNION ALL
+        |MATCH (c:Customer) MATCH (r:Region)
+        |WHERE (c)-[*1..2]->(r) AND c.name ENDS WITH '00'
+        |RETURN c.name AS customer, r.name AS tag""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("customer", "tag")
+
   val queries: Map[String, QueryFn] = Map(
+    "g76_cypher_varlen_pred" -> (g76CypherVarlenPred _),
     "g75_cypher_star" -> (g75CypherStar _),
     "g74_cypher_entity_fns" -> (g74CypherEntityFns _),
     "g73_cypher_bound_pattern" -> (g73CypherBoundPattern _),
@@ -1995,6 +2013,19 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g76: every customer reaches exactly its region in 2 hops
+    // (cust→nation→region); the bound-target form pairs each customer
+    // with that one region.
+    "g76_cypher_varlen_pred" ->
+      """SELECT customer, tag FROM (
+        |  SELECT c_name AS customer, 'reach2' AS tag
+        |  FROM customer WHERE c_name LIKE '%00'
+        |  UNION ALL
+        |  SELECT c_name, r_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE c_name LIKE '%00')
+        |ORDER BY customer, tag""".stripMargin,
     // g73: pair anti-join = total minus in-nation; OR-flag branch =
     // in-nation or '9'-suffixed suppliers, per '2'-nation.
     "g73_cypher_bound_pattern" ->

@@ -1382,6 +1382,42 @@ class CypherFrontendSpec extends SparkSpec {
     assert(d25 === 10L)
   }
 
+  test("var-length / multi-hop bare pattern predicates and rel property maps") {
+    // only Bauschutt reaches a Facility within 2 hops (direct edge)
+    val reach = run(
+      """MATCH (w:WasteItem) WHERE (w)-[*1..2]->(:Facility)
+        |RETURN w.name AS w""".stripMargin).as[String].collect().toSeq
+    assert(reach === Seq("Bauschutt"))
+    // bound target pairs each item with ITS stream (1 hop)
+    val pairs = run(
+      """MATCH (w:WasteItem) MATCH (s:WasteStream)
+        |WHERE (w)-[*1..1]->(s)
+        |RETURN w.name AS w, s.name AS s ORDER BY w""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(pairs === Seq(("Asche", "Restmuell"), ("Bauschutt", "Restmuell"),
+      ("Laub", "Biomuell")))
+    // multi-hop bare predicate without EXISTS keyword
+    val two = run(
+      """MATCH (w:WasteItem)
+        |WHERE NOT (w)-[:DISPOSED_IN]->()-[:FEEDS]->()
+        |RETURN count(*) AS c""".stripMargin).as[Long].head()
+    assert(two === 4L) // no FEEDS edges: nothing matches, NOT keeps all
+    // relationship property maps filter on the edge frame's columns
+    val propEdges = Seq(
+      ("u:w1", "DISPOSED_IN", "u:s1", 2L),
+      ("u:w2", "DISPOSED_IN", "u:s1", 1L))
+      .toDF("src_uid", "rel_type", "dst_uid", "weight")
+    val byProp = CypherFrontend.run(
+      "MATCH (a)-[r:DISPOSED_IN {weight: 2}]->(b) RETURN a.name AS a",
+      nodes, propEdges).as[String].collect().toSeq
+    assert(byProp === Seq("Bauschutt"))
+    // pipeline aliases still cannot leak into rel property maps
+    val e = intercept[RuntimeException](CypherFrontend.run(
+      """UNWIND [2] AS k MATCH (a)-[r:DISPOSED_IN {weight: k}]->(b)
+        |RETURN a.name AS a""".stripMargin, nodes, propEdges))
+    assert(e.getMessage.contains("WHERE"))
+  }
+
   test("bound-target pattern predicates: set difference and OR flags") {
     // items NOT disposed in Restmuell: w3 (Biomuell) and w4 (orphan)
     val diff = run(
