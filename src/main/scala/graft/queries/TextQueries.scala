@@ -1284,6 +1284,79 @@ object TextQueries extends QueryPack {
       .withColumn("pass", col("score") > 0)
   }
 
+  /** d49 — cross-source CONTAMINATION MATRIX: pairwise word-trigram
+    * overlap between corpus sources (the governance table a data team
+    * reads before mixing crawls — which feeds share content, and how
+    * much). Distinct (source, window-hash) pairs self-join on the
+    * hash: one keyed shuffle; per-hash pair fan-out is bounded by the
+    * SOURCE count (tens), never the document count, so the join output
+    * is |hashes| × O(sources²) worst-case and in practice ≈ the true
+    * overlap. The window frame is eagerly localCheckpointed so the
+    * self-join's two plan arms don't recompute the shingle transform
+    * (the d06 lesson). */
+  def d49SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val wins = docs(s, dir).select(col("source"), words.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("source"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
+          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val totals = wins.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = wins.as("a")
+      .join(wins.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(totals.select(col("source").as("s1"), col("n").as("n1")), "s1")
+      .join(totals.select(col("source").as("s2"), col("n").as("n2")), "s2")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  /** d50 — token-BUDGET greedy corpus selection: rank documents by the
+    * d48 quality score (best first, doc_id tie-break) and keep the
+    * prefix whose cumulative token count fits the budget — the
+    * "best N tokens" selection step between scoring and training. The
+    * cumulative sum is the d45 two-phase prefix sum (range partition
+    * by the sort key → per-partition totals → broadcast offsets →
+    * partition-local running sum), NOT a single global window — at
+    * 100 TB the only global object is the P-row offset table. */
+  def d50BudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityClassify(docs(s, dir))
+      .join(docs(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks")), "doc_id")
+      .select(col("doc_id"), col("score"), col("toks"))
+    budgetSelect(scored, 15000L, parallelism(s))
+  }
+
+  /** The d50 kernel on a caller-supplied (doc_id, score, toks) frame —
+    * BudgetSelectSpec proves the selection is independent of the
+    * range-partition count (the prefix-sum law, same as seqPack). */
+  private[queries] def budgetSelect(scored: DataFrame, budget: Long,
+                                    parts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = scored
+      .withColumn("negscore", -col("score"))
+      .repartitionByRange(parts, col("negscore"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val offs = ranged.groupBy("pid").agg(sum("toks").as("psum"))
+      .withColumn("off", coalesce(sum("psum").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    ranged.join(broadcast(offs), "pid")
+      .withColumn("cum_tokens", sum("toks").over(
+        Window.partitionBy("pid").orderBy("negscore", "doc_id")) + col("off"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("score"), col("toks"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** d46 — train→eval NOVELTY probe (the memorization metric an
     * LLM-eval pipeline reports: what fraction of an eval document's
     * 8-word windows already appear in the training split — windows
@@ -1540,6 +1613,8 @@ object TextQueries extends QueryPack {
     "d41_exactsubstr_clean" -> (d41ExactSubstrClean _),
     "d40_dsir_select"   -> (d40DsirSelect _),
     "d39_exact_substr"  -> (d39ExactSubstr _),
+    "d50_budget_select" -> (d50BudgetSelect _),
+    "d49_source_overlap" -> (d49SourceOverlap _),
     "d48_quality_classifier" -> (d48QualityClassifier _),
     "d47_chunk_overlap" -> (d47ChunkOverlap _),
     "d46_novelty_probe" -> (d46NoveltyProbe _),
@@ -1821,6 +1896,42 @@ object TextQueries extends QueryPack {
     // construction.
     // d46: same split law, same window hash string, an IN-subquery
     // for the train set.
+    // d49: the same trigram-window hashes and pair join in SQL.
+    "d49_source_overlap" ->
+      """WITH t AS (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |           FROM documents),
+        |iw AS (SELECT source, toks, unnest(range(0, greatest(len(toks)-2, 0))) AS i
+        |       FROM t WHERE len(toks) >= 3),
+        |w AS (SELECT DISTINCT source,
+        |        md5(array_to_string(toks[i+1:i+3], ' ')) AS h FROM iw),
+        |tot AS (SELECT source, count(*) AS n FROM w GROUP BY source),
+        |p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+        |      FROM w a JOIN w b ON a.h = b.h AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT s1, s2, t1.n AS n1, t2.n AS n2, inter,
+        |  round(CAST(inter AS DOUBLE) / (t1.n + t2.n - inter), 6) AS jaccard
+        |FROM p JOIN tot t1 ON t1.source = s1 JOIN tot t2 ON t2.source = s2
+        |ORDER BY s1, s2""".stripMargin,
+    // d50: the greedy prefix under the budget as one window cumsum
+    // over the same (score DESC, doc_id) order.
+    "d50_budget_select" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk,
+        |             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, toks, list_concat(tk,
+        |        [p[1] || '_' || p[2]
+        |         FOR p IN list_zip(tk[1:-2], tk[2:])]) AS grams FROM t),
+        |sc AS (SELECT doc_id, toks,
+        |  CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+        |    round(list_sum([CAST((length(x)*131 + ascii(substr(x,1,1))*7919
+        |      + ascii(substr(x,-1,1))*104729) % 997 - 498 AS DOUBLE)/498.0
+        |      FOR x IN grams]) / len(grams), 6) END AS score
+        |  FROM g),
+        |o AS (SELECT doc_id, score, toks,
+        |        sum(toks) OVER (ORDER BY score DESC, doc_id) AS cum_tokens
+        |      FROM sc)
+        |SELECT doc_id, score, toks, cum_tokens FROM o
+        |WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,
     // d47: lateral chunk starts via unnest(range(...)); DuckDB list
     // slicing is 1-based inclusive like Spark's slice.
     "d47_chunk_overlap" ->

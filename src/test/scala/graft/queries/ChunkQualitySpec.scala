@@ -38,6 +38,23 @@ class ChunkQualitySpec extends SparkSpec {
     assert(got === Seq((1L, 0, 0, 3, "only three tokens")))
   }
 
+  test("budget selection: greedy prefix, partition-count independent") {
+    val scored = Seq(
+      (1L, 0.9, 10L), (2L, 0.8, 10L), (3L, 0.7, 10L),
+      (4L, 0.7, 10L), (5L, 0.1, 10L))
+      .toDF("doc_id", "score", "toks")
+    // budget 35: docs 1,2,3 fit (cum 10,20,30); doc 4 (cum 40) does not
+    val sel = (p: Int) => TextQueries.budgetSelect(scored, 35L, p)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens")))
+      .toSeq.sortBy(_._1)
+    assert(sel(2) === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // the prefix-sum law: same selection at any partition count
+    assert(sel(1) === sel(2))
+    assert(sel(5) === sel(2))
+    // score tie broken by doc_id: 3 beats 4 deterministically
+    assert(!sel(3).exists(_._1 == 4L))
+  }
+
   test("quality classifier: deterministic, sign-split, empty-gram guard") {
     val got = TextQueries.qualityClassify(Seq(
         (1L, "alpha beta gamma"),
