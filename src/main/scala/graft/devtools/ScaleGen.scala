@@ -155,7 +155,30 @@ object ScaleGen {
     }.reduce(_.unionByName(_)).repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+    // CUST_X > 1 (round-9: the g24 HITS / dim-graph 100× wave):
+    // replicate customer+supplier with DISJOINT keys but UNCHANGED
+    // nationkeys — the graph grows 100× hub-shaped (all replicas point
+    // at the same 25 nations), exactly the worst case for an
+    // authority/hub fixpoint. nation/region/part stay verbatim.
+    val custX = sys.env.getOrElse("SPARK_GRAFT_CUST_X", "1").toInt
+    if (custX > 1) {
+      val cust = spark.read.parquet(s"$src/customer.parquet").localCheckpoint(true)
+      (0 until custX).map { k =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * 100000000L))
+          .withColumn("c_name", concat(col("c_name"), lit(s"#r$k")))
+      }.reduce(_.unionByName(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      val supp = spark.read.parquet(s"$src/supplier.parquet").localCheckpoint(true)
+      (0 until custX).map { k =>
+        supp.withColumn("s_suppkey", col("s_suppkey") + lit(k.toLong * 100000000L))
+          .withColumn("s_name", concat(col("s_name"), lit(s"#r$k")))
+      }.reduce(_.unionByName(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    }
+    val dimCopies =
+      if (custX > 1) Seq("region", "nation", "part")
+      else Seq("region", "nation", "customer", "supplier", "part")
+    for (t <- dimCopies) {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"),

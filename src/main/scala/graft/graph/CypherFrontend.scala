@@ -135,6 +135,15 @@ object CypherFrontend {
   private case class ECollect(chains: Seq[Chain], where: Option[Pred],
                               ret: Expr, orderBy: Seq[(Expr, Boolean)],
                               limit: Option[Long]) extends Expr
+  /** A pattern predicate / EXISTS subquery used as a boolean VALUE —
+    * `RETURN exists((a)-[:R]->(b))`, `EXISTS { }` in a CASE RESULT or
+    * any other expression position. Rides the SAME pre-joined flag
+    * columns the predicate positions use (patternsE/existsChainsE find
+    * it, predCol resolves it), so the 100 TB cost stays one
+    * DISTINCT-probe left join per distinct pattern — never per-row
+    * subquery execution. The bare pattern-as-list-of-paths value form
+    * stays refused (its value is a path list, not a boolean). */
+  private case class EPredVal(p: Pred) extends Expr
 
   private sealed trait Pred
   private case class PCmp(op: String, l: Expr, r: Expr) extends Pred
@@ -580,9 +589,9 @@ object CypherFrontend {
           }
           eatSym("}")
           props = m.result()
-          require(varLen.isEmpty,
-            "property maps on var-length relationships are not supported; " +
-              "filter the hop list instead")
+          // on a var-length hop the map filters EVERY hop's edge
+          // (Neo4j's contract) — compiled as one edge-set filter
+          // below the k-fold joins, see relPropsFilter
         }
         eatSym("]")
       }
@@ -732,11 +741,35 @@ object CypherFrontend {
         } else EFn("labels", Seq(EVar(v))) // full list: [label]
       case Some(TId("type")) if toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("("); val v = ident(); eatSym(")"); EType(v)
+      case Some(TKw("EXISTS")) if toks.lift(pos + 1).exists(_.text == "{") =>
+        // value-position EXISTS { } — identical parse to the predicate
+        // form (basePred owns the brace grammar), wrapped as a boolean
+        // VALUE that rides a pre-joined flag column
+        EPredVal(basePred())
       case Some(TKw("EXISTS")) if toks.lift(pos + 1).exists(_.text == "(") =>
-        // legacy exists(n.prop) — EXISTS lexes as a keyword, so the
-        // generic scalar-function branch can't reach it
-        pos += 1; eatSym("("); val a = expr(); eatSym(")")
-        EFn("exists", Seq(a))
+        // EXISTS lexes as a keyword, so the generic scalar-function
+        // branch can't reach it. Two meanings share this shape:
+        // exists((a)-[:R]->(b)) — the 3.x pattern-existence value —
+        // parses the pattern first (flag column); exists(n.prop) falls
+        // back to the legacy property-existence function.
+        pos += 1; eatSym("(")
+        val save = pos
+        val asPattern: Option[Expr] = patternPredOpt() match {
+          case Some(p) if atSym(")") => Some(EPredVal(p))
+          case _ =>
+            pos = save
+            scala.util.Try {
+              val ch = chain(); require(ch.hops.nonEmpty, "not a pattern"); ch
+            }.toOption.filter(_ => atSym(")"))
+              .map(ch => EPredVal(PExistsChain(Seq(ch), None)))
+        }
+        asPattern match {
+          case Some(e) => eatSym(")"); e
+          case None =>
+            pos = save
+            val a = expr(); eatSym(")")
+            EFn("exists", Seq(a))
+        }
       case Some(TId(fn)) if fn.equalsIgnoreCase("reduce")
           && toks.lift(pos + 1).exists(_.text == "(") =>
         pos += 1; eatSym("(")
@@ -812,12 +845,19 @@ object CypherFrontend {
         pos += 1; eatSym("(")
         val arg = expr()
         eatSym(",")
-        val p = atom() match {
-          case ELit(d: Double) => d
-          case ELit(n: Long) => n.toDouble
-          case other => sys.error(s"percentile fraction must be a literal, got $other")
+        // a `$param` fraction rides as `$name` in the tag, resolved
+        // (and range-checked) at compile time from the params map
+        val p: String = atom() match {
+          case ELit(d: Double) =>
+            require(d >= 0.0 && d <= 1.0, s"percentile fraction out of [0,1]: $d")
+            d.toString
+          case ELit(n: Long) =>
+            require(n >= 0L && n <= 1L, s"percentile fraction out of [0,1]: $n")
+            n.toDouble.toString
+          case EParam(name) => "$" + name
+          case other =>
+            sys.error(s"percentile fraction must be a literal or $$param, got $other")
         }
-        require(p >= 0.0 && p <= 1.0, s"percentile fraction out of [0,1]: $p")
         eatSym(")")
         EAgg(fn.toLowerCase + ":" + p, Some(arg), distinct = false)
       case Some(TId(fn)) if scalarFns(fn.toLowerCase)
@@ -1188,9 +1228,14 @@ object CypherFrontend {
       df.select((Seq("uid", "label") ++ nodeProps).map(c => col(c).as(ns(v, c))): _*)
     }
 
-    private def edgeSide(r: RelPat, rv: String): DataFrame = {
-      var df = edges
-      if (r.types.nonEmpty) df = df.filter(col("rel_type").isin(r.types: _*))
+    /** A relationship property map as a per-EDGE filter. On a fixed
+      * hop it is the edge's own predicate; on a var-length hop EVERY
+      * hop of the walk must satisfy it (Neo4j's `-[:T*1..3 {k: v}]->`
+      * contract), so the same filter applies to the edge set each
+      * k-fold join draws from — pushed below the joins, never a
+      * post-hoc hop-list scan. */
+    private def relPropsFilter(df0: DataFrame, r: RelPat): DataFrame = {
+      var df = df0
       r.props.foreach { case (k, e) =>
         e match {
           case EVar(sv) if scalarVars(sv) => sys.error(
@@ -1200,6 +1245,13 @@ object CypherFrontend {
         }
         df = df.filter(col(k) === exprCol(e))
       }
+      df
+    }
+
+    private def edgeSide(r: RelPat, rv: String): DataFrame = {
+      var df = edges
+      if (r.types.nonEmpty) df = df.filter(col("rel_type").isin(r.types: _*))
+      df = relPropsFilter(df, r)
       // endpoint labels ride along when the edge frame carries them —
       // startNode(r)/endNode(r) project them as the node's label
       val labelCols =
@@ -1269,6 +1321,7 @@ object CypherFrontend {
                     "on cyclic graphs; bound the range (*1..k)")
                 var e = edges
                 if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
+                e = relPropsFilter(e, rel) // per-hop property map
                 val (fromC, toC) =
                   if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
                 val base = e.select(col(fromC).as("src_uid"), col(toC).as("dst_uid"))
@@ -1404,6 +1457,7 @@ object CypherFrontend {
       }
       var e = edges
       if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
+      e = relPropsFilter(e, rel) // per-hop property map
       val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
       val e1dir = e.select(col(fromC).as(s"$pv$$from"), col(toC).as(s"$pv$$to"))
       val e1 = (if (rel.undirected) e1dir.unionByName(e1dir.select(
@@ -1457,6 +1511,7 @@ object CypherFrontend {
                          seedFrom: Option[DataFrame] = None): DataFrame = {
       var e = edges
       if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
+      e = relPropsFilter(e, rel) // per-hop property map
       val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
       val from = s"$nsCol$$from"; val to = s"$nsCol$$to"
       val hops = s"$nsCol$$hops"; val mid = s"$nsCol$$mid"
@@ -1535,11 +1590,23 @@ object CypherFrontend {
       // variable in scope plus the live scalar aliases, name-sorted
       // (deterministic; the driver compare is column-order-blind)
       def starItems(frame: DataFrame): Seq[RetItem] = {
-        val pats = bound.toSeq.filterNot(_.startsWith("_anon")).sorted
+        val pats = bound.toSeq.filterNot(_.startsWith("_anon"))
+        // var-length rel bindings and named paths live OUTSIDE `bound`
+        // (their state is materialized scratch columns, not a uid
+        // family) — * includes them when their columns ride the frame,
+        // matching Neo4j scope instead of silently narrowing; a final
+        // RETURN of a path variable refuses loudly (exprCol).
+        val hops = varLenHops.collect {
+          case (v, c) if frame.columns.contains(c) => v
+        }.toSeq
+        val paths = pathVars.collect {
+          case (v, c) if frame.columns.contains(c) => v
+        }.toSeq
         val scals = frame.columns
           .filter(c => scalarVars(c) && !c.contains("$") && !c.startsWith("_"))
           .sorted.toSeq
-        (pats ++ scals).distinct.map(v => RetItem(EVar(v), None, v))
+        ((pats ++ hops ++ paths).sorted ++ scals)
+          .distinct.map(v => RetItem(EVar(v), None, v))
       }
       def applyClause(cl: MatchClause): Unit = {
         // a clause's comma chains join on shared vars (inner, one pattern)
@@ -1968,18 +2035,28 @@ object CypherFrontend {
       }
       val passVars = varItems.map { i =>
         val v = i.expr.asInstanceOf[EVar].name
-        require(bound(v) || scalarVars(v), s"WITH references unbound variable $v")
+        require(bound(v) || scalarVars(v) || pathVars.contains(v) ||
+            varLenHops.contains(v) || varLenVars.contains(v),
+          s"WITH references unbound variable $v")
         v
       }
       exprItems.foreach(i => require(i.alias.isDefined,
         s"WITH item '${i.text}' needs an AS alias"))
       val aggItems = exprItems.filter(i => hasAgg(i.expr))
       val keyExprItems = exprItems.filterNot(i => hasAgg(i.expr))
+      // a path variable's state is its pathlen column; a var-length
+      // rel binding's is its rellen/relhops pair — WITH passes those
+      // through so length(p)/size(r)/[h IN r | ...] resolve later
+      def scratchCols(v: String): Seq[String] =
+        (pathVars.get(v).toSeq ++ varLenVars.get(v).toSeq ++
+          varLenHops.get(v).toSeq).filter(in.columns.contains)
       def varCols(v: String): Seq[Column] =
         if (scalarVars(v)) Seq(col(v))
+        else if (scratchCols(v).nonEmpty) scratchCols(v).map(c => col("`" + c + "`"))
         else in.columns.filter(_.startsWith(v + "$")).toSeq.map(col)
       val keyNames = passVars.flatMap { v =>
         if (scalarVars(v)) Seq(v)
+        else if (scratchCols(v).nonEmpty) scratchCols(v)
         else in.columns.filter(_.startsWith(v + "$")).toSeq
       } ++ keyExprItems.map(_.alias.get)
       // inside a correlated CALL body, the correlation key threads
@@ -2031,10 +2108,17 @@ object CypherFrontend {
             df.join(pair, df(ns(v, "uid")) === pair("_src") &&
               df(ns(tv, "uid")) === pair("_dst"), joinType)
           case Some(tv) =>
-            // only the TARGET is bound ((x)-[:R]->(s), x existential):
-            // flip the orientation and probe the target's endpoint set
+            // only the TARGET is bound ((x)-[:R]->(s:Label), x
+            // existential): flip the orientation and probe the
+            // target's endpoint set. A written label on the BOUND
+            // endpoint still binds (Neo4j parity): it rides the join
+            // condition, so the anti form keeps rows whose endpoint
+            // fails the label — NOT(edge ∧ label) — instead of
+            // silently dropping the check.
             val probe = patternProbe(types, !fwd, None, und)
-            df.join(probe, df(ns(tv, "uid")) === probe("_probe"), joinType)
+            var cond = df(ns(tv, "uid")) === probe("_probe")
+            tl.foreach(l => cond = cond && df(ns(tv, "label")) === lit(l))
+            df.join(probe, cond, joinType)
           case None => // unbound/absent target = existential, like ()
             val probe = patternProbe(types, fwd, tl, und)
             df.join(probe, df(ns(v, "uid")) === probe("_probe"), joinType)
@@ -2197,6 +2281,7 @@ object CypherFrontend {
             case Right(x) => countSubsE(x)
           }) ++ countSubsE(v)
         } ++ els.toSeq.flatMap(countSubsE)
+      case EPredVal(p) => countSubsP(p)
       case _ => Seq.empty
     }
     /** Pattern predicates nested inside EXPRESSIONS (CASE conditions,
@@ -2224,6 +2309,7 @@ object CypherFrontend {
             case Right(x) => patternsE(x)
           }) ++ patternsE(v)
         } ++ els.toSeq.flatMap(patternsE)
+      case EPredVal(p) => collectPatterns(p)
       case _ => Seq.empty
     }
     /** Multi-hop EXISTS {} chains nested inside expressions. */
@@ -2248,6 +2334,7 @@ object CypherFrontend {
             case Right(x) => existsChainsE(x)
           }) ++ existsChainsE(v)
         } ++ els.toSeq.flatMap(existsChainsE)
+      case EPredVal(p) => collectExistsChains(p)
       case _ => Seq.empty
     }
 
@@ -2306,8 +2393,13 @@ object CypherFrontend {
               if (flipped) None else pp.targetLabel, pp.undirected)
             .select(col("_probe").as(s"$flag$$probe")).distinct()
             .withColumn(flag, lit(true))
-          d = d.join(probe, d(ns(keyVar, "uid")) === probe(s"$flag$$probe"),
-            "left_outer").drop(s"$flag$$probe")
+          var cond = d(ns(keyVar, "uid")) === probe(s"$flag$$probe")
+          // flipped probe: the BOUND endpoint's written label still
+          // binds (same Neo4j-parity rule as the semi/anti form)
+          if (flipped)
+            pp.targetLabel.foreach(l =>
+              cond = cond && d(ns(keyVar, "label")) === lit(l))
+          d = d.join(probe, cond, "left_outer").drop(s"$flag$$probe")
         }
         tBound match {
           case Some(tv) if vBound => // both bound: 2-key pair flag
@@ -2541,6 +2633,7 @@ object CypherFrontend {
       case EIndex(b, _) => staticType(b).collect { case ArrayType(et, _) => et }
       case ECase(_, whens, els) =>
         (whens.map(_._2) ++ els).flatMap(staticType).headOption
+      case EPredVal(_) => Some(BooleanType)
       case _ => None
     }
 
@@ -2552,6 +2645,9 @@ object CypherFrontend {
       case EVar(v) if varLenVars.contains(v) => sys.error(
         s"'$v' binds a var-length relationship whose hop list was not " +
           "materialized; project size($v) instead")
+      case EVar(v) if pathVars.contains(v) => sys.error(
+        s"returning the path variable '$v' itself is not supported; " +
+          s"project length($v), nodes($v) or relationships($v) instead")
       case e @ (_: ECountSub | _: ECountChain) =>
         countSubCols.get(e)
           .map(n => coalesce(col("`" + n + "`"), lit(0L)))
@@ -2561,6 +2657,11 @@ object CypherFrontend {
         countSubCols.get(e).map(n => col("`" + n + "`"))
           .getOrElse(sys.error(
             "COLLECT { } subqueries are supported in WHERE and RETURN/WITH items"))
+      case EPredVal(p) =>
+        // a pattern/EXISTS value resolves through the flag columns the
+        // enclosing projection pre-joined; the null refill keeps Neo4j
+        // semantics (no match = false, not null)
+        predCol(p)
       case EVar(v) => // a bare node/rel variable projects its identity
         if (relVars(v))
           struct(col(ns(v, "rel_type")), col(ns(v, "src_uid")), col(ns(v, "dst_uid")))
@@ -2994,20 +3095,36 @@ object CypherFrontend {
           case pc if pc.startsWith("percentilecont:") =>
             // linear interpolation — Spark's exact `percentile`
             call_function("percentile", c,
-              lit(pc.stripPrefix("percentilecont:").toDouble))
+              lit(percentileFrac(pc.stripPrefix("percentilecont:"))))
           case pd if pd.startsWith("percentiledisc:") =>
             // Neo4j percentileDisc: the ceil(p*n)-th smallest VALUE
             // (1-based, nearest-rank). Materializes the group as a
             // sorted list — group-sized memory, the same cost Neo4j
             // pays; fine for analytics-sized groups, not for a
             // billion-row group (use percentileCont there).
-            val p = pd.stripPrefix("percentiledisc:").toDouble
+            val p = percentileFrac(pd.stripPrefix("percentiledisc:"))
             val sorted = sort_array(collect_list(c))
             element_at(sorted,
               greatest(lit(1), ceil(size(sorted) * lit(p))).cast("int"))
           case other => sys.error(s"unsupported aggregate $other")
         }
       case other => sys.error(s"not an aggregate: $other")
+    }
+
+    /** Resolve a percentile fraction tag: a literal rides verbatim, a
+      * `$name` resolves from the params map; both range-checked. */
+    private def percentileFrac(tag: String): Double = {
+      val p =
+        if (tag.startsWith("$"))
+          params.getOrElse(tag.drop(1),
+            sys.error(s"missing parameter $tag")) match {
+            case n: java.lang.Number => n.doubleValue()
+            case o => sys.error(
+              s"percentile fraction parameter $tag must be numeric, got $o")
+          }
+        else tag.toDouble
+      require(p >= 0.0 && p <= 1.0, s"percentile fraction out of [0,1]: $p")
+      p
     }
 
     /** count(n) counts bindings (nulls impossible for bound vars) —

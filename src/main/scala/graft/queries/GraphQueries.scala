@@ -1318,6 +1318,15 @@ object GraphQueries extends QueryPack {
         |    WHERE n.name ENDS WITH '4' RETURN n.name } AS four
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
+      // g43 law: gate lists serialize to `|`-joined scalars (sorted
+      // where Cypher leaves order unspecified; top2 is an explicit
+      // ORDER BY DESC LIMIT 2, so it joins positionally, unsorted).
+      // The array-typed surface stays asserted in CypherFrontendSpec.
+      .select(col("region"),
+        array_join(array_sort(col("nations")), "|").as("nations"),
+        array_join(col("top2"), "|").as("top2"),
+        array_join(array_sort(col("four")), "|").as("four"))
+      .orderBy("region")
 
   /** g66 — `allShortestPaths` (Neo4j's tied-paths sibling of
     * shortestPath): one row PER tied shortest walk, compiled as the
@@ -1353,6 +1362,10 @@ object GraphQueries extends QueryPack {
         |  count(DISTINCT [h IN r | h.src][1]) AS via_nations
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
+      // g43 law: the hop-type sequence is positional — join unsorted.
+      .select(col("region"), array_join(col("types"), "|").as("types"),
+        col("walks"), col("via_nations"))
+      .orderBy("region")
 
   /** g64 — pattern predicates and EXISTS {} chains in EXPRESSION
     * positions (the round-7 column-only refusal, now compiled): a
@@ -1647,6 +1660,11 @@ object GraphQueries extends QueryPack {
         |    WHERE n.name ENDS WITH '4' | n.name]) AS fours
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
+      // g43 law: comprehension order is unspecified — sort then join.
+      .select(col("region"),
+        array_join(array_sort(col("nations")), "|").as("nations"),
+        col("fours"))
+      .orderBy("region")
 
   /** g70 — statistics aggregates (Neo4j's stDev/stDevP/
     * percentileCont/percentileDisc): sample/population stddev map to
@@ -1685,6 +1703,14 @@ object GraphQueries extends QueryPack {
         |  [(x:Nation)-[:IN_REGION]->(r) | x.name][1..][..2] AS mid
         |ORDER BY region""".stripMargin,
       nodes(s, dir), edges(s, dir))
+      // g43 law: the struct gates as compact JSON (both engines render
+      // {"k":v} identically); slices of the ordered collect are
+      // positional — join unsorted.
+      .select(col("region"), to_json(col("info")).as("info"),
+        array_join(col("first2"), "|").as("first2"),
+        array_join(col("last1"), "|").as("last1"),
+        array_join(col("mid"), "|").as("mid"))
+      .orderBy("region")
 
   /** g72 — nodes(p) / relationships(p) over fixed-length named paths:
     * the walk's nodes/relationships as ordered struct arrays (the path
@@ -1702,6 +1728,11 @@ object GraphQueries extends QueryPack {
         |  size(nodes(p)) AS n_nodes, length(p) AS len
         |ORDER BY customer""".stripMargin,
       nodes(s, dir), edges(s, dir))
+      // g43 law: path sequences are positional — join unsorted.
+      .select(col("customer"), array_join(col("labels"), "|").as("labels"),
+        array_join(col("rels"), "|").as("rels"),
+        col("n_nodes"), col("len"))
+      .orderBy("customer")
 
   /** g73 — pattern predicates with BOTH endpoints bound (the
     * set-difference idiom `MATCH (a) MATCH (b) WHERE NOT (a)-[:R]->(b)`
@@ -1734,6 +1765,11 @@ object GraphQueries extends QueryPack {
         |  [x IN [startNode(r), endNode(r)] | x.label] AS endpoints
         |ORDER BY nation""".stripMargin,
       nodes(s, dir), edges(s, dir))
+      // g43 law: labels(n) order-canonicalized; the start/end pair is
+      // positional — join unsorted.
+      .select(col("nation"), array_join(array_sort(col("ls")), "|").as("ls"),
+        col("rev"), array_join(col("endpoints"), "|").as("endpoints"))
+      .orderBy("nation")
 
   /** g75 — `RETURN *` / `WITH *`: expansion to every in-scope named
     * variable (name-sorted), the REPL idiom every Neo4j user types
@@ -1765,7 +1801,46 @@ object GraphQueries extends QueryPack {
       nodes(s, dir), edges(s, dir))
       .orderBy("customer", "tag")
 
+  /** g77 — property maps on VAR-LENGTH relationships (the last
+    * property-map position the parser refused): `-[r*1..2 {k: v}]->`
+    * filters EVERY hop's edge (Neo4j's contract), compiled as ONE
+    * edge-set filter below the k-fold joins — never a post-hoc
+    * hop-list scan, so at 100 TB the walk frame shrinks BEFORE it
+    * joins. Bounded arm: only 1-hop customer→nation walks survive an
+    * all-IN_NATION map (the 2-hop leg needs IN_REGION). Open arm: the
+    * unbounded reachability closure over an all-IN_REGION edge set =
+    * exactly the nation→region dimension hop. */
+  def g77CypherVarlenProps(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (c:Customer)-[r*1..2 {rel_type: 'IN_NATION'}]->(t)
+        |RETURN t.name AS target, 'bounded' AS tag, count(*) AS walks
+        |UNION ALL
+        |MATCH (n:Nation)-[* {rel_type: 'IN_REGION'}]->(t)
+        |RETURN t.name AS target, 'open' AS tag, count(*) AS walks""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("tag", "target")
+
+  /** g78 — pattern existence as a VALUE (the round-8 column-only
+    * refusal, now compiled): legacy `exists((n)<-[:R]-(:L))` as a WITH
+    * item and an EXISTS {} chain inside a CASE CONDITION feeding the
+    * same aggregation — both ride pre-joined DISTINCT-probe flag
+    * columns (one keyed left join per distinct pattern), so the
+    * aggregate groups by plain boolean/string columns and the 100 TB
+    * cost is two broadcast-sized probes, never per-row subqueries. */
+  def g78CypherExistsValue(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n)
+        |WITH n, exists((n)<-[:IN_NATION]-(:Supplier)) AS supplied,
+        |  CASE WHEN EXISTS { (c:Customer)-[:IN_NATION]->(n)
+        |                     WHERE c.name ENDS WITH '01' }
+        |       THEN 'c01' ELSE 'none' END AS ctag
+        |RETURN supplied, ctag, count(*) AS n_nodes
+        |ORDER BY supplied, ctag""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "g78_cypher_exists_value" -> (g78CypherExistsValue _),
+    "g77_cypher_varlen_props" -> (g77CypherVarlenProps _),
     "g76_cypher_varlen_pred" -> (g76CypherVarlenPred _),
     "g75_cypher_star" -> (g75CypherStar _),
     "g74_cypher_entity_fns" -> (g74CypherEntityFns _),
@@ -2013,6 +2088,33 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g78: the flag columns as plain boolean/CASE SQL over
+    // IN-subqueries, grouped.
+    "g78_cypher_exists_value" ->
+      """SELECT supplied, ctag, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+        |  SELECT n_nationkey IN (SELECT s_nationkey FROM supplier) AS supplied,
+        |    CASE WHEN n_nationkey IN (
+        |           SELECT c_nationkey FROM customer WHERE c_name LIKE '%01')
+        |         THEN 'c01' ELSE 'none' END AS ctag
+        |  FROM nation
+        |  UNION ALL SELECT FALSE, 'none' FROM customer
+        |  UNION ALL SELECT FALSE, 'none' FROM supplier
+        |  UNION ALL SELECT FALSE, 'none' FROM region)
+        |GROUP BY 1, 2 ORDER BY supplied, ctag""".stripMargin,
+    // g77: an all-IN_NATION hop map keeps only the 1-hop
+    // customer→nation walks; the open all-IN_REGION closure is the
+    // nation→region hop.
+    "g77_cypher_varlen_props" ->
+      """SELECT target, tag, walks FROM (
+        |  SELECT n_name AS target, 'bounded' AS tag,
+        |    CAST(count(*) AS BIGINT) AS walks
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |  UNION ALL
+        |  SELECT r_name, 'open', CAST(count(*) AS BIGINT)
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name)
+        |ORDER BY tag, target""".stripMargin,
     // g76: every customer reaches exactly its region in 2 hops
     // (cust→nation→region); the bound-target form pairs each customer
     // with that one region.
@@ -2042,10 +2144,11 @@ object GraphQueries extends QueryPack {
         |    'or'
         |  FROM nation WHERE n_name LIKE '%2')
         |ORDER BY tag, nation""".stripMargin,
-    // g74: entity functions are constants/string ops over the chain.
+    // g74: entity functions are constants/string ops over the chain;
+    // lists pre-serialized per the g43 law (driver-hashable scalars).
     "g74_cypher_entity_fns" ->
-      """SELECT n_name AS nation, ['Nation'] AS ls, reverse(n_name) AS rev,
-        |  ['Nation', 'Region'] AS endpoints
+      """SELECT n_name AS nation, 'Nation' AS ls, reverse(n_name) AS rev,
+        |  'Nation|Region' AS endpoints
         |FROM nation WHERE n_name LIKE '%3' ORDER BY nation""".stripMargin,
     // g75: RETURN * expands to the name-sorted scope (k, nation,
     // region, rel) — the compare sorts columns by name anyway.
@@ -2058,13 +2161,15 @@ object GraphQueries extends QueryPack {
     // path arrays are the constant label/type sequences.
     "g72_cypher_path_fns" ->
       """SELECT c_name AS customer,
-        |  ['Customer', 'Nation', 'Region'] AS labels,
-        |  ['IN_NATION', 'IN_REGION'] AS rels,
+        |  'Customer|Nation|Region' AS labels,
+        |  'IN_NATION|IN_REGION' AS rels,
         |  CAST(3 AS INT) AS n_nodes, CAST(2 AS INT) AS len
         |FROM customer WHERE c_name LIKE '%01'
         |ORDER BY customer""".stripMargin,
     // g71: DuckDB struct literals + 1-based-inclusive list slicing
-    // mirror the Cypher 0-based-exclusive forms.
+    // mirror the Cypher 0-based-exclusive forms; struct gated as
+    // compact JSON and slices as '|'-joins per the g43 law (both
+    // engines render {"k":v} identically — verified byte-equal).
     "g71_cypher_map_slice" ->
       """WITH nl AS (
         |  SELECT r_name,
@@ -2074,8 +2179,10 @@ object GraphQueries extends QueryPack {
         |     WHERE n_regionkey = r_regionkey) AS n
         |  FROM region)
         |SELECT r_name AS region,
-        |  {'region': r_name, 'n_nations': n} AS info,
-        |  L[1:2] AS first2, L[-1:] AS last1, L[2:][1:2] AS mid
+        |  CAST(to_json({'region': r_name, 'n_nations': n}) AS VARCHAR) AS info,
+        |  array_to_string(L[1:2], '|') AS first2,
+        |  array_to_string(L[-1:], '|') AS last1,
+        |  array_to_string(L[2:][1:2], '|') AS mid
         |FROM nl ORDER BY region""".stripMargin,
     // g70: stddev/percentile aggregates; quantile_cont matches
     // Spark's exact interpolated percentile, and at p=0.5 the
@@ -2094,7 +2201,7 @@ object GraphQueries extends QueryPack {
     // subqueries; the empty filtered comprehension counts 0.
     "g69_cypher_pattern_comp" ->
       """SELECT r_name AS region,
-        |  (SELECT coalesce(list(n_name ORDER BY n_name), CAST([] AS VARCHAR[]))
+        |  (SELECT coalesce(string_agg(n_name, '|' ORDER BY n_name), '')
         |   FROM nation WHERE n_regionkey = r_regionkey) AS nations,
         |  (SELECT CAST(count(*) AS INT) FROM nation
         |   WHERE n_regionkey = r_regionkey AND n_name LIKE '%4') AS fours
@@ -2134,7 +2241,7 @@ object GraphQueries extends QueryPack {
     // types are constant and the second hop's source is the nation.
     "g65_cypher_rel_binding" ->
       """SELECT r_name AS region,
-        |  ['IN_NATION', 'IN_REGION'] AS types,
+        |  'IN_NATION|IN_REGION' AS types,
         |  CAST(count(*) AS BIGINT) AS walks,
         |  CAST(count(DISTINCT 'Nation:' || n_nationkey) AS BIGINT)
         |    AS via_nations
@@ -2187,14 +2294,16 @@ object GraphQueries extends QueryPack {
         |         NULL FROM l1)
         |ORDER BY code""".stripMargin,
     // g62: DuckDB's ordered list() aggregates in scalar subqueries;
-    // the empty collect coalesces to a typed empty list.
+    // the empty collect coalesces to '' — per the g43 law every list
+    // gates as a '|'-joined scalar (top2 keeps its DESC order).
     "g62_cypher_collect_sub" ->
       """SELECT r_name AS region,
-        |  (SELECT coalesce(list(n_name ORDER BY n_name), CAST([] AS VARCHAR[]))
+        |  (SELECT coalesce(string_agg(n_name, '|' ORDER BY n_name), '')
         |   FROM nation WHERE n_regionkey = r_regionkey) AS nations,
-        |  (SELECT coalesce(list(n_name ORDER BY n_name DESC), CAST([] AS VARCHAR[]))[1:2]
+        |  (SELECT array_to_string(
+        |     coalesce(list(n_name ORDER BY n_name DESC), CAST([] AS VARCHAR[]))[1:2], '|')
         |   FROM nation WHERE n_regionkey = r_regionkey) AS top2,
-        |  (SELECT coalesce(list(n_name ORDER BY n_name), CAST([] AS VARCHAR[]))
+        |  (SELECT coalesce(string_agg(n_name, '|' ORDER BY n_name), '')
         |   FROM nation WHERE n_regionkey = r_regionkey
         |     AND n_name LIKE '%4') AS four
         |FROM region ORDER BY region""".stripMargin,

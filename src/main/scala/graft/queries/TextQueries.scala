@@ -1340,10 +1340,17 @@ object TextQueries extends QueryPack {
   private[queries] def budgetSelect(scored: DataFrame, budget: Long,
                                     parts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Eagerly materialized: `ranged` feeds TWO plan arms (the offset
+    // aggregate and the join), and both repartitionByRange's boundary
+    // sampling and spark_partition_id() are nondeterministic — if the
+    // exchange were not reused, the arms could see DIFFERENT pid
+    // assignments and corrupt the prefix-sum offsets. One checkpoint
+    // pins a single partitioning both arms share (the d49 idiom).
     val ranged = scored
       .withColumn("negscore", -col("score"))
       .repartitionByRange(parts, col("negscore"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     val offs = ranged.groupBy("pid").agg(sum("toks").as("psum"))
       .withColumn("off", coalesce(sum("psum").over(
         Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
@@ -1928,7 +1935,8 @@ object TextQueries extends QueryPack {
         |      FOR x IN grams]) / len(grams), 6) END AS score
         |  FROM g),
         |o AS (SELECT doc_id, score, toks,
-        |        sum(toks) OVER (ORDER BY score DESC, doc_id) AS cum_tokens
+        |        CAST(sum(toks) OVER (ORDER BY score DESC, doc_id)
+        |          AS BIGINT) AS cum_tokens
         |      FROM sc)
         |SELECT doc_id, score, toks, cum_tokens FROM o
         |WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,

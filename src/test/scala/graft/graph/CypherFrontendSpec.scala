@@ -1548,4 +1548,138 @@ class CypherFrontendSpec extends SparkSpec {
       .as[(String, Boolean)].collect().toSeq
     assert(flags === Seq(("Wertstoffhof A", true), ("Wertstoffhof B", true)))
   }
+
+  test("var-length relationship property maps filter EVERY hop (g77)") {
+    // an all-DISPOSED_IN map keeps only the 1-hop item→stream walks;
+    // w1's DISPOSED_AT hop and any 2-hop continuation are filtered out
+    val g = run(
+      """MATCH (w:WasteItem)-[r*1..2 {rel_type: 'DISPOSED_IN'}]->(t)
+        |RETURN w.name AS w, t.name AS t, size(r) AS hops ORDER BY w""".stripMargin)
+      .as[(String, String, Int)].collect().toSeq
+    assert(g === Seq(("Asche", "Restmuell", 1),
+      ("Bauschutt", "Restmuell", 1), ("Laub", "Biomuell", 1)))
+    // the unbounded reachability closure applies the map per hop too
+    val open = run(
+      """MATCH (w:WasteItem)-[* {rel_type: 'DISPOSED_AT'}]->(t)
+        |RETURN w.name AS w, t.name AS t""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(open === Seq(("Bauschutt", "Wertstoffhof A")))
+    // shortestPath's BFS draws from the filtered edge set
+    val sp = run(
+      """MATCH p = shortestPath((w:WasteItem)-[*1..3 {rel_type: 'DISPOSED_IN'}]->(t))
+        |RETURN w.name AS w, t.name AS t, length(p) AS len ORDER BY w""".stripMargin)
+      .as[(String, String, Int)].collect().toSeq
+    assert(sp === Seq(("Asche", "Restmuell", 1),
+      ("Bauschutt", "Restmuell", 1), ("Laub", "Biomuell", 1)))
+    // a non-matching map yields zero walks, not an error
+    assert(run(
+      "MATCH (w)-[r*1..2 {rel_type: 'NOPE'}]->(t) RETURN w.name AS w")
+      .count() === 0)
+  }
+
+  test("pattern existence as a VALUE: RETURN item, CASE result, aggregation key (g78)") {
+    // legacy exists(pattern) as a RETURN item
+    val g1 = run(
+      """MATCH (w:WasteItem)
+        |RETURN w.name AS name, exists((w)-[:DISPOSED_IN]->(:WasteStream)) AS d
+        |ORDER BY name""".stripMargin)
+      .as[(String, Boolean)].collect().toSeq
+    assert(g1 === Seq(("Altlack", false), ("Asche", true),
+      ("Bauschutt", true), ("Laub", true)))
+    // as a GROUPING key under aggregation
+    val g2 = run(
+      """MATCH (w:WasteItem)
+        |RETURN exists((w)-[:DISPOSED_IN]->()) AS d, count(*) AS n ORDER BY d""".stripMargin)
+      .as[(Boolean, Long)].collect().toSeq
+    assert(g2 === Seq((false, 1L), (true, 3L)))
+    // EXISTS { } in a CASE RESULT (not condition) position
+    val g3 = run(
+      """MATCH (w:WasteItem)
+        |RETURN w.name AS name,
+        |  CASE WHEN w.name STARTS WITH 'A'
+        |       THEN EXISTS { (w)-[:DISPOSED_IN]->(:WasteStream) }
+        |       ELSE false END AS flag
+        |ORDER BY name""".stripMargin)
+      .as[(String, Boolean)].collect().toSeq
+    assert(g3 === Seq(("Altlack", false), ("Asche", true),
+      ("Bauschutt", false), ("Laub", false)))
+    // a chain subquery (inner WHERE) as a value — rides the EXISTS
+    // chain flag machinery
+    val g4 = run(
+      """MATCH (s:WasteStream)
+        |RETURN s.name AS name,
+        |  EXISTS { (w:WasteItem)-[:DISPOSED_IN]->(s) WHERE w.name = 'Asche' } AS hasAsche
+        |ORDER BY name""".stripMargin)
+      .as[(String, Boolean)].collect().toSeq
+    assert(g4 === Seq(("Biomuell", false), ("Restmuell", true)))
+  }
+
+  test("pattern predicate: a written label on a BOUND target endpoint still binds") {
+    // (x existential)-[:DISPOSED_IN]->(t:WasteStream): label agrees
+    val ok = run(
+      """MATCH (t) WHERE (x)-[:DISPOSED_IN]->(t:WasteStream)
+        |RETURN t.name AS name ORDER BY name""".stripMargin)
+      .as[String].collect().toSeq
+    assert(ok === Seq("Biomuell", "Restmuell"))
+    // label contradicts the bound node: no DISPOSED_IN edge targets a
+    // Facility — zero rows, not the label-dropped stream set
+    assert(run(
+      """MATCH (t) WHERE (x)-[:DISPOSED_IN]->(t:Facility)
+        |RETURN t.name AS name""".stripMargin).count() === 0)
+    // NOT form keeps label-failing endpoints: NOT(edge AND label)
+    val n = run(
+      """MATCH (t) WHERE NOT (x)-[:DISPOSED_IN]->(t:Facility)
+        |RETURN count(*) AS n""".stripMargin).as[Long].head()
+    assert(n === 8L)
+    // flag-column route (under OR): same label enforcement
+    val or = run(
+      """MATCH (t) WHERE (x)-[:DISPOSED_IN]->(t:Facility) OR t.name = 'Altlack'
+        |RETURN t.name AS name ORDER BY name""".stripMargin)
+      .as[String].collect().toSeq
+    assert(or === Seq("Altlack"))
+  }
+
+  test("RETURN * / WITH * include rel, var-length and path variables (Neo4j scope)") {
+    // a fixed rel variable rides * as its identity struct
+    val r1 = run(
+      "MATCH (w:WasteItem)-[r:DISPOSED_IN]->(s) RETURN * ORDER BY w.name")
+    assert(r1.columns.sorted.toSeq === Seq("r", "s", "w"))
+    assert(r1.count() === 3)
+    // WITH * carries a named path's bookkeeping so length(p) resolves
+    val r2 = run(
+      """MATCH p = (w:WasteItem)-[:DISPOSED_IN]->(s)
+        |WITH * RETURN w.name AS n, length(p) AS len ORDER BY n""".stripMargin)
+      .as[(String, Int)].collect().toSeq
+    assert(r2 === Seq(("Asche", 1), ("Bauschutt", 1), ("Laub", 1)))
+    // a var-length binding surfaces its hop list through * and WITH *
+    val r3 = run(
+      "MATCH (w:WasteItem)-[r*1..1]->(t:WasteStream) RETURN * ORDER BY w.name")
+    assert(r3.columns.sorted.toSeq === Seq("r", "t", "w"))
+    val r4 = run(
+      """MATCH (w:WasteItem)-[r*1..2]->(t:WasteStream)
+        |WITH * RETURN w.name AS n, size(r) AS k ORDER BY n""".stripMargin)
+      .as[(String, Int)].collect().toSeq
+    assert(r4 === Seq(("Asche", 1), ("Bauschutt", 1), ("Laub", 1)))
+    // a bare path in the final RETURN refuses loudly, not silently
+    val e = intercept[Exception](run(
+      "MATCH p = (w:WasteItem)-[:DISPOSED_IN]->(s) RETURN *"))
+    assert(e.getMessage.contains("length(p)"))
+  }
+
+  test("percentile fractions accept $param (g70 closure)") {
+    val viaLit = run(
+      """MATCH (n:WasteItem)
+        |RETURN percentileCont(size(n.name), 0.5) AS p,
+        |  percentileDisc(size(n.name), 0.5) AS pd""".stripMargin).collect().toSeq
+    val viaParam = run(
+      """MATCH (n:WasteItem)
+        |RETURN percentileCont(size(n.name), $f) AS p,
+        |  percentileDisc(size(n.name), $f) AS pd""".stripMargin,
+      Map("f" -> 0.5)).collect().toSeq
+    assert(viaLit === viaParam)
+    val bad = intercept[Exception](run(
+      "MATCH (n) RETURN percentileCont(size(n.name), $f) AS p",
+      Map("f" -> 1.5)))
+    assert(bad.getMessage.contains("out of [0,1]"))
+  }
 }

@@ -36,7 +36,7 @@ fi
 echo "== pregate 4/4: DuckDB oracle =="
 CHECK="$(python3 tools/check.py "$SF" "$OUT/verify" 2>&1 || true)"
 echo "$CHECK" | tail -1
-echo "$CHECK" | tail -1 | grep -qE ", 0 fail" \
-  || { echo "PREGATE RED: oracle mismatches above"; exit 1; }
+echo "$CHECK" | tail -1 | grep -qE ", 0 fail, 0 err," \
+  || { echo "PREGATE RED: oracle mismatches/errs above"; exit 1; }
 
 echo "PREGATE GREEN: safe to snapshot."
