@@ -104,13 +104,18 @@ object CypherProbe {
       "properties(r)"   -> "MATCH ()-[r]->() RETURN properties(r) AS p LIMIT 1",
       "chained cmp"     -> "UNWIND [1,2,3] AS x WITH x WHERE 1 < x <= 2 RETURN x",
       "varlen pattern pred" -> "MATCH (w:WasteItem) WHERE (w)-[*1..2]->(:Facility) RETURN w.name AS n",
-      "multi-hop bare pred" -> "MATCH (w:WasteItem) WHERE NOT (w)-[:DISPOSED_IN]->()-[:FEEDS]->() RETURN count(*) AS c")
+      "multi-hop bare pred" -> "MATCH (w:WasteItem) WHERE NOT (w)-[:DISPOSED_IN]->()-[:FEEDS]->() RETURN count(*) AS c",
+      "varlen prop map"  -> "MATCH (w:WasteItem)-[r*1..2 {rel_type: 'DISPOSED_IN'}]->(t) RETURN w.name AS w, size(r) AS k",
+      "exists() value"   -> "MATCH (w:WasteItem) RETURN exists((w)-[:DISPOSED_IN]->()) AS d, count(*) AS n",
+      "EXISTS{} CASE result" -> "MATCH (w:WasteItem) RETURN CASE WHEN w.name STARTS WITH 'A' THEN EXISTS { (w)-[:DISPOSED_IN]->(:WasteStream) } ELSE false END AS f",
+      "percentile $param" -> "MATCH (n:WasteItem) RETURN percentileCont(size(n.name), $p) AS p50",
+      "WITH * path len"  -> "MATCH p = (w:WasteItem)-[:DISPOSED_IN]->(s) WITH * RETURN w.name AS n, length(p) AS len")
 
     var pass = 0
     battery.foreach { case (tag, q) =>
       try {
         graft.graph.CypherFrontend.run(q, nodes, edges,
-          Map("name" -> "Asche")).collect()
+          Map("name" -> "Asche", "p" -> 0.5)).collect()
         println(f"[probe] PASS $tag%-18s")
         pass += 1
       } catch {

@@ -15,6 +15,13 @@ object IsoBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val names = if (args.nonEmpty) args.toSeq else sys.error("pass query names")
     val spark = graft.core.GraftSession.local(cpus, "graft-isobench")
+    // SPARK_GRAFT_CONF="k=v;k=v": runtime conf overrides (e.g. the
+    // graft.coclick.bucketCap knob) for stress-point readings
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     spark.range(1000000).selectExpr("sum(id)").collect()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val wd = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir

@@ -174,8 +174,7 @@ object StreamQueries extends QueryPack {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
     try {
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        streamDir.resolve("events.parquet"))
+      stageTable(dir, "events", streamDir)
       val raw = graft.core.Tables.withEventTs(
         s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -324,8 +323,7 @@ object StreamQueries extends QueryPack {
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
     extraConf.foreach { case (k, v) => s.conf.set(k, v) }
     try {
-      Files.copy(Paths.get(s"$dir/$table.parquet"),
-        streamDir.resolve(s"000_$table.parquet"))
+      stageTable(dir, table, streamDir)
       if (sentinels) stageSentinels(s, dir, schema, streamDir, scratch)
       val src = () => {
         val raw = s.readStream.schema(schema)
@@ -364,6 +362,43 @@ object StreamQueries extends QueryPack {
     * files' modification times so the file source processes events ->
     * sentinel1 -> sentinel2 (a sentinel processed first would put every
     * real row below the watermark and drop it). */
+  /** Stage a table's parquet into a stream-source dir. A
+    * driver-generated table is ONE file; a Spark-written one (the
+    * ScaleGen stress corpora) is a DIRECTORY of part files — those
+    * stage one file per part, name-ordered with ascending modification
+    * times, so the file stream replays them as real consecutive
+    * micro-batches (a plain Files.copy of a directory would stage an
+    * EMPTY directory and the stream would silently process nothing —
+    * the round-9 s15 stress reading caught exactly that). Sentinel
+    * heartbeats are staged separately with LATER mtimes. */
+  private def stageTable(dir: String, table: String, streamDir: Path): Unit = {
+    val src = Paths.get(s"$dir/$table.parquet")
+    val base = System.currentTimeMillis() - 3600000L
+    if (Files.isDirectory(src)) {
+      val parts = {
+        val l = Files.list(src)
+        try {
+          val b = Seq.newBuilder[Path]
+          l.forEach(p =>
+            if (p.getFileName.toString.endsWith(".parquet")) b += p)
+          b.result().sortBy(_.getFileName.toString)
+        } finally l.close()
+      }
+      require(parts.nonEmpty, s"$src: no part files to stage")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dst = streamDir.resolve(f"$i%03d_$table.parquet")
+        Files.copy(p, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      }
+    } else {
+      val dst = streamDir.resolve(s"000_$table.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base))
+    }
+  }
+
   private def stageSentinels(s: SparkSession, dir: String,
                              schema: org.apache.spark.sql.types.StructType,
                              streamDir: Path, scratch: Path): Unit = {
@@ -395,14 +430,15 @@ object StreamQueries extends QueryPack {
           p.getFileName.toString.endsWith(".parquet")).findFirst.get
         finally l.close()
       }
-      Files.move(part, streamDir.resolve(f"00$i%d_sentinel.parquet"))
+      // 'zz' prefix + late mtimes: sentinels sort and arrive AFTER
+      // every staged part, whether the table staged as one file or as
+      // a directory of parts (stageTable's mtimes are ≥1h older)
+      val dst = streamDir.resolve(f"zz$i%d_sentinel.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L + i * 10000L))
     }
-    val base = System.currentTimeMillis() - 60000L
-    Seq("000_events.parquet", "001_sentinel.parquet", "002_sentinel.parquet")
-      .zipWithIndex.foreach { case (n, i) =>
-        Files.setLastModifiedTime(streamDir.resolve(n),
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
-      }
   }
 
   /** s09 — bounded-state streaming dedup, the scale-correct variant s03's
@@ -475,8 +511,7 @@ object StreamQueries extends QueryPack {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
     try {
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        streamDir.resolve("events.parquet"))
+      stageTable(dir, "events", streamDir)
       val raw = graft.core.Tables.withEventTs(
         s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -995,8 +1030,7 @@ object StreamQueries extends QueryPack {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
     try {
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        streamDir.resolve("events.parquet"))
+      stageTable(dir, "events", streamDir)
       val raw = graft.core.Tables.withEventTs(
         s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
