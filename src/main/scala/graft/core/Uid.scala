@@ -12,4 +12,12 @@ import org.apache.spark.sql.functions.{sha2, substring}
   */
 object Uid {
   def uid(name: Column): Column = substring(sha2(name, 256), 1, 16)
+
+  /** Driver-side twin of [[uid]] — same bytes, for expectations and
+    * key pre-computation outside a plan. */
+  def uidOf(name: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(name.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString.substring(0, 16)
+  }
 }

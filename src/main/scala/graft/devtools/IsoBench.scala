@@ -19,8 +19,11 @@ object IsoBench {
     // graft.coclick.bucketCap knob) for stress-point readings
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF: malformed token '$kv' (expected key=value)")
+        }
       })
     spark.range(1000000).selectExpr("sum(id)").collect()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")

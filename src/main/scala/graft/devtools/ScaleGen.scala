@@ -62,7 +62,12 @@ object ScaleGen {
       lit("click").as("event_type"),
       lit(1.0).as("value"),
       lit("""{"k":1}""").as("props"))
-    replicas.unionByName(hot).repartition(32)
+    // range-partitioned + sorted on ts: the streaming stager replays a
+    // directory's parts name-ordered (part id order), so event-time
+    // must ascend across parts or a watermarked stream would silently
+    // drop later parts' earlier rows as late (round-10 ADVICE fix)
+    replicas.unionByName(hot).repartitionByRange(32, col("ts"))
+      .sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     val docs = graft.core.Tables.documents(spark, src).localCheckpoint(true)
@@ -162,16 +167,23 @@ object ScaleGen {
     // authority/hub fixpoint. nation/region/part stay verbatim.
     val custX = sys.env.getOrElse("SPARK_GRAFT_CUST_X", "1").toInt
     if (custX > 1) {
+      // k=0 stays VERBATIM (like region/nation/part) so name-suffix
+      // predicates (LIKE '%01' gates) keep their base-corpus
+      // selectivity on the stress corpus; only replicas get #rk
       val cust = spark.read.parquet(s"$src/customer.parquet").localCheckpoint(true)
       (0 until custX).map { k =>
-        cust.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * 100000000L))
-          .withColumn("c_name", concat(col("c_name"), lit(s"#r$k")))
+        val keyed = cust.withColumn("c_custkey",
+          col("c_custkey") + lit(k.toLong * 100000000L))
+        if (k == 0) keyed
+        else keyed.withColumn("c_name", concat(col("c_name"), lit(s"#r$k")))
       }.reduce(_.unionByName(_)).repartition(32)
         .write.mode("overwrite").parquet(s"$out/customer.parquet")
       val supp = spark.read.parquet(s"$src/supplier.parquet").localCheckpoint(true)
       (0 until custX).map { k =>
-        supp.withColumn("s_suppkey", col("s_suppkey") + lit(k.toLong * 100000000L))
-          .withColumn("s_name", concat(col("s_name"), lit(s"#r$k")))
+        val keyed = supp.withColumn("s_suppkey",
+          col("s_suppkey") + lit(k.toLong * 100000000L))
+        if (k == 0) keyed
+        else keyed.withColumn("s_name", concat(col("s_name"), lit(s"#r$k")))
       }.reduce(_.unionByName(_)).repartition(32)
         .write.mode("overwrite").parquet(s"$out/supplier.parquet")
     }

@@ -1176,6 +1176,14 @@ object CypherFrontend {
       * they expose length(p) and the bound rel's hop list instead). */
     private var pathNodeSeq = Map.empty[String, Seq[String]]
     private var pathRelSeq = Map.empty[String, Seq[String]]
+    /** Canonical serialized path value — what a bare `RETURN p`
+      * projects: `uid|rel_type|uid|...` in walk order (the g43 law's
+      * `|`-join; direction is carried by the walk order, not arrows).
+      * Present for fixed-length AND bounded var-length named paths
+      * (the var-length interior rides the materialized hop list);
+      * absent for shortestPath (min-depth only) — those keep the loud
+      * refusal. Maps path var → its pathstr column. */
+    private var pathStrCols = Map.empty[String, String]
     /** Bounded var-length relationship bindings: var → its per-walk
       * hop-count column (`size(r)`'s fast path). */
     private var varLenVars = Map.empty[String, String]
@@ -1295,6 +1303,13 @@ object CypherFrontend {
       nodeOrder += headVar
       val relOrder = Seq.newBuilder[String]
       var hasVarLen = false
+      // RETURN p bookkeeping: each hop appends its `|rel_type|uid`
+      // piece(s); var-length hops contribute a fold over their
+      // materialized hop list. Pure string concat over columns the
+      // chain joins already carry — no extra joins.
+      val serialParts = Seq.newBuilder[Column]
+      serialParts += col(ns(headVar, "uid"))
+      val serialScratch = Seq.newBuilder[String]
       ch.hops.foreach { case (rel, nodePat) =>
         rel.varLen match {
           case Some((lo, hi)) =>
@@ -1350,7 +1365,10 @@ object CypherFrontend {
                     .distinct()
               } else varReach(rel, lo, hi, endCol,
                 withLen = pathVar.isDefined || rel.v.isDefined,
-                withHops = rel.v.isDefined)
+                // a named path serializes its interior from the hop
+                // list, so `p = (a)-[*1..2]->(b)` materializes hops
+                // even without a bound rel variable
+                withHops = rel.v.isDefined || pathVar.isDefined)
             if (pathVar.isDefined) lenParts += col(s"$endCol$$len")
             df = df.join(reachDf,
               col(ns(cur, "uid")) === col(s"$endCol$$from"))
@@ -1378,6 +1396,17 @@ object CypherFrontend {
                 .drop(s"$endCol$$hops")
               varLenHops += rv -> hc
             }
+            if (pathVar.isDefined) {
+              // the serialized interior folds over the hop list (walk
+              // orientation, so each hop's dst IS the next node)
+              val hc = rel.v.map(rv => s"relhops$$$rv").getOrElse {
+                serialScratch += s"$endCol$$hops"
+                s"$endCol$$hops"
+              }
+              serialParts += aggregate(col("`" + hc + "`"), lit(""),
+                (acc, h) => concat(acc, lit("|"), h.getField("rel_type"),
+                  lit("|"), h.getField("dst")))
+            }
             cur = nv
           case None =>
             if (pathVar.isDefined) lenParts += lit(1)
@@ -1395,6 +1424,9 @@ object CypherFrontend {
               bound += nv
             }
             bound += rv
+            if (pathVar.isDefined)
+              serialParts += concat(lit("|"), col(ns(rv, "rel_type")),
+                lit("|"), col(ns(nv, "uid")))
             cur = nv
         }
       }
@@ -1411,6 +1443,11 @@ object CypherFrontend {
           pathNodeSeq += pv -> nodeOrder.result()
           pathRelSeq += pv -> relOrder.result()
         }
+        // the canonical path VALUE (`RETURN p`): uid|rel_type|uid|…
+        val strCol = s"pathstr$$$pv"
+        df = df.withColumn(strCol, concat(serialParts.result(): _*))
+          .drop(serialScratch.result(): _*)
+        pathStrCols += pv -> strCol
       }
       (df, bound)
     }
@@ -2048,7 +2085,8 @@ object CypherFrontend {
       // rel binding's is its rellen/relhops pair — WITH passes those
       // through so length(p)/size(r)/[h IN r | ...] resolve later
       def scratchCols(v: String): Seq[String] =
-        (pathVars.get(v).toSeq ++ varLenVars.get(v).toSeq ++
+        (pathVars.get(v).toSeq ++ pathStrCols.get(v).toSeq ++
+          varLenVars.get(v).toSeq ++
           varLenHops.get(v).toSeq).filter(in.columns.contains)
       def varCols(v: String): Seq[Column] =
         if (scalarVars(v)) Seq(col(v))
@@ -2581,11 +2619,13 @@ object CypherFrontend {
           case other => sys.error(s"unknown quantifier $other")
         }
       case PPattern(_, _, _, _, _, _) =>
-        sys.error("pattern predicate in a column-only position " +
-          "(OPTIONAL MATCH WHERE / WITH ... WHERE under aggregation)")
+        sys.error("pattern predicate inside a list-quantifier/lambda " +
+          "body is not supported; lift it out of the quantifier " +
+          "(WHERE positions, WITH/RETURN values, OPTIONAL MATCH WHERE " +
+          "and aggregated WITH ... WHERE all compile via flag columns)")
       case PExistsChain(_, _) =>
-        sys.error("multi-hop EXISTS { } in a column-only position " +
-          "(OPTIONAL MATCH WHERE / WITH ... WHERE under aggregation)")
+        sys.error("multi-hop EXISTS { } inside a list-quantifier/" +
+          "lambda body is not supported; lift it out of the quantifier")
     }
 
     /** Best-effort STATIC type of an expression — drives Cypher's
@@ -2645,9 +2685,15 @@ object CypherFrontend {
       case EVar(v) if varLenVars.contains(v) => sys.error(
         s"'$v' binds a var-length relationship whose hop list was not " +
           "materialized; project size($v) instead")
+      case EVar(v) if pathStrCols.contains(v) =>
+        // the canonical path VALUE: uid|rel_type|uid|… in walk order
+        // (per the g43 law — the interleaved identity sequence IS the
+        // path; direction rides the order, not arrows)
+        col("`" + pathStrCols(v) + "`")
       case EVar(v) if pathVars.contains(v) => sys.error(
-        s"returning the path variable '$v' itself is not supported; " +
-          s"project length($v), nodes($v) or relationships($v) instead")
+        s"returning a shortestPath variable '$v' itself is not " +
+          s"supported (only its min-depth is materialized); project " +
+          s"length($v) instead")
       case e @ (_: ECountSub | _: ECountChain) =>
         countSubCols.get(e)
           .map(n => coalesce(col("`" + n + "`"), lit(0L)))

@@ -59,6 +59,8 @@ object CypherWrite {
   private case class NonEmptyWins(name: String) extends SetVal
   /** REMOVE v.prop — the property goes to null (Neo4j's removal). */
   private case object RemoveVal extends SetVal
+  /** A literal in a CREATE props map ('str', 42, true). */
+  private case class LitVal(value: String) extends SetVal
 
   private case class NodeMatch(v: String, label: String,
                                keyProp: String, keyParam: String)
@@ -72,6 +74,17 @@ object CypherWrite {
   private case class WriteStmt(matches: Seq[NodeMatch],
                                nodeMerges: Seq[NodeMerge],
                                edgeMerges: Seq[EdgeMerge])
+  /** `CREATE (v:Label {props})` — a multi-prop map (params, literals,
+    * datetime()); no match arm. */
+  private case class NodeCreate(v: String, label: String,
+                                props: Seq[(String, SetVal)])
+  /** `CREATE (a)-[r:TYPE {props}]->(b)` — endpoints bound by MATCH or a
+    * CREATE node pattern in the same statement. */
+  private case class EdgeCreate(src: String, relType: String, dst: String,
+                                props: Seq[(String, SetVal)])
+  private case class CreateStmt(matches: Seq[NodeMatch],
+                                nodeCreates: Seq[NodeCreate],
+                                edgeCreates: Seq[EdgeCreate])
 
   // ---------------------------------------------------------- parser
   private final class Parser(toks: Vector[Tok]) {
@@ -189,6 +202,94 @@ object CypherWrite {
       DeleteStmt(NodeMatch(v, l, kp, p), detach)
     }
 
+    /** A value inside a CREATE props map: `$param`, a string/number
+      * literal, TRUE/FALSE, or `datetime()`. */
+    private def createVal(): SetVal =
+      if (atSym("$")) ParamVal(param())
+      else if (atKw("TRUE")) { pos += 1; LitVal("true") }
+      else if (atKw("FALSE")) { pos += 1; LitVal("false") }
+      else peek match {
+        case Some(TStr(s)) => pos += 1; LitVal(s)
+        case Some(TNum(n)) => pos += 1; LitVal(n)
+        case Some(TId("datetime")) => pos += 1; eatSym("("); eatSym(")"); ClockVal
+        case other => sys.error(s"unsupported CREATE property value at " +
+          s"'${other.map(_.text).getOrElse("<eof>")}': expected $$param, " +
+          "a string/number/boolean literal, or datetime()")
+      }
+
+    /** `{k: v [, ...]}` — the multi-prop map a CREATE pattern carries. */
+    private def propsMap(): Seq[(String, SetVal)] = {
+      eatSym("{")
+      val out = Seq.newBuilder[(String, SetVal)]
+      var more = !atSym("}")
+      while (more) {
+        val k = ident(); eatSym(":")
+        out += (k -> createVal())
+        if (atSym(",")) eatSym(",") else more = false
+      }
+      eatSym("}")
+      out.result()
+    }
+
+    /** One node position inside a CREATE pattern: `(v:Label {props})`
+      * registers a creation; bare `(v)` references an already-bound
+      * variable. Returns the variable name. */
+    private def createNodePart(creates: scala.collection.mutable.Builder[NodeCreate, Seq[NodeCreate]]): String = {
+      eatSym("(")
+      val v = ident()
+      if (atSym(":")) {
+        eatSym(":"); val label = ident()
+        val props = if (atSym("{")) propsMap() else Seq.empty
+        eatSym(")")
+        creates += NodeCreate(v, label, props)
+      } else eatSym(")")
+      v
+    }
+
+    /** `MATCH (v:L {k:$p})* CREATE <pattern> [, <pattern>]* [RETURN …]`
+      * where a pattern is a node part optionally chained through
+      * `-[r:TYPE {props}]->` hops (each hop creates one relationship).
+      */
+    def createStmt(): CreateStmt = {
+      val matches = Seq.newBuilder[NodeMatch]
+      val nodeCreates = Seq.newBuilder[NodeCreate]
+      val edgeCreates = Seq.newBuilder[EdgeCreate]
+      var done = false
+      while (!done) {
+        if (atKw("MATCH")) {
+          eatKw("MATCH")
+          val (v, l, kp, p) = nodeKeyPat()
+          matches += NodeMatch(v, l, kp, p)
+        } else if (atKw("CREATE")) {
+          eatKw("CREATE")
+          var morePatterns = true
+          while (morePatterns) {
+            var left = createNodePart(nodeCreates)
+            while (atSym("-")) {
+              eatSym("-"); eatSym("[")
+              peek match { // rel var unused: edge identity is the triple
+                case Some(TId(_)) => ident()
+                case _ =>
+              }
+              eatSym(":"); val relType = ident()
+              val props = if (atSym("{")) propsMap() else Seq.empty
+              eatSym("]"); eatSym("->")
+              val right = createNodePart(nodeCreates)
+              edgeCreates += EdgeCreate(left, relType, right, props)
+              left = right
+            }
+            if (atSym(",")) eatSym(",") else morePatterns = false
+          }
+        } else if (atKw("RETURN")) {
+          pos = toks.length // accepted, ignored: the batch is the result
+          done = true
+        } else if (peek.isEmpty) done = true
+        else sys.error(s"unexpected token '${peek.map(_.text).getOrElse("")}' " +
+          "in CREATE statement (MATCH / CREATE / RETURN)")
+      }
+      CreateStmt(matches.result(), nodeCreates.result(), edgeCreates.result())
+    }
+
     def stmt(): WriteStmt = {
       val matches = Seq.newBuilder[NodeMatch]
       val nodeMerges = Seq.newBuilder[NodeMerge]
@@ -274,7 +375,8 @@ object CypherWrite {
   def apply(template: String, params: DataFrame, graph: Graph,
             clock: Column, propCols: Seq[String]): Graph = {
     val kws = CypherFrontend.tokenize(template).collect { case TKw(k) => k }.toSet
-    if (kws("MERGE") || kws("CREATE")) merge(template, params, graph, clock, propCols)
+    if (kws("MERGE")) merge(template, params, graph, clock, propCols)
+    else if (kws("CREATE")) create(template, params, graph, clock, propCols)
     else if (kws("DELETE")) delete(template, params, graph)
     else if (kws("SET") || kws("REMOVE")) update(template, params, graph, clock, propCols)
     else sys.error("unsupported write statement: expected MERGE, SET, REMOVE, or DELETE")
@@ -370,6 +472,140 @@ object CypherWrite {
         .join(doomed, col("dst_uid") === col("_doomed"), "left_anti")
     Graph(nodes, edges)
   }
+
+  /** Bare `CREATE` statements — the MERGE machinery minus the match
+    * arm, the first write every Neo4j user issues
+    * (`/root/reference/src/db/neo4j_db.py:93-106` accepts arbitrary
+    * Cypher):
+    *
+    *   - `CREATE (n:Label {k: $p, k2: 'lit', ...})` — one node per
+    *     params row, appended (never matched). uid derives from the
+    *     props map (`uid` key > F1 hash of `name` > F1 hash of the
+    *     row's `_seq` + label, so key-less creates are still
+    *     deterministic per batch position).
+    *   - `CREATE (a)-[r:TYPE]->(b)` / inline chains
+    *     `CREATE (a:L {..})-[:R]->(b:M {..})` — endpoints bound by
+    *     MATCH or a CREATE node pattern in the same statement.
+    *
+    * The reference's schema declares `REQUIRE uid IS UNIQUE`
+    * (`schema.cql:18-98`), under which a CREATE of an existing key is a
+    * constraint violation in Neo4j — enforced here EAGERLY with one
+    * distributed duplicate-count job per node clause (the set-oriented
+    * analog of Neo4j's per-row index check), failing the whole batch
+    * loudly rather than corrupting the uid-keyed store. Use MERGE to
+    * upsert.
+    *
+    * Divergences, documented: edge identity stays (src, dst, type) — a
+    * repeated CREATE of the same relationship is idempotent here where
+    * Neo4j would stack a parallel edge; edge property maps bind only
+    * columns the edge frame actually has (`created_at` is always the
+    * injected clock), and unknown edge props fail loudly.
+    */
+  def create(template: String, params: DataFrame, graph: Graph,
+             clock: Column, propCols: Seq[String]): Graph = {
+    val stmt = new Parser(CypherFrontend.tokenize(template)).createStmt()
+    require(stmt.nodeCreates.nonEmpty || stmt.edgeCreates.nonEmpty,
+      "CREATE statement creates nothing")
+    val seqCol: Column =
+      if (params.columns.contains("_seq")) col("_seq")
+      else xxhash64(params.columns.sorted.map(col): _*)
+
+    def valCol(sv: SetVal): Column = sv match {
+      case ParamVal(p) => col(p)
+      case LitVal(v) => lit(v)
+      case ClockVal => clock
+      case other => sys.error(s"unsupported CREATE value $other")
+    }
+
+    def uidCol(m: NodeCreate): Column =
+      m.props.collectFirst { case ("uid", sv) => valCol(sv).cast("string") }
+        .orElse(m.props.collectFirst { case ("name", sv) =>
+          graft.core.Uid.uid(valCol(sv).cast("string")) })
+        .getOrElse(graft.core.Uid.uid(
+          concat_ws("", lit(m.label), seqCol.cast("string"))))
+    def nameCol(m: NodeCreate): Column =
+      m.props.collectFirst { case ("name", sv) => valCol(sv).cast("string") }
+        .getOrElse(lit(null).cast("string"))
+
+    var nodes = graph.nodes
+    stmt.nodeCreates.foreach { m =>
+      val sets = m.props.toMap -- Seq("uid", "name", "created_at", "updated_at")
+      val badProps = sets.keys.filterNot(propCols.contains).toSeq.sorted
+      require(badProps.isEmpty,
+        s"CREATE sets unknown propert${if (badProps.size == 1) "y" else "ies"} " +
+          s"${badProps.mkString(", ")} (node schema has: ${propCols.mkString(", ")})")
+      val incoming = params.select(
+        (lit(m.label).as("label") +:
+          uidCol(m).as("uid") +:
+          nameCol(m).as("name") +:
+          propCols.map(p => sets.get(p).map(valCol).getOrElse(lit(null))
+            .cast("string").as(p)) :+
+          clock.as("created_at") :+ clock.as("updated_at")): _*)
+        .localCheckpoint(true) // reused by the constraint probe + union
+      // REQUIRE uid IS UNIQUE: in-batch duplicates and collisions with
+      // existing nodes of the label are both violations (one job).
+      val clash = incoming.select("uid")
+        .unionAll(nodes.filter(col("label") === m.label).select("uid"))
+        .groupBy("uid").count().filter(col("count") > 1).count()
+      require(clash == 0,
+        s"CREATE (:${m.label}) violates uid uniqueness for $clash key(s) " +
+          "(node exists or batch repeats a key); use MERGE to upsert")
+      nodes = nodes.unionByName(incoming)
+    }
+
+    var edges = graph.edges
+    if (stmt.edgeCreates.nonEmpty) {
+      val createsByVar = stmt.nodeCreates.map(m => m.v -> m).toMap
+      val matchesByVar = stmt.matches.map(m => m.v -> m).toMap
+      val extraEdgeCols =
+        graph.edges.columns.filterNot(edgeIdentityCols.contains).toSeq
+      stmt.edgeCreates.foreach { em =>
+        val badProps = em.props.map(_._1)
+          .filterNot(p => p == "created_at" || extraEdgeCols.contains(p))
+        require(badProps.isEmpty,
+          s"CREATE relationship props ${badProps.mkString(", ")} are not " +
+            s"in the edge schema (${graph.edges.columns.mkString(", ")})")
+        var frame = params.select(params.columns.map(col) :+ seqCol.as("_create_seq"): _*)
+        def resolve(v: String): (Column, String) =
+          createsByVar.get(v) match {
+            case Some(m) =>
+              val uid = // re-derive against _create_seq (seqCol may ref _seq)
+                m.props.collectFirst { case ("uid", sv) => valCol(sv).cast("string") }
+                  .orElse(m.props.collectFirst { case ("name", sv) =>
+                    graft.core.Uid.uid(valCol(sv).cast("string")) })
+                  .getOrElse(graft.core.Uid.uid(
+                    concat_ws("", lit(m.label), col("_create_seq").cast("string"))))
+              (uid, m.label)
+            case None =>
+              val nm = matchesByVar.getOrElse(v,
+                sys.error(s"edge endpoint $v is bound by no MATCH/CREATE"))
+              frame = frame.join(
+                nodes.filter(col("label") === nm.label)
+                  .select(col("uid").as(s"_${v}_uid"),
+                    col(nm.keyProp).as(s"_${v}_key")),
+                col(s"_${v}_key") === col(nm.keyParam))
+              (col(s"_${v}_uid"), nm.label)
+          }
+        val (srcUid, srcLabel) = resolve(em.src)
+        val (dstUid, dstLabel) = resolve(em.dst)
+        val propByName = em.props.toMap
+        val incoming = frame.select(
+          (srcUid.as("src_uid") +: dstUid.as("dst_uid") +:
+            lit(em.relType).as("rel_type") +:
+            lit(srcLabel).as("src_label") +: lit(dstLabel).as("dst_label") +:
+            clock.as("created_at") +:
+            extraEdgeCols.map(p => propByName.get(p).map(valCol)
+              .getOrElse(lit(null)).cast("string").as(p))): _*)
+        edges = GraphStore.upsertEdges(edges, incoming)
+      }
+    }
+    Graph(nodes, edges)
+  }
+
+  /** The canonical edge-identity/bookkeeping columns; anything else on
+    * the edge frame is a property column a CREATE map may bind. */
+  private val edgeIdentityCols =
+    Set("src_uid", "dst_uid", "rel_type", "src_label", "dst_label", "created_at")
 
   def merge(template: String, params: DataFrame, graph: Graph,
             clock: Column, propCols: Seq[String]): Graph = {

@@ -39,6 +39,18 @@ final class GraphDb private (val spark: SparkSession,
   def edges: DataFrame = g.edges
   def graph: CypherWrite.Graph = g
 
+  /** DDL rules registered via `CREATE CONSTRAINT`/`CREATE INDEX`
+    * statements (the reference's `init_db.py` surface). Spark enforces
+    * no constraints, so uniqueness rules run as load-time validation
+    * ([[validateSchema]]) and indexes stand for layout hints. */
+  private val ddlRules =
+    scala.collection.mutable.LinkedHashSet.empty[SchemaRegistry.Rule]
+  def schemaRules: Seq[SchemaRegistry.Rule] = synchronized { ddlRules.toSeq }
+
+  /** Run every registered uniqueness constraint against the held node
+    * table — one row per constraint with an `ok` verdict. */
+  def validateSchema: DataFrame = SchemaRegistry.validate(schemaRules, g.nodes)
+
   /** Node-table property columns between identity (label, uid, name)
     * and the managed timestamps — the `propCols` contract the
     * CypherWrite/GraphStore upserts share. */
@@ -75,6 +87,16 @@ final class GraphDb private (val spark: SparkSession,
       val sp = spark
       import sp.implicits._
       keys.toDF("propertyKey")
+    }
+    else if (trimmed.matches("(?is)CREATE\\s+(CONSTRAINT|INDEX)\\b.*")) {
+      // the reference's init_db.py:41-66 executes schema.cql line by
+      // line through this same entry point with already-exists
+      // tolerance — the registry is a set, so re-CREATE is a no-op
+      val (rules, unparsed) = SchemaRegistry.parse(trimmed + ";")
+      require(unparsed.isEmpty,
+        s"unsupported DDL statement: ${unparsed.mkString("; ")}")
+      synchronized { ddlRules ++= rules }
+      spark.emptyDataFrame
     }
     else if (trimmed.length >= 8 && trimmed.substring(0, 8).equalsIgnoreCase("EXPLAIN ")) {
       // Neo4j's `EXPLAIN <query>` string form: plan rows, no execution
@@ -130,9 +152,12 @@ final class GraphDb private (val spark: SparkSession,
   }
 
   /** The reference's per-item params dict as a one-row frame. Nulls
-    * need a type; strings are the template surface's currency. */
+    * need a type; strings are the template surface's currency. A
+    * param-less statement (a literal-only CREATE) still binds one row —
+    * Neo4j executes it once. */
   private def oneRow(params: Map[String, Any]): DataFrame = {
-    require(params.nonEmpty, "a MERGE template needs params to bind")
+    if (params.isEmpty)
+      return spark.range(1).select(lit(1L).as("_seq"))
     val keys = params.keys.toSeq.sorted
     val fields = keys.map { k =>
       val dt = params(k) match {

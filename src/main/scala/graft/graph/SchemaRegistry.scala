@@ -18,10 +18,12 @@ object SchemaRegistry {
   final case class UniqueConstraint(name: String, label: String, property: String) extends Rule
   final case class Index(name: String, label: String, property: String) extends Rule
 
+  // `IF NOT EXISTS` is optional (Neo4j's grammar; the reference's
+  // schema.cql always writes it, init_db tolerates already-exists)
   private val constraintRe =
-    """(?i)CREATE\s+CONSTRAINT\s+(\w+)\s+IF\s+NOT\s+EXISTS\s+FOR\s+\(\s*\w+\s*:\s*(\w+)\s*\)\s+REQUIRE\s+\w+\.(\w+)\s+IS\s+UNIQUE""".r
+    """(?i)CREATE\s+CONSTRAINT\s+(\w+)\s+(?:IF\s+NOT\s+EXISTS\s+)?FOR\s+\(\s*\w+\s*:\s*(\w+)\s*\)\s+REQUIRE\s+\w+\.(\w+)\s+IS\s+UNIQUE""".r
   private val indexRe =
-    """(?i)CREATE\s+INDEX\s+(\w+)\s+IF\s+NOT\s+EXISTS\s+FOR\s+\(\s*\w+\s*:\s*(\w+)\s*\)\s+ON\s+\(\s*\w+\.(\w+)\s*\)""".r
+    """(?i)CREATE\s+INDEX\s+(\w+)\s+(?:IF\s+NOT\s+EXISTS\s+)?FOR\s+\(\s*\w+\s*:\s*(\w+)\s*\)\s+ON\s+\(\s*\w+\.(\w+)\s*\)""".r
 
   /** Parse CQL-style DDL text: strip `//` comments and blank lines, keep
     * CREATE statements, classify constraint vs index. Unparseable CREATE

@@ -563,6 +563,70 @@ object GraphQueries extends QueryPack {
     edges
   }
 
+  /** Exact k-core peeling WITHOUT the pair-producer (round-9 verdict
+    * task 4): per round, a node's projected-graph degree (distinct
+    * co-click partners among survivors) is resolved through two
+    * O(E)-computable BOUNDS on the union-of-cliques structure —
+    * each bucket is a clique, so
+    *
+    *   max_b(m_b − 1)  ≤  deg(u)  ≤  Σ_b(m_b − 1)
+    *
+    * (m_b = surviving members of bucket b ∋ u). Nodes with the upper
+    * bound below k are safely dropped; nodes with the lower bound at
+    * or above k certainly stay — and that covers EVERY member of a
+    * hot bucket, so celebrity buckets never enumerate pairs at all.
+    * Only the uncertain sliver (sum ≥ k but every bucket ≤ k members
+    * — by definition ALL its buckets are small) gets an exact
+    * distinct-partner count, whose join output is ≤ k rows per
+    * incidence row. Total per round: three keyed aggregates + one
+    * small-bucket join = O(k·E), versus the pair list's Σ m_b²
+    * (10¹⁰-shaped for a 100k-member bucket). Re-measured in SCALE
+    * §7d; no `bucketCap` knob anywhere. Survivor sets are provably
+    * identical to pair-based peeling round for round (the bounds are
+    * exact implications, the uncertain arm is exact counting). */
+  private[queries] def kCoreMembersBipartite(incidence0: DataFrame, k: Int,
+                                             iters: Int): DataFrame = {
+    var inc = incidence0.localCheckpoint(true) // distinct (user_id, b)
+    for (_ <- 1 to iters) {
+      val m = inc.groupBy("b").agg(count(lit(1)).as("m"))
+      val bounds = inc.join(m, "b")
+        .groupBy("user_id")
+        .agg(sum(col("m") - 1).as("sumB"), max(col("m") - 1).as("maxB"))
+        .localCheckpoint(true) // feeds the certain AND uncertain arms
+      val certain = bounds.filter(col("maxB") >= k).select("user_id")
+      val uncertain = bounds.filter(col("maxB") < k && col("sumB") >= k)
+        .select("user_id")
+      val exact = inc.join(uncertain, "user_id") // every bucket here ≤ k members
+        .join(inc.select(col("b"), col("user_id").as("v")), "b")
+        .filter(col("v") =!= col("user_id"))
+        .groupBy("user_id").agg(countDistinct("v").as("deg"))
+        .filter(col("deg") >= k).select("user_id")
+      val alive = certain.unionByName(exact).localCheckpoint(true)
+      inc = inc.join(alive, "user_id").localCheckpoint(true)
+    }
+    inc
+  }
+
+  /** g21b — EXACT UNCAPPED k-core membership via
+    * [[kCoreMembersBipartite]]: which users survive k=2 peeling of the
+    * co-click graph (the set a training pipeline routes to per-node
+    * scoring). Output is membership, not degree — the final
+    * isolated-survivor filter (deg ≥ 1 ⟺ Σ(m_b−1) ≥ 1) is also
+    * bound-exact, so NO stage of this query enumerates within-bucket
+    * pairs and the whole plan is ~linear in the incidence. The oracle
+    * is the same unrolled peeling CTE as g21's, final select reduced
+    * to the distinct survivor list — i.e. the UNCAPPED semantics g21's
+    * oracle already models, now exact at any bucket size. */
+  def g21bKCoreBipartite(s: SparkSession, dir: String): DataFrame = {
+    val core = kCoreMembersBipartite(clickBuckets(s, dir), k = 2,
+      iters = kCoreIters)
+    val m = core.groupBy("b").agg(count(lit(1)).as("m"))
+    core.join(m, "b")
+      .groupBy("user_id").agg(sum(col("m") - 1).as("sumB"))
+      .filter(col("sumB") >= 1)
+      .select("user_id").orderBy("user_id")
+  }
+
   /** g21 — k-core decomposition (k=2, the densest-subgraph peeling every
     * community/spam pipeline runs before expensive per-node scoring):
     * iteratively strip nodes with fewer than k neighbors in the induced
@@ -586,7 +650,8 @@ object GraphQueries extends QueryPack {
     * twice, inlining makes the unroll EXPONENTIAL in `iters` (it
     * exhausted file handles re-opening the parquet scan before it ever
     * finished planning). Materialization keeps it linear. */
-  private def kCoreOracle(k: Int, iters: Int): String = {
+  private def kCoreOracle(k: Int, iters: Int,
+                          membersOnly: Boolean = false): String = {
     val sb = new StringBuilder(
       """WITH c AS MATERIALIZED (
         |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b
@@ -609,9 +674,15 @@ object GraphQueries extends QueryPack {
       |ef AS MATERIALIZED (SELECT u1, u2 FROM p
       |  WHERE u1 IN (SELECT u FROM a$iters)
       |    AND u2 IN (SELECT u FROM a$iters))
-      |SELECT user_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
-      |  SELECT u1 AS user_id FROM ef UNION ALL SELECT u2 FROM ef)
-      |GROUP BY user_id ORDER BY user_id""".stripMargin
+      |""".stripMargin
+    sb ++= (if (membersOnly)
+      """SELECT DISTINCT user_id FROM (
+        |  SELECT u1 AS user_id FROM ef UNION ALL SELECT u2 FROM ef)
+        |ORDER BY user_id""".stripMargin
+    else
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+        |  SELECT u1 AS user_id FROM ef UNION ALL SELECT u2 FROM ef)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
     sb.toString
   }
 
@@ -1838,7 +1909,87 @@ object GraphQueries extends QueryPack {
         |ORDER BY supplied, ctag""".stripMargin,
       nodes(s, dir), edges(s, dir))
 
+  /** g79 — pattern predicates / multi-hop EXISTS under the two
+    * aggregation-adjacent positions the round-9 verdict flagged:
+    * (a) OPTIONAL MATCH WHERE mixing an EXISTS {} chain (endpoint in
+    * the clause frame) with a plain predicate — the flag column is
+    * pre-joined onto the CLAUSE frame so the whole predicate rides the
+    * left-join condition and unmatched rows stay null-padded for the
+    * aggregate; (b) WITH ... WHERE AFTER aggregation, where a pattern
+    * predicate semi-joins the grouped frame on the carried node uid
+    * and an EXISTS {} chain does the same with its distinct-key probe.
+    * Both plans stay probe-shaped: one DISTINCT broadcast-sized probe
+    * per pattern, never per-row subqueries. */
+  def g79CypherOptAggPred(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)
+        |OPTIONAL MATCH (n)-[r:IN_REGION]->(rg:Region)
+        |WHERE EXISTS { (sp:Supplier)-[:IN_NATION]->(n)
+        |               WHERE sp.name ENDS WITH '1' }
+        |  AND rg.name ENDS WITH '1'
+        |RETURN n.name AS nation, count(rg) AS cnt, 'opt' AS tag
+        |UNION ALL
+        |MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        |WITH n, count(c) AS members
+        |WHERE (n)-[:IN_REGION]->(:Region)
+        |  AND EXISTS { (sp:Supplier)-[:IN_NATION]->(n)
+        |               WHERE sp.name ENDS WITH '1' }
+        |RETURN n.name AS nation, members AS cnt, 'agg' AS tag""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("tag", "nation")
+
+  /** g81 — `RETURN p` path VALUES (the Neo4j REPL's most common
+    * query): a named path projects its canonical serialization,
+    * `uid|rel_type|uid|…` in walk order (the g43 law's `|`-join;
+    * direction rides the order). Fixed-length paths are pure column
+    * concat; var-length paths fold the materialized hop list — no
+    * extra joins either way. shortestPath values stay refused (only
+    * min-depth is materialized). */
+  def g81CypherReturnPath(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH p = (c:Customer)-[*2..2]->(r:Region)
+        |WHERE c.name ENDS WITH '01'
+        |RETURN p AS path
+        |UNION ALL
+        |MATCH p = (n:Nation)-[:IN_REGION]->(r:Region)
+        |WHERE n.name ENDS WITH '2'
+        |RETURN p AS path""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("path")
+
+  /** g80 — bare CREATE statements round-tripped through the [[GraphDb]]
+    * facade (the last write shape the front-end refused): batch-create
+    * Nation nodes and Customer nodes (multi-prop map, param + literal
+    * mix), CREATE the IN_NATION edges between MATCH-bound endpoints,
+    * then read the graph back through the same `query()` entry point
+    * and aggregate. Each CREATE is one distributed append plus one
+    * uniqueness-constraint job (the set-oriented analog of Neo4j's
+    * per-row index check) — no per-row driver loop anywhere. */
+  def g80CypherCreate(s: SparkSession, dir: String): DataFrame = {
+    val db = graft.graph.GraphDb.empty(s, props = Seq("segment"),
+      clock = () => lit("2026-01-01 00:00:00").cast("timestamp"))
+    db.merge("CREATE (n:Nation {name: $name})",
+      Tables.nation(s, dir).select(col("n_name").as("name")))
+    db.merge("CREATE (c:Customer {name: $name, segment: $segment})",
+      Tables.customer(s, dir)
+        .select(col("c_name").as("name"), col("c_mktsegment").as("segment")))
+    db.merge(
+      """MATCH (c:Customer {name: $cname}) MATCH (n:Nation {name: $nname})
+        |CREATE (c)-[r:IN_NATION]->(n)""".stripMargin,
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_name").as("cname"), col("n_name").as("nname")))
+    db.query(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        |RETURN n.name AS nation, c.segment AS segment, count(*) AS cnt
+        |ORDER BY nation, segment""".stripMargin)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "g81_cypher_return_path" -> (g81CypherReturnPath _),
+    "g80_cypher_create" -> (g80CypherCreate _),
+    "g79_cypher_opt_agg_pred" -> (g79CypherOptAggPred _),
     "g78_cypher_exists_value" -> (g78CypherExistsValue _),
     "g77_cypher_varlen_props" -> (g77CypherVarlenProps _),
     "g76_cypher_varlen_pred" -> (g76CypherVarlenPred _),
@@ -1897,6 +2048,7 @@ object GraphQueries extends QueryPack {
     "g23_personalized_pagerank" -> (g23PersonalizedPagerank _),
     "g22_label_propagation" -> (g22LabelPropagation _),
     "g21_kcore"          -> (g21KCore _),
+    "g21b_kcore_bipartite" -> (g21bKCoreBipartite _),
     "g20_cooccurrence_lift" -> (g20CooccurrenceLift _),
     "g19_dsl_optional"   -> (g19DslOptional _),
     "g18_adamic_adar"    -> (g18AdamicAdar _),
@@ -2088,6 +2240,46 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g81: the canonical path strings rebuilt by string concat over
+    // the same joins (uids in the g-graph are 'Label:key').
+    "g81_cypher_return_path" ->
+      """SELECT path FROM (
+        |  SELECT 'Customer:' || c_custkey || '|IN_NATION|Nation:' ||
+        |    n_nationkey || '|IN_REGION|Region:' || r_regionkey AS path
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE c_name LIKE '%01'
+        |  UNION ALL
+        |  SELECT 'Nation:' || n_nationkey || '|IN_REGION|Region:' || r_regionkey
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE n_name LIKE '%2')
+        |ORDER BY path""".stripMargin,
+    // g79: arm (a) = one optional region row per nation, matched iff
+    // the nation has a %1 supplier AND its region ends in 1; arm (b)
+    // = customer counts for nations with a %1 supplier.
+    "g79_cypher_opt_agg_pred" ->
+      """SELECT nation, cnt, tag FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(CASE WHEN n_nationkey IN (
+        |        SELECT s_nationkey FROM supplier WHERE s_name LIKE '%1')
+        |      AND EXISTS (SELECT 1 FROM region
+        |        WHERE r_regionkey = n_regionkey AND r_name LIKE '%1')
+        |      THEN 1 ELSE 0 END AS BIGINT) AS cnt, 'opt' AS tag
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_name, CAST(count(*) AS BIGINT), 'agg'
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_nationkey IN (
+        |    SELECT s_nationkey FROM supplier WHERE s_name LIKE '%1')
+        |  GROUP BY n_name)
+        |ORDER BY tag, nation""".stripMargin,
+    // g80: the created graph IS customer⋈nation — the round-trip
+    // aggregate must equal the relational group-by.
+    "g80_cypher_create" ->
+      """SELECT n_name AS nation, c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, segment""".stripMargin,
     // g78: the flag columns as plain boolean/CASE SQL over
     // IN-subqueries, grouped.
     "g78_cypher_exists_value" ->
@@ -2598,6 +2790,7 @@ object GraphQueries extends QueryPack {
         |ORDER BY pr DESC, uid LIMIT 30""".stripMargin,
     "g22_label_propagation" -> lpaOracle(rounds = 3),
     "g21_kcore" -> kCoreOracle(k = 2, iters = kCoreIters),
+    "g21b_kcore_bipartite" -> kCoreOracle(k = 2, iters = kCoreIters, membersOnly = true),
     "g20_cooccurrence_lift" ->
       """WITH c AS (
         |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS b

@@ -339,6 +339,18 @@ object StreamQueries extends QueryPack {
       try {
         if (!q.awaitTermination(300000))
           sys.error(s"$tag: stream did not finish within 300s")
+        // watermark drops are silent divergence (a late part's rows
+        // vanish without error) — surface them loudly so a stress
+        // corpus staged out of event-time order is visible, not a
+        // mysteriously-small state reading. recentProgress holds the
+        // last ~100 batches: full coverage at gate scale, a lower
+        // bound on very long stress replays.
+        val dropped = q.recentProgress.iterator
+          .flatMap(p => Option(p.stateOperators).map(_.toSeq).getOrElse(Seq.empty))
+          .map(_.numRowsDroppedByWatermark).sum
+        if (dropped > 0)
+          System.err.println(s"[stream] $tag: $dropped row(s) dropped by " +
+            "watermark (late arrivals across staged micro-batches)")
       } finally q.stop()
       // materialize before the cleanup deletes the staged files: the
       // rows live in the memory sink, the checkpoint keeps them safe
@@ -369,8 +381,12 @@ object StreamQueries extends QueryPack {
     * times, so the file stream replays them as real consecutive
     * micro-batches (a plain Files.copy of a directory would stage an
     * EMPTY directory and the stream would silently process nothing —
-    * the round-9 s15 stress reading caught exactly that). Sentinel
-    * heartbeats are staged separately with LATER mtimes. */
+    * the round-9 s15 stress reading caught exactly that). Contract for
+    * watermarked streams: part-id order must ascend in EVENT TIME
+    * (ScaleGen writes events repartitionByRange(ts), and the runner
+    * reports numRowsDroppedByWatermark loudly if a corpus violates
+    * this). Sentinel heartbeats are staged separately with LATER
+    * mtimes. */
   private def stageTable(dir: String, table: String, streamDir: Path): Unit = {
     val src = Paths.get(s"$dir/$table.parquet")
     val base = System.currentTimeMillis() - 3600000L
@@ -431,13 +447,22 @@ object StreamQueries extends QueryPack {
         finally l.close()
       }
       // 'zz' prefix + late mtimes: sentinels sort and arrive AFTER
-      // every staged part, whether the table staged as one file or as
-      // a directory of parts (stageTable's mtimes are ≥1h older)
+      // every staged part. The mtime is derived from the LAST file
+      // already in the dir (parts, then sentinel 1 for sentinel 2) + a
+      // margin — a wall-clock offset would invert the ordering for
+      // tables with more than ~3.5k parts (round-10 ADVICE fix)
+      val staged = {
+        val l = Files.list(streamDir)
+        try {
+          var m = 0L
+          l.forEach(p => m = math.max(m, Files.getLastModifiedTime(p).toMillis))
+          m
+        } finally l.close()
+      }
       val dst = streamDir.resolve(f"zz$i%d_sentinel.parquet")
       Files.move(part, dst)
       Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 60000L + i * 10000L))
+        java.nio.file.attribute.FileTime.fromMillis(staged + 10000L))
     }
   }
 

@@ -1660,10 +1660,79 @@ class CypherFrontendSpec extends SparkSpec {
         |WITH * RETURN w.name AS n, size(r) AS k ORDER BY n""".stripMargin)
       .as[(String, Int)].collect().toSeq
     assert(r4 === Seq(("Asche", 1), ("Bauschutt", 1), ("Laub", 1)))
-    // a bare path in the final RETURN refuses loudly, not silently
-    val e = intercept[Exception](run(
-      "MATCH p = (w:WasteItem)-[:DISPOSED_IN]->(s) RETURN *"))
+    // a bare path under * projects its canonical serialized value
+    // (round-10: the r9 refusal closed by the pathstr column)
+    val r5 = run(
+      "MATCH p = (w:WasteItem)-[:DISPOSED_IN]->(s) RETURN * ORDER BY w.name")
+    assert(r5.columns.sorted.toSeq === Seq("p", "s", "w"))
+    assert(r5.select("p").as[String].collect().toSeq === // Asche, Bauschutt, Laub
+      Seq("u:w2|DISPOSED_IN|u:s1", "u:w1|DISPOSED_IN|u:s1", "u:w3|DISPOSED_IN|u:s2"))
+  }
+
+  test("RETURN p: canonical path values for fixed and var-length paths (g81)") {
+    // fixed-length: pure column concat, uid|rel_type|uid in walk order
+    val fixed = run(
+      """MATCH p = (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |RETURN p AS path ORDER BY path""".stripMargin)
+      .as[String].collect().toSeq
+    assert(fixed === Seq(
+      "u:w1|DISPOSED_IN|u:s1", "u:w2|DISPOSED_IN|u:s1", "u:w3|DISPOSED_IN|u:s2"))
+    // var-length: the interior folds over the materialized hop list
+    val varlen = run(
+      """MATCH p = (w:WasteItem {name: 'Bauschutt'})-[*1..2]->(t)
+        |RETURN p AS path ORDER BY path""".stripMargin)
+      .as[String].collect().toSeq
+    assert(varlen === Seq(
+      "u:w1|DISPOSED_AT|u:f1", "u:w1|DISPOSED_IN|u:s1"))
+    // the value survives WITH and expands under RETURN *
+    val star = run(
+      """MATCH p = (w:WasteItem)-[:DISPOSED_AT]->(f:Facility)
+        |WITH p RETURN *""".stripMargin)
+    assert(star.columns.toSeq === Seq("p"))
+    assert(star.as[String].collect().toSeq === Seq("u:w1|DISPOSED_AT|u:f1"))
+    // shortestPath paths keep the loud refusal (min-depth only)
+    val e = intercept[RuntimeException](run(
+      "MATCH p = shortestPath((w:WasteItem)-[*1..2]->(f:Facility)) RETURN p"))
     assert(e.getMessage.contains("length(p)"))
+  }
+
+  test("pattern predicates / EXISTS under OPTIONAL MATCH WHERE and aggregated WITH...WHERE (g79)") {
+    // (a) pattern predicate inside OPTIONAL MATCH WHERE: matches filter
+    // INSIDE the left join; unmatched rows aggregate as zero
+    val opt = run(
+      """MATCH (s:WasteStream)
+        |OPTIONAL MATCH (s)<-[r:DISPOSED_IN]-(w:WasteItem)
+        |WHERE (w)-[:DISPOSED_AT]->(:Facility)
+        |RETURN s.name AS stream, count(w) AS cnt ORDER BY stream""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(opt === Seq(("Biomuell", 0L), ("Restmuell", 1L)))
+    // (b) EXISTS {} chain in the same position, mixed with a plain pred
+    val optEx = run(
+      """MATCH (s:WasteStream)
+        |OPTIONAL MATCH (s)<-[r:DISPOSED_IN]-(w:WasteItem)
+        |WHERE EXISTS { (w)-[:DISPOSED_AT]->(f:Facility)
+        |               WHERE f.name ENDS WITH 'A' }
+        |  AND w.name STARTS WITH 'B'
+        |RETURN s.name AS stream, count(w) AS cnt ORDER BY stream""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(optEx === Seq(("Biomuell", 0L), ("Restmuell", 1L)))
+    // (c) WITH ... WHERE after aggregation: pattern semi-join and
+    // EXISTS probe against the grouped frame's carried uid
+    val agg = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s, count(w) AS members
+        |WHERE EXISTS { (s)<-[:DISPOSED_IN]-(w2:WasteItem)
+        |               WHERE w2.name = 'Asche' }
+        |RETURN s.name AS stream, members""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(agg === Seq(("Restmuell", 2L)))
+    val aggPat = run(
+      """MATCH (w:WasteItem)-[:DISPOSED_IN]->(s:WasteStream)
+        |WITH s, count(w) AS members
+        |WHERE (s)<-[:DISPOSED_IN]-(:WasteItem) AND members >= 2
+        |RETURN s.name AS stream, members""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(aggPat === Seq(("Restmuell", 2L)))
   }
 
   test("percentile fractions accept $param (g70 closure)") {

@@ -237,6 +237,112 @@ class CypherWriteSpec extends SparkSpec {
     assert(g3.nodes.count() === g2.nodes.count())
   }
 
+  test("CREATE nodes: one per params row, literals + params mix, appended verbatim") {
+    val params = Seq(
+      ("Hof Nord", "Weg 1"),
+      ("Hof Süd", "Weg 2")).toDF("name", "address")
+    val g = CypherWrite(
+      "CREATE (f:Facility {name: $name, address: $address, contact: 'rathaus'})",
+      params, emptyGraph, clock, propCols)
+    assert(g.nodes.count() === 2)
+    val rows = g.nodes.select("label", "uid", "name", "address", "contact")
+      .as[(String, String, String, String, String)].collect().sortBy(_._3)
+    assert(rows.map(_._1).toSet === Set("Facility"))
+    assert(rows.map(r => (r._3, r._4, r._5)).toSeq ===
+      Seq(("Hof Nord", "Weg 1", "rathaus"), ("Hof Süd", "Weg 2", "rathaus")))
+    // uid = F1 hash of name (the engine-wide law), timestamps = clock
+    assert(rows.map(_._2).toSeq ===
+      rows.map(r => Uid.uidOf(r._3)).toSeq)
+    assert(g.nodes.filter(col("created_at") =!= "2026-01-01 00:00:00" ||
+      col("updated_at") =!= "2026-01-01 00:00:00").count() === 0)
+  }
+
+  test("CREATE enforces the schema's uid uniqueness: existing key and in-batch dup both refuse") {
+    val g1 = CypherWrite("CREATE (f:Facility {name: $name})",
+      Seq("Hof Nord").toDF("name"), emptyGraph, clock, propCols)
+    // same key again → Neo4j-with-constraint behavior: violation
+    val clash = intercept[IllegalArgumentException](CypherWrite(
+      "CREATE (f:Facility {name: $name})",
+      Seq("Hof Nord").toDF("name"), g1, clock, propCols))
+    assert(clash.getMessage.contains("uniqueness"))
+    // in-batch duplicate key → same violation
+    val dup = intercept[IllegalArgumentException](CypherWrite(
+      "CREATE (f:Facility {name: $name})",
+      Seq("Hof West", "Hof West").toDF("name"), emptyGraph, clock, propCols))
+    assert(dup.getMessage.contains("uniqueness"))
+    // a DIFFERENT label may reuse the name (per-label constraint)
+    val g2 = CypherWrite("CREATE (w:WasteItem {name: $name})",
+      Seq("Hof Nord").toDF("name"), g1, clock, propCols)
+    assert(g2.nodes.count() === 2)
+    // unknown property → loud
+    val bad = intercept[IllegalArgumentException](CypherWrite(
+      "CREATE (f:Facility {name: $name, nope: $name})",
+      Seq("X").toDF("name"), emptyGraph, clock, propCols))
+    assert(bad.getMessage.contains("unknown propert"))
+  }
+
+  test("CREATE relationships: inline chain and MATCH-bound endpoints") {
+    // inline chain creates both nodes and the edge in one statement
+    val params = Seq(("Altöl", "Schadstoffmobil")).toDF("item", "stream")
+    val g1 = CypherWrite(
+      """CREATE (w:WasteItem {name: $item})-[r:DISPOSED_IN]->(s:WasteStream {name: $stream})
+        |RETURN w.name""".stripMargin,
+      params, emptyGraph, clock, propCols)
+    assert(g1.nodes.count() === 2)
+    val e = g1.edges.select("src_uid", "dst_uid", "rel_type", "src_label", "dst_label")
+      .as[(String, String, String, String, String)].head()
+    assert(e === ((Uid.uidOf("Altöl"), Uid.uidOf("Schadstoffmobil"),
+      "DISPOSED_IN", "WasteItem", "WasteStream")))
+    // MATCH-bound endpoints: unmatched params rows produce no edge
+    val g2 = CypherWrite.merge(facilityTemplate, facParams, g1, clock, propCols)
+    val edgeParams = Seq(
+      ("Altöl", "Wertstoffhof Nord"),
+      ("Gibt Es Nicht", "Wertstoffhof Nord")).toDF("item_name", "facility_name")
+    val g3 = CypherWrite(
+      """MATCH (w:WasteItem {name: $item_name})
+        |MATCH (f:Facility {name: $facility_name})
+        |CREATE (w)-[r:DISPOSED_AT]->(f)""".stripMargin,
+      edgeParams, g2, clock, propCols)
+    assert(g3.edges.filter(col("rel_type") === "DISPOSED_AT").count() === 1)
+    // edge props beyond the schema refuse loudly
+    val bad = intercept[IllegalArgumentException](CypherWrite(
+      """MATCH (w:WasteItem {name: $item_name})
+        |MATCH (f:Facility {name: $facility_name})
+        |CREATE (w)-[r:DISPOSED_AT {weight: '2'}]->(f)""".stripMargin,
+      edgeParams, g2, clock, propCols))
+    assert(bad.getMessage.contains("edge schema"))
+    // an unbound endpoint refuses loudly (fresh name — the node-create
+    // arm must pass so the edge resolution is what fires)
+    val unbound = intercept[RuntimeException](CypherWrite(
+      "CREATE (w)-[r:DISPOSED_AT]->(f:Facility {name: $facility_name})",
+      Seq(("Altöl", "Neuer Hof")).toDF("item_name", "facility_name"),
+      g2, clock, propCols))
+    assert(unbound.getMessage.contains("bound by no MATCH/CREATE"))
+  }
+
+  test("documented divergence: an ON-CREATE-only property follows non-empty-wins on match") {
+    // CypherWrite.scala's header documents this: Neo4j applies an ON
+    // CREATE SET property only at creation; this engine's upsert law is
+    // per-property non-empty-incoming-wins, so a SECOND merge with a
+    // different non-empty value DOES overwrite. The reference's
+    // templates pair every such property in ON MATCH, so they compile
+    // exactly; this pin keeps the divergence visible to refactors.
+    val t =
+      """MERGE (f:Facility {uid: $uid})
+        |ON CREATE SET f.name = $name, f.address = $address, f.created_at = datetime()
+        |ON MATCH SET f.updated_at = datetime()""".stripMargin
+    val g1 = CypherWrite.merge(t, Seq(("u:1", "Hof", "Weg 1")).toDF("uid", "name", "address"),
+      emptyGraph, clock, propCols)
+    val g2 = CypherWrite.merge(t, Seq(("u:1", "Hof", "Weg 2")).toDF("uid", "name", "address"),
+      g1, clock2, propCols)
+    // Neo4j would keep 'Weg 1'; the engine's law takes the non-empty incoming
+    assert(g2.nodes.select("address").as[String].head() === "Weg 2")
+    // …but an EMPTY incoming never clobbers (the shared non-empty-wins law)
+    val g3 = CypherWrite.merge(t, Seq(("u:1", "Hof", "")).toDF("uid", "name", "address"),
+      g1, clock2, propCols)
+    assert(g3.nodes.select("address").as[String].head() === "Weg 1")
+  }
+
   test("unparseable write shapes fail with clear errors") {
     val bad1 = intercept[RuntimeException](CypherWrite.merge(
       "MERGE (f:Facility {uid: $uid}) ON MATCH SET f.x = f.y + 1",

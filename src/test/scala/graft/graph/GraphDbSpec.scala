@@ -99,6 +99,42 @@ class GraphDbSpec extends SparkSpec {
     assert(db.nodes.count() === 50)
   }
 
+  test("CREATE through query(): data statements, DDL registry, literal-only form") {
+    val db = GraphDb.empty(spark, props = Seq("type"), clock = clk)
+    // the reference's init_db.py:41-66 pushes schema.cql CREATEs through
+    // this entry point with already-exists tolerance
+    db.query("CREATE CONSTRAINT waste_item_uid IF NOT EXISTS FOR (w:WasteItem) REQUIRE w.uid IS UNIQUE")
+    db.query("CREATE INDEX tip_type IF NOT EXISTS FOR (t:Tip) ON (t.type)")
+    db.query("CREATE CONSTRAINT waste_item_uid IF NOT EXISTS FOR (w:WasteItem) REQUIRE w.uid IS UNIQUE") // re-run: no-op
+    assert(db.schemaRules === Seq(
+      SchemaRegistry.UniqueConstraint("waste_item_uid", "WasteItem", "uid"),
+      SchemaRegistry.Index("tip_type", "Tip", "type")))
+    val bad = intercept[IllegalArgumentException](
+      db.query("CREATE CONSTRAINT c1 FOR (n:X) REQUIRE n.uid IS NODE KEY"))
+    assert(bad.getMessage.contains("unsupported DDL"))
+    // a literal-only CREATE binds one row (Neo4j executes it once)
+    db.query("CREATE (t:Tip {name: 'Mehrweg nutzen', type: 'reuse'})")
+    db.query("CREATE (w:WasteItem {name: $name})", Map("name" -> "Altglas"))
+    db.query(
+      """MATCH (w:WasteItem {name: $name})
+        |CREATE (w)-[r:HAS_TIP]->(t:Tip {name: 'Pfand zurück', type: 'deposit'})""".stripMargin,
+      Map("name" -> "Altglas"))
+    assert(db.query("MATCH (t:Tip) RETURN t.name AS n ORDER BY n")
+      .as[String].collect().toSeq === Seq("Mehrweg nutzen", "Pfand zurück"))
+    assert(db.query(
+      """MATCH (w:WasteItem)-[r:HAS_TIP]->(t:Tip)
+        |RETURN w.name AS w, t.type AS tt""".stripMargin)
+      .as[(String, String)].collect().toSeq === Seq(("Altglas", "deposit")))
+    // the registered uniqueness constraint validates green
+    val ok = db.validateSchema.select("constraint", "ok")
+      .as[(String, Boolean)].collect().toMap
+    assert(ok === Map("waste_item_uid" -> true))
+    // a second CREATE of the same Tip key violates the uid constraint
+    val clash = intercept[IllegalArgumentException](
+      db.query("CREATE (t:Tip {name: 'Mehrweg nutzen', type: 'again'})"))
+    assert(clash.getMessage.contains("uniqueness"))
+  }
+
   test("write detection is token-level, not substring") {
     assert(CypherWrite.isWrite("MERGE (n:X {uid: $u}) RETURN n"))
     assert(!CypherWrite.isWrite(

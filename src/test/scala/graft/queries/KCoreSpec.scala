@@ -32,4 +32,30 @@ class KCoreSpec extends SparkSpec {
     assert(degs.forall(_.getLong(1) >= 2),
       "a node below the core threshold survived the peel")
   }
+
+  test("bipartite bound-peeling (g21b) = pair-based survivors at gate scale") {
+    val viaPairs = GraphQueries.g21KCore(spark, dir)
+      .select("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val viaBounds = GraphQueries.g21bKCoreBipartite(spark, dir)
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(viaBounds.nonEmpty)
+    assert(viaBounds === viaPairs,
+      s"bound-peeling diverged: ${viaBounds.size} vs ${viaPairs.size} members")
+  }
+
+  test("bound arms: hot bucket keeps via lower bound, repeated-pair drops via exact arm") {
+    import spark.implicits._
+    // bucket 1 = a 5-member clique (every member max-bound certain,
+    // deg 4 ≥ 2); buckets 2 and 3 = the SAME pair (u=100, v=101) twice:
+    // sum(u)=2 ≥ k but distinct partners = 1 → the uncertain arm's
+    // exact count must drop them (a sum-only rule would wrongly keep).
+    val inc = (1L to 5L).map(u => (u, 1L)) ++
+      Seq((100L, 2L), (101L, 2L), (100L, 3L), (101L, 3L))
+    val core = GraphQueries.kCoreMembersBipartite(
+      inc.toDF("user_id", "b"), k = 2, iters = 3)
+      .select("user_id").distinct().as[Long].collect().toSet
+    assert(core === (1L to 5L).toSet,
+      s"expected the clique only, got $core")
+  }
 }

@@ -741,6 +741,58 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("g77: a var-length property map filters the edge set BELOW the k-fold joins") {
+    import spark.implicits._
+    // kernel-level PARQUET frames (an in-memory Seq would let Catalyst
+    // fold the filter into the LocalRelation and hide the placement):
+    // a real edge prop whose map filter must reach the edge SCAN as a
+    // pushed filter, never float above the k-fold walk joins
+    val tmp = java.nio.file.Files.createTempDirectory("graft-g77pin")
+    val n = Seq(("A", "u:a", "a"), ("A", "u:b", "b"), ("A", "u:c", "c"))
+      .toDF("label", "uid", "name")
+    val e = Seq(("u:a", "R", "u:b", "2"), ("u:b", "R", "u:c", "2"),
+      ("u:a", "R", "u:c", "9"))
+      .toDF("src_uid", "rel_type", "dst_uid", "weight")
+    n.write.parquet(s"$tmp/n"); e.write.parquet(s"$tmp/e")
+    try {
+      val df = graft.graph.CypherFrontend.run(
+        "MATCH (x:A {name: 'a'})-[r*1..2 {weight: '2'}]->(t) RETURN count(*) AS walks",
+        spark.read.parquet(s"$tmp/n"), spark.read.parquet(s"$tmp/e"))
+      assert(df.as[Long].head() === 2L) // a->b and a->b->c; a->c(9) filtered
+      val plan = planOf(df)
+      val edgeScans = plan.linesIterator.filter(l =>
+        l.contains("FileScan parquet") && l.contains("weight")).toSeq
+      assert(edgeScans.nonEmpty &&
+        edgeScans.forall(_.matches(""".*PushedFilters: \[[^\]]*EqualTo\(weight,2\).*""")),
+        s"property-map filter not pushed to the edge scan in:\n$plan")
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+      df.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.toString.contains("weight") => f
+      }.foreach { f =>
+        assert(f.child.collect { case j: Join => j }.isEmpty,
+          s"property-map filter floated ABOVE a join (walk widens " +
+            s"before filtering):\n${df.queryExecution.optimizedPlan}")
+      }
+    } finally graft.core.TempDirs.deleteQuietly(tmp, "g77pin")
+  }
+
+  test("g78: EXISTS-as-value plans exactly two pre-joined probe joins") {
+    val df = GraphQueries.queries("g78_cypher_exists_value")(spark, dir)
+    df.collect()
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    val probes = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftOuter => j
+    }
+    assert(probes.size === 2,
+      s"expected exactly 2 flag-probe left joins, got ${probes.size} in:\n" +
+        df.queryExecution.optimizedPlan)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"flag probes must stay keyed equi joins in:\n$plan")
+  }
+
   test("g62: each COLLECT {} is one window collect + one join — no per-row subqueries") {
     val df = GraphQueries.queries("g62_cypher_collect_sub")(spark, dir)
     val plan = planOf(df)
