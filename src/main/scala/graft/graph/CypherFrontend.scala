@@ -1476,59 +1476,93 @@ object CypherFrontend {
         // walk multiplicity from the unrolled varReach (no level
         // dedup, SEEDED from the head set), one endpoint-pair window
         // to find the min, one filter. Neo4j's cardinality: one row
-        // per tied shortest path.
+        // per tied shortest path. Hops materialize so `RETURN p`
+        // serializes each tied path (fixed-width structs — extra
+        // width, not extra rows).
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(s"$pv$$from", s"$pv$$to")
         val walks = varReach(rel, lo, hi, pv, withLen = true,
-            seedFrom = Some(headSeed))
+            withHops = true, seedFrom = Some(headSeed))
           .withColumn(s"$pv$$minlen", min(col(s"$pv$$len")).over(w))
           .filter(col(s"$pv$$len") === col(s"$pv$$minlen"))
           .drop(s"$pv$$minlen")
+        val strCol = s"pathstr$$$pv"
         val df = headFrame
           .join(walks, col(ns(headVar, "uid")) === col(s"$pv$$from"))
           .drop(s"$pv$$from")
           .join(nodeSide(tailPat, tailVar), col(s"$pv$$to") === col(ns(tailVar, "uid")))
           .drop(s"$pv$$to")
+          .withColumn(strCol, concat(col(ns(headVar, "uid")),
+            aggregate(col(s"$pv$$hops"), lit(""),
+              (acc, h) => concat(acc, lit("|"), h.getField("rel_type"),
+                lit("|"), h.getField("dst")))))
+          .drop(s"$pv$$hops")
         pathVars += (pv -> s"$pv$$len")
+        pathStrCols += pv -> strCol
         return (df, Set(headVar, tailVar))
       }
       var e = edges
       if (rel.types.nonEmpty) e = e.filter(col("rel_type").isin(rel.types: _*))
       e = relPropsFilter(e, rel) // per-hop property map
       val (fromC, toC) = if (rel.forward) ("src_uid", "dst_uid") else ("dst_uid", "src_uid")
-      val e1dir = e.select(col(fromC).as(s"$pv$$from"), col(toC).as(s"$pv$$to"))
+      val e1dir = e.select(col(fromC).as(s"$pv$$from"), col(toC).as(s"$pv$$to"),
+        col("rel_type").as(s"$pv$$rt"))
       val e1 = (if (rel.undirected) e1dir.unionByName(e1dir.select(
-        col(s"$pv$$to").as(s"$pv$$from"), col(s"$pv$$from").as(s"$pv$$to")))
+        col(s"$pv$$to").as(s"$pv$$from"), col(s"$pv$$from").as(s"$pv$$to"),
+        col(s"$pv$$rt")))
       else e1dir).distinct()
+      val strCol = s"pathstr$$$pv"
       val reach =
         if (hi == Unbounded)
           // unbounded shortestPath: the reachability fixpoint already
           // carries min depth per (start, reached) pair — BFS level
           // order + the visited-set anti-join guarantee first-reach =
-          // shortest; bounded only by the graph's diameter
+          // shortest; bounded only by the graph's diameter. The
+          // fixpoint materializes no interior, so `RETURN p` stays
+          // refused for this form (length(p) is the surface).
           Traversal.reachFixpoint(e1.select(
-              col(s"$pv$$from").as("src_uid"), col(s"$pv$$to").as("dst_uid")))
+              col(s"$pv$$from").as("src_uid"), col(s"$pv$$to").as("dst_uid"))
+              .distinct())
             .select(col("start").as(s"$pv$$from"),
               col("reached").as(s"$pv$$to"), col("depth").as(s"$pv$$len"))
         else {
           // level sets seeded from the head endpoint's node set: only
-          // walks FROM relevant sources enumerate (hub-safe)
+          // walks FROM relevant sources enumerate (hub-safe). Each
+          // level carries ONE deterministic witness path string per
+          // (from, to) pair — the lexicographic min — so cardinality
+          // stays the deduped level set (groupBy replaces distinct,
+          // same shuffle) and `RETURN p` projects a real path value.
+          val pathAt1 = concat(col(s"$pv$$from"), lit("|"), col(s"$pv$$rt"),
+            lit("|"), col(s"$pv$$to"))
           val e1s = e1.join(headSeed, Seq(s"$pv$$from"), "left_semi")
+            .withColumn(strCol, pathAt1)
+            .groupBy(s"$pv$$from", s"$pv$$to")
+            .agg(min(col(strCol)).as(strCol))
           var step = e1s
           var acc: Option[DataFrame] =
             if (lo <= 1) Some(e1s.withColumn(s"$pv$$len", lit(1))) else None
           for (k <- 2 to hi) {
             step = step
-              .select(col(s"$pv$$from"), col(s"$pv$$to").as(s"$pv$$mid"))
-              .join(e1.select(col(s"$pv$$from").as(s"$pv$$mid"), col(s"$pv$$to")), s"$pv$$mid")
-              .select(s"$pv$$from", s"$pv$$to").distinct()
+              .select(col(s"$pv$$from"), col(s"$pv$$to").as(s"$pv$$mid"),
+                col(strCol))
+              .join(e1.select(col(s"$pv$$from").as(s"$pv$$mid"),
+                col(s"$pv$$to"), col(s"$pv$$rt")), s"$pv$$mid")
+              .withColumn(strCol, concat(col(strCol), lit("|"),
+                col(s"$pv$$rt"), lit("|"), col(s"$pv$$to")))
+              .groupBy(s"$pv$$from", s"$pv$$to")
+              .agg(min(col(strCol)).as(strCol))
             if (k >= lo) {
               val lev = step.withColumn(s"$pv$$len", lit(k))
               acc = Some(acc.fold(lev)(_.unionByName(lev)))
             }
           }
+          // min over (len, witness): the struct min compares depth
+          // first, then the string — one deterministic shortest path
           acc.get.groupBy(s"$pv$$from", s"$pv$$to")
-            .agg(min(col(s"$pv$$len")).as(s"$pv$$len"))
+            .agg(min(struct(col(s"$pv$$len"), col(strCol))).as(s"$pv$$w"))
+            .select(col(s"$pv$$from"), col(s"$pv$$to"),
+              col(s"$pv$$w").getField(s"$pv$$len").as(s"$pv$$len"),
+              col(s"$pv$$w").getField(strCol).as(strCol))
         }
       val df = headFrame
         .join(reach, col(ns(headVar, "uid")) === col(s"$pv$$from"))
@@ -1536,6 +1570,7 @@ object CypherFrontend {
         .join(nodeSide(tailPat, tailVar), col(s"$pv$$to") === col(ns(tailVar, "uid")))
         .drop(s"$pv$$to")
       pathVars += (pv -> s"$pv$$len")
+      if (hi != Unbounded) pathStrCols += pv -> strCol
       (df, Set(headVar, tailVar))
     }
 
@@ -2237,6 +2272,15 @@ object CypherFrontend {
       case PXor(l, r) => collectExistsChains(l) ++ collectExistsChains(r)
       case PNot(i) => collectExistsChains(i)
       case PBoolE(e) => existsChainsE(e)
+      // same rule as collectPatterns: chains over OUTER variables
+      // inside a quantifier body flag-join; chains touching the
+      // lambda variable stay uncollected and refuse
+      case PQuant(_, qv, lst, w) =>
+        (existsChainsE(lst) ++ collectExistsChains(w)).filterNot { pe =>
+          pe.chains.exists(c => c.head.v.contains(qv) ||
+            c.hops.exists { case (r, n) =>
+              r.v.contains(qv) || n.v.contains(qv) })
+        }
       case _ => Seq.empty
     }
 
@@ -2290,6 +2334,13 @@ object CypherFrontend {
       case PXor(l, r) => collectPatterns(l) ++ collectPatterns(r)
       case PNot(i) => collectPatterns(i)
       case PBoolE(e) => patternsE(e)
+      // a quantifier body's patterns ride the same flag columns as
+      // long as they bind OUTER node variables (a plain column
+      // reference resolves inside the higher-order lambda); a pattern
+      // on the lambda variable itself stays uncollected and refuses
+      case PQuant(_, qv, lst, w) =>
+        (patternsE(lst) ++ collectPatterns(w))
+          .filterNot(pp => pp.v == qv || pp.targetVar.contains(qv))
       case _ => Seq.empty
     }
 
@@ -2691,9 +2742,9 @@ object CypherFrontend {
         // path; direction rides the order, not arrows)
         col("`" + pathStrCols(v) + "`")
       case EVar(v) if pathVars.contains(v) => sys.error(
-        s"returning a shortestPath variable '$v' itself is not " +
-          s"supported (only its min-depth is materialized); project " +
-          s"length($v) instead")
+        s"returning an UNBOUNDED shortestPath variable '$v' is not " +
+          s"supported (the reachability fixpoint materializes no " +
+          s"interior); bound the range (*1..k) or project length($v)")
       case e @ (_: ECountSub | _: ECountChain) =>
         countSubCols.get(e)
           .map(n => coalesce(col("`" + n + "`"), lit(0L)))

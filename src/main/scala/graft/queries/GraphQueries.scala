@@ -1953,6 +1953,10 @@ object GraphQueries extends QueryPack {
         |UNION ALL
         |MATCH p = (n:Nation)-[:IN_REGION]->(r:Region)
         |WHERE n.name ENDS WITH '2'
+        |RETURN p AS path
+        |UNION ALL
+        |MATCH p = shortestPath((c:Customer)-[*1..2]->(r:Region))
+        |WHERE c.name ENDS WITH '005'
         |RETURN p AS path""".stripMargin,
       nodes(s, dir), edges(s, dir))
       .orderBy("path")
@@ -2252,7 +2256,15 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT 'Nation:' || n_nationkey || '|IN_REGION|Region:' || r_regionkey
         |  FROM nation JOIN region ON n_regionkey = r_regionkey
-        |  WHERE n_name LIKE '%2')
+        |  WHERE n_name LIKE '%2'
+        |  UNION ALL
+        |  -- shortestPath witness: each customer's unique 2-hop walk to
+        |  -- its region (no 1-hop customer->region edges exist)
+        |  SELECT 'Customer:' || c_custkey || '|IN_NATION|Nation:' ||
+        |    n_nationkey || '|IN_REGION|Region:' || r_regionkey
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE c_name LIKE '%005')
         |ORDER BY path""".stripMargin,
     // g79: arm (a) = one optional region row per nation, matched iff
     // the nation has a %1 supplier AND its region ends in 1; arm (b)

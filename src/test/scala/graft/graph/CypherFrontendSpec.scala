@@ -1690,9 +1690,23 @@ class CypherFrontendSpec extends SparkSpec {
         |WITH p RETURN *""".stripMargin)
     assert(star.columns.toSeq === Seq("p"))
     assert(star.as[String].collect().toSeq === Seq("u:w1|DISPOSED_AT|u:f1"))
-    // shortestPath paths keep the loud refusal (min-depth only)
+    // BOUNDED shortestPath projects its deterministic witness path
+    // (lexicographic-min among tied shortest) — w1 is the only item
+    // reaching a facility
+    val sp = run(
+      """MATCH p = shortestPath((w:WasteItem)-[*1..2]->(f:Facility))
+        |RETURN p AS path""".stripMargin)
+      .as[String].collect().toSeq
+    assert(sp === Seq("u:w1|DISPOSED_AT|u:f1"))
+    // allShortestPaths serializes EVERY tied path
+    val asp = run(
+      """MATCH p = allShortestPaths((w:WasteItem {name: 'Bauschutt'})-[*1..2]->(t))
+        |RETURN p AS path ORDER BY path""".stripMargin)
+      .as[String].collect().toSeq
+    assert(asp === Seq("u:w1|DISPOSED_AT|u:f1", "u:w1|DISPOSED_IN|u:s1"))
+    // UNBOUNDED shortestPath keeps the loud refusal (no interior)
     val e = intercept[RuntimeException](run(
-      "MATCH p = shortestPath((w:WasteItem)-[*1..2]->(f:Facility)) RETURN p"))
+      "MATCH p = shortestPath((w:WasteItem)-[*]->(f:Facility)) RETURN p"))
     assert(e.getMessage.contains("length(p)"))
   }
 
@@ -1733,6 +1747,22 @@ class CypherFrontendSpec extends SparkSpec {
         |RETURN s.name AS stream, members""".stripMargin)
       .as[(String, Long)].collect().toSeq
     assert(aggPat === Seq(("Restmuell", 2L)))
+  }
+
+  test("quantifier bodies: patterns on OUTER vars flag-join; lambda-var patterns refuse") {
+    val got = run(
+      """MATCH (w:WasteItem)
+        |WHERE any(x IN ['a'] WHERE (w)-[:DISPOSED_AT]->(:Facility))
+        |RETURN w.name AS n""".stripMargin).as[String].collect().toSeq
+    assert(got === Seq("Bauschutt"))
+    val none = run(
+      """MATCH (w:WasteItem)
+        |WHERE all(x IN [1, 2] WHERE (w)-[:DISPOSED_IN]->(:WasteStream))
+        |RETURN count(*) AS n""".stripMargin).as[Long].head()
+    assert(none === 3L) // w1..w3 dispose somewhere; w4 fails the body
+    val refuse = intercept[RuntimeException](run(
+      "MATCH (w:WasteItem) WHERE any(x IN ['a'] WHERE (x)-[:R]->()) RETURN w.name AS n"))
+    assert(refuse.getMessage.contains("quantifier"))
   }
 
   test("percentile fractions accept $param (g70 closure)") {
