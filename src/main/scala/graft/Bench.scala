@@ -109,7 +109,10 @@ object Bench {
       "g53_cypher_call_correlated", "g54_cypher_optional_frontier",
       "g55_cypher_count_sub", "g56_cypher_exists_chain",
       "g57_cypher_undirected", "q110_rule_extract", "e19_ivf_sqrtk",
-      "s21_stream_sketch", "q111_market_share", "q112_product_profit")
+      "s21_stream_sketch", "q111_market_share", "q112_product_profit",
+      // round-10 wave
+      "g79_cypher_opt_agg_pred", "g80_cypher_create",
+      "g81_cypher_return_path", "g21b_kcore_bipartite", "d51_edit_dedup")
     val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = jsonMap(results.toSeq.sortBy(_._1))

@@ -180,20 +180,21 @@ object TextQueries extends QueryPack {
 
   private val NumHashes = 16
   private val BandSize = 4
+  /** d51's absolute edit budget: Spark's thresholded `levenshtein`
+    * early-exits the O(n·m) DP once the distance provably exceeds it
+    * (banded DP, O(threshold·n)) — the knob that keeps candidate
+    * verification bounded on long documents at 100 TB. */
+  private val EditThreshold = 64
 
   /** d07 — MinHash + LSH near-dup, the 100 TB path: 16 md5 minhashes →
     * 4 bands → band-hash equi-join for candidates → exact-jaccard
     * verification ≥ 0.8. Identical md5 math on the oracle side makes
     * this fully hash-checkable (no approximate compare).
     */
-  def d07MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-    // 16 minhash signatures per row via the native minhash16 kernel —
-    // ZERO shuffle for the signature stage. The equivalent
-    // explode + groupBy(doc).agg(min(md5('<j>:'||s))) moves every
-    // shingle of the corpus through an exchange first; at 100 TB that
-    // exchange is the pipeline's largest (TextKernelsSpec pins the two
-    // formulations equal).
+  /** The d07 LSH candidate kernel, shared with d51: 16 native minhashes
+    * per row (zero-shuffle signature stage) → 4 band hashes → band
+    * equi-join → DISTINCT (doc_a, doc_b) candidates. */
+  private def lshCandidates(sh: DataFrame): DataFrame = {
     val sigs = sh.select(col("doc_id"),
       call_function("minhash16", col("shingles")).as("mh"))
     // band hash = md5(mh[4b] | mh[4b+1] | mh[4b+2] | mh[4b+3])
@@ -204,11 +205,22 @@ object TextQueries extends QueryPack {
     val bands = sigs.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def d07MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    // 16 minhash signatures per row via the native minhash16 kernel —
+    // ZERO shuffle for the signature stage. The equivalent
+    // explode + groupBy(doc).agg(min(md5('<j>:'||s))) moves every
+    // shingle of the corpus through an exchange first; at 100 TB that
+    // exchange is the pipeline's largest (TextKernelsSpec pins the two
+    // formulations equal).
+    val cand = lshCandidates(sh)
     // exact-jaccard verification of candidates only: fetch both shingle
     // sets per candidate pair and intersect in place. The candidate set
     // is tiny (near-dups + band collisions), so this is two broadcast
@@ -225,6 +237,33 @@ object TextQueries extends QueryPack {
         round(col("common") / (col("na") + col("nb") - col("common")).cast("double"), 4))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d51 — fuzzy dedup with an EDIT-DISTANCE verify stage: the d07 LSH
+    * banding proposes candidates (shingle-level recall), each pair is
+    * then verified by THRESHOLDED Levenshtein over the normalized text
+    * — the character-level criterion that catches what Jaccard
+    * mis-ranks on short or heavily-reordered documents. Spark's
+    * 3-arg `levenshtein` runs a banded DP that early-exits at
+    * [[EditThreshold]] (returns −1 above it), so a band-collision
+    * false candidate costs O(threshold·n), never O(n²) — the verify
+    * stage stays bounded per pair at any document length. Candidates
+    * only ever come from the banded join; nothing here is all-pairs. */
+  def d51EditDedup(s: SparkSession, dir: String): DataFrame = {
+    val texts = docs(s, dir).select(col("doc_id"), normText.as("norm"))
+    val cand = lshCandidates(shingled(s, dir))
+    broadcast(cand)
+      .join(texts.select(col("doc_id").as("doc_a"), col("norm").as("ta")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("norm").as("tb")), "doc_b")
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), EditThreshold))
+      .withColumn("maxlen", greatest(length(col("ta")), length(col("tb"))))
+      .filter(col("lev") >= 0) // −1 = early-exited above the budget
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("lev") / col("maxlen").cast("double"), 4))
+      .filter(col("edit_sim") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"),
+        col("edit_sim"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1620,6 +1659,7 @@ object TextQueries extends QueryPack {
     "d41_exactsubstr_clean" -> (d41ExactSubstrClean _),
     "d40_dsir_select"   -> (d40DsirSelect _),
     "d39_exact_substr"  -> (d39ExactSubstr _),
+    "d51_edit_dedup"    -> (d51EditDedup _),
     "d50_budget_select" -> (d50BudgetSelect _),
     "d49_source_overlap" -> (d49SourceOverlap _),
     "d48_quality_classifier" -> (d48QualityClassifier _),
@@ -2584,6 +2624,33 @@ object TextQueries extends QueryPack {
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT doc_a, doc_b, round(common/(na+nb-common)::DOUBLE, 4) AS jaccard
         |FROM pairs WHERE common/(na+nb-common)::DOUBLE >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // d51: the same candidate CTE, verified by full levenshtein (the
+    // oracle has no threshold arg; the engine's -1-above-budget rows
+    // are exactly the lev > threshold rows the sim filter drops, and
+    // at 0.8 similarity on <=553-char docs every survivor is far
+    // under the 64-edit budget).
+    "d51_edit_dedup" ->
+      s"""WITH $shingleCte, mh AS (
+        |  SELECT doc_id, j, min(md5(j || ':' || s)) AS mh
+        |  FROM ex, range(16) t(j) GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, '|' ORDER BY j)) AS bh
+        |  FROM mh GROUP BY doc_id, j // 4
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |), nt AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_a, doc_b, levenshtein(a.norm, b.norm) AS lev,
+        |    greatest(length(a.norm), length(b.norm)) AS maxlen
+        |  FROM cand JOIN nt a ON a.doc_id = doc_a JOIN nt b ON b.doc_id = doc_b)
+        |SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev,
+        |  round(1.0 - lev/maxlen::DOUBLE, 4) AS edit_sim
+        |FROM v WHERE lev <= 64 AND round(1.0 - lev/maxlen::DOUBLE, 4) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d07_minhash_lsh" ->
       s"""WITH $shingleCte, mh AS (
