@@ -104,7 +104,24 @@ object CypherWrite {
       case TId(x) => x
       case other => sys.error(s"expected identifier, got '${other.text}'")
     }}
-    private def param(): String = { eatSym("$"); ident() }
+    /** The Neo4j bulk-write idiom `UNWIND $batch AS row ...`: the
+      * params FRAME is already the batch, so the prefix only binds the
+      * row alias — `row.col` thereafter references params column
+      * `col`, exactly like `$col`. */
+    private var unwindAlias: Option[String] = None
+    def maybeUnwind(): Unit = if (atKw("UNWIND")) {
+      eatKw("UNWIND"); eatSym("$"); ident() // the batch param, by convention the frame itself
+      eatKw("AS"); unwindAlias = Some(ident())
+    }
+    private def param(): String =
+      if (atSym("$")) { eatSym("$"); ident() }
+      else peek match {
+        case Some(TId(a)) if unwindAlias.contains(a) =>
+          pos += 1; eatSym("."); ident()
+        case other => sys.error(s"expected $$param or " +
+          s"${unwindAlias.getOrElse("<unwind-alias>")}.<col>, got " +
+          s"'${other.map(_.text).getOrElse("<eof>")}'")
+      }
 
     /** `(v:Label {prop: $param})` — the only node form the write
       * templates use. */
@@ -138,7 +155,9 @@ object CypherWrite {
       } else if (peek.exists { case TId("datetime") => true; case _ => false }) {
         pos += 1; eatSym("("); eatSym(")")
         ClockVal
-      } else if (atSym("$")) ParamVal(param())
+      } else if (atSym("$") ||
+          peek.exists { case TId(a) => unwindAlias.contains(a); case _ => false })
+        ParamVal(param())
       else sys.error(s"unsupported SET value at '${peek.map(_.text)}': " +
         "expected $param, datetime(), or the CASE non-empty-wins form")
 
@@ -158,6 +177,7 @@ object CypherWrite {
     /** `MATCH (v:L {k: $p}) SET v.prop = value [, ...]` — the
       * standalone property-update statement. */
     def updateStmt(): UpdateStmt = {
+      maybeUnwind()
       eatKw("MATCH")
       val (v, l, kp, p) = nodeKeyPat()
       eatKw("SET")
@@ -171,6 +191,7 @@ object CypherWrite {
     /** `MATCH (v:L {k: $p}) REMOVE v.prop [, v.prop2 ...]` — property
       * removal, compiled as an update to null. */
     def removeStmt(): UpdateStmt = {
+      maybeUnwind()
       eatKw("MATCH")
       val (v, l, kp, p) = nodeKeyPat()
       eatKw("REMOVE")
@@ -190,6 +211,7 @@ object CypherWrite {
 
     /** `MATCH (v:L {k: $p}) [DETACH] DELETE v`. */
     def deleteStmt(): DeleteStmt = {
+      maybeUnwind()
       eatKw("MATCH")
       val (v, l, kp, p) = nodeKeyPat()
       val detach = atKw("DETACH")
@@ -212,6 +234,7 @@ object CypherWrite {
         case Some(TStr(s)) => pos += 1; LitVal(s)
         case Some(TNum(n)) => pos += 1; LitVal(n)
         case Some(TId("datetime")) => pos += 1; eatSym("("); eatSym(")"); ClockVal
+        case Some(TId(a)) if unwindAlias.contains(a) => ParamVal(param())
         case other => sys.error(s"unsupported CREATE property value at " +
           s"'${other.map(_.text).getOrElse("<eof>")}': expected $$param, " +
           "a string/number/boolean literal, or datetime()")
@@ -251,6 +274,7 @@ object CypherWrite {
       * `-[r:TYPE {props}]->` hops (each hop creates one relationship).
       */
     def createStmt(): CreateStmt = {
+      maybeUnwind()
       val matches = Seq.newBuilder[NodeMatch]
       val nodeCreates = Seq.newBuilder[NodeCreate]
       val edgeCreates = Seq.newBuilder[EdgeCreate]
@@ -291,6 +315,7 @@ object CypherWrite {
     }
 
     def stmt(): WriteStmt = {
+      maybeUnwind()
       val matches = Seq.newBuilder[NodeMatch]
       val nodeMerges = Seq.newBuilder[NodeMerge]
       val edgeMerges = Seq.newBuilder[EdgeMerge]

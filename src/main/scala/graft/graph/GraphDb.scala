@@ -158,6 +158,24 @@ final class GraphDb private (val spark: SparkSession,
   private def oneRow(params: Map[String, Any]): DataFrame = {
     if (params.isEmpty)
       return spark.range(1).select(lit(1L).as("_seq"))
+    // the Neo4j bulk idiom `UNWIND $batch AS row`: a single param whose
+    // value is a list of dicts binds as a MULTI-row frame, `_seq` = the
+    // list position (the driver loop's first-seen order)
+    params.values.toSeq match {
+      case Seq(rows: Seq[_]) if rows.nonEmpty &&
+          rows.forall(_.isInstanceOf[Map[_, _]]) =>
+        val dicts = rows.map(_.asInstanceOf[Map[String, Any]])
+        val cols = dicts.flatMap(_.keys).distinct.sorted
+        val fields = StructType(StructField("_seq", LongType) +:
+          cols.map(c => StructField(c, StringType, nullable = true)))
+        val data = dicts.zipWithIndex.map { case (d, i) =>
+          Row.fromSeq((i + 1).toLong +: cols.map(c =>
+            d.get(c).flatMap(Option(_)).map(_.toString).orNull))
+        }
+        return spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava, fields)
+      case _ =>
+    }
     val keys = params.keys.toSeq.sorted
     val fields = keys.map { k =>
       val dt = params(k) match {

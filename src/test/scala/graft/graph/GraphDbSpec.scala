@@ -135,6 +135,38 @@ class GraphDbSpec extends SparkSpec {
     assert(clash.getMessage.contains("uniqueness"))
   }
 
+  test("UNWIND $batch AS row: the Neo4j bulk-write idiom binds the whole list") {
+    val db = GraphDb.empty(spark, props = Seq("type"), clock = clk)
+    val batch = Seq(
+      Map[String, Any]("name" -> "Altöl", "uid" -> uidOf("Altöl")),
+      Map[String, Any]("name" -> "Asche", "uid" -> uidOf("Asche")))
+    db.query(
+      """UNWIND $batch AS row
+        |MERGE (w:WasteItem {name: row.name})
+        |ON CREATE SET w.uid = row.uid, w.created_at = datetime()
+        |ON MATCH SET w.updated_at = datetime()""".stripMargin,
+      Map("batch" -> batch))
+    assert(db.nodes.count() === 2)
+    assert(db.query("MATCH (w:WasteItem {name: 'Asche'}) RETURN w.uid AS u")
+      .as[String].head() === uidOf("Asche"))
+    // run-twice idempotency through the UNWIND form too
+    db.query(
+      """UNWIND $batch AS row
+        |MERGE (w:WasteItem {name: row.name})
+        |ON CREATE SET w.uid = row.uid, w.created_at = datetime()
+        |ON MATCH SET w.updated_at = datetime()""".stripMargin,
+      Map("batch" -> batch))
+    assert(db.nodes.count() === 2)
+    // CREATE form with a literal mixed in
+    db.query(
+      "UNWIND $batch AS r CREATE (t:WasteStream {name: r.name, type: 'bin'})",
+      Map("batch" -> Seq(
+        Map[String, Any]("name" -> "Restmuell"),
+        Map[String, Any]("name" -> "Biomuell"))))
+    assert(db.query("MATCH (s:WasteStream) RETURN count(*) AS c")
+      .as[Long].head() === 2L)
+  }
+
   test("write detection is token-level, not substring") {
     assert(CypherWrite.isWrite("MERGE (n:X {uid: $u}) RETURN n"))
     assert(!CypherWrite.isWrite(
