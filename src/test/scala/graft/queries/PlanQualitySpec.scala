@@ -793,6 +793,23 @@ class PlanQualitySpec extends SparkSpec {
       s"flag probes must stay keyed equi joins in:\n$plan")
   }
 
+  test("round-10 additions plan keyed joins only — d51 broadcasts its candidate set") {
+    val d51 = TextQueries.queries("d51_edit_dedup")(spark, dir)
+    val p51 = planOf(d51)
+    assert(!p51.contains("CartesianProduct") &&
+      !p51.contains("BroadcastNestedLoopJoin"),
+      s"d51 must stay candidate-driven keyed joins in:\n$p51")
+    assert(p51.contains("BroadcastHashJoin"),
+      s"d51's tiny candidate set should broadcast into the text joins in:\n$p51")
+    for (q <- Seq("g81_cypher_return_path", "g79_cypher_opt_agg_pred",
+        "g80_cypher_create", "g21b_kcore_bipartite")) {
+      val plan = planOf(GraphQueries.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: expected keyed equi joins only in:\n$plan")
+    }
+  }
+
   test("g62: each COLLECT {} is one window collect + one join — no per-row subqueries") {
     val df = GraphQueries.queries("g62_cypher_collect_sub")(spark, dir)
     val plan = planOf(df)
