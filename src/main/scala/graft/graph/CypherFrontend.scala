@@ -2,7 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, LongType, StringType, StructType}
 
 /** Cypher-string front-end over node/edge DataFrames — the reference's
   * arbitrary-Cypher query API (`neo4j_db.py:93-106`) for its READ
@@ -1179,10 +1179,12 @@ object CypherFrontend {
     /** Canonical serialized path value — what a bare `RETURN p`
       * projects: `uid|rel_type|uid|...` in walk order (the g43 law's
       * `|`-join; direction is carried by the walk order, not arrows).
-      * Present for fixed-length AND bounded var-length named paths
-      * (the var-length interior rides the materialized hop list);
-      * absent for shortestPath (min-depth only) — those keep the loud
-      * refusal. Maps path var → its pathstr column. */
+      * Present for fixed-length, bounded var-length (the interior
+      * rides the materialized hop list) AND shortestPath paths — the
+      * bounded form carries a lexicographic-min witness through its
+      * level sets, the unbounded form through
+      * [[Traversal.reachFixpointWitness]]. Maps path var → its
+      * pathstr column. */
     private var pathStrCols = Map.empty[String, String]
     /** Bounded var-length relationship bindings: var → its per-walk
       * hop-count column (`size(r)`'s fast path). */
@@ -1514,17 +1516,20 @@ object CypherFrontend {
       val strCol = s"pathstr$$$pv"
       val reach =
         if (hi == Unbounded)
-          // unbounded shortestPath: the reachability fixpoint already
-          // carries min depth per (start, reached) pair — BFS level
-          // order + the visited-set anti-join guarantee first-reach =
-          // shortest; bounded only by the graph's diameter. The
-          // fixpoint materializes no interior, so `RETURN p` stays
-          // refused for this form (length(p) is the surface).
-          Traversal.reachFixpoint(e1.select(
-              col(s"$pv$$from").as("src_uid"), col(s"$pv$$to").as("dst_uid"))
+          // unbounded shortestPath: the witness-carrying reachability
+          // fixpoint — BFS level order + the visited-set anti-join
+          // guarantee first-reach = shortest, bounded only by the
+          // graph's diameter, and each (start, reached) pair carries
+          // the per-level lexicographic-min witness path string so
+          // `RETURN p` projects a real path value (the same greedy
+          // min-prefix composition the bounded level sets emit).
+          Traversal.reachFixpointWitness(e1.select(
+              col(s"$pv$$from").as("src_uid"), col(s"$pv$$to").as("dst_uid"),
+              col(s"$pv$$rt").as("rel_type"))
               .distinct())
             .select(col("start").as(s"$pv$$from"),
-              col("reached").as(s"$pv$$to"), col("depth").as(s"$pv$$len"))
+              col("reached").as(s"$pv$$to"), col("depth").as(s"$pv$$len"),
+              col("path").as(strCol))
         else {
           // level sets seeded from the head endpoint's node set: only
           // walks FROM relevant sources enumerate (hub-safe). Each
@@ -1570,7 +1575,7 @@ object CypherFrontend {
         .join(nodeSide(tailPat, tailVar), col(s"$pv$$to") === col(ns(tailVar, "uid")))
         .drop(s"$pv$$to")
       pathVars += (pv -> s"$pv$$len")
-      if (hi != Unbounded) pathStrCols += pv -> strCol
+      pathStrCols += pv -> strCol // unbounded too (witness fixpoint)
       (df, Set(headVar, tailVar))
     }
 
@@ -2221,7 +2226,8 @@ object CypherFrontend {
         val pats = collectPatterns(other)
         val cnts = countSubsP(other)
         val exs = collectExistsChains(other)
-        if (pats.isEmpty && cnts.isEmpty && exs.isEmpty) {
+        val lamQs = collectLambdaQuants(other)
+        if (pats.isEmpty && cnts.isEmpty && exs.isEmpty && lamQs.isEmpty) {
           val c = predCol(other)
           df.filter(if (negated) !c else c)
         } else {
@@ -2229,14 +2235,19 @@ object CypherFrontend {
           val (d2, cmap) = joinCountSubs(d1, cnts)
           val (d3, emap) = joinExistsChainFlags(d2, exs)
           patternFlags = flags; countSubCols = cmap; existsFlags = emap
-          val c =
-            try predCol(other)
-            finally {
-              patternFlags = Map.empty; countSubCols = Map.empty
-              existsFlags = Map.empty
-            }
-          d3.filter(if (negated) !c else c)
-            .drop((flags.values ++ cmap.values ++ emap.values).toSeq: _*)
+          try {
+            // lambda-bound quantifiers explode AFTER the outer flag
+            // joins (their per-element bodies may read outer flags)
+            val (d4, qmap) = joinLambdaQuantFlags(d3, lamQs)
+            quantFlags = qmap
+            val c = predCol(other)
+            d4.filter(if (negated) !c else c)
+              .drop((flags.values ++ cmap.values ++ emap.values ++
+                qmap.values).toSeq: _*)
+          } finally {
+            patternFlags = Map.empty; countSubCols = Map.empty
+            existsFlags = Map.empty; quantFlags = Map.empty
+          }
         }
     }
 
@@ -2302,6 +2313,126 @@ object CypherFrontend {
         d = d.join(probe, cond, "left_outer")
           .drop(shared.map(v => s"$flag$$$v"): _*)
         pe -> flag
+      }.toMap
+      (d, m)
+    }
+
+    /** Raw pattern/chain collectors — [[collectPatterns]] /
+      * [[collectExistsChains]] WITHOUT the quantifier-body filtering.
+      * Used only to DETECT lambda-bound patterns, which route to the
+      * explode compilation ([[joinLambdaQuantFlags]]) instead of the
+      * old refusal. */
+    private def rawPatterns(p: Pred): Seq[PPattern] = p match {
+      case pp: PPattern => Seq(pp)
+      case PAnd(l, r) => rawPatterns(l) ++ rawPatterns(r)
+      case POr(l, r) => rawPatterns(l) ++ rawPatterns(r)
+      case PXor(l, r) => rawPatterns(l) ++ rawPatterns(r)
+      case PNot(i) => rawPatterns(i)
+      case PBoolE(e) => patternsE(e)
+      case PQuant(_, _, _, w) => rawPatterns(w)
+      case _ => Seq.empty
+    }
+    private def rawChains(p: Pred): Seq[PExistsChain] = p match {
+      case pe: PExistsChain => Seq(pe)
+      case PAnd(l, r) => rawChains(l) ++ rawChains(r)
+      case POr(l, r) => rawChains(l) ++ rawChains(r)
+      case PXor(l, r) => rawChains(l) ++ rawChains(r)
+      case PNot(i) => rawChains(i)
+      case PBoolE(e) => existsChainsE(e)
+      case PQuant(_, _, _, w) => rawChains(w)
+      case _ => Seq.empty
+    }
+    private def chainTouches(pe: PExistsChain, qv: String): Boolean =
+      pe.chains.exists(c => c.head.v.contains(qv) ||
+        c.hops.exists { case (r, n) => r.v.contains(qv) || n.v.contains(qv) })
+    /** The quantifier body's patterns / EXISTS chains that bind its
+      * OWN lambda variable — the parts the HOF `filter` route cannot
+      * evaluate (a join per element). */
+    private def lambdaBound(q: PQuant): (Seq[PPattern], Seq[PExistsChain]) =
+      (rawPatterns(q.where).filter(pp =>
+         pp.v == q.v || pp.targetVar.contains(q.v)),
+       rawChains(q.where).filter(chainTouches(_, q.v)))
+    /** Top-level quantifiers in this tree that need the explode route.
+      * Does not recurse into quantifier BODIES — a lambda-bound
+      * quantifier nested inside another quantifier keeps the loud
+      * refusal (its row scope is an inner element, not the frame). */
+    private def collectLambdaQuants(p: Pred): Seq[PQuant] = p match {
+      case q: PQuant =>
+        val (ps, cs) = lambdaBound(q)
+        if (ps.nonEmpty || cs.nonEmpty) Seq(q) else Seq.empty
+      case PAnd(l, r) => collectLambdaQuants(l) ++ collectLambdaQuants(r)
+      case POr(l, r) => collectLambdaQuants(l) ++ collectLambdaQuants(r)
+      case PXor(l, r) => collectLambdaQuants(l) ++ collectLambdaQuants(r)
+      case PNot(i) => collectLambdaQuants(i)
+      case _ => Seq.empty
+    }
+
+    /** Quantifier bodies that bind the LAMBDA variable inside a
+      * pattern predicate or EXISTS {} chain — the last flag-column
+      * hole: the codegen'd higher-order `filter` cannot run a join per
+      * element, so the list EXPLODES (rowid-keyed, all outer columns
+      * carried), each element masquerades as a bound node variable
+      * (its uid/label columns synthesized from the element value),
+      * the EXISTING flag-join machinery compiles the lambda-bound
+      * patterns/chains against it, the body evaluates per element
+      * over those flags, and the match count re-aggregates by rowid —
+      * the COLLECT {} machinery's shape. Scale: one explode + the
+      * same DISTINCT probes outer patterns use + one keyed
+      * count-aggregate; never per-row subqueries. */
+    private def joinLambdaQuantFlags(d0: DataFrame, qs: Seq[PQuant])
+        : (DataFrame, Map[PQuant, String]) = {
+      var d = d0
+      val m = qs.distinct.zipWithIndex.map { case (q, i) =>
+        val flag = s"_qntflag$$$i"
+        val rid = s"$flag$$rid"; val szC = s"$flag$$sz"
+        val elemC = s"$flag$$elem"; val cntC = s"$flag$$n"
+        d = d.withColumn(rid, monotonically_increasing_id())
+          .withColumn(szC, size(exprCol(q.list)))
+        var ex = d.select(col("*"), explode(exprCol(q.list)).as(elemC))
+        // the element's node identity: identity structs (collect(n),
+        // nodes(p)) expose a …$uid/label field; plain string lists ARE
+        // uid lists
+        val elemT = ex.schema.apply(elemC).dataType
+        def field(suffix: String): Option[Column] = elemT match {
+          case st: StructType =>
+            st.fieldNames.find(f => f == suffix || f.endsWith("$" + suffix))
+              .map(f => col(elemC).getField(f))
+          case _ if suffix == "uid" => Some(col(elemC))
+          case _ => None
+        }
+        val elemUid = field("uid").getOrElse(sys.error(
+          "a pattern predicate on a quantifier's lambda variable needs " +
+            "a list of nodes (collect(n)/nodes(p)) or of uid strings"))
+        ex = ex.withColumn(ns(q.v, "uid"), elemUid)
+        field("label").foreach(c => ex = ex.withColumn(ns(q.v, "label"), c))
+        val (lamPats, lamChains) = lambdaBound(q)
+        val (ex1, pFlags) = joinPatternFlags(ex, lamPats)
+        val (ex2, eFlags) = joinExistsChainFlags(ex1, lamChains)
+        // per-element body: the lambda variable resolves to the element
+        // value, lambda-bound patterns/chains to their fresh flags,
+        // outer flags/columns ride along from the carried frame
+        val savedP = patternFlags; val savedE = existsFlags
+        patternFlags = patternFlags ++ pFlags
+        existsFlags = existsFlags ++ eFlags
+        val bodyC =
+          try withLambda(q.v -> col(elemC))(predCol(q.where))
+          finally { patternFlags = savedP; existsFlags = savedE }
+        val counts = ex2.filter(bodyC)
+          .groupBy(rid).agg(count(lit(1)).as(cntC))
+        d = d.join(counts.select(col(rid), col(cntC)), Seq(rid), "left_outer")
+        val n = coalesce(col(cntC), lit(0L))
+        val bool = q.q match {
+          case "all" => n === col(szC).cast("long")
+          case "any" => n > 0L
+          case "none" => n === 0L
+          case "single" => n === 1L
+          case other => sys.error(s"unknown quantifier $other")
+        }
+        // null list → null quantifier value (Cypher's ternary logic)
+        d = d.withColumn(flag,
+            when(col(szC).isNull, lit(null).cast("boolean")).otherwise(bool))
+          .drop(rid, szC, cntC)
+        q -> flag
       }.toMap
       (d, m)
     }
@@ -2612,12 +2743,16 @@ object CypherFrontend {
     /** Flag columns for multi-hop EXISTS {} chains compiled in the
       * current applyPred call (empty outside it). */
     private var existsFlags: Map[PExistsChain, String] = Map.empty
+    /** Flag columns for explode-compiled lambda-bound quantifiers
+      * ([[joinLambdaQuantFlags]]; empty outside applyPred). */
+    private var quantFlags: Map[PQuant, String] = Map.empty
 
     private def predCol(p: Pred): Column = p match {
       case pp: PPattern if patternFlags.contains(pp) =>
         coalesce(col(patternFlags(pp)), lit(false))
       case pe: PExistsChain if existsFlags.contains(pe) =>
         coalesce(col(existsFlags(pe)), lit(false))
+      case q: PQuant if quantFlags.contains(q) => col(quantFlags(q))
       case PCmp("=", l, r) => exprCol(l) === exprCol(r)
       case PCmp("<>", l, r) => exprCol(l) =!= exprCol(r)
       case PCmp("<", l, r) => exprCol(l) < exprCol(r)
@@ -2670,13 +2805,15 @@ object CypherFrontend {
           case other => sys.error(s"unknown quantifier $other")
         }
       case PPattern(_, _, _, _, _, _) =>
-        sys.error("pattern predicate inside a list-quantifier/lambda " +
-          "body is not supported; lift it out of the quantifier " +
-          "(WHERE positions, WITH/RETURN values, OPTIONAL MATCH WHERE " +
-          "and aggregated WITH ... WHERE all compile via flag columns)")
+        sys.error("pattern predicate on a lambda variable compiles " +
+          "only in WHERE positions (explode route); in this position " +
+          "(nested quantifier or value context) lift it out of the " +
+          "quantifier")
       case PExistsChain(_, _) =>
-        sys.error("multi-hop EXISTS { } inside a list-quantifier/" +
-          "lambda body is not supported; lift it out of the quantifier")
+        sys.error("multi-hop EXISTS { } on a lambda variable compiles " +
+          "only in WHERE positions (explode route); in this position " +
+          "(nested quantifier or value context) lift it out of the " +
+          "quantifier")
     }
 
     /** Best-effort STATIC type of an expression — drives Cypher's
@@ -2742,9 +2879,9 @@ object CypherFrontend {
         // path; direction rides the order, not arrows)
         col("`" + pathStrCols(v) + "`")
       case EVar(v) if pathVars.contains(v) => sys.error(
-        s"returning an UNBOUNDED shortestPath variable '$v' is not " +
-          s"supported (the reachability fixpoint materializes no " +
-          s"interior); bound the range (*1..k) or project length($v)")
+        s"path variable '$v' has no materialized value column " +
+          s"(internal: every shortestPath form should register a " +
+          s"witness); project length($v)")
       case e @ (_: ECountSub | _: ECountChain) =>
         countSubCols.get(e)
           .map(n => coalesce(col("`" + n + "`"), lit(0L)))

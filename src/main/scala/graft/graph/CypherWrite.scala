@@ -393,6 +393,25 @@ object CypherWrite {
       case _ => false
     }
 
+  /** The `UNWIND $param AS alias` batch-param NAME of a write
+    * template, if present — [[GraphDb.query]] validates the supplied
+    * params against it BEFORE compiling (a name mismatch or a list
+    * param on a non-UNWIND template otherwise surfaces as an
+    * unresolved-column AnalysisException far from the cause), and
+    * routes an EMPTY batch to Neo4j's zero-row no-op. Token-level,
+    * same tokenizer as [[isWrite]]. */
+  def unwindParam(template: String): Option[String] = {
+    val toks = CypherFrontend.tokenize(template)
+    toks.zipWithIndex.collectFirst {
+      case (TKw("UNWIND"), i) => i
+    }.flatMap { i =>
+      (toks.lift(i + 1), toks.lift(i + 2)) match {
+        case (Some(TSym("$")), Some(TId(p))) => Some(p)
+        case _ => None
+      }
+    }
+  }
+
   /** Route a write statement to its compiler by clause: `MERGE`
     * templates to [[merge]], `MATCH...SET` to [[update]],
     * `MATCH...[DETACH] DELETE` to [[delete]]. One entry point so
@@ -524,7 +543,12 @@ object CypherWrite {
     * repeated CREATE of the same relationship is idempotent here where
     * Neo4j would stack a parallel edge; edge property maps bind only
     * columns the edge frame actually has (`created_at` is always the
-    * injected clock), and unknown edge props fail loudly.
+    * injected clock), and unknown edge props fail loudly; a KEY-LESS
+    * node CREATE (no uid/name) derives its uid from label+_seq or
+    * xxhash64(all props), so identical key-less rows collide and
+    * refuse where Neo4j would create anonymous twins (CypherWriteSpec
+    * pins it). Clause order is Neo4j's: MATCH endpoints resolve
+    * against the PRE-statement snapshot, never same-statement CREATEs.
     */
   def create(template: String, params: DataFrame, graph: Graph,
              clock: Column, propCols: Seq[String]): Graph = {
@@ -572,9 +596,23 @@ object CypherWrite {
       val clash = incoming.select("uid")
         .unionAll(nodes.filter(col("label") === m.label).select("uid"))
         .groupBy("uid").count().filter(col("count") > 1).count()
+      // key-less CREATE (no uid/name prop) derives uid from label+_seq,
+      // or xxhash64(all prop columns) when the params frame has no
+      // _seq — two IDENTICAL rows then collide and the whole statement
+      // refuses, where Neo4j CREATE would make two anonymous nodes.
+      // Documented divergence (eager-constraint stance), pinned by
+      // CypherWriteSpec; the error names the derivation contract
+      // instead of blaming a constraint the user never declared.
+      val keyless = !m.props.exists(kv => kv._1 == "uid" || kv._1 == "name")
       require(clash == 0,
-        s"CREATE (:${m.label}) violates uid uniqueness for $clash key(s) " +
-          "(node exists or batch repeats a key); use MERGE to upsert")
+        if (keyless && !params.columns.contains("_seq"))
+          s"CREATE (:${m.label}) without a uid/name prop derives uid = " +
+            s"xxhash64(all prop columns): $clash identical row(s) collide " +
+            "(Neo4j CREATE would make distinct anonymous nodes — bind " +
+            "distinct props, supply a _seq column, or use MERGE)"
+        else
+          s"CREATE (:${m.label}) violates uid uniqueness for $clash key(s) " +
+            "(node exists or batch repeats a key); use MERGE to upsert")
       nodes = nodes.unionByName(incoming)
     }
 
@@ -604,8 +642,13 @@ object CypherWrite {
             case None =>
               val nm = matchesByVar.getOrElse(v,
                 sys.error(s"edge endpoint $v is bound by no MATCH/CREATE"))
+              // Cypher clause order: MATCH sees only PRE-statement
+              // state (graph.nodes, the snapshot), never nodes this
+              // statement's own CREATE clauses appended — those bind
+              // through their CREATE variable instead (round-10
+              // ADVICE; pinned by CypherWriteSpec).
               frame = frame.join(
-                nodes.filter(col("label") === nm.label)
+                graph.nodes.filter(col("label") === nm.label)
                   .select(col("uid").as(s"_${v}_uid"),
                     col(nm.keyProp).as(s"_${v}_key")),
                 col(s"_${v}_key") === col(nm.keyParam))

@@ -105,7 +105,36 @@ final class GraphDb private (val spark: SparkSession,
       import sp.implicits._
       Seq("optimized_logical" -> lo, "physical" -> ph).toDF("stage", "plan")
     } else if (CypherWrite.isWrite(cypher)) {
-      merge(cypher, oneRow(params))
+      // validate the batch-binding contract BEFORE compiling: a name
+      // mismatch or a list param on a non-UNWIND template otherwise
+      // surfaces as an unresolved-column AnalysisException far from
+      // the cause (round-10 ADVICE)
+      CypherWrite.unwindParam(cypher) match {
+        case Some(p) =>
+          val batch = params.getOrElse(p, sys.error(
+            s"UNWIND $$$p: no parameter '$p' supplied " +
+              s"(got: ${params.keys.toSeq.sorted.mkString(", ")})"))
+          batch match {
+            case rows: Seq[_] if rows.isEmpty =>
+              // Neo4j's UNWIND over an empty list is a zero-row no-op
+              // — a driver loop's legitimate empty final batch
+            case rows: Seq[_] if rows.forall(_.isInstanceOf[Map[_, _]]) =>
+              require(params.size == 1,
+                s"UNWIND $$$p binds the whole batch; extra params not " +
+                  s"supported: ${(params.keySet - p).toSeq.sorted.mkString(", ")}")
+              merge(cypher, oneRow(params))
+            case other => sys.error(
+              s"UNWIND $$$p needs a list-of-maps parameter, got " +
+                s"${other.getClass.getSimpleName}")
+          }
+        case None =>
+          params.values.toSeq match {
+            case Seq(_: Seq[_]) => sys.error(
+              "a list parameter on a write template needs the bulk " +
+                s"idiom: UNWIND $$${params.keys.head} AS row ...")
+            case _ => merge(cypher, oneRow(params))
+          }
+      }
       spark.emptyDataFrame
     } else CypherFrontend.run(cypher, g.nodes, g.edges, params)
   }

@@ -58,6 +58,52 @@ object Traversal {
     acc
   }
 
+  /** [[reachFixpoint]] variant that also carries ONE deterministic
+    * witness path per (start, reached) pair — the per-level
+    * lexicographic-min serialization `uid|rel_type|uid|…` — so
+    * `RETURN p` on an UNBOUNDED shortestPath projects a real path
+    * value. Input edges need (src_uid, dst_uid, rel_type). Semantics
+    * match the bounded level-set form: BFS first-reach = min depth
+    * (subpaths of shortest paths are shortest, so extending only the
+    * newly-reached frontier loses no witness), and within the
+    * first-reach level the groupBy min picks the same greedy
+    * min-prefix-composition witness the bounded compiler emits. The
+    * groupBy REPLACES the dropDuplicates of the plain fixpoint — same
+    * shuffle count per round, one string min-agg on top.
+    */
+  def reachFixpointWitness(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col("src_uid"), col("dst_uid"), col("rel_type")).cache()
+    def minPath(df: DataFrame, depth: Int): DataFrame =
+      df.groupBy("start", "reached").agg(min(col("path")).as("path"))
+        .withColumn("depth", lit(depth))
+    var frontier = minPath(e.select(col("src_uid").as("start"),
+        col("dst_uid").as("reached"),
+        concat(col("src_uid"), lit("|"), col("rel_type"), lit("|"),
+          col("dst_uid")).as("path")), 1)
+      .localCheckpoint(true)
+    var acc = frontier
+    var i = 1
+    var done = false
+    while (i < maxIter && !done) {
+      val next = minPath(
+        frontier.join(e, frontier("reached") === e("src_uid"))
+          .select(col("start"), col("dst_uid").as("reached"),
+            concat(col("path"), lit("|"), col("rel_type"), lit("|"),
+              col("dst_uid")).as("path"))
+          .join(acc.select(col("start").as("s2"), col("reached").as("r2")),
+            col("start") === col("s2") && col("reached") === col("r2"), "left_anti"),
+        i + 1).localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        acc = acc.unionByName(next).localCheckpoint(true)
+        frontier = next
+        i += 1
+      }
+    }
+    e.unpersist(blocking = false)
+    acc
+  }
+
   /** GraphX connected components over a node/edge DataFrame pair with
     * caller-supplied stable Long vertex ids. Returns (vid, component)
     * where component = min vertex id in the component (GraphX contract).

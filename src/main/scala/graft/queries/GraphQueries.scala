@@ -356,6 +356,27 @@ object GraphQueries extends QueryPack {
     * synthetic celebrity bucket. */
   private[queries] def coClickPairsOf(buckets: DataFrame, cap: Int): DataFrame = {
     val c = capBuckets(buckets, cap)
+    // LOUD SCALE GUARD (round-10 verdict #5): the pair multiset is
+    // Σ m·(m−1)/2 over the capped buckets — the cap bounds TIME
+    // quadratically, but the pair multiset still materializes and
+    // checkpoints, and SCALE §7e measured its 218M-pair checkpoint
+    // OOM a 12 GiB heap at 100× events (still spilling at 24 GiB).
+    // One tiny pre-aggregate estimates the count and refuses loudly
+    // ABOVE the budget, pointing at the bound-peeling route
+    // (kCoreMembersBipartite / g21b) instead of dying mid-shuffle.
+    // `graft.coclick.maxPairs` raises the budget deliberately.
+    val maxPairs = buckets.sparkSession.conf
+      .get("graft.coclick.maxPairs", "50000000").toLong
+    val estRow = c.groupBy("b").agg(count(lit(1)).as("m"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).as("pairs"))
+      .head()
+    val est = if (estRow.isNullAt(0)) 0L else estRow.getDouble(0).toLong
+    require(est <= maxPairs,
+      s"co-click pair kernel would materialize ~$est pairs " +
+        s"(budget $maxPairs): this pair-producer OOMs at that scale — " +
+        "use the bound-peeling route (g21b / kCoreMembersBipartite) " +
+        "for k-core membership, or raise graft.coclick.maxPairs " +
+        "deliberately")
     c.select(col("b"), col("user_id").as("u1"))
       .join(c.select(col("b"), col("user_id").as("u2")), "b")
       .filter(col("u1") < col("u2"))
@@ -1961,6 +1982,60 @@ object GraphQueries extends QueryPack {
       nodes(s, dir), edges(s, dir))
       .orderBy("path")
 
+  /** g83 — pattern predicates / EXISTS {} chains binding a
+    * quantifier's LAMBDA variable (the last flag-column hole): the
+    * explode route — the list explodes rowid-keyed, each element
+    * flag-joins like a bound node variable through the SAME distinct
+    * probes outer patterns use, and the match count re-aggregates.
+    * Three arms: any()+EXISTS chain with an inner WHERE (nations whose
+    * customers' nation — themselves — ends in '3'), single()+direct
+    * pattern (nations with exactly one supplier: the pattern holds for
+    * every supplier, so single ⟺ count 1), all()+direct pattern mixed
+    * with an outer predicate. Never per-row subqueries — one explode +
+    * keyed joins + one count-aggregate per quantifier. */
+  def g83CypherLambdaQuant(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH (n:Nation)<-[:IN_NATION]-(c:Customer)
+        |WITH n, collect(c) AS cs, count(c) AS cnt
+        |WHERE any(x IN cs WHERE EXISTS { (x)-[:IN_NATION]->(m:Nation)
+        |                                 WHERE m.name ENDS WITH '3' })
+        |RETURN 'chain' AS tag, n.name AS name, cnt
+        |UNION ALL
+        |MATCH (n:Nation)<-[:IN_NATION]-(sp:Supplier)
+        |WITH n, collect(sp) AS ss, count(sp) AS cnt
+        |WHERE single(x IN ss WHERE (x)-[:IN_NATION]->(:Nation))
+        |RETURN 'single' AS tag, n.name AS name, cnt
+        |UNION ALL
+        |MATCH (r:Region)<-[:IN_REGION]-(n:Nation)
+        |WITH r, collect(n) AS nl, count(n) AS cnt
+        |WHERE all(x IN nl WHERE (x)-[:IN_REGION]->(:Region)) AND r.name >= 'A'
+        |RETURN 'all' AS tag, r.name AS name, cnt""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("tag", "name")
+
+  /** g82 — `RETURN p` on an UNBOUNDED shortestPath (the last refused
+    * path-value form): the witness-carrying reachability fixpoint
+    * ([[graft.graph.Traversal.reachFixpointWitness]]) carries the
+    * per-level lexicographic-min serialization through the BFS, so
+    * `shortestPath((a)-[*]->(b))` projects a real path value at its
+    * first-reach depth — the same greedy min-prefix witness the
+    * bounded level sets emit. Over the Customer→Nation→Region forest
+    * each source has exactly ONE walk to its region, so the oracle
+    * rebuilds the identical strings with plain dimension joins; the
+    * multi-path tie-break (min witness at the shortest depth) is
+    * pinned by CypherFrontendSpec on a diamond graph. */
+  def g82CypherShortestUnbounded(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CypherFrontend.run(
+      """MATCH p = shortestPath((c:Customer)-[*]->(r:Region))
+        |WHERE c.name ENDS WITH '005'
+        |RETURN p AS path, length(p) AS hops
+        |UNION ALL
+        |MATCH p = shortestPath((n:Nation)-[*]->(r:Region))
+        |WHERE n.name ENDS WITH '2'
+        |RETURN p AS path, length(p) AS hops""".stripMargin,
+      nodes(s, dir), edges(s, dir))
+      .orderBy("path")
+
   /** g80 — bare CREATE statements round-tripped through the [[GraphDb]]
     * facade (the last write shape the front-end refused): batch-create
     * Nation nodes and Customer nodes (multi-prop map, param + literal
@@ -1991,6 +2066,8 @@ object GraphQueries extends QueryPack {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "g83_cypher_lambda_quant" -> (g83CypherLambdaQuant _),
+    "g82_cypher_shortest_unbounded" -> (g82CypherShortestUnbounded _),
     "g81_cypher_return_path" -> (g81CypherReturnPath _),
     "g80_cypher_create" -> (g80CypherCreate _),
     "g79_cypher_opt_agg_pred" -> (g79CypherOptAggPred _),
@@ -2244,6 +2321,40 @@ object GraphQueries extends QueryPack {
         |  UNION ALL
         |  SELECT r_name, 'Region', 0 FROM region)
         |ORDER BY name, tag, v""".stripMargin,
+    // g83: each arm's quantifier collapses to plain relational logic —
+    // chain: customers' own nation ends in '3'; single: exactly one
+    // supplier; all: trivially true over the nation→region forest.
+    "g83_cypher_lambda_quant" ->
+      """SELECT tag, name, cnt FROM (
+        |  SELECT 'chain' AS tag, n_name AS name,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name LIKE '%3' GROUP BY n_name
+        |  UNION ALL
+        |  SELECT 'single', n_name, CAST(count(*) AS BIGINT)
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name HAVING count(*) = 1
+        |  UNION ALL
+        |  SELECT 'all', r_name, CAST(count(*) AS BIGINT)
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name)
+        |ORDER BY tag, name""".stripMargin,
+    // g82: each source's unique walk to its region — the witness the
+    // fixpoint must elect — rebuilt by string concat over the joins.
+    "g82_cypher_shortest_unbounded" ->
+      """SELECT path, hops FROM (
+        |  SELECT 'Customer:' || c_custkey || '|IN_NATION|Nation:' ||
+        |    n_nationkey || '|IN_REGION|Region:' || r_regionkey AS path,
+        |    2 AS hops
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE c_name LIKE '%005'
+        |  UNION ALL
+        |  SELECT 'Nation:' || n_nationkey || '|IN_REGION|Region:' ||
+        |    r_regionkey, 1
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE n_name LIKE '%2')
+        |ORDER BY path""".stripMargin,
     // g81: the canonical path strings rebuilt by string concat over
     // the same joins (uids in the g-graph are 'Label:key').
     "g81_cypher_return_path" ->

@@ -348,9 +348,20 @@ object StreamQueries extends QueryPack {
         val dropped = q.recentProgress.iterator
           .flatMap(p => Option(p.stateOperators).map(_.toSeq).getOrElse(Seq.empty))
           .map(_.numRowsDroppedByWatermark).sum
-        if (dropped > 0)
-          System.err.println(s"[stream] $tag: $dropped row(s) dropped by " +
-            "watermark (late arrivals across staged micro-batches)")
+        if (dropped > 0) {
+          // STRICT by default (round-10 ADVICE): a gate/oracle run
+          // whose staged corpus violates the event-time-ordering
+          // contract must FAIL, not pass with silently-missing rows.
+          // `graft.stream.allowWatermarkDrops` opts a deliberately
+          // late-data experiment back into the old log-only behavior.
+          val msg = s"$tag: $dropped row(s) dropped by watermark " +
+            "(late arrivals across staged micro-batches — the staged " +
+            "corpus violates the event-time-ordering contract)"
+          if (s.conf.getOption("graft.stream.allowWatermarkDrops")
+              .exists(_.toBoolean))
+            System.err.println(s"[stream] $msg")
+          else sys.error(msg)
+        }
       } finally q.stop()
       // materialize before the cleanup deletes the staged files: the
       // rows live in the memory sink, the checkpoint keeps them safe

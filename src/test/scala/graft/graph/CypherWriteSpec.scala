@@ -320,6 +320,36 @@ class CypherWriteSpec extends SparkSpec {
     assert(unbound.getMessage.contains("bound by no MATCH/CREATE"))
   }
 
+  test("documented divergence: identical KEY-LESS CREATE rows collide on the derived uid and refuse") {
+    // no uid/name prop and no _seq column: uid = xxhash64(all prop
+    // columns), so two IDENTICAL rows collide and the statement
+    // refuses — Neo4j CREATE would make two anonymous nodes. The
+    // refusal names the derivation contract, not a user constraint.
+    val dup = intercept[IllegalArgumentException](CypherWrite(
+      "CREATE (f:Facility {address: $address})",
+      Seq("Weg 9", "Weg 9").toDF("address"), emptyGraph, clock, propCols))
+    assert(dup.getMessage.contains("xxhash64"),
+      s"expected the uid-derivation contract in: ${dup.getMessage}")
+    // distinct key-less rows create one node each
+    val g = CypherWrite("CREATE (f:Facility {address: $address})",
+      Seq("Weg 1", "Weg 2").toDF("address"), emptyGraph, clock, propCols)
+    assert(g.nodes.count() === 2)
+  }
+
+  test("clause order: a leading MATCH resolves against the PRE-statement snapshot, not same-statement CREATEs") {
+    // the statement CREATEs WasteItem 'Phantom' and MATCHes the same
+    // name — Neo4j's clause scoping has the (textually leading) MATCH
+    // see only pre-CREATE state, so the node appends but NO edge forms
+    val g = CypherWrite(
+      """MATCH (w:WasteItem {name: $n})
+        |CREATE (x:WasteItem {name: $n2})
+        |CREATE (w)-[r:DISPOSED_AT]->(x)""".stripMargin,
+      Seq(("Phantom", "Phantom")).toDF("n", "n2"),
+      emptyGraph, clock, propCols)
+    assert(g.nodes.count() === 1)
+    assert(g.edges.count() === 0)
+  }
+
   test("documented divergence: an ON-CREATE-only property follows non-empty-wins on match") {
     // CypherWrite.scala's header documents this: Neo4j applies an ON
     // CREATE SET property only at creation; this engine's upsert law is

@@ -167,6 +167,31 @@ class GraphDbSpec extends SparkSpec {
       .as[Long].head() === 2L)
   }
 
+  test("UNWIND batch-binding contract validates before compiling (round-10 ADVICE)") {
+    val db = GraphDb.empty(spark, props = Seq("type"), clock = clk)
+    // an EMPTY final batch from a driver loop is Neo4j's zero-row
+    // no-op, not an unresolved-column error
+    db.query("UNWIND $batch AS row MERGE (w:WasteItem {name: row.name})",
+      Map("batch" -> Seq.empty[Map[String, Any]]))
+    assert(db.nodes.count() === 0)
+    // wrong param name → named error at the facade, not a deep
+    // AnalysisException
+    val wrongName = intercept[RuntimeException](db.query(
+      "UNWIND $batch AS row MERGE (w:WasteItem {name: row.name})",
+      Map("rows" -> Seq(Map[String, Any]("name" -> "X")))))
+    assert(wrongName.getMessage.contains("no parameter 'batch'"))
+    // a list param without the UNWIND idiom → pointed at the idiom
+    val noUnwind = intercept[RuntimeException](db.query(
+      "MERGE (w:WasteItem {name: $rows})",
+      Map("rows" -> Seq(Map[String, Any]("name" -> "X")))))
+    assert(noUnwind.getMessage.contains("UNWIND"))
+    // a non-list value on an UNWIND template → named error
+    val notList = intercept[RuntimeException](db.query(
+      "UNWIND $batch AS row MERGE (w:WasteItem {name: row.name})",
+      Map("batch" -> "oops")))
+    assert(notList.getMessage.contains("list-of-maps"))
+  }
+
   test("write detection is token-level, not substring") {
     assert(CypherWrite.isWrite("MERGE (n:X {uid: $u}) RETURN n"))
     assert(!CypherWrite.isWrite(

@@ -43,6 +43,20 @@ class HotBucketSpec extends SparkSpec {
     assert(capped.toSeq === uncapped.toSeq)
   }
 
+  test("the pair budget refuses loudly above graft.coclick.maxPairs, pointing at g21b") {
+    // (round-10 verdict #5) the guard fires BEFORE the pair join runs:
+    // the estimate Σ m·(m−1)/2 over capped buckets exceeds the budget
+    spark.conf.set("graft.coclick.maxPairs", "100")
+    try {
+      val err = intercept[IllegalArgumentException](
+        GraphQueries.coClickPairsOf(syntheticBuckets, 1000))
+      assert(err.getMessage.contains("g21b"),
+        s"guard must point at the bound-peeling route: ${err.getMessage}")
+      // under the budget it passes (hot bucket capped to 10 → 45+9 pairs)
+      assert(GraphQueries.coClickPairsOf(syntheticBuckets, 10).count() > 0)
+    } finally spark.conf.unset("graft.coclick.maxPairs")
+  }
+
   test("the cap is deterministic: same members survive across runs") {
     val a = GraphQueries.capBuckets(syntheticBuckets, 10)
       .orderBy("b", "user_id").collect().map(_.toSeq)
