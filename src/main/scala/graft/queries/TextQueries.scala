@@ -45,15 +45,21 @@ object TextQueries extends QueryPack {
   private def parallelism(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), col("text"))
+  /** The shingle kernel on a caller-supplied (doc_id, text) frame —
+    * d52 runs it on its own cleaned corpus, shingled() on the raw
+    * table. */
+  private def shingledOf(base: DataFrame, parts: Int): DataFrame =
+    base.select(col("doc_id"), col("text"))
       // single-file input = single partition; spread the rows BEFORE the
       // per-row heavy transform or it runs on one core (17s -> ~1s)
-      .repartition(parallelism(s))
+      .repartition(parts)
       .select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), shingles.as("shingles"))
       .localCheckpoint(true)
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledOf(docs(s, dir), parallelism(s))
 
   /** Exploded (doc_id, shingle, n_shingles) over the materialized
     * shingle table. */
@@ -118,10 +124,16 @@ object TextQueries extends QueryPack {
     * word length → composite score; the standard cheap pre-filter before
     * expensive dedup/model scoring.
     */
-  def d04Quality(s: SparkSession, dir: String): DataFrame = {
+  def d04Quality(s: SparkSession, dir: String): DataFrame =
+    qualityOf(docs(s, dir)).drop("text").orderBy("doc_id")
+
+  /** The d04 quality kernel on a caller-supplied (doc_id, text) frame
+    * (d52 reuses it as its clean stage). */
+  private def qualityOf(base: DataFrame): DataFrame = {
     val enSw = langStopwords.head._2
-    docs(s, dir).select(col("doc_id"), col("text"), words.as("w"))
+    base.select(col("doc_id"), col("text"), words.as("w"))
       .select(
+        col("text"),
         col("doc_id"),
         length(col("text")).as("n_chars_actual"),
         round(length(regexp_replace(lower(col("text")), "[^a-z]", "")) /
@@ -133,7 +145,6 @@ object TextQueries extends QueryPack {
       .withColumn("quality_ok",
         col("n_chars_actual") >= 50 && col("alpha_ratio") >= 0.5 &&
           col("stopword_ratio") >= 0.01 && col("mean_word_len").between(2.0, 12.0))
-      .orderBy("doc_id")
   }
 
   /** Whitespace-collapsed lowercase text — the shared normalization for
@@ -212,24 +223,44 @@ object TextQueries extends QueryPack {
       .distinct()
   }
 
-  def d07MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-    // 16 minhash signatures per row via the native minhash16 kernel —
-    // ZERO shuffle for the signature stage. The equivalent
-    // explode + groupBy(doc).agg(min(md5('<j>:'||s))) moves every
-    // shingle of the corpus through an exchange first; at 100 TB that
-    // exchange is the pipeline's largest (TextKernelsSpec pins the two
-    // formulations equal).
-    val cand = lshCandidates(sh)
-    // exact-jaccard verification of candidates only: fetch both shingle
-    // sets per candidate pair and intersect in place. The candidate set
-    // is tiny (near-dups + band collisions), so this is two broadcast
-    // joins + a per-row array_intersect — NOT the full shingle×shingle
-    // pair join the naive formulation pays (that join enumerates every
-    // co-occurring pair before the semi-filter can drop them).
-    broadcast(cand)
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+  /** The d07/d51 verify-stage prefilter: semi-join the per-doc payload
+    * table down to docs that appear in SOME candidate pair. The
+    * candidate set grows ~linearly with the corpus (SCALE §7e), so the
+    * verify joins must be keyed shuffle joins, NOT a forced broadcast
+    * of the candidates — a broadcast that is right at sf0.1 is a
+    * memory cliff at 100 TB (O(candidates)·executors resident). After
+    * this semi-join the payload side is candidate-sized, both verify
+    * joins are keyed equi-joins with memory O(rows-per-partition), and
+    * AQE still promotes them to broadcast when the candidate set is
+    * actually small. */
+  private def candPayload(cand: DataFrame, payload: DataFrame): DataFrame = {
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    payload.join(candIds, Seq("doc_id"), "left_semi")
+  }
+
+  /** The full LSH near-dup kernel on a shingle table: 16 minhash
+    * signatures per row via the native minhash16 kernel — ZERO shuffle
+    * for the signature stage (the equivalent explode + groupBy(doc)
+    * .agg(min(md5('<j>:'||s))) moves every shingle of the corpus
+    * through an exchange first; at 100 TB that exchange is the
+    * pipeline's largest — TextKernelsSpec pins the two formulations
+    * equal), then exact-jaccard verification of candidates only:
+    * semi-join the shingle table down to candidate docs, then fetch
+    * both shingle sets per pair via KEYED equi-joins and intersect in
+    * place — NOT the full shingle×shingle pair join the naive
+    * formulation pays, and NOT a forced broadcast of the
+    * (linearly-growing) candidate set (see [[candPayload]]). Shared by
+    * d07 (raw corpus) and d52 (its own cleaned corpus). */
+  private def lshVerifiedPairs(sh: DataFrame): DataFrame = {
+    // the candidate set feeds the semi-join prefilter AND the verify
+    // join — materialize it once (at cluster scale: a staged table)
+    // instead of running the band self-join twice
+    val cand = lshCandidates(sh).localCheckpoint(true)
+    val shCand = candPayload(cand, sh)
+    cand
+      .join(shCand.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(shCand.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).as("common"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
@@ -237,8 +268,10 @@ object TextQueries extends QueryPack {
         round(col("common") / (col("na") + col("nb") - col("common")).cast("double"), 4))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
+
+  def d07MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(shingled(s, dir)).orderBy("doc_a", "doc_b")
 
   /** d51 — fuzzy dedup with an EDIT-DISTANCE verify stage: the d07 LSH
     * banding proposes candidates (shingle-level recall), each pair is
@@ -252,10 +285,13 @@ object TextQueries extends QueryPack {
     * only ever come from the banded join; nothing here is all-pairs. */
   def d51EditDedup(s: SparkSession, dir: String): DataFrame = {
     val texts = docs(s, dir).select(col("doc_id"), normText.as("norm"))
-    val cand = lshCandidates(shingled(s, dir))
-    broadcast(cand)
-      .join(texts.select(col("doc_id").as("doc_a"), col("norm").as("ta")), "doc_a")
-      .join(texts.select(col("doc_id").as("doc_b"), col("norm").as("tb")), "doc_b")
+    // materialized once: feeds the semi-join prefilter AND the verify
+    // join (see lshVerifiedPairs)
+    val cand = lshCandidates(shingled(s, dir)).localCheckpoint(true)
+    val txCand = candPayload(cand, texts)
+    cand
+      .join(txCand.select(col("doc_id").as("doc_a"), col("norm").as("ta")), "doc_a")
+      .join(txCand.select(col("doc_id").as("doc_b"), col("norm").as("tb")), "doc_b")
       .withColumn("lev", levenshtein(col("ta"), col("tb"), EditThreshold))
       .withColumn("maxlen", greatest(length(col("ta")), length(col("tb"))))
       .filter(col("lev") >= 0) // −1 = early-exited above the budget
@@ -1245,6 +1281,76 @@ object TextQueries extends QueryPack {
       .orderBy("seq_id")
   }
 
+  /** d52 — the END-TO-END corpus build (round-10 verdict #3): the
+    * north-star composition no single gate exercised, as ONE lineage —
+    * ingest → quality clean (d04 kernel) → exact dedup (d01 law:
+    * min-doc_id keeper per content hash) → fuzzy dedup (d07 LSH
+    * verify → d15 connected-component canon, losers dropped) →
+    * benchmark decontamination (d18 law: drop the eval docs and any
+    * survivor sharing a word 3-gram with them) → sequence packing
+    * (d45 kernel, 2048-token cuts) → epoch shuffle (d38 law over the
+    * PACKED SEQUENCES, 2 epochs × 4 shards).
+    *
+    * Composition is where checkpoint placement matters:
+    * localCheckpoint sits exactly where a stage's output feeds MORE
+    * THAN ONE downstream consumer (the deduped corpus feeds shingling
+    * AND the final pack; the shingle table feeds LSH candidates,
+    * verify AND decontamination), so no stage recomputes a prior
+    * stage's scan — PlanQualitySpec pins that the final plan reads
+    * checkpoints, not the parquet. At cluster scale each checkpoint is
+    * a staged table between pipeline phases — the shape a 100 TB
+    * corpus build actually executes. Oracle: the SAME composition as
+    * one DuckDB CTE chain, recursive cluster closure included. */
+  def d52CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    // clean: the d04 quality gate, text carried forward
+    val clean = qualityOf(base).filter(col("quality_ok"))
+      .select(col("doc_id"), col("text"))
+    // exact dedup: min-doc_id keeper per content hash (d01 law)
+    val keepers = clean.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exact = clean.join(keepers, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // feeds shingling AND the pack stage
+    // fuzzy dedup: LSH pairs over the CLEANED corpus → component
+    // canon (min-id keeper) → losers dropped. sh52 (checkpointed by
+    // the kernel) is shared with the decontamination stage below.
+    val sh52 = shingledOf(exact, parallelism(s))
+    val pairs = lshVerifiedPairs(sh52).select("doc_a", "doc_b")
+    val verts = pairs.select(col("doc_a").as("vid"))
+      .unionByName(pairs.select(col("doc_b").as("vid"))).distinct()
+    val losers = graft.graph.Traversal.connectedComponents(verts,
+        pairs.select(col("doc_a").as("src_vid"), col("doc_b").as("dst_vid")), s)
+      .filter(col("vid") =!= col("component"))
+      .select(col("vid").as("doc_id"))
+    val fuzzy = exact.join(losers, Seq("doc_id"), "left_anti")
+    // decontamination: EVAL = every 50th RAW doc (the held-out
+    // benchmark); drop the eval docs themselves and any survivor
+    // sharing a 3-shingle with them. The corpus shingle table is
+    // REUSED from the fuzzy stage, never recomputed.
+    val evalSh = shingleRowsOf(
+        shingledOf(base.filter(col("doc_id") % 50 === 0), parallelism(s)))
+      .select(col("s")).distinct()
+    val contaminated = shingleRowsOf(sh52)
+      .select(col("doc_id"), col("s"))
+      .join(evalSh, "s").select("doc_id").distinct()
+    val decon = fuzzy.filter(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // the corpus the pack stage consumes
+    // pack (d45 kernel) then epoch-shuffle the sequences (d38 law)
+    val packed = seqPack(decon, 2048L, parallelism(s))
+    val epochs = broadcast(s.range(0, 2).select(col("id").cast("int").as("epoch")))
+    packed.join(epochs)
+      .withColumn("h", md5(concat_ws(":", col("seq_id"), col("epoch"))))
+      .withColumn("shard",
+        ((instr(lit("0123456789abcdef"), substring(col("h"), 1, 1)) - 1) % 4)
+          .cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy("h", "seq_id")))
+      .select("epoch", "shard", "pos", "seq_id", "n_docs", "n_tokens",
+        "n_carried")
+      .orderBy("epoch", "shard", "pos")
+  }
   /** d47 — RAG / context-window CHUNKING with overlap: each document
     * splits into fixed-size token windows on a fixed stride (size 32,
     * stride 24 → 8-token overlap), the retrieval-index preprocessing
@@ -1665,6 +1771,7 @@ object TextQueries extends QueryPack {
     "d48_quality_classifier" -> (d48QualityClassifier _),
     "d47_chunk_overlap" -> (d47ChunkOverlap _),
     "d46_novelty_probe" -> (d46NoveltyProbe _),
+    "d52_corpus_build" -> (d52CorpusBuild _),
     "d45_seq_pack" -> (d45SeqPack _),
     "d38_epoch_shuffle" -> (d38EpochShuffle _),
     "d37_encoding_quality" -> (d37EncodingQuality _),
@@ -2020,6 +2127,109 @@ object TextQueries extends QueryPack {
     // d45: the same concat-and-cut law as one global window cumsum
     // (the oracle can afford the single-threaded form) + a lateral
     // unnest over each doc's touched sequence range.
+    // d52: the SAME seven-stage composition as one CTE chain — quality
+    // gate → min-id exact keepers → LSH/verify/recursive-closure fuzzy
+    // dedup on the cleaned corpus → eval-shingle decontamination →
+    // pack → epoch shuffle of the sequences.
+    "d52_corpus_build" ->
+      s"""WITH RECURSIVE $qualityCte,
+        |clean AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+        |  WHERE q.quality_ok),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+        |exact AS (
+        |  SELECT c.doc_id, c.text FROM clean c JOIN keep USING (doc_id)),
+        |w52 AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        |  FROM exact),
+        |s52 AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                for i in range(1, len(w)-1)]) AS shingles
+        |  FROM w52 WHERE len(w) >= 3),
+        |x52 AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM s52),
+        |mh AS (
+        |  SELECT doc_id, j, min(md5(j || ':' || s)) AS mh
+        |  FROM x52, range(16) t(j) GROUP BY doc_id, j),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, '|' ORDER BY j)) AS bh
+        |  FROM mh GROUP BY doc_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+        |         any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM x52 a JOIN x52 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |nd AS (SELECT doc_a, doc_b FROM pairs
+        |       WHERE common/(na+nb-common)::DOUBLE >= 0.8),
+        |und AS (SELECT doc_a AS u, doc_b AS v FROM nd
+        |        UNION SELECT doc_b, doc_a FROM nd),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+        |losers AS (
+        |  SELECT u AS doc_id FROM reach GROUP BY u
+        |  HAVING least(u, min(v)) <> u),
+        |fuzzy AS (
+        |  SELECT e.doc_id, e.text FROM exact e
+        |  WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)),
+        |evw AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |evs AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w)-1)])) AS s
+        |  FROM evw WHERE len(w) >= 3),
+        |contam AS (SELECT DISTINCT x.doc_id FROM x52 x JOIN evs USING (s)),
+        |decon AS (
+        |  SELECT f.doc_id, f.text FROM fuzzy f
+        |  WHERE f.doc_id % 50 <> 0
+        |    AND f.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM decon),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    sum(n) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cend
+        |  FROM t WHERE n > 0),
+        |spans AS (SELECT doc_id, n, cend - n AS cstart, cend FROM o),
+        |xp AS (
+        |  SELECT s.cstart, s.cend, g.seq_id,
+        |    least(s.cend, (g.seq_id + 1) * 2048)
+        |      - greatest(s.cstart, g.seq_id * 2048) AS tok
+        |  FROM spans s, LATERAL (
+        |    SELECT unnest(range(CAST(floor(s.cstart / 2048) AS BIGINT),
+        |      CAST(floor((s.cend - 1) / 2048) AS BIGINT) + 1)) AS seq_id) g),
+        |pk AS (
+        |  SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) FILTER (WHERE cstart < seq_id * 2048) AS BIGINT)
+        |      AS n_carried
+        |  FROM xp GROUP BY seq_id),
+        |ep AS (SELECT unnest([0, 1]) AS epoch),
+        |shf AS (
+        |  SELECT CAST(epoch AS INT) AS epoch, seq_id, n_docs, n_tokens,
+        |    n_carried,
+        |    md5(CAST(seq_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS h,
+        |    CAST((strpos('0123456789abcdef',
+        |      substr(md5(CAST(seq_id AS VARCHAR) || ':' ||
+        |        CAST(epoch AS VARCHAR)), 1, 1)) - 1) % 4 AS INT) AS shard
+        |  FROM pk, ep)
+        |SELECT epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard
+        |    ORDER BY h, seq_id) AS INT) AS pos,
+        |  seq_id, n_docs, n_tokens, n_carried
+        |FROM shf ORDER BY epoch, shard, pos""".stripMargin,
     "d45_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id,

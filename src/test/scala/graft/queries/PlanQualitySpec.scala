@@ -793,14 +793,27 @@ class PlanQualitySpec extends SparkSpec {
       s"flag probes must stay keyed equi joins in:\n$plan")
   }
 
-  test("round-10 additions plan keyed joins only — d51 broadcasts its candidate set") {
-    val d51 = TextQueries.queries("d51_edit_dedup")(spark, dir)
-    val p51 = planOf(d51)
-    assert(!p51.contains("CartesianProduct") &&
-      !p51.contains("BroadcastNestedLoopJoin"),
-      s"d51 must stay candidate-driven keyed joins in:\n$p51")
-    assert(p51.contains("BroadcastHashJoin"),
-      s"d51's tiny candidate set should broadcast into the text joins in:\n$p51")
+  test("round-10 additions plan keyed joins only — d07/d51 verify is semi-join + keyed joins, no forced broadcast") {
+    // The candidate set grows ~linearly with the corpus (SCALE §7e), so
+    // the verify stage must NOT carry a broadcast HINT: memory has to be
+    // O(rows-per-partition), not O(candidates)·executors. The scale-safe
+    // shape is a left-semi prefilter of the payload table down to
+    // candidate doc ids, then keyed equi joins — AQE may still PROMOTE
+    // them to broadcast at small scale (that's fine; a hint is not).
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    for (q <- Seq("d07_minhash_lsh", "d51_edit_dedup")) {
+      val df = TextQueries.queries(q)(spark, dir)
+      val opt = df.queryExecution.optimizedPlan
+      assert(df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.isEmpty,
+        s"$q: verify stage must not force a broadcast hint in:\n${df.queryExecution.analyzed}")
+      assert(opt.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+        s"$q: expected the candidate-doc-id semi-join prefilter in:\n$opt")
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay candidate-driven keyed joins in:\n$plan")
+    }
     for (q <- Seq("g81_cypher_return_path", "g79_cypher_opt_agg_pred",
         "g80_cypher_create", "g21b_kcore_bipartite")) {
       val plan = planOf(GraphQueries.queries(q)(spark, dir))
@@ -808,6 +821,21 @@ class PlanQualitySpec extends SparkSpec {
         !plan.contains("BroadcastNestedLoopJoin"),
         s"$q: expected keyed equi joins only in:\n$plan")
     }
+  }
+
+  test("d52: no stage recomputes a prior stage's scan — the final plan reads checkpoints, not parquet") {
+    // The composed corpus build checkpoints each stage that feeds more
+    // than one consumer; by the pack/shuffle tail, every input is a
+    // materialized stage output. A parquet FileScan in the FINAL plan
+    // would mean some stage re-read and re-filtered the raw corpus
+    // instead of consuming its predecessor.
+    val df = TextQueries.queries("d52_corpus_build")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("FileScan parquet"),
+      s"d52's final plan re-reads the raw corpus instead of a stage " +
+        s"checkpoint in:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed stage inputs in:\n$plan")
   }
 
   test("g62: each COLLECT {} is one window collect + one join — no per-row subqueries") {
