@@ -70,11 +70,18 @@ object ScaleGen {
       .sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // SPARK_GRAFT_DOCS_VERBATIM=1: replicas keep the text VERBATIM
+    // (ids shifted) — the RE-CRAWL shape for composed-pipeline stress
+    // (d52), where the exact-dedup stage must collapse the replicas;
+    // the token bijection would instead kill the quality gate (its
+    // stopwords stop matching) and starve every later stage.
+    val docVerbatim = sys.env.get("SPARK_GRAFT_DOCS_VERBATIM").contains("1")
     val docs = graft.core.Tables.documents(spark, src).localCheckpoint(true)
     (0 until docX).map { k =>
       docs.select(
         (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1r$k").as("text"),
+        (if (docVerbatim) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"$$1r$k")).as("text"),
         col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")))
     }.reduce(_.unionByName(_)).repartition(32)
