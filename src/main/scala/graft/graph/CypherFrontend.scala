@@ -746,6 +746,21 @@ object CypherFrontend {
         // form (basePred owns the brace grammar), wrapped as a boolean
         // VALUE that rides a pre-joined flag column
         EPredVal(basePred())
+      case Some(t) if (t == TKw("ALL") || (t match {
+            case TId(q) => Set("any", "none", "single")(q.toLowerCase)
+            case _ => false
+          })) &&
+          toks.lift(pos + 1).exists(_.text == "(") &&
+          toks.lift(pos + 3).exists(_.text.equalsIgnoreCase("IN")) =>
+        // value-position quantifier — `RETURN any(x IN l WHERE p) AS b`
+        // — same grammar as the predicate form, wrapped as a boolean
+        // VALUE (plain bodies compile to the codegen'd HOF,
+        // lambda-bound patterns to the explode route's flag column)
+        val qn = t match { case TId(q) => q.toLowerCase; case _ => "all" }
+        pos += 1; eatSym("(")
+        val v = ident(); eatKw("IN"); val lst = expr()
+        eatKw("WHERE"); val w = pred(); eatSym(")")
+        EPredVal(PQuant(qn, v, lst, w))
       case Some(TKw("EXISTS")) if toks.lift(pos + 1).exists(_.text == "(") =>
         // EXISTS lexes as a keyword, so the generic scalar-function
         // branch can't reach it. Two meanings share this shape:
@@ -1945,12 +1960,15 @@ object CypherFrontend {
       // scratch columns never surface
       val retPats = (q.items.map(_.expr) ++ q.orderBy.map(_.expr)).flatMap(patternsE)
       val retExs = (q.items.map(_.expr) ++ q.orderBy.map(_.expr)).flatMap(existsChainsE)
-      if (retPats.nonEmpty || retExs.nonEmpty) {
+      val retQs = (q.items.map(_.expr) ++ q.orderBy.map(_.expr)).flatMap(lambdaQuantsE)
+      if (retPats.nonEmpty || retExs.nonEmpty || retQs.nonEmpty) {
         val (d1, flags) = joinPatternFlags(df, retPats)
         val (d2, emap) = joinExistsChainFlags(d1, retExs)
-        df = d2
         patternFlags = patternFlags ++ flags
         existsFlags = existsFlags ++ emap
+        val (d3, qmap) = joinLambdaQuantFlags(d2, retQs)
+        df = d3
+        quantFlags = quantFlags ++ qmap
       }
       val aggItems = q.items.filter(i => hasAgg(i.expr))
       val outName = (i: RetItem) => i.alias.getOrElse(i.text)
@@ -2098,13 +2116,16 @@ object CypherFrontend {
         // the RETURN twin
         val wPats = ws.items.map(_.expr).flatMap(patternsE)
         val wExs = ws.items.map(_.expr).flatMap(existsChainsE)
-        if (wPats.isEmpty && wExs.isEmpty) withCnts
+        val wQs = ws.items.map(_.expr).flatMap(lambdaQuantsE)
+        if (wPats.isEmpty && wExs.isEmpty && wQs.isEmpty) withCnts
         else {
           val (d1, flags) = joinPatternFlags(withCnts, wPats)
           val (d2, emap) = joinExistsChainFlags(d1, wExs)
           patternFlags = patternFlags ++ flags
           existsFlags = existsFlags ++ emap
-          d2
+          val (d3, qmap) = joinLambdaQuantFlags(d2, wQs)
+          quantFlags = quantFlags ++ qmap
+          d3
         }
       }
       val (varItems, exprItems) = ws.items.partition {
@@ -2532,6 +2553,35 @@ object CypherFrontend {
       case EPredVal(p) => collectPatterns(p)
       case _ => Seq.empty
     }
+    /** Lambda-bound quantifiers nested inside expressions (CASE
+      * conditions, boolean values) — same traversal shape as
+      * [[patternsE]], feeding [[joinLambdaQuantFlags]] so
+      * `RETURN any(x IN list WHERE (x)-[:R]->(...)) AS flag` value
+      * positions compile instead of refusing. */
+    private def lambdaQuantsE(e: Expr): Seq[PQuant] = e match {
+      case EArith(_, l, r) => lambdaQuantsE(l) ++ lambdaQuantsE(r)
+      case EFn(_, as) => as.flatMap(lambdaQuantsE)
+      case EAgg(_, a, _) => a.toSeq.flatMap(lambdaQuantsE)
+      case EIndex(b, ix) => lambdaQuantsE(b) ++ lambdaQuantsE(ix)
+      case ESlice(b, lo, hi) =>
+        lambdaQuantsE(b) ++ (lo.toSeq ++ hi.toSeq).flatMap(lambdaQuantsE)
+      case EMapLit(es) => es.flatMap(kv => lambdaQuantsE(kv._2))
+      case EList(items) => items.flatMap(lambdaQuantsE)
+      case EReduce(_, init, _, lst, body) =>
+        lambdaQuantsE(init) ++ lambdaQuantsE(lst) ++ lambdaQuantsE(body)
+      case EComp(_, lst, wh, mp) =>
+        lambdaQuantsE(lst) ++ wh.toSeq.flatMap(collectLambdaQuants) ++
+          mp.toSeq.flatMap(lambdaQuantsE)
+      case ECase(op, whens, els) =>
+        op.toSeq.flatMap(lambdaQuantsE) ++ whens.flatMap { case (c, v) =>
+          (c match {
+            case Left(p) => collectLambdaQuants(p)
+            case Right(x) => lambdaQuantsE(x)
+          }) ++ lambdaQuantsE(v)
+        } ++ els.toSeq.flatMap(lambdaQuantsE)
+      case EPredVal(p) => collectLambdaQuants(p)
+      case _ => Seq.empty
+    }
     /** Multi-hop EXISTS {} chains nested inside expressions. */
     private def existsChainsE(e: Expr): Seq[PExistsChain] = e match {
       case EArith(_, l, r) => existsChainsE(l) ++ existsChainsE(r)
@@ -2805,15 +2855,13 @@ object CypherFrontend {
           case other => sys.error(s"unknown quantifier $other")
         }
       case PPattern(_, _, _, _, _, _) =>
-        sys.error("pattern predicate on a lambda variable compiles " +
-          "only in WHERE positions (explode route); in this position " +
-          "(nested quantifier or value context) lift it out of the " +
-          "quantifier")
+        sys.error("pattern predicate on a lambda variable compiles in " +
+          "WHERE and RETURN/WITH value positions (explode route); " +
+          "inside a NESTED quantifier lift it out of the inner lambda")
       case PExistsChain(_, _) =>
         sys.error("multi-hop EXISTS { } on a lambda variable compiles " +
-          "only in WHERE positions (explode route); in this position " +
-          "(nested quantifier or value context) lift it out of the " +
-          "quantifier")
+          "in WHERE and RETURN/WITH value positions (explode route); " +
+          "inside a NESTED quantifier lift it out of the inner lambda")
     }
 
     /** Best-effort STATIC type of an expression — drives Cypher's

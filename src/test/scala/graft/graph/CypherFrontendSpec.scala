@@ -196,6 +196,15 @@ class CypherFrontendSpec extends SparkSpec {
         |WHERE single(x IN fs WHERE (:WasteItem)-[:DISPOSED_AT]->(x))
         |RETURN 'exactly-one' AS tag""".stripMargin).as[String].collect().toSeq
     assert(target === Seq("exactly-one"))
+    // VALUE position: the quantifier as a per-row boolean in RETURN
+    val valuePos = run(
+      """MATCH (s:WasteStream)<-[:DISPOSED_IN]-(w:WasteItem)
+        |WITH s, collect(w) AS items
+        |RETURN s.name AS name,
+        |  any(x IN items WHERE (x)-[:DISPOSED_AT]->(:Facility)) AS flagged
+        |ORDER BY name""".stripMargin)
+      .as[(String, Boolean)].collect().toSeq
+    assert(valuePos === Seq(("Biomuell", false), ("Restmuell", true)))
     // plain-HOF quantifiers (no lambda pattern) keep the codegen route:
     // same query shape, no explode needed — regression check
     val plainHof = run(
