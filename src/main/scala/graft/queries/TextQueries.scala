@@ -1331,9 +1331,15 @@ object TextQueries extends QueryPack {
     val evalSh = shingleRowsOf(
         shingledOf(base.filter(col("doc_id") % 50 === 0), parallelism(s)))
       .select(col("s")).distinct()
+    // breadth-thresholded (≥3 DISTINCT shared shingles): a single
+    // shared 3-gram over-triggers at corpus scale (at sf0.1 it
+    // removes nearly every document) — the same reason production
+    // decontamination uses long n-grams or overlap thresholds
     val contaminated = shingleRowsOf(sh52)
       .select(col("doc_id"), col("s"))
-      .join(evalSh, "s").select("doc_id").distinct()
+      .join(evalSh, "s")
+      .groupBy("doc_id").agg(countDistinct("s").as("ns"))
+      .filter(col("ns") >= 3).select("doc_id")
     val decon = fuzzy.filter(col("doc_id") % 50 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // the corpus the pack stage consumes
@@ -2187,7 +2193,11 @@ object TextQueries extends QueryPack {
         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |     for i in range(1, len(w)-1)])) AS s
         |  FROM evw WHERE len(w) >= 3),
-        |contam AS (SELECT DISTINCT x.doc_id FROM x52 x JOIN evs USING (s)),
+        |contam AS (
+        |  SELECT doc_id FROM (
+        |    SELECT x.doc_id, count(DISTINCT x.s) AS ns
+        |    FROM x52 x JOIN evs USING (s) GROUP BY x.doc_id)
+        |  WHERE ns >= 3),
         |decon AS (
         |  SELECT f.doc_id, f.text FROM fuzzy f
         |  WHERE f.doc_id % 50 <> 0
