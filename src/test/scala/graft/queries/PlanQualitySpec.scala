@@ -815,7 +815,8 @@ class PlanQualitySpec extends SparkSpec {
         s"$q must stay candidate-driven keyed joins in:\n$plan")
     }
     for (q <- Seq("g81_cypher_return_path", "g79_cypher_opt_agg_pred",
-        "g80_cypher_create", "g21b_kcore_bipartite")) {
+        "g80_cypher_create", "g21b_kcore_bipartite",
+        "g82_cypher_shortest_unbounded", "g83_cypher_lambda_quant")) {
       val plan = planOf(GraphQueries.queries(q)(spark, dir))
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
