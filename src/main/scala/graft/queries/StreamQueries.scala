@@ -26,10 +26,30 @@ object StreamQueries extends QueryPack {
   /** Shuffle/state partition count while a staged stream runs. Each
     * stateful partition pays per-batch store setup/commit IO, so
     * near-empty state wants FEW partitions (32 → 8 measured ~4s/run on
-    * the stateful join); at real scale state size, not overhead, picks
-    * this number — hence the env knob (default 8). */
+    * the stateful join; 8 → 2 measured another 2.7s on the s03 dedup —
+    * the state machinery is pure per-partition overhead at gate-scale
+    * state sizes); at real scale state size, not overhead, picks this
+    * number — hence the env knob (default 2). */
   private def streamParts: String =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "2")
+
+  /** Per-query conf for streams whose RESULT provably does not depend
+    * on the trailing no-data micro-batch (Spark fires one after the
+    * last file when a watermark exists, purely to run state eviction):
+    * an append-mode INNER join emits only on matched data rows, and
+    * first-sight dedup (dropDuplicates / WithinWatermark) emits within
+    * data batches — eviction only shrinks state neither ever re-reads.
+    * Skipping the empty batch saves a full state-store load/commit
+    * cycle per stream (measured ~1.0s of s02's 3.0s isolated run), and
+    * for the foreachBatch upsert stores (s05/s11) a whole store
+    * rewrite fed by zero rows. NOT applicable where the final
+    * watermark pass EMITS rows: outer-join eviction (s07), append-mode
+    * aggregation (s10), and event-time timers (s04/s08) keep the
+    * default. Gate-checked: the sf0.01 oracle hashes are identical
+    * with and without the trailing batch for every query that sets
+    * this. */
+  private val noTrailingBatch: Map[String, String] =
+    Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
 
   /** Stage the events table into a fresh watch directory, hand `build`
     * a source factory (each call opens an independent schema-pinned
@@ -63,9 +83,10 @@ object StreamQueries extends QueryPack {
     *    blocks once the result has been consumed.
     */
   private def runStaged(s: SparkSession, dir: String, tag: String,
-                        mode: String)
+                        mode: String,
+                        extraConf: Map[String, String] = Map.empty)
                        (build: (() => DataFrame) => DataFrame): DataFrame =
-    runStagedImpl(s, dir, tag, mode, sentinels = false, Map.empty)(build)
+    runStagedImpl(s, dir, tag, mode, sentinels = false, extraConf)(build)
 
   /** [[runStaged]] over a table other than `events` (s14 streams the
     * documents corpus); no event-ts normalization, no sentinels. */
@@ -98,7 +119,7 @@ object StreamQueries extends QueryPack {
     * batch join the oracle runs; at scale the same plan runs over
     * arriving files with the watermarks GC'ing join state. */
   def s02StreamJoin(s: SparkSession, dir: String): DataFrame =
-    runStaged(s, dir, "s02", "append") { src =>
+    runStaged(s, dir, "s02", "append", noTrailingBatch) { src =>
       val clicks = src().filter(col("event_type") === "click")
         .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
           col("ts").as("c_ts"))
@@ -172,7 +193,12 @@ object StreamQueries extends QueryPack {
     val storeRoot = Files.createTempDirectory("graft-s05-store")
     val store = storeRoot.resolve("nodes").toString
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    // the upsert store's final state is identical without the trailing
+    // no-data batch (see noTrailingBatch), which would otherwise rewrite
+    // the whole store from an empty input
+    val prevNoData = noTrailingBatch.keys.map(k => k -> s.conf.getOption(k)).toMap
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    noTrailingBatch.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       stageTable(dir, "events", streamDir)
       val raw = graft.core.Tables.withEventTs(
@@ -203,6 +229,10 @@ object StreamQueries extends QueryPack {
         .orderBy("uid")
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevNoData.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
       graft.core.TempDirs.deleteQuietly(streamDir, "s05")
       graft.core.TempDirs.deleteQuietly(ckpt, "s05")
       graft.core.TempDirs.deleteQuietly(storeRoot, "s05")
@@ -426,6 +456,42 @@ object StreamQueries extends QueryPack {
     }
   }
 
+  /** Stage a table into `n` slice files (slice = rows where `k` = 0..n−1)
+    * with ascending modification times, in ONE Spark job: range-partition
+    * on the slice key (equal keys land in exactly one partition, so
+    * `partitionBy` writes exactly one part file per slice) and move each
+    * part into the watch dir. The per-slice `filter → coalesce(1) → write`
+    * loop this replaces paid one full scan+write job PER SLICE (guide
+    * §2.4: one exchange where the data is already keyed the way the
+    * output needs). Row ORDER within a slice is shuffle-arrival order —
+    * callers' per-batch folds must be (and are) order-free or explicitly
+    * re-ordered: s18's CC and s20's count/xor manifest are commutative,
+    * s19 ranks by (doc_id, pos) inside the batch. */
+  private def stageSlices(df: DataFrame, k: Column, n: Int,
+                          streamDir: Path, scratch: Path): Unit = {
+    val outDir = scratch.resolve("slices")
+    df.withColumn("_k", k.cast("int"))
+      .repartitionByRange(n, col("_k"))
+      .write.partitionBy("_k").mode("overwrite").parquet(outDir.toString)
+    (0 until n).foreach { i =>
+      val sliceDir = outDir.resolve(s"_k=$i")
+      require(Files.isDirectory(sliceDir),
+        s"stageSlices: slice $i is empty — every slice must hold rows " +
+          "(the staged stream would otherwise skip a planned micro-batch)")
+      val part = {
+        val l = Files.list(sliceDir)
+        try l.filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).findFirst.get
+        finally l.close()
+      }
+      val dst = streamDir.resolve(f"00$i%d_slice.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L + i * 10000L))
+    }
+  }
+
   private def stageSentinels(s: SparkSession, dir: String,
                              schema: org.apache.spark.sql.types.StructType,
                              streamDir: Path, scratch: Path): Unit = {
@@ -491,7 +557,7 @@ object StreamQueries extends QueryPack {
     * within a micro-batch is arrival-order-dependent, but its key
     * columns are not. */
   def s09StreamDedupBounded(s: SparkSession, dir: String): DataFrame =
-    runStaged(s, dir, "s09", "append") { src =>
+    runStaged(s, dir, "s09", "append", noTrailingBatch) { src =>
       src().filter(col("event_type").isin("view", "purchase"))
         .select(col("user_id"), col("event_type"), col("ts"),
           to_date(col("ts")).as("d"))
@@ -545,7 +611,11 @@ object StreamQueries extends QueryPack {
     val storeRoot = Files.createTempDirectory("graft-s11-store")
     val store = storeRoot.resolve("edges").toString
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    // same trailing-batch argument as s05: min/max edge merge over an
+    // empty batch is a no-op that would still rewrite the store
+    val prevNoData = noTrailingBatch.keys.map(k => k -> s.conf.getOption(k)).toMap
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    noTrailingBatch.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       stageTable(dir, "events", streamDir)
       val raw = graft.core.Tables.withEventTs(
@@ -575,6 +645,10 @@ object StreamQueries extends QueryPack {
         .orderBy("src_uid", "dst_uid")
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevNoData.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
       graft.core.TempDirs.deleteQuietly(streamDir, "s11")
       graft.core.TempDirs.deleteQuietly(ckpt, "s11")
       graft.core.TempDirs.deleteQuietly(storeRoot, "s11")
@@ -864,21 +938,7 @@ object StreamQueries extends QueryPack {
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
     try {
       val ev = s.read.parquet(s"$dir/events.parquet")
-      (0 until 3).foreach { k =>
-        val outDir = scratch.resolve(s"slice$k")
-        ev.filter(col("event_id") % 3 === k).coalesce(1)
-          .write.mode("overwrite").parquet(outDir.toString)
-        val part = {
-          val l = Files.list(outDir)
-          try l.filter(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet")).findFirst.get
-          finally l.close()
-        }
-        Files.move(part, streamDir.resolve(f"00$k%d_slice.parquet"))
-        Files.setLastModifiedTime(streamDir.resolve(f"00$k%d_slice.parquet"),
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - 60000L + k * 10000L))
-      }
+      stageSlices(ev, col("event_id") % 3, 3, streamDir, scratch)
       val raw = graft.core.Tables.withEventTs(
         s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -944,21 +1004,9 @@ object StreamQueries extends QueryPack {
       val d = s.read.parquet(docsPq)
       val maxId = d.agg(max("doc_id")).head.getLong(0)
       val cut = maxId / 3 + 1
-      (0 until 3).foreach { k =>
-        val outDir = scratch.resolve(s"slice$k")
-        d.filter(col("doc_id") >= k * cut && col("doc_id") < (k + 1) * cut)
-          .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
-        val part = {
-          val l = Files.list(outDir)
-          try l.filter(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet")).findFirst.get
-          finally l.close()
-        }
-        Files.move(part, streamDir.resolve(f"00$k%d_slice.parquet"))
-        Files.setLastModifiedTime(streamDir.resolve(f"00$k%d_slice.parquet"),
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - 60000L + k * 10000L))
-      }
+      // slice k = contiguous doc_id range [k·cut, (k+1)·cut) — integer
+      // division reproduces the old range filters exactly
+      stageSlices(d, expr(s"doc_id div $cut"), 3, streamDir, scratch)
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString)
@@ -1007,21 +1055,8 @@ object StreamQueries extends QueryPack {
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
     try {
       val d = s.read.parquet(docsPq)
-      (0 until 3).foreach { k =>
-        val outDir = scratch.resolve(s"slice$k")
-        d.filter(col("doc_id") % 3 === k) // interleaved on purpose: order-free
-          .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
-        val part = {
-          val l = Files.list(outDir)
-          try l.filter(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet")).findFirst.get
-          finally l.close()
-        }
-        Files.move(part, streamDir.resolve(f"00$k%d_slice.parquet"))
-        Files.setLastModifiedTime(streamDir.resolve(f"00$k%d_slice.parquet"),
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - 60000L + k * 10000L))
-      }
+      // interleaved on purpose: order-free
+      stageSlices(d, col("doc_id") % 3, 3, streamDir, scratch)
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString)
