@@ -31,11 +31,20 @@ object Traversal {
     */
   def reachFixpoint(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val e = edges.select(col("src_uid"), col("dst_uid")).cache()
-    var acc = e.select(col("src_uid").as("start"), col("dst_uid").as("reached"),
-      lit(1).as("depth"))
-    var frontier = acc
+    // Levels are kept as a LIST of checkpointed frames and only unioned
+    // lazily (for the per-round anti-join) and once at the end: the old
+    // form re-checkpointed the whole accumulated closure EVERY round —
+    // one extra full-materialization job per level, quadratic total
+    // bytes written over the loop (guide §1.2: remove passes that
+    // recompute what is already materialized). A union of checkpointed
+    // RDDs is lineage-free already; nothing needs re-materializing.
+    val first = e.select(col("src_uid").as("start"), col("dst_uid").as("reached"),
+      lit(1).as("depth")).localCheckpoint(true)
+    var levels = Vector(first)
+    var frontier = first
     var i = 1
     var done = false
+    def acc = levels.reduce(_ unionByName _)
     while (i < maxIter && !done) {
       val next = frontier.join(e, frontier("reached") === e("src_uid"))
         .select(col("start"), col("dst_uid").as("reached"), (col("depth") + 1).as("depth"))
@@ -49,12 +58,12 @@ object Traversal {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        acc = acc.unionByName(next).localCheckpoint(true)
+        levels :+= next
         frontier = next
         i += 1
       }
     }
-    e.unpersist(blocking = false) // acc is checkpointed — lineage-free
+    e.unpersist(blocking = false) // every level is checkpointed — lineage-free
     acc
   }
 
@@ -81,9 +90,13 @@ object Traversal {
         concat(col("src_uid"), lit("|"), col("rel_type"), lit("|"),
           col("dst_uid")).as("path")), 1)
       .localCheckpoint(true)
-    var acc = frontier
+    // same level-list discipline as reachFixpoint: levels stay
+    // individually checkpointed, the accumulated closure is only a lazy
+    // union — no per-round re-materialization of everything seen so far
+    var levels = Vector(frontier)
     var i = 1
     var done = false
+    def acc = levels.reduce(_ unionByName _)
     while (i < maxIter && !done) {
       val next = minPath(
         frontier.join(e, frontier("reached") === e("src_uid"))
@@ -95,7 +108,7 @@ object Traversal {
         i + 1).localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        acc = acc.unionByName(next).localCheckpoint(true)
+        levels :+= next
         frontier = next
         i += 1
       }

@@ -571,15 +571,32 @@ object GraphQueries extends QueryPack {
     * iteration count. */
   private[queries] def kCoreEdges(pairs: DataFrame, k: Int, iters: Int): DataFrame = {
     var edges = pairs
-    for (_ <- 1 to iters) {
+    var prevAlive = -1L
+    var converged = false
+    var it = 0
+    while (it < iters && !converged) {
       val alive = edges.select(col("u1").as("u"))
         .unionAll(edges.select(col("u2").as("u")))
         .groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("u")
         .localCheckpoint(true)
-      edges = pairs.join(alive.select(col("u").as("u1")), "u1")
-        .join(alive.select(col("u").as("u2")), "u2")
-        .select("u1", "u2")
+      // Early convergence exit: the survivor set only ever SHRINKS, so
+      // an unchanged count means an unchanged set and every remaining
+      // round is the identity — the bounded unroll's result at round
+      // `iters` equals the fixpoint already reached (the spec pins
+      // convergence within `iters`). One count() on the checkpointed
+      // survivor set per round buys skipping the no-op rounds' full
+      // degree-aggregate + double-join jobs. On equality `edges` stands
+      // from the previous round, built from the SAME survivor set.
+      val n = alive.count()
+      if (n == prevAlive) converged = true
+      else {
+        prevAlive = n
+        edges = pairs.join(alive.select(col("u").as("u1")), "u1")
+          .join(alive.select(col("u").as("u2")), "u2")
+          .select("u1", "u2")
+        it += 1
+      }
     }
     edges
   }
@@ -608,7 +625,10 @@ object GraphQueries extends QueryPack {
   private[queries] def kCoreMembersBipartite(incidence0: DataFrame, k: Int,
                                              iters: Int): DataFrame = {
     var inc = incidence0.localCheckpoint(true) // distinct (user_id, b)
-    for (_ <- 1 to iters) {
+    var prevRows = inc.count()
+    var converged = false
+    var it = 0
+    while (it < iters && !converged) {
       val m = inc.groupBy("b").agg(count(lit(1)).as("m"))
       val bounds = inc.join(m, "b")
         .groupBy("user_id")
@@ -624,6 +644,16 @@ object GraphQueries extends QueryPack {
         .filter(col("deg") >= k).select("user_id")
       val alive = certain.unionByName(exact).localCheckpoint(true)
       inc = inc.join(alive, "user_id").localCheckpoint(true)
+      // Early convergence exit (same argument as kCoreEdges): the
+      // incidence only SHRINKS round over round, so an unchanged row
+      // count means an unchanged table and every remaining round is the
+      // identity. One count() on the just-checkpointed incidence per
+      // round skips the no-op rounds' three aggregates + two joins —
+      // at gate scale the peeling converges rounds before the pinned
+      // unroll bound, and each skipped round is ~3 scheduled jobs.
+      val rows = inc.count()
+      if (rows == prevRows) converged = true
+      else { prevRows = rows; it += 1 }
     }
     inc
   }

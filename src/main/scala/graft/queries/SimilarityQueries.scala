@@ -344,7 +344,7 @@ object SimilarityQueries extends QueryPack {
 
   /** e09 — embedding near-dup dedup closed end-to-end: e04's
     * sign-bucket-blocked cosine pairs promoted to CANONICAL CLUSTERS
-    * via GraphX connected components (min-id elects the keeper), the
+    * via connected components (min-id elects the keeper), the
     * embedding-space twin of d15's MinHash cluster canonicalization.
     * A pair list alone under-deduplicates: A~B and B~C with A≁C must
     * still collapse to one keeper, which only the transitive closure
@@ -353,15 +353,16 @@ object SimilarityQueries extends QueryPack {
     *
     * Scale: candidate generation never leaves the LSH buckets (no
     * all-pairs), the closure runs on the sparse near-dup pair graph —
-    * orders of magnitude smaller than the corpus — and Pregel CC is
-    * iteration-bounded by cluster diameter, which for near-dup graphs
-    * is small (dup clusters are cliques-ish, diameter ~2). */
+    * orders of magnitude smaller than the corpus — and star-contraction
+    * CC is iteration-bounded by cluster diameter, which for near-dup
+    * graphs is small (dup clusters are cliques-ish, diameter ~2). */
   def e09NeardupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = e04CosineNeardup(s, dir).select(col("vec_a"), col("vec_b"))
-    val verts = pairs.select(col("vec_a").as("vid"))
-      .unionByName(pairs.select(col("vec_b").as("vid"))).distinct()
-    val edges = pairs.select(col("vec_a").as("src_vid"), col("vec_b").as("dst_vid"))
-    graft.graph.Traversal.connectedComponents(verts, edges, s)
+    // Catalyst-native star-contraction CC (d15's engine swap: same
+    // min-id contract, ComponentsDFSpec-pinned equivalent, no
+    // Dataset→RDD/Pregel round-trip inside a similarity pipeline)
+    graft.graph.ComponentsDF.run(
+        pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
       .select(col("vid").as("vec_id"), col("component").as("keeper_id"),
         (col("vid") =!= col("component")).cast("int").as("is_dup"))
       .orderBy("vec_id")

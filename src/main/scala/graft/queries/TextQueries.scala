@@ -305,7 +305,7 @@ object TextQueries extends QueryPack {
 
   /** d15 — near-dup cluster canonicalization, the step a dedup pass
     * runs AFTER candidate pairs are found: d07's verified pairs form a
-    * graph, GraphX connected components (min-id contract) elect one
+    * graph, connected components (min-id contract) elect one
     * keeper per cluster, every other member is flagged a duplicate.
     * Transitive dups (A~B, B~C but not A~C) collapse into ONE cluster —
     * a plain per-pair "drop the higher id" would keep B or drop it
@@ -315,10 +315,17 @@ object TextQueries extends QueryPack {
     */
   def d15DedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = d07MinhashLsh(s, dir).select("doc_a", "doc_b")
-    val verts = pairs.select(col("doc_a").as("vid"))
-      .unionByName(pairs.select(col("doc_b").as("vid"))).distinct()
-    val edges = pairs.select(col("doc_a").as("src_vid"), col("doc_b").as("dst_vid"))
-    graft.graph.Traversal.connectedComponents(verts, edges, s)
+    // DataFrame-native star-contraction CC (same min-id contract as the
+    // GraphX engine, pinned equivalent by ComponentsDFSpec): CC here is
+    // an implementation detail of the dedup verdict, and staying inside
+    // Catalyst skips the Dataset→RDD encode + Pregel runtime the GraphX
+    // path pays per call (measured ~0.8s of d15's 2.2s isolated run —
+    // guide §1.2, remove work outside the declarative plan). Every
+    // vertex of the pair graph is edge-touched, so the edge-only input
+    // loses no isolated vertices.
+    val assigned = graft.graph.ComponentsDF.run(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    assigned
       .select(col("vid").as("doc_id"), col("component").as("keeper_id"),
         (col("vid") =!= col("component")).cast("int").as("is_dup"))
       .orderBy("doc_id")
@@ -1317,10 +1324,10 @@ object TextQueries extends QueryPack {
     // the kernel) is shared with the decontamination stage below.
     val sh52 = shingledOf(exact, parallelism(s))
     val pairs = lshVerifiedPairs(sh52).select("doc_a", "doc_b")
-    val verts = pairs.select(col("doc_a").as("vid"))
-      .unionByName(pairs.select(col("doc_b").as("vid"))).distinct()
-    val losers = graft.graph.Traversal.connectedComponents(verts,
-        pairs.select(col("doc_a").as("src_vid"), col("doc_b").as("dst_vid")), s)
+    // Catalyst-native CC for the cluster canon (d15's engine swap —
+    // same min-id contract, no GraphX conversion mid-pipeline)
+    val losers = graft.graph.ComponentsDF.run(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .filter(col("vid") =!= col("component"))
       .select(col("vid").as("doc_id"))
     val fuzzy = exact.join(losers, Seq("doc_id"), "left_anti")
