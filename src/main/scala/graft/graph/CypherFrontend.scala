@@ -1366,7 +1366,22 @@ object CypherFrontend {
                     base.filter(col("src_uid") =!= col("dst_uid")).select(
                       col("dst_uid").as("src_uid"), col("src_uid").as("dst_uid")))
                   else base
-                val closure = Traversal.reachFixpoint(reachEdges)
+                // When the closure's STARTS join directly against the
+                // chain's head frame (first hop, lo <= 1 — the `lo > 1`
+                // form instead joins the closure on the exact-prefix's
+                // TARGETS, which the head set does not cover), seed the
+                // fixpoint with the head pattern's uid set (a cheap
+                // label projection) instead of computing all-pairs
+                // reach from every node and discarding the rest
+                // (hub-safe at scale, fewer frontier rows at any
+                // scale). Mid-chain hops stay unseeded: re-deriving
+                // the current frontier would re-execute the chain
+                // prefix.
+                val seed =
+                  if (cur == headVar && lo <= 1)
+                    Some(df.select(col(ns(cur, "uid")).as("src_uid")))
+                  else None
+                val closure = Traversal.reachFixpoint(reachEdges, seed = seed)
                   .select(col("start").as(s"$endCol$$from"),
                     col("reached").as(s"$endCol$$to"))
                 if (lo <= 1) closure
@@ -1541,7 +1556,11 @@ object CypherFrontend {
           Traversal.reachFixpointWitness(e1.select(
               col(s"$pv$$from").as("src_uid"), col(s"$pv$$to").as("dst_uid"),
               col(s"$pv$$rt").as("rel_type"))
-              .distinct())
+              .distinct(),
+              // the closure is immediately joined to the head frame —
+              // seed the BFS with the head endpoint's uid set (the same
+              // hub-safe seeding the bounded level sets get for free)
+              seed = Some(headSeed.select(col(s"$pv$$from").as("src_uid"))))
             .select(col("start").as(s"$pv$$from"),
               col("reached").as(s"$pv$$to"), col("depth").as(s"$pv$$len"),
               col("path").as(strCol))

@@ -28,9 +28,18 @@ object Traversal {
   /** All (start, reached, depth) pairs following `edges`
     * (src_uid→dst_uid) from every node to fixpoint, cycle-safe.
     * depth ≥ 1; a node reached by several paths keeps the min depth.
+    * `seed` (one column `src_uid`) restricts the START set: the closure
+    * is computed only from seed nodes — the hub-safe shape when the
+    * caller immediately joins the closure to a filtered node frame
+    * anyway (computing all-pairs reach from every node of a 100 TB
+    * graph to then keep three sources is the textbook wasted pass,
+    * guide §1.2). Results for seeded starts are identical to the
+    * unseeded closure's rows for those starts.
     */
-  def reachFixpoint(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val e = edges.select(col("src_uid"), col("dst_uid")).cache()
+  def reachFixpoint(edges: DataFrame, maxIter: Int = 50,
+                    seed: Option[DataFrame] = None): DataFrame = {
+    val e0 = edges.select(col("src_uid"), col("dst_uid"))
+    val e = e0.cache()
     // Levels are kept as a LIST of checkpointed frames and only unioned
     // lazily (for the per-round anti-join) and once at the end: the old
     // form re-checkpointed the whole accumulated closure EVERY round —
@@ -38,7 +47,9 @@ object Traversal {
     // bytes written over the loop (guide §1.2: remove passes that
     // recompute what is already materialized). A union of checkpointed
     // RDDs is lineage-free already; nothing needs re-materializing.
-    val first = e.select(col("src_uid").as("start"), col("dst_uid").as("reached"),
+    val level1 = seed.fold(e: DataFrame)(sd =>
+      e.join(sd.select(col("src_uid")).distinct(), Seq("src_uid"), "left_semi"))
+    val first = level1.select(col("src_uid").as("start"), col("dst_uid").as("reached"),
       lit(1).as("depth")).localCheckpoint(true)
     var levels = Vector(first)
     var frontier = first
@@ -80,12 +91,17 @@ object Traversal {
     * groupBy REPLACES the dropDuplicates of the plain fixpoint — same
     * shuffle count per round, one string min-agg on top.
     */
-  def reachFixpointWitness(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def reachFixpointWitness(edges: DataFrame, maxIter: Int = 50,
+                           seed: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src_uid"), col("dst_uid"), col("rel_type")).cache()
+    // same seeding contract as reachFixpoint: restrict STARTS up front
+    // when the caller will only keep seeded sources
+    val level1 = seed.fold(e: DataFrame)(sd =>
+      e.join(sd.select(col("src_uid")).distinct(), Seq("src_uid"), "left_semi"))
     def minPath(df: DataFrame, depth: Int): DataFrame =
       df.groupBy("start", "reached").agg(min(col("path")).as("path"))
         .withColumn("depth", lit(depth))
-    var frontier = minPath(e.select(col("src_uid").as("start"),
+    var frontier = minPath(level1.select(col("src_uid").as("start"),
         col("dst_uid").as("reached"),
         concat(col("src_uid"), lit("|"), col("rel_type"), lit("|"),
           col("dst_uid")).as("path")), 1)

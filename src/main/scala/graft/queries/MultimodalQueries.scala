@@ -336,14 +336,17 @@ object MultimodalQueries extends QueryPack {
   private[queries] def arBatches(dims: DataFrame, parts: Int,
                                  batchSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ladder = dims.sparkSession.createDataFrame(
-      Seq(0.5, 0.75, 1.0, 1.333333, 2.0).map(Tuple1(_))).toDF("b")
     val ar = col("w").cast("double") / col("h")
-    val wAssign = Window.partitionBy("id").orderBy(asc("dist"), asc("b"))
-    val assigned = dims.crossJoin(broadcast(ladder))
-      .withColumn("dist", round(abs(log(ar) - log(col("b"))), 6))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    // The ladder is a 5-value LITERAL, so bucket assignment (min
+    // rounded log-distance, smaller bucket on ties — the old window's
+    // ORDER BY dist ASC, b ASC rn=1) is a per-row struct array_min in
+    // the scan stage: the crossJoin×window form shuffled dims×5 rows
+    // on id and sorted every group just to take one (guide §2.4).
+    val ladder = Seq(0.5, 0.75, 1.0, 1.333333, 2.0)
+    val assigned = dims
+      .withColumn("b", array_min(array(ladder.map(b =>
+          struct(round(abs(log(ar) - log(lit(b))), 6).as("dist"),
+            lit(b).as("b"))): _*)).getField("b"))
       .select(col("id"), col("w"), col("h"), col("b"))
     val ranged = assigned.repartitionByRange(parts, col("b"), col("id"))
       .withColumn("pid", spark_partition_id())

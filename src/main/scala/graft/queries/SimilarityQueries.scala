@@ -65,14 +65,9 @@ object SimilarityQueries extends QueryPack {
   def e02CentroidAssign(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 50)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("vec_id").orderBy(desc("cos_sim"), asc("c_label"))
-    q.join(broadcast(centroids(e)))
-      .select(col("vec_id"), col("label").as("true_label"), col("c_label"),
-        round(cosine(col("v"), col("cv")), 6).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("true_label"), col("c_label").as("nearest_label"), col("cos_sim"))
+    assignCell(q, centroids(e))
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("cell").as("nearest_label"), col("_maxcs").as("cos_sim"))
       .orderBy("vec_id")
   }
 
@@ -139,14 +134,8 @@ object SimilarityQueries extends QueryPack {
     * per cell. */
   def e20SemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    import org.apache.spark.sql.expressions.Window
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("c_label"))
-    val assigned = e.join(broadcast(centroids(e)))
-      .select(col("vec_id"), col("v"),
-        col("c_label"), round(cosine(col("v"), col("cv")), 6).as("cs"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("c_label").as("cell"))
+    val assigned = assignCell(e, centroids(e))
+      .select(col("vec_id"), col("v"), col("cell"))
       .localCheckpoint(true)
     semDup(assigned, 0.45)
   }
@@ -179,6 +168,32 @@ object SimilarityQueries extends QueryPack {
       .agg(graft.functions.VecOps.vecMean(col("v")).as("cv"))
       .select(col("label").as("c_label"), col("cv"))
 
+  /** Nearest-centroid cell assignment as a per-row ARRAY fold instead
+    * of a per-vector window: the centroid table (tiny at any scale —
+    * it IS the coarse quantizer) collapses into one broadcast
+    * array-of-structs row, and the winner — max rounded cosine, min
+    * label on ties, exactly the old `ORDER BY cs DESC, c_label ASC`
+    * rn=1 — is picked by codegen'd array expressions inside the scan
+    * stage. The window form shuffled the vectors×centroids cross frame
+    * on vec_id and sorted every group just to take one row (guide
+    * §2.4: remove exchanges whose only job is an argmax the row can
+    * compute itself). Adds `cell` and `_maxcs` (the winning cosine) to
+    * `vecs`; NaN ordering matches the window's (Spark sorts NaN
+    * greatest and NaN = NaN is true in SQL comparisons). */
+  private def assignCell(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val cArr = cent.agg(collect_list(struct(col("c_label"), col("cv"))).as("_cents"))
+    vecs.crossJoin(broadcast(cArr))
+      .withColumn("_scored", transform(col("_cents"),
+        c => struct(round(cosine(col("v"), c.getField("cv")), 6).as("cs"),
+          c.getField("c_label").as("lbl"))))
+      .withColumn("_maxcs",
+        array_max(transform(col("_scored"), x => x.getField("cs"))))
+      .withColumn("cell", array_min(transform(
+        filter(col("_scored"), x => x.getField("cs") === col("_maxcs")),
+        x => x.getField("lbl"))))
+      .drop("_cents", "_scored")
+  }
+
   /** e05 — end-to-end IVF top-k, the full ANN scale path e02/e03 only
     * exercise pieces of: build the coarse quantizer (centroids), assign
     * EVERY vector to its nearest cell (one broadcast join — the IVF
@@ -190,13 +205,8 @@ object SimilarityQueries extends QueryPack {
   def e05IvfTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     import org.apache.spark.sql.expressions.Window
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("c_label"))
-    val assigned = e.join(broadcast(centroids(e)))
-      .select(col("vec_id"), col("v"),
-        col("c_label"), round(cosine(col("v"), col("cv")), 6).as("cs"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("c_label").as("cell"))
+    val assigned = assignCell(e, centroids(e))
+      .select(col("vec_id"), col("v"), col("cell"))
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
     val c = assigned.filter(col("vec_id") >= 10)
@@ -254,14 +264,8 @@ object SimilarityQueries extends QueryPack {
   def e07KmeansStep(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cent = centroids(e)
-    import org.apache.spark.sql.expressions.Window
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("c_label"))
-    val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("c_label"),
-        round(cosine(col("v"), col("cv")), 6).as("cs"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("c_label").as("cell"))
+    val assigned = assignCell(e, cent)
+      .select(col("vec_id"), col("v"), col("cell"))
     assigned.groupBy("cell")
       .agg(count(lit(1)).as("n_members"),
         graft.functions.VecOps.vecMean(col("v")).as("nv"))
@@ -310,17 +314,21 @@ object SimilarityQueries extends QueryPack {
     val vecBlocks = e.select(col("vec_id"), blkIds, col("v"))
       .select(col("vec_id"), col("blk"),
         slice(col("v"), col("blk") * 8 + 1, lit(8)).as("vb"))
-    val wEnc = Window.partitionBy("vec_id", "blk").orderBy(col("d2r"), col("c_label"))
     // encode ONLY the candidate side — queries are answered from the
-    // exact LUT below and their codes would be dead rows in the
-    // (vec_id, blk) window shuffle
+    // exact LUT below. The per-block codebook (10 entries, fixed at any
+    // scale) collapses to one array row per blk, and the code argmin
+    // (rounded d2 asc, label asc — the old window's ORDER BY) is a
+    // per-row struct array_min inside the scan: no (vec_id, blk)
+    // exchange + sort just to take rn=1 (guide §2.4, same move as
+    // assignCell).
+    val cbArr = codeBlocks.groupBy("blk")
+      .agg(collect_list(struct(col("c_label"), col("cb"))).as("_cbs"))
     val codes = vecBlocks.filter(col("vec_id") >= 5)
-      .join(broadcast(codeBlocks), Seq("blk"))
-      .select(col("vec_id"), col("blk"), col("c_label"),
-        round(l2sq(col("vb"), col("cb")), 6).as("d2r"))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("blk"), col("c_label").as("code"))
+      .join(broadcast(cbArr), Seq("blk"))
+      .withColumn("code", array_min(transform(col("_cbs"),
+        c => struct(round(l2sq(col("vb"), c.getField("cb")), 6).as("d2r"),
+          c.getField("c_label").as("lbl")))).getField("lbl"))
+      .select(col("vec_id"), col("blk"), col("code"))
     val lut = vecBlocks.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("blk"), col("vb").as("qb"))
       .join(broadcast(codeBlocks), Seq("blk"))
