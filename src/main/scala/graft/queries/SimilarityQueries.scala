@@ -631,11 +631,24 @@ object SimilarityQueries extends QueryPack {
     val e = emb(s, dir)
     import org.apache.spark.sql.expressions.Window
     val cent = centroids(e)
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("c_label"))
-    val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("c_label"), col("cv"),
-        round(cosine(col("v"), col("cv")), 6).as("cs"))
-      .withColumn("rn", row_number().over(wAssign))
+    // Multi-probe variant of assignCell's window-removal: the fixed
+    // 10-centroid table collapses to one broadcast array row, the
+    // per-vector ranking (cs DESC, c_label ASC — the old window's
+    // ORDER BY) is a per-row comparator array_sort, and rn == k
+    // becomes element_at(_ranked, k). No vectors×centroids exchange.
+    val cArr = cent.agg(collect_list(struct(col("c_label"), col("cv"))).as("_cents"))
+    val assigned = e.crossJoin(broadcast(cArr))
+      .withColumn("_ranked", array_sort(
+        transform(col("_cents"), c => struct(
+          round(cosine(col("v"), c.getField("cv")), 6).as("cs"),
+          c.getField("c_label").as("c_label"),
+          c.getField("cv").as("cv"))),
+        (l, r) => when(l.getField("cs") > r.getField("cs"), -1)
+          .when(l.getField("cs") < r.getField("cs"), 1)
+          .when(l.getField("c_label") < r.getField("c_label"), -1)
+          .when(l.getField("c_label") > r.getField("c_label"), 1)
+          .otherwise(0)))
+      .drop("_cents")
     val blkIds = explode(sequence(lit(0), lit(7))).as("blk")
     def residual(v: Column, cv: Column): Column =
       zip_with(v, cv, (x, y) => x - y)
@@ -643,9 +656,11 @@ object SimilarityQueries extends QueryPack {
       when(element_at(rb, 1) >= 0, 4).otherwise(0) +
         when(element_at(rb, 2) >= 0, 2).otherwise(0) +
         when(element_at(rb, 3) >= 0, 1).otherwise(0)
-    val candBlocks = assigned.filter(col("rn") === 1 && col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("c_label").as("cell"),
-        blkIds, residual(col("v"), col("cv")).as("r"))
+    val candBlocks = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"),
+        element_at(col("_ranked"), 1).getField("c_label").as("cell"),
+        blkIds,
+        residual(col("v"), element_at(col("_ranked"), 1).getField("cv")).as("r"))
       .select(col("cand_id"), col("cell"), col("blk"),
         slice(col("r"), col("blk") * 8 + 1, lit(8)).as("rb"))
       .withColumn("code", signCode(col("rb")))
@@ -659,9 +674,11 @@ object SimilarityQueries extends QueryPack {
       .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
       .select(col("blk"), col("code"),
         transform(array_sort(col("pm")), t => t.getField("m")).as("cb"))
-    val lut = assigned.filter(col("vec_id") < 10 && col("rn") <= 2)
-      .select(col("vec_id").as("query_id"), col("c_label").as("cell"),
-        blkIds, residual(col("v"), col("cv")).as("qr"))
+    val lut = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(col("_ranked"), 1, 2)).as("_probe"), col("v"))
+      .select(col("query_id"), col("_probe").getField("c_label").as("cell"),
+        blkIds, residual(col("v"), col("_probe").getField("cv")).as("qr"))
       .select(col("query_id"), col("cell"), col("blk"),
         slice(col("qr"), col("blk") * 8 + 1, lit(8)).as("qb"))
       .join(broadcast(codebook), Seq("blk"))
