@@ -1,13 +1,13 @@
 package graft.devtools
 
-import java.nio.file.Files
-
+import org.apache.spark.sql.Observation
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Dev-only micro-profiler (scratch space — contents change per
-  * investigation; currently: where does a staged streaming query's
-  * wall-clock go?). */
+  * investigation; currently: does `observe` deliver metrics through an
+  * eager `localCheckpoint` action, so iterative loops can fuse their
+  * convergence fingerprint into the materialization job instead of
+  * paying a second aggregate job per round?). */
 object Scratch {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
@@ -15,62 +15,34 @@ object Scratch {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.1"
     val spark = graft.core.GraftSession.local(32, "graft-scratch")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
-    sys.env.get("SPARK_GRAFT_NODATA").foreach(v =>
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v))
-    (1 to 2).foreach { round =>
-      val schema = spark.read.parquet(s"$dir/events.parquet").schema
-      val streamDir = Files.createTempDirectory("graft-scr-in")
-      val ckpt = Files.createTempDirectory("graft-scr-ckpt")
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
+    val df = spark.range(0, 100000).selectExpr("id AS u", "id % 97 AS v")
+    val obs = Observation()
+    val ck = df
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h"))
+      .localCheckpoint(true)
+    // If localCheckpoint(eager) runs through withAction, obs.get returns
+    // without any further action. Guard with a timeout so a miss is a
+    // clean verdict, not a hang.
+    val got =
       try {
-        time("stage copy") {
-          val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-          Files.copy(src, streamDir.resolve("000_events.parquet"))
-        }
-        val mkSrc = () => graft.core.Tables.withEventTs(
-          spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(streamDir.toString))
-        val clicks = mkSrc().filter(col("event_type") === "click")
-          .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
-            col("ts").as("c_ts"))
-          .withWatermark("c_ts", "1 hour")
-        val errors = mkSrc().filter(col("event_type") === "error")
-          .select(col("event_id").as("e_event"), col("user_id").as("e_user"),
-            col("ts").as("e_ts"))
-          .withWatermark("e_ts", "1 hour")
-        val joined = clicks.join(errors,
-          expr("c_user = e_user AND e_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"))
-          .select(col("c_event"), col("e_event"), col("c_user").as("user_id"))
-        val sink = "scr_" + round
-        val q = time("start()") {
-          joined.writeStream.format("memory").queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt.toString)
-            .trigger(Trigger.AvailableNow())
-            .start()
-        }
-        time("awaitTermination")(q.awaitTermination(300000))
-        q.stop()
-        q.recentProgress.foreach { p =>
-          println(s"batch ${p.batchId}: rows=${p.numInputRows} " +
-            s"durationMs=${p.durationMs}")
-          p.stateOperators.foreach(so =>
-            println(s"  stateOp: commit=${so.customMetrics} rowsTotal=${so.numRowsTotal}"))
-        }
-        time("read sink")(spark.table(sink).count())
-        spark.catalog.dropTempView(sink)
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        graft.core.TempDirs.deleteQuietly(streamDir, "scr")
-        graft.core.TempDirs.deleteQuietly(ckpt, "scr")
+        val m = concurrent.Await.result(
+          concurrent.Future(obs.get)(concurrent.ExecutionContext.global),
+          concurrent.duration.Duration(10, "s"))
+        println(s"observe-through-localCheckpoint: YES  $m")
+        true
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          println("observe-through-localCheckpoint: NO (timed out)")
+          false
       }
+    if (got) {
+      // cross-check against a plain agg
+      val r = ck.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      println(s"direct agg: n=${r.getLong(0)} h=${r.getLong(1)}")
     }
     spark.stop()
   }

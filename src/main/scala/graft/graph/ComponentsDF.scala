@@ -57,19 +57,22 @@ object ComponentsDF {
     *         in an edge list).
     */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    var e = edges
+    // The convergence fingerprint rides each round's materialization as
+    // an `observe` metric: localCheckpoint(eager) executes through
+    // withAction, so the observed aggregate completes with the
+    // checkpoint job — one job per round instead of checkpoint +
+    // fingerprint re-scan (guide §1.2: don't re-pass over what the
+    // round already materialized).
+    var (e, fp) = checkpointFp(edges
       .select(least(col("src"), col("dst")).cast("long").as("u"),
         greatest(col("src"), col("dst")).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
-    var fp = fingerprint(e)
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nfp = fingerprint(next)
+      val (next, nfp) = checkpointFp(smallStar(largeStar(e)))
       converged = nfp == fp
       fp = nfp
       e = next
@@ -85,33 +88,47 @@ object ComponentsDF {
       .distinct()
   }
 
-  /** Order-free edge-set fingerprint (count + xor of per-edge hashes):
-    * one aggregate, no sort, overflow-free under ANSI. */
-  private def fingerprint(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
-    (r.getLong(0), r.getLong(1))
+  /** Eagerly localCheckpoint `df` with the order-free edge-set
+    * fingerprint (count + xor of per-edge hashes — no sort, stable
+    * across partitionings) observed ON the materialization job. */
+  private def checkpointFp(df: DataFrame): (DataFrame, (Long, Long)) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h"))
+      .localCheckpoint(true)
+    val m = obs.get
+    (ck, (m("n").asInstanceOf[Long], m("h").asInstanceOf[Long]))
   }
 
-  /** Connect every strictly-larger neighbor of x to min(Γ(x) ∪ {x}). */
+  /** Connect every strictly-larger neighbor of x to min(Γ(x) ∪ {x}).
+    * One pass: both edge orientations come from a single explode (not a
+    * self-union that reads the input twice), and the output is NOT
+    * deduplicated — smallStar's window min is duplicate-insensitive and
+    * its trailing distinct canonicalizes the round, so the extra
+    * exchange + aggregate a distinct here would cost buys nothing
+    * (guide §2.4: remove shuffles outright). Output stays ≤ 2|E| rows. */
   private def largeStar(e: DataFrame): DataFrame = {
-    val nbrs = e.select(col("u").as("x"), col("v").as("y"))
-      .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+    val nbrs = e.select(explode(array(
+        struct(col("u").as("x"), col("v").as("y")),
+        struct(col("v").as("x"), col("u").as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
     val m = least(min(col("y")).over(Window.partitionBy("x")), col("x"))
     nbrs.withColumn("m", m)
       .filter(col("y") > col("x") && col("y") =!= col("m"))
       .select(col("m").as("u"), col("y").as("v"))
-      .distinct()
   }
 
   /** Direct edges large→small, then connect x and all its ≤-neighbors
-    * to their common minimum. */
+    * to their common minimum. The two output arms ((m,y) and (m,x))
+    * come from one explode over the windowed frame — the
+    * self-union formulation executes the window sort twice (the
+    * exchange is reused but the post-shuffle sort+window is not). */
   private def smallStar(e: DataFrame): DataFrame = {
     val d = e.select(greatest(col("u"), col("v")).as("x"),
       least(col("u"), col("v")).as("y"))
     val withMin = d.withColumn("m", min(col("y")).over(Window.partitionBy("x")))
-    withMin.select(col("m").as("u"), col("y").as("v"))
-      .unionByName(withMin.select(col("m").as("u"), col("x").as("v")))
+    withMin.select(col("m").as("u"),
+        explode(array(col("y"), col("x"))).as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))

@@ -25,6 +25,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Traversal {
 
+  /** Eagerly localCheckpoint `df` with its row count observed ON the
+    * materialization job (localCheckpoint(eager) runs through
+    * withAction, so the observed aggregate completes with it) — the
+    * fixpoint loops' emptiness probe without a second job per level. */
+  private def checkpointCount(df: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+    (ck, obs.get("n").asInstanceOf[Long])
+  }
+
   /** All (start, reached, depth) pairs following `edges`
     * (src_uid→dst_uid) from every node to fixpoint, cycle-safe.
     * depth ≥ 1; a node reached by several paths keeps the min depth.
@@ -57,17 +67,21 @@ object Traversal {
     var done = false
     def acc = levels.reduce(_ unionByName _)
     while (i < maxIter && !done) {
-      val next = frontier.join(e, frontier("reached") === e("src_uid"))
-        .select(col("start"), col("dst_uid").as("reached"), (col("depth") + 1).as("depth"))
-        .join(acc.select(col("start").as("s2"), col("reached").as("r2")),
-          col("start") === col("s2") && col("reached") === col("r2"), "left_anti")
-        // collapse parallel paths within the level: on a diamond
-        // (a→b1→c, a→b2→c) the hop join yields (a,c) once per path, and
-        // without this the frontier grows multiplicatively (k paths per
-        // layer ⇒ k^depth rows) while acc double-counts reachability
-        .dropDuplicates(Seq("start", "reached"))
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
+      // the emptiness probe rides the checkpoint job as an observed
+      // count (localCheckpoint(eager) executes through withAction) —
+      // the old separate isEmpty() was one extra scheduled job per
+      // level (guide §1.2)
+      val (next, n) = checkpointCount(
+        frontier.join(e, frontier("reached") === e("src_uid"))
+          .select(col("start"), col("dst_uid").as("reached"), (col("depth") + 1).as("depth"))
+          .join(acc.select(col("start").as("s2"), col("reached").as("r2")),
+            col("start") === col("s2") && col("reached") === col("r2"), "left_anti")
+          // collapse parallel paths within the level: on a diamond
+          // (a→b1→c, a→b2→c) the hop join yields (a,c) once per path, and
+          // without this the frontier grows multiplicatively (k paths per
+          // layer ⇒ k^depth rows) while acc double-counts reachability
+          .dropDuplicates(Seq("start", "reached")))
+      if (n == 0L) done = true
       else {
         levels :+= next
         frontier = next
@@ -114,15 +128,17 @@ object Traversal {
     var done = false
     def acc = levels.reduce(_ unionByName _)
     while (i < maxIter && !done) {
-      val next = minPath(
+      // same observed-count fusion as reachFixpoint: no separate
+      // isEmpty job per level
+      val (next, n) = checkpointCount(minPath(
         frontier.join(e, frontier("reached") === e("src_uid"))
           .select(col("start"), col("dst_uid").as("reached"),
             concat(col("path"), lit("|"), col("rel_type"), lit("|"),
               col("dst_uid")).as("path"))
           .join(acc.select(col("start").as("s2"), col("reached").as("r2")),
             col("start") === col("s2") && col("reached") === col("r2"), "left_anti"),
-        i + 1).localCheckpoint(true)
-      if (next.isEmpty) done = true
+        i + 1))
+      if (n == 0L) done = true
       else {
         levels :+= next
         frontier = next

@@ -245,7 +245,9 @@ object GraphQueries extends QueryPack {
     // re-deriving edges+degrees inside every iteration's plan arm (a
     // persisted/staged table at cluster scale, same idea as shingled())
     val weighted = e.join(deg, "src").localCheckpoint(true)
-    val n = nodes(s, dir).select("uid")
+    // the node list feeds the init + one dangling-refill join per
+    // iteration — materialize the 4-way union once (the g22/g24 move)
+    val n = nodes(s, dir).select("uid").localCheckpoint(true)
     var pr = n.withColumn("pr", lit(scale))
     for (_ <- 1 to 3) {
       // contribution sums run in decimal(38,0): a long sum would wrap
@@ -569,26 +571,34 @@ object GraphQueries extends QueryPack {
     * two semi-join-shaped inner joins against the checkpointed survivor
     * set; lineage resets per round so the plan never grows with the
     * iteration count. */
+  /** Eager localCheckpoint with the row count observed ON the
+    * materialization job (localCheckpoint(eager) executes through
+    * withAction) — the peeling loops' convergence probe without a
+    * second count() job per round (guide §1.2). */
+  private def checkpointCount(df: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+    (ck, obs.get("n").asInstanceOf[Long])
+  }
+
   private[queries] def kCoreEdges(pairs: DataFrame, k: Int, iters: Int): DataFrame = {
     var edges = pairs
     var prevAlive = -1L
     var converged = false
     var it = 0
     while (it < iters && !converged) {
-      val alive = edges.select(col("u1").as("u"))
-        .unionAll(edges.select(col("u2").as("u")))
-        .groupBy("u").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("u")
-        .localCheckpoint(true)
       // Early convergence exit: the survivor set only ever SHRINKS, so
       // an unchanged count means an unchanged set and every remaining
       // round is the identity — the bounded unroll's result at round
       // `iters` equals the fixpoint already reached (the spec pins
-      // convergence within `iters`). One count() on the checkpointed
-      // survivor set per round buys skipping the no-op rounds' full
-      // degree-aggregate + double-join jobs. On equality `edges` stands
-      // from the previous round, built from the SAME survivor set.
-      val n = alive.count()
+      // convergence within `iters`). The count rides the checkpoint job
+      // as an observed metric. On equality `edges` stands from the
+      // previous round, built from the SAME survivor set.
+      val (alive, n) = checkpointCount(
+        edges.select(col("u1").as("u"))
+          .unionAll(edges.select(col("u2").as("u")))
+          .groupBy("u").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("u"))
       if (n == prevAlive) converged = true
       else {
         prevAlive = n
@@ -624,8 +634,7 @@ object GraphQueries extends QueryPack {
     * exact implications, the uncertain arm is exact counting). */
   private[queries] def kCoreMembersBipartite(incidence0: DataFrame, k: Int,
                                              iters: Int): DataFrame = {
-    var inc = incidence0.localCheckpoint(true) // distinct (user_id, b)
-    var prevRows = inc.count()
+    var (inc, prevRows) = checkpointCount(incidence0) // distinct (user_id, b)
     var converged = false
     var it = 0
     while (it < iters && !converged) {
@@ -642,16 +651,19 @@ object GraphQueries extends QueryPack {
         .filter(col("v") =!= col("user_id"))
         .groupBy("user_id").agg(countDistinct("v").as("deg"))
         .filter(col("deg") >= k).select("user_id")
-      val alive = certain.unionByName(exact).localCheckpoint(true)
-      inc = inc.join(alive, "user_id").localCheckpoint(true)
+      // `alive` is consumed exactly once (the inc re-induction join),
+      // so it needs no checkpoint of its own — both its arms read the
+      // checkpointed `bounds`/`inc`, and the next line's checkpoint
+      // resets lineage for the whole round (one materialization job per
+      // round instead of three: alive ckpt + inc ckpt + count).
+      val alive = certain.unionByName(exact)
       // Early convergence exit (same argument as kCoreEdges): the
       // incidence only SHRINKS round over round, so an unchanged row
       // count means an unchanged table and every remaining round is the
-      // identity. One count() on the just-checkpointed incidence per
-      // round skips the no-op rounds' three aggregates + two joins —
-      // at gate scale the peeling converges rounds before the pinned
-      // unroll bound, and each skipped round is ~3 scheduled jobs.
-      val rows = inc.count()
+      // identity; the count rides the checkpoint job as an observed
+      // metric.
+      val (inc2, rows) = checkpointCount(inc.join(alive, "user_id"))
+      inc = inc2
       if (rows == prevRows) converged = true
       else { prevRows = rows; it += 1 }
     }
@@ -755,7 +767,6 @@ object GraphQueries extends QueryPack {
     * rounds. Neighbor counts, not neighbor lists, cross the wire: the
     * window top-1 reads (node, label, cnt), never an adjacency list. */
   def g22LabelPropagation(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = edges(s, dir).select(col("src_uid").as("src"), col("dst_uid").as("dst"))
     val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
@@ -767,11 +778,13 @@ object GraphQueries extends QueryPack {
       val counts = und
         .join(lab.select(col("uid").as("dst"), col("label").as("nl")), "dst")
         .groupBy("src", "nl").agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt desc, nl asc) as min(struct(-cnt, nl)) — the
+      // same row the old row_number window picked, but a hash aggregate
+      // with map-side partials instead of a per-group sort (guide §2.3)
       val pick = counts
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("src").orderBy(desc("cnt"), asc("nl"))))
-        .filter(col("rn") === 1)
-        .select(col("src").as("uid"), col("nl").as("newlab"))
+        .groupBy("src").agg(min(struct((-col("cnt")).as("nc"),
+          col("nl").as("nl"))).as("m"))
+        .select(col("src").as("uid"), col("m.nl").as("newlab"))
       // isolated nodes keep their initial self-label (= uid), so the
       // left-join + coalesce to uid is exact, and `lab` appears in the
       // next round's plan exactly once
@@ -1127,7 +1140,6 @@ object GraphQueries extends QueryPack {
     * current node + one per-seed top-1 window — keyed shuffles only,
     * bounded by the seed count, no driver iteration. */
   def g41WalkCorpus(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = coClickPairs(s, dir).select(col("u1"), col("u2"))
     val adj = p.unionByName(p.select(col("u2").as("u1"), col("u1").as("u2")))
       .localCheckpoint(true)
@@ -1136,12 +1148,18 @@ object GraphQueries extends QueryPack {
       .select(col("start"), col("start").as("cur"))
     var acc = walk.select(col("start"), lit(0).as("step"), col("cur").as("node"))
     for (t <- 1 to 3) {
-      val w = Window.partitionBy("start").orderBy(asc("h"), asc("u2"))
+      // per-start argmin by (h, u2) as a struct-min hash aggregate:
+      // same selection as the old row_number window (ORDER BY h, u2,
+      // rn = 1) but with map-side partial aggregation — the shuffle
+      // carries one candidate per (start, partition) instead of every
+      // neighbor row, and no per-group sort (guide §2.3 aggregate
+      // before you shuffle)
       walk = walk.join(adj, col("cur") === col("u1"))
-        .select(col("start"), col("u2"),
-          sha2(concat_ws(":", col("cur"), lit(t), col("u2")), 256).as("h"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("start"), col("u2").as("cur"))
+        .select(col("start"), struct(
+          sha2(concat_ws(":", col("cur"), lit(t), col("u2")), 256).as("h"),
+          col("u2").as("u2")).as("hu"))
+        .groupBy("start").agg(min(col("hu")).as("m"))
+        .select(col("start"), col("m.u2").as("cur"))
       acc = acc.unionByName(
         walk.select(col("start"), lit(t).as("step"), col("cur").as("node")))
     }

@@ -348,6 +348,13 @@ object MultimodalQueries extends QueryPack {
           struct(round(abs(log(ar) - log(lit(b))), 6).as("dist"),
             lit(b).as("b"))): _*)).getField("b"))
       .select(col("id"), col("w"), col("h"), col("b"))
+      // materialized BEFORE the range exchange: repartitionByRange's
+      // boundary-sampling pass re-executes its child, and for m16 that
+      // child is the full PNG media scan — the checkpoint makes the
+      // sampler and the real exchange read the tiny (id,w,h,b) rows
+      // instead of decoding the blobs twice (guide §1.2), and pins one
+      // sampling input for the offs/probe arms downstream.
+      .localCheckpoint(true)
     val ranged = assigned.repartitionByRange(parts, col("b"), col("id"))
       .withColumn("pid", spark_partition_id())
     val offs = ranged.groupBy("b", "pid").agg(count(lit(1)).as("cnt"))

@@ -1684,7 +1684,19 @@ object RelationalQueries extends QueryPack {
           coalesce(col("d.last_day"), col("b.last_day"))).as("last_day"))
       .select(col("status"), col("month"), col("cnt"),
         round(col("mtotal"), 2).cast("double").as("total"),
-        round(col("mtotal").cast("double") / col("cnt"), 4).as("avg_price"),
+        // avg_price in EXACT integer HALF_UP arithmetic, then one
+        // double division both engines perform on the same integer:
+        // round(mtotal/cnt, 4) computed as (2·mtotal·10⁶ + 100·cnt) div
+        // (200·cnt) / 10⁴. The old round(double/cnt, 4) diverged
+        // cross-engine on decimal .00005 boundaries (Spark rounds the
+        // shortest double repr HALF_UP, DuckDB rounds the binary value
+        // — sf0.001's 2207782.51/8 = …81375 scored .8138 vs .8137), an
+        // inherited sf0.001 red this round repaired; results at
+        // sf0.01/sf0.1 are bit-identical to the old form (compared
+        // directly, see OPTIMIZATION_r12.md).
+        (expr("CAST((2 * CAST(mtotal * 1000000 AS DECIMAL(38,0)) " +
+          "+ 100 * cnt) div (200 * cnt) AS DOUBLE)") / 10000)
+          .as("avg_price"),
         col("first_day"), col("last_day"))
       .orderBy("status", "month")
   }
@@ -3363,8 +3375,9 @@ object RelationalQueries extends QueryPack {
         | CAST(count(*) AS BIGINT) AS cnt,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
         |   AS total,
-        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-        |   / count(*), 4) AS avg_price,
+        | CAST((2 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+        |   AS HUGEINT) + 100 * count(*)) // (200 * count(*)) AS DOUBLE)
+        |   / 10000 AS avg_price,
         | min(CAST(o_orderdate AS DATE)) AS first_day,
         | max(CAST(o_orderdate AS DATE)) AS last_day
         |FROM orders GROUP BY 1, 2 ORDER BY status, month""".stripMargin,

@@ -1264,6 +1264,12 @@ object TextQueries extends QueryPack {
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n"),
         md5(col("doc_id").cast("string")).as("h"))
       .filter(col("n") > 0)
+      // materialized BEFORE the range exchange: the boundary-sampling
+      // pass re-executes its child, and the regexp token count over the
+      // full text column is the expensive part of this plan — sample
+      // and exchange both read the tiny (doc_id, n, h) rows instead
+      // (guide §1.2; same fix as m16's arBatches)
+      .localCheckpoint(true)
     val ranged = t.repartitionByRange(parts, col("h"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
     // P rows — the only global window runs over the tiny offset table
@@ -1445,27 +1451,37 @@ object TextQueries extends QueryPack {
   /** d49 — cross-source CONTAMINATION MATRIX: pairwise word-trigram
     * overlap between corpus sources (the governance table a data team
     * reads before mixing crawls — which feeds share content, and how
-    * much). Distinct (source, window-hash) pairs self-join on the
-    * hash: one keyed shuffle; per-hash pair fan-out is bounded by the
-    * SOURCE count (tens), never the document count, so the join output
-    * is |hashes| × O(sources²) worst-case and in practice ≈ the true
-    * overlap. The window frame is eagerly localCheckpointed so the
-    * self-join's two plan arms don't recompute the shingle transform
+    * much). One aggregation keyed on the window hash builds the
+    * per-hash source SET (bounded by the source count, tens, never the
+    * document count); marginals and pairwise intersections both read
+    * that small aggregated frame, so the window table crosses exactly
+    * one exchange. The aggregated frame is eagerly localCheckpointed so
+    * the totals and pair arms don't recompute the shingle transform
     * (the d06 lesson). */
   def d49SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val k = 3
-    val wins = docs(s, dir).select(col("source"), words.as("w"))
+    // One aggregation keyed on the window hash replaces the old
+    // distinct-(source,h) + hash self-join: collect_set folds the
+    // duplicate windows map-side and the per-hash source set (≤ the
+    // source count, tens) yields both marginals and intersections with
+    // NO second shuffle of the window table (guide §2.3 aggregate
+    // before you shuffle / §2.4 remove shuffles outright). Per-pair
+    // counts are identical: h contributes to (s1,s2) iff both sources
+    // contain h — exactly the old join's row.
+    val byH = docs(s, dir).select(col("source"), words.as("w"))
       .filter(size(col("w")) >= k)
       .select(col("source"),
         explode(transform(sequence(lit(0), size(col("w")) - k),
           i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))).as("h"))
-      .distinct()
-      .localCheckpoint(true)
-    val totals = wins.groupBy("source").agg(count(lit(1)).as("n"))
-    val pairs = wins.as("a")
-      .join(wins.as("b"),
-        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .localCheckpoint(true) // feeds the totals AND the pair explode
+    val totals = byH.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = byH
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(totals.select(col("source").as("s1"), col("n").as("n1")), "s1")
@@ -1489,6 +1505,11 @@ object TextQueries extends QueryPack {
       .join(docs(s, dir).select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("toks")), "doc_id")
       .select(col("doc_id"), col("score"), col("toks"))
+      // materialized BEFORE budgetSelect's range exchange: its
+      // boundary-sampling pass would otherwise re-run the classifier +
+      // token count over the full corpus (guide §1.2; the m16/seqPack
+      // fix)
+      .localCheckpoint(true)
     budgetSelect(scored, 15000L, parallelism(s))
   }
 
