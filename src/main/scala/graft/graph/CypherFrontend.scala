@@ -1377,24 +1377,49 @@ object CypherFrontend {
                 // scale). Mid-chain hops stay unseeded: re-deriving
                 // the current frontier would re-execute the chain
                 // prefix.
-                val seed =
-                  if (cur == headVar && lo <= 1)
-                    Some(df.select(col(ns(cur, "uid")).as("src_uid")))
-                  else None
-                val closure = Traversal.reachFixpoint(reachEdges, seed = seed)
-                  .select(col("start").as(s"$endCol$$from"),
-                    col("reached").as(s"$endCol$$to"))
-                if (lo <= 1) closure
-                else
+                if (lo <= 1) {
+                  val seed =
+                    if (cur == headVar)
+                      Some(df.select(col(ns(cur, "uid")).as("src_uid")))
+                    else None
+                  Traversal.reachFixpoint(reachEdges, seed = seed)
+                    .select(col("start").as(s"$endCol$$from"),
+                      col("reached").as(s"$endCol$$to"))
+                } else {
                   // `*lo..` (lo > 1): an exact (lo-1)-hop walk prefix
                   // chained into the 1..∞ closure — ∃ walk of length
-                  // ≥ lo; DISTINCT pairs keep reachability semantics
-                  varReach(rel, lo - 1, lo - 1, endCol)
-                    .withColumnRenamed(s"$endCol$$to", s"$endCol$$pre")
-                    .join(closure.withColumnRenamed(
-                      s"$endCol$$from", s"$endCol$$pre"), s"$endCol$$pre")
+                  // ≥ lo; DISTINCT pairs keep reachability semantics.
+                  // The prefix seeds from the chain head when this hop
+                  // binds it (the lo ≤ 1 hub-safety), deduplicates
+                  // (only PAIRS survive the final distinct) and is
+                  // materialized once — it feeds the closure's seed
+                  // AND the chain join. The closure BFS then starts
+                  // only from the prefix's TARGET set: the old form
+                  // ran the (eager) fixpoint from EVERY node of the
+                  // graph and immediately discarded all starts the
+                  // prefix join dropped — the textbook wasted pass
+                  // (guide §1.2); results for kept starts are
+                  // identical by reachFixpoint's seeding contract.
+                  val prefixSeed =
+                    if (cur == headVar)
+                      Some(df.select(col(ns(cur, "uid"))
+                        .as(s"$endCol$$from")).distinct())
+                    else None
+                  val prefix =
+                    varReach(rel, lo - 1, lo - 1, endCol,
+                        seedFrom = prefixSeed)
+                      .withColumnRenamed(s"$endCol$$to", s"$endCol$$pre")
+                      .distinct()
+                      .localCheckpoint(true)
+                  val closure = Traversal.reachFixpoint(reachEdges,
+                      seed = Some(prefix
+                        .select(col(s"$endCol$$pre").as("src_uid"))))
+                    .select(col("start").as(s"$endCol$$pre"),
+                      col("reached").as(s"$endCol$$to"))
+                  prefix.join(closure, s"$endCol$$pre")
                     .drop(s"$endCol$$pre")
                     .distinct()
+                }
               } else varReach(rel, lo, hi, endCol,
                 withLen = pathVar.isDefined || rel.v.isDefined,
                 // a named path serializes its interior from the hop
